@@ -1,13 +1,425 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.mapreduce.MapReduceJob
+import graft.operators._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7): every operator from the SURVEY.md §2
+  * inventory as a named query, each with a DuckDB oracle twin where the
+  * semantics are SQL-expressible (hash-based / approximate / sketch ops
+  * are registered rows-only, as allowed). Column names and ordering are
+  * aligned byte-for-byte between the Spark builder and the oracle SQL —
+  * the driver sorts columns by name and hashes values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — core relational (SURVEY.md §2.2 scans/filter/agg/join/sort/set) —
+    "q_pricing_summary" -> (Relational.pricingSummary _),
+    "q_filter_project"  -> (Relational.filterProject _),
+    "q_join_agg"        -> (Relational.joinAgg _),
+    "q_join_broadcast"  -> (Relational.joinBroadcast _),
+    "q_semi_join"       -> (Relational.semiJoin _),
+    "q_anti_join"       -> (Relational.antiJoin _),
+    "q_outer_join"      -> (Relational.outerJoin _),
+    "q_range_join"      -> (Relational.rangeJoin _),
+    "q_topk"            -> (Relational.topK _),
+    "q_sort"            -> (Relational.distributedSort _),
+    "q_intersect"       -> (Relational.intersectCustomers _),
+    "q_except"          -> (Relational.exceptCustomers _),
+    "q_union_distinct"  -> (Relational.unionDistinct _),
+    "q_distinct_agg"    -> (Relational.distinctAgg _),
+    "q_approx_distinct" -> (Relational.approxDistinctAgg _),
+    "q_rollup"          -> (Relational.rollupAgg _),
+    "q_cube"            -> (Relational.cubeAgg _),
+    "q_case_when"       -> (Relational.caseWhenAgg _),
+    // — window functions —
+    "q_window_rank"     -> (Windows.windowRank _),
+    "q_window_running"  -> (Windows.windowRunning _),
+    "q_group_topk"      -> (Windows.groupTopK _),
+    // — scalar function groups —
+    "q_string_funcs"    -> (Scalars.stringFuncs _),
+    "q_date_funcs"      -> (Scalars.dateFuncs _),
+    "q_math_funcs"      -> (Scalars.mathFuncs _),
+    "q_json"            -> (Scalars.jsonFuncs _),
+    "q_grep"            -> (Scalars.grep _),
+    // — text analysis / word count (the reference application) —
+    "q_wordcount"       -> (TextAnalysis.wordCount _),
+    "q_mapreduce_wordcount" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val texts = Tables.documents(s, dir).select(col("text")).as[String]
+      MapReduceJob.wordCount(s, texts).toDF("word", "cnt").orderBy(col("word"))
+    }),
+    "q_inverted_index"  -> (TextAnalysis.invertedIndex _),
+    "q_token_count"     -> (TextAnalysis.tokenCount _),
+    "q_text_quality"    -> (TextAnalysis.textQuality _),
+    "q_lang_id"         -> (TextAnalysis.langId _),
+    "q_fingerprint"     -> (TextAnalysis.fingerprint _),
+    // — dedup family —
+    "q_dedup_exact"     -> (Dedup.exactDedup _),
+    "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
+    "q_minhash_signatures" -> (Dedup.minhashSignatures _),
+    "q_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
+    "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
+    "q_simhash"         -> (Dedup.simhash _),
+    // — similarity search over embeddings —
+    "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
+    "q_knn_ivf"         -> (Similarity.ivfKnn _),
+    "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
+    // — time-windowed event analytics (streaming-shaped, batch oracle) —
+    "q_tumbling"        -> (EventAnalytics.tumbling _),
+    "q_sliding"         -> (EventAnalytics.sliding _),
+    "q_sessions"        -> (EventAnalytics.sessions _),
+    // — multimodal columns (stubbed decode, real plumbing) —
+    "q_media_features"  -> (Multimodal.mediaFeatures _),
+    "q_media_stats"     -> (Multimodal.mediaStats _),
+  )
+
+  // ——— shared oracle SQL fragments ———
+
+  /** Non-empty `[^a-zA-Z]` tokens of documents.text, uppercased:
+    * reference word_count.ex:5-7 semantics in DuckDB.
+    */
+  private val tokSql =
+    "SELECT doc_id, upper(w) AS word FROM (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''"
+
+  /** Distinct char-4-shingles of normalized text per document. */
+  private val shSql =
+    "SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(norm)-3,1)), i -> substr(norm,i,4))) AS sh FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents))"
+
+  /** md5-derived 32-bit hash — must mirror TextFunctions.md5Hash32. */
+  private def h32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  /** MinHash signature CTE body (8 hashes) — mirrors Dedup.minhashSignatures. */
+  private val sigSql = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(i => s"min(${h32(s"sh||'#$i'")}) AS mh$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM ($shSql) GROUP BY doc_id"
+  }
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val wordcountSql =
+    s"SELECT word, count(*) AS cnt FROM ($tokSql) GROUP BY word ORDER BY word"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_extendedprice*(1-l_discount) AS net_price,
+        |CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_returnflag='R' AND l_quantity>45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, round(sum(l_extendedprice),2) AS brand_revenue, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice>400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, coalesce(cnt,0) AS n_orders, round(coalesce(tot,0),2) AS total_spent
+        |FROM customer LEFT JOIN
+        |(SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey) o
+        |ON c_custkey=o.o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n_shipped_90d
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |AND l_shipdate>=o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag
+        |FROM lineitem ORDER BY l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        |SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |UNION ALL SELECT CAST(s_nationkey AS INT) FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supps,
+        |count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        |count(*) AS n_rows,
+        |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice),2) AS sum_price,
+        |count(*) AS n_orders,
+        |CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT o_orderstatus,
+        |CAST(sum(CASE WHEN o_totalprice>200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |CAST(sum(CASE WHEN o_totalprice<=200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |round(avg(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS avg_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, price, rn FROM (
+        |SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total,
+        |round(coalesce(lag(o_totalprice,1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),0),2) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT c_mktsegment, o_orderkey, price, rn FROM (
+        |SELECT c_mktsegment, o_orderkey, round(o_totalprice,2) AS price,
+        |row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders JOIN customer ON o_custkey=c_custkey)
+        |WHERE rn <= 2 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |CAST(length(p_name) AS BIGINT) AS name_len,
+        |substr(p_name,1,5) AS name_pre,
+        |regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |p_brand||'|'||p_type AS brand_type,
+        |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+        |CAST(min(day(o_orderdate)) AS BIGINT) AS min_dom,
+        |CAST(max(isodow(o_orderdate)-1) AS BIGINT) AS max_dow,
+        |round(sum(o_totalprice),2) AS month_revenue
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_returnflag, round(sqrt(sum(l_quantity)),4) AS sqrt_qty,
+        |round(ln(sum(l_extendedprice)),4) AS ln_price,
+        |round(pow(avg(l_discount),2),6) AS disc_sq,
+        |CAST(ceil(max(l_tax)*100) AS BIGINT) AS max_tax_pct,
+        |CAST(floor(min(l_extendedprice)) AS BIGINT) AS min_price_fl,
+        |round(abs(min(l_quantity-25)),2) AS abs_qty_dev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+        |min(k) AS min_k, max(k) AS max_k FROM (
+        |SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_grep" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE regexp_matches(text, 'window.*join|join.*window') ORDER BY doc_id""".stripMargin,
+
+    "q_wordcount" -> wordcountSql,
+    "q_mapreduce_wordcount" -> wordcountSql,
+
+    "q_inverted_index" ->
+      s"SELECT DISTINCT word, doc_id FROM ($tokSql) ORDER BY word, doc_id",
+
+    "q_token_count" ->
+      """SELECT source, CAST(sum(n_words) AS BIGINT) AS total_words,
+        |CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+        |round(avg(n_words),4) AS avg_words_per_doc, count(*) AS n_docs FROM (
+        |SELECT source,
+        |len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS n_words,
+        |len(list_filter(string_split_regex(text,'\s+'), x -> x<>'')) AS n_ws
+        |FROM documents) GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+        |CAST(len(toks) AS BIGINT) AS n_words,
+        |round(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+        |  / greatest(len(toks),1), 4) AS stopword_ratio,
+        |round(length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE
+        |  / greatest(length(text),1), 4) AS alpha_ratio
+        |FROM (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS toks
+        |FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |CASE WHEN hits_fr >= greatest(hits_es, hits_en, hits_de) THEN 'fr'
+        |     WHEN hits_es >= greatest(hits_en, hits_de) THEN 'es'
+        |     WHEN hits_en >= hits_de THEN 'en' ELSE 'de' END AS pred_lang,
+        |CAST(greatest(hits_en, hits_de, hits_es, hits_fr) AS BIGINT) AS hits
+        |FROM (SELECT doc_id,
+        |len(list_filter(toks, x -> x IN ('the','a','of','and','to','is'))) AS hits_en,
+        |len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein'))) AS hits_de,
+        |len(list_filter(toks, x -> x IN ('el','la','de','y','es','un'))) AS hits_es,
+        |len(list_filter(toks, x -> x IN ('le','la','de','et','est','un'))) AS hits_fr
+        |FROM (SELECT doc_id, list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
+        |FROM documents)) ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${h32("lower(trim(text))")} AS fp_md5,
+         |list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(generate_series(1, length(text)), i -> CAST(ord(substr(text,i,1)) AS BIGINT))),
+         |  (acc,c) -> (acc*31+c)%1000000007) AS fp_rolling
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_hash" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    "q_minhash_signatures" ->
+      s"SELECT * FROM ($sigSql) ORDER BY doc_id",
+
+    "q_minhash_lsh_pairs" -> {
+      val bands = (0 until Dedup.Bands).map { b =>
+        val r = Dedup.NumHashes / Dedup.Bands
+        val key = (0 until r).map(i => s"mh${b * r + i}::VARCHAR").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      val matches = (0 until Dedup.NumHashes)
+        .map(i => s"(sa.mh$i = sb.mh$i)::INT").mkString(" + ")
+      s"""WITH sig AS ($sigSql),
+         |bands AS ($bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+         |  JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id)
+         |SELECT id_a, id_b, est_jaccard FROM (
+         |  SELECT id_a, id_b, round(($matches)::DOUBLE/${Dedup.NumHashes}, 4) AS est_jaccard
+         |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS ($shSql),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh=b.sh AND a.doc_id<b.doc_id GROUP BY 1,2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |    round(n_common::DOUBLE/(sa.sz+sb.sz-n_common),4) AS jaccard
+         |  FROM common JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id)
+         |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, ${h32("lower(w)")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
+         |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM (SELECT doc_id, h, unnest(generate_series(0,31)) AS b FROM toks) GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(CASE WHEN v>0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${Similarity.NumQueries}),
+         |sims AS (SELECT q_id, e.vec_id AS n_id,
+         |  round(${cosSql("q_emb", "e.embedding")}, 6) AS sim
+         |  FROM embeddings e, q WHERE q_id <> e.vec_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_embedding_dedup" ->
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < ${Similarity.NumCells}),
+         |assigned AS (SELECT e.vec_id,
+         |  min({'d': list_sum(list_transform(generate_series(1, len(e.embedding)),
+         |        i -> (e.embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c_emb[i]::DOUBLE))),
+         |       'c': c_id}) AS m
+         |  FROM embeddings e, cent GROUP BY e.vec_id),
+         |tagged AS (SELECT e.vec_id, e.embedding, a.m.c AS cell
+         |  FROM embeddings e JOIN assigned a ON e.vec_id=a.vec_id)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM tagged a JOIN tagged b ON a.cell=b.cell AND a.vec_id<b.vec_id)
+         |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_sliding" ->
+      """SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, count(*) AS n FROM (
+        |SELECT time_bucket(INTERVAL '30 minutes', ts) AS s FROM events
+        |UNION ALL
+        |SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS s FROM events)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
+
+    "q_sessions" ->
+      """WITH flagged AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |count(*) AS n_events, round(sum(value),2) AS session_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_media_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |lang AS format,
+        |CAST(octet_length(encode(text))*31 + ord(substr(text,1,1)) AS BIGINT) AS feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_stats" ->
+      """SELECT lang AS format, count(*) AS n_media,
+        |CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |CAST(min(octet_length(encode(text))*31 + ord(substr(text,1,1))) AS BIGINT) AS min_feature
+        |FROM documents GROUP BY lang ORDER BY format""".stripMargin,
+  )
 }

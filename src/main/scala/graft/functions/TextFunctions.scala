@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives, all built from codegen'd Catalyst
+  * builtins (no Scala UDFs in the hot path — a UDF breaks whole-stage
+  * codegen and predicate pushdown, which matters at 100 TB).
+  *
+  * Tokenization semantics mirror the reference's word-count application
+  * (reference lib/mr_apps/word_count.ex:5-7): split on `[^a-zA-Z]` (any
+  * non-letter delimits; digits/apostrophes split words), drop empties,
+  * uppercase.
+  */
+object TextFunctions {
+
+  /** Reference tokenizer: word_count.ex:5 `String.split(content, ~r{[^a-zA-Z]})`. */
+  val TokenPattern = "[^a-zA-Z]"
+
+  /** Array of raw (possibly empty) tokens. */
+  def rawTokens(text: Column): Column = split(text, TokenPattern)
+
+  /** Non-empty tokens, original case. */
+  def tokens(text: Column): Column =
+    filter(rawTokens(text), t => length(t) > 0)
+
+  /** Reference word-count key: uppercased token (word_count.ex:7). */
+  def upperTokens(text: Column): Column =
+    transform(tokens(text), t => upper(t))
+
+  /** Deterministic 32-bit unsigned hash from the first 8 hex chars of
+    * md5 — chosen over Spark's murmur3 `hash()` because it is
+    * reproducible in any engine (the DuckDB oracle computes the same
+    * value via `('0x'||substr(md5(s),1,8))::BIGINT`), making MinHash
+    * signatures differentially testable. conv() parses hex → decimal
+    * string; cast to long gives [0, 2^32).
+    */
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member i (for MinHash). */
+  def md5Hash32Seeded(s: Column, seed: Int): Column =
+    md5Hash32(concat(s, lit("#" + seed)))
+
+  /** Normalization used for exact dedup: trim + lowercase. */
+  def normalized(text: Column): Column = lower(trim(text))
+
+  /** Character k-shingles as an array column: substring(text, i, k) for
+    * i in [1, len-k+1]. Codegen'd via sequence+transform — no UDF.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+      i => substring_index_safe(text, i, k))
+
+  private def substring_index_safe(text: Column, i: Column, k: Int): Column =
+    text.substr(i, lit(k))
+
+  /** Simple rolling polynomial fingerprint over the whole document:
+    * h = (h * 31 + ascii(char)) mod 1_000_000_007, computed with the
+    * higher-order `aggregate` builtin over the character array. Stays
+    * inside Catalyst (no UDF); the DuckDB oracle replicates it with
+    * list_reduce where available, else the query is registered without
+    * an oracle.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c.cast("long"), lit(1000000007L)))
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-windowed analytics over the events table, in batch form. The
+  * same `window()` / `session_window()` expressions run unchanged under
+  * Structured Streaming (see [[graft.streaming.EventStreams]]) — batch
+  * here gives them a DuckDB oracle (time_bucket / gaps-and-islands).
+  */
+object EventAnalytics {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sliding windows: 1-hour window every 30 minutes (each event lands
+    * in 2 windows).
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n"))
+      .orderBy(col("win_start"))
+
+  /** Session windows: per-user sessions closed by a 30-minute
+    * inactivity gap — `session_window` in Spark; the oracle reproduces
+    * it with the classic lag + cumulative-flag gaps-and-islands SQL.
+    * Timestamps are truncated to seconds on OUTPUT only (ns parquet →
+    * µs differs between engines at the boundary otherwise).
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+}

@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan → project/filter → aggregate → join →
+  * set ops → sort/limit, the generalization of the reference's single
+  * map/shuffle/reduce dataflow (SURVEY.md §2.2). Every builder returns a
+  * deterministically ordered DataFrame whose column names match its
+  * DuckDB oracle twin in [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes (100 TB): all aggregations here are partial-aggregatable
+  * (Catalyst plans HashAggregate(partial) → shuffle → HashAggregate
+  * (final), the map-side combine of the MapReduce paper §4.3); dimension
+  * joins broadcast explicitly so the fact table never shuffles; filters
+  * and projections sit directly on the scan so parquet gets
+  * PushedFilters + pruned ReadSchema.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan → filter → wide agg → sort.
+    * The reference's whole dataflow shape (scan→map→shuffle→reduce,
+    * SURVEY.md §3.1) instantiated over lineitem. Doubles are rounded
+    * identically in the oracle to make the hash comparison stable.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + filter + scalar arithmetic, no shuffle at all: the
+    * plan should be a single WholeStageCodegen over the parquet scan
+    * with both predicates in PushedFilters.
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // raw product, NOT rounded: the identical IEEE multiply in the
+        // oracle is bitwise-equal, while round() implementations differ
+        // on half-boundaries (Spark goes via Double.toString + HALF_UP).
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        col("l_quantity").cast("long").as("qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Multi-way star join: orders ⋈ customer ⋈ nation ⋈ region, revenue
+    * per nation. customer/nation/region are dimensions → broadcast, so
+    * the only shuffle is the final aggregation on n_name. At 100 TB the
+    * orders fact table streams through map-side hash joins.
+    */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Fact ⋈ small dim with an explicit broadcast hint: lineitem ⋈ part,
+    * aggregated by brand. One shuffle (the groupBy), zero for the join.
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice")), 2).as("brand_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Left-semi join (EXISTS): customers that placed at least one
+    * high-value order. Semi joins ship only the join key of the right
+    * side — at scale this is the cheapest containment check.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers that never placed a
+    * high-value order (the fixture gives every customer at least one
+    * order, so anti-join against ALL orders would be vacuously empty).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join preserving customers with zero orders; the
+    * aggregate runs on the already-grouped orders side BEFORE the join
+    * so the outer join is dim ⋈ pre-aggregated (smaller shuffle than
+    * joining raw orders then grouping).
+    */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("tot"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        round(coalesce(col("tot"), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Equi + range (non-equi) join: lineitems shipped within 90 days of
+    * their order date. The equi key keeps it a hash/sort-merge join;
+    * the range predicate is a post-join filter Catalyst attaches to the
+    * join condition.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o,
+        l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_shipped_90d"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject — each partition keeps its own
+    * k, the driver merges k·partitions rows. No full sort, no full
+    * shuffle; this is THE scalable top-k at 100 TB.
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Distributed global sort (MapReduce paper §2.3's "distributed
+    * sort"): range-partitioned sort on the full key, the generalization
+    * of the reference's corpus-wide Enum.sort (mr_sequential.ex:12).
+    */
+  def distributedSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_returnflag"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
+  /** INTERSECT: customers with both an 'O'-status and an 'F'-status
+    * order. Spark plans set ops as aggregates/joins — partial-agg
+    * friendly.
+    */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** EXCEPT: customers with an 'O' order but never a 'P' order. */
+  def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** UNION (distinct) of two key projections — reference U1
+    * (mr_sequential.ex:7-11 concatenates per-file map outputs) widened
+    * to relational UNION with dedup.
+    */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.select(col("c_nationkey").cast("int").as("nationkey"))
+      .union(s.select(col("s_nationkey").cast("int").as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+  }
+
+  /** Exact distinct counts per group (shuffle-heavy: expand + two-phase
+    * agg) next to the single-pass HLL approximation — the scale
+    * trade-off made explicit.
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch version: one pass, constant memory, mergeable — what
+    * you actually run at 100 TB. Not DuckDB-oracle-able (different
+    * sketch), registered rows-only.
+    */
+  def approxDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP with grouping_id — hierarchical totals in one pass. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** CUBE over two order dimensions. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Conditional aggregation (CASE WHEN inside agg) — pivot-style
+    * counters in a single scan.
+    */
+  def caseWhenAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("n_high"),
+        sum(when(col("o_totalprice") <= 200000, 1).otherwise(0)).as("n_low"),
+        round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2).as("avg_urgent"))
+      .orderBy(col("o_orderstatus"))
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface: string / date / math / JSON expression
+  * groups (SURVEY.md §2.2 "Scalar functions"), generalizing the
+  * reference's only scalar work (regex split + upper + string concat,
+  * word_count.ex:5-7, worker.ex:148). Everything is a Catalyst builtin
+  * — codegen'd, pushdown-transparent.
+  */
+object Scalars {
+
+  /** String functions over part: case mapping, length, substring,
+    * regexp extraction, concat.
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions over orders: truncation to month, extraction,
+    * day arithmetic.
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(dayofmonth(col("o_orderdate"))).cast("long").as("min_dom"),
+        max(weekday(col("o_orderdate"))).cast("long").as("max_dow"),
+        round(sum(col("o_totalprice")), 2).as("month_revenue"))
+      .orderBy(col("month"))
+
+  /** Math functions over lineitem aggregates. */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sqrt(sum(col("l_quantity"))), 4).as("sqrt_qty"),
+        round(ln(sum(col("l_extendedprice"))), 4).as("ln_price"),
+        round(pow(avg(col("l_discount")), 2), 6).as("disc_sq"),
+        ceil(max(col("l_tax")) * 100).cast("long").as("max_tax_pct"),
+        floor(min(col("l_extendedprice"))).cast("long").as("min_price_fl"),
+        round(abs(min(col("l_quantity") - 25)), 2).as("abs_qty_dev"))
+      .orderBy(col("l_returnflag"))
+
+  /** JSON extraction from the events.props string column — the
+    * semi-structured path (get_json_object stays codegen'd via
+    * Jackson; at scale prefer from_json with an explicit schema once
+    * the shape is known, which this also demonstrates).
+    */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Distributed grep (MapReduce paper §2.3 application #1): regex
+    * predicate over documents, pushed onto the scan.
+    */
+  def grep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").rlike("window.*join|join.*window"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the documents table: the reference's
+  * word-count application generalized (word_count.ex:3-13), plus the
+  * LLM-pipeline text operators (quality scoring, language ID, token
+  * counting, fingerprinting). All tokenization uses the reference's
+  * `[^a-zA-Z]` delimiter semantics via [[graft.functions.TextFunctions]].
+  */
+object TextAnalysis {
+
+  /** THE reference query: word count with the exact semantics of
+    * lib/mr_apps/word_count.ex:3-13 — split on non-letters, drop
+    * empties, uppercase, count per word — over the documents corpus.
+    * Plan shape: scan → generate(explode) → partial agg → shuffle →
+    * final agg → sort; the partial aggregation is the map-side combine
+    * of the MapReduce paper §4.3.
+    */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(upperTokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("word"))
+
+  /** Inverted index (MapReduce paper §2.3 application #5): distinct
+    * word → document postings, exploded to scalar rows.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(upperTokens(col("text"))).as("word"))
+      .distinct()
+      .orderBy(col("word"), col("doc_id"))
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letters runs / digit runs / single punctuation), per source.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("source"),
+        size(tokens(col("text"))).as("n_words"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_ws"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_ws")).as("total_ws_tokens"),
+        round(avg(col("n_words")), 4).as("avg_words_per_doc"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** Quality scoring: length, mean word length, stopword ratio,
+    * alpha-character ratio — the standard cheap pre-filters of an LLM
+    * data pipeline, one scan, no shuffle until the final sort.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("text_len"),
+        size(toks).cast("long").as("n_words"),
+        round(
+          size(filter(toks, t => lower(t).isInCollection(stop))).cast("double") /
+            greatest(size(toks), lit(1)), 4).as("stopword_ratio"),
+        round(
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID: stopword-list hits per candidate language,
+    * argmax with deterministic tie-break on language name. The lists
+    * are tiny n-gram/stopword heuristics — the real discriminator at
+    * scale would be a fastText-style model; the dataflow (per-doc
+    * scoring, no shuffle) is identical.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val langs: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "de", "y", "es", "un"),
+      "fr" -> Seq("le", "la", "de", "et", "est", "un"))
+    val toks = transform(tokens(col("text")), t => lower(t))
+    val scored = langs.foldLeft(Tables.documents(spark, dir).select(col("doc_id"), col("text"))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"hits_$l",
+          size(filter(toks, t => t.isInCollection(words))))
+    }
+    val best = langs.map { case (l, _) => struct(col(s"hits_$l").as("h"), lit(l).as("l")) }
+    scored
+      .select(col("doc_id"),
+        greatest(best: _*).getField("l").as("pred_lang"),
+        greatest(best: _*).getField("h").cast("long").as("hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: (a) md5-based 32-bit content fingerprint
+    * (engine-portable, oracle-checked) and (b) rolling polynomial hash
+    * computed with the higher-order aggregate builtin.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5Hash32(normalized(col("text"))).as("fp_md5"),
+        rollingFingerprint(col("text")).as("fp_rolling"))
+      .orderBy(col("doc_id"))
+}
