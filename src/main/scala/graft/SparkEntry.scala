@@ -89,18 +89,27 @@ object SparkEntry {
   private val tokSql =
     "SELECT doc_id, upper(w) AS word FROM (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''"
 
-  /** Distinct char-4-shingles of normalized text per document. */
-  private val shSql =
-    "SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(norm)-3,1)), i -> substr(norm,i,4))) AS sh FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents))"
+  /** Distinct char-k-shingles of normalized text per document (k =
+    * Dedup.ShingleK, kept in lockstep with the Spark builders).
+    */
+  private val shSql = {
+    val k = Dedup.ShingleK
+    s"SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(norm)-${k - 1},1)), i -> substr(norm,i,$k))) AS sh FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents))"
+  }
 
   /** md5-derived 32-bit hash — must mirror TextFunctions.md5Hash32. */
   private def h32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
 
-  /** MinHash signature CTE body (8 hashes) — mirrors Dedup.minhashSignatures. */
+  /** MinHash signature CTE body — mirrors Dedup.minhashSignatures: one
+    * md5-derived 32-bit hash per shingle, then the affine family
+    * (A·h + B) mod P min'd per member (identical long arithmetic — A < 2^31
+    * keeps A·h + B inside signed 64-bit in both engines).
+    */
   private val sigSql = {
     val mins = (0 until Dedup.NumHashes)
-      .map(i => s"min(${h32(s"sh||'#$i'")}) AS mh$i").mkString(", ")
-    s"SELECT doc_id, $mins FROM ($shSql) GROUP BY doc_id"
+      .map(i => s"min((${Dedup.HashA(i)}*h + ${Dedup.HashB(i)}) % ${Dedup.HashP}) AS mh$i")
+      .mkString(", ")
+    s"SELECT doc_id, $mins FROM (SELECT doc_id, ${h32("sh")} AS h FROM ($shSql)) GROUP BY doc_id"
   }
 
   private def dotSql(a: String, b: String) =

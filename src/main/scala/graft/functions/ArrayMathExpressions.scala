@@ -1,0 +1,178 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with `doGenCode`) for the embedding /
+  * fingerprint hot paths. The higher-order builtins (`zip_with` +
+  * `aggregate`) express the same math but do not participate in
+  * whole-stage codegen — every element is boxed and every row allocates
+  * intermediate arrays. At 100 TB (billions of 64-dim cosine evals in a
+  * similarity join) that interpretation overhead dominates; these
+  * expressions compile to a tight primitive loop instead, one pass, no
+  * allocation.
+  *
+  * Numeric contract: accumulate left-to-right in double, each float cast
+  * to double first — the exact order the DuckDB oracle's
+  * `list_sum(list_transform(...))` uses, so results are bitwise equal
+  * and `round(_, 6)` is stable across engines.
+  */
+object ArrayMathExpressions {
+
+  /** cosine(a, b) = dot/(|a|·|b|), one fused pass over both arrays. */
+  case class CosineSimilarityExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_similarity"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi")
+        val yi = ctx.freshName("yi")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = (double) $a.getFloat($i);
+           |  double $yi = (double) $b.getFloat($i);
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Squared euclidean distance — argmin-friendly (no sqrt). */
+  case class SqDistExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sq_dist"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Rolling polynomial fingerprint over a string's code points:
+    * h = (h*31 + codepoint) mod 1e9+7. Semantics match
+    * `ascii(substr(text, i, 1))` folded left (= DuckDB `ord(substr(...))`)
+    * — both index by code point, which the codePointAt walk reproduces.
+    */
+  case class RollingHashExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graft.ArrayMathExpressions.rollingHash($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // Column builders — ExpressionUtils is private[sql], which is why this
+  // file lives under org.apache.spark.sql (the standard seam for native
+  // Catalyst extensions).
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def cosineCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarityExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sqDistCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDistExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def rollingHashCol(c: Column): Column =
+    ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
+
+  /** Codegen entry point for [[RollingHashExpr]]. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}

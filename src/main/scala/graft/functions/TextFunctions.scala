@@ -46,26 +46,19 @@ object TextFunctions {
   def normalized(text: Column): Column = lower(trim(text))
 
   /** Character k-shingles as an array column: substring(text, i, k) for
-    * i in [1, len-k+1]. Codegen'd via sequence+transform — no UDF.
+    * i in [1, len-k+1]. Native codegen expression — the builtin
+    * sequence+transform+substr form re-scans the UTF-8 prefix per
+    * shingle (O(len²)/doc) and evaluates interpreted.
     */
   def charShingles(text: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-      i => substring_index_safe(text, i, k))
-
-  private def substring_index_safe(text: Column, i: Column, k: Int): Column =
-    text.substr(i, lit(k))
+    org.apache.spark.sql.graft.TextShingleExpressions.charShinglesCol(text, k)
 
   /** Simple rolling polynomial fingerprint over the whole document:
-    * h = (h * 31 + ascii(char)) mod 1_000_000_007, computed with the
-    * higher-order `aggregate` builtin over the character array. Stays
-    * inside Catalyst (no UDF); the DuckDB oracle replicates it with
-    * list_reduce where available, else the query is registered without
-    * an oracle.
+    * h = (h * 31 + codepoint) mod 1_000_000_007 — a native codegen'd
+    * expression ([[ArrayMathExpressions.RollingHashExpr]]); one pass over
+    * the string, no per-char array materialization. The DuckDB oracle
+    * replicates it with list_reduce over ord(substr(...)).
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => pmod(acc * 31 + c.cast("long"), lit(1000000007L)))
+    org.apache.spark.sql.graft.ArrayMathExpressions.rollingHashCol(text)
 }

