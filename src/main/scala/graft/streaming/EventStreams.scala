@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over events-shaped data (event_id, ts,
+  * user_id, event_type, value, props). The reference has no data-plane
+  * streaming — its master/worker loop (reference lib/map_reduce/
+  * master.ex, worker.ex) is control-plane scheduling that Spark
+  * subsumes — so this module is the north-star generalization: the SAME
+  * window / session_window expressions used by the batch
+  * [[graft.operators.EventAnalytics]] queries, applied to an unbounded
+  * source with watermark-driven state eviction.
+  *
+  * Every transform here takes a DataFrame that may be batch or
+  * streaming — Structured Streaming's core design point. Batch runs give
+  * the logic a DuckDB oracle; streaming runs are verified by
+  * deterministic replay in ScalaTest (MemoryStream), per SURVEY.md §7
+  * Phase 3.
+  *
+  * Scale note: watermarks bound state (without one, a windowed agg keeps
+  * every window forever — the OOM at day 3 of a 100 TB/day stream);
+  * `spark.sql.streaming.statestore` backs the per-key state, partitioned
+  * by the grouping key exactly like a batch shuffle.
+  */
+object EventStreams {
+
+  /** events row as a typed record (for the stateful typed API). */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user live session state carried between micro-batches. */
+  case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+
+  /** Emitted when a session closes (watermark passes gap timeout). */
+  case class ClosedSession(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: Timestamp)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of parquet drops —
+    * the production shape (object-store landing zone → readStream).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts per event type; watermark bounds state and
+    * drops late data beyond `delay`.
+    */
+  def tumblingCounts(events: DataFrame, dur: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), dur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding windows (each event lands in dur/slide windows). */
+  def slidingCounts(events: DataFrame, dur: String = "1 hour",
+      slide: String = "30 minutes", delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), dur, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Session windows: per-user sessions closed by `gap` inactivity —
+    * the streaming twin of the batch gaps-and-islands oracle query.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Custom sessionization via flatMapGroupsWithState — the escape hatch
+    * for session semantics `session_window` can't express (here: emit a
+    * summary row only when the session CLOSES, via event-time timeout at
+    * watermark + gap). State per user is O(1).
+    */
+  def closedSessions(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events.withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.nEvents, s.totalValue,
+              new Timestamp(s.lastTs)))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastTs < gapMs =>
+                  cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    math.max(s.lastTs, e.ts.getTime)))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.nEvents, s.totalValue,
+                    new Timestamp(s.lastTs))
+                  cur = Some(SessionState(1L, e.value, e.ts.getTime))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, e.ts.getTime))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Write helper: append sink to parquet with a checkpoint — the
+    * exactly-once file sink pattern.
+    */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+}
