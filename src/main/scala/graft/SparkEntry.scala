@@ -39,6 +39,9 @@ object SparkEntry {
     "q_rollup"          -> (Relational.rollupAgg _),
     "q_cube"            -> (Relational.cubeAgg _),
     "q_case_when"       -> (Relational.caseWhenAgg _),
+    "q_asof_join"       -> (Relational.asofJoin _),
+    "q_pivot"           -> (Relational.pivotAgg _),
+    "q_percentile"      -> (Relational.percentileAgg _),
     // — window functions —
     "q_window_rank"     -> (Windows.windowRank _),
     "q_window_running"  -> (Windows.windowRunning _),
@@ -57,6 +60,8 @@ object SparkEntry {
       MapReduceJob.wordCount(s, texts).toDF("word", "cnt").orderBy(col("word"))
     }),
     "q_inverted_index"  -> (TextAnalysis.invertedIndex _),
+    "q_tfidf"           -> (TextAnalysis.tfidf _),
+    "q_bigrams"         -> (TextAnalysis.wordBigrams _),
     "q_token_count"     -> (TextAnalysis.tokenCount _),
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_lang_id"         -> (TextAnalysis.langId _),
@@ -219,6 +224,48 @@ object SparkEntry {
         |CAST(sum(CASE WHEN o_totalprice<=200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |round(avg(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS avg_urgent
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey,
+        |  arg_max(o_totalprice, o_orderkey) AS last_price FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, od.last_orderkey, od.last_price
+        |FROM events e ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |round(sum(o_totalprice) FILTER (o_orderstatus='F'),2) AS "F",
+        |round(sum(o_totalprice) FILTER (o_orderstatus='O'),2) AS "O",
+        |round(sum(o_totalprice) FILTER (o_orderstatus='P'),2) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
+        |quantile_cont(l_quantity, 0.75) AS p75, quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, lower(w) AS word FROM
+        |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
+        |tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(cnt) AS tot FROM tf GROUP BY 1),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT doc_id, word, tfidf, rn FROM (
+        |  SELECT doc_id, word, round((cnt::DOUBLE/tot) * ln(n_docs::DOUBLE/df), 6) AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round((cnt::DOUBLE/tot) * ln(n_docs::DOUBLE/df), 6) DESC, word) AS rn
+        |  FROM tf JOIN dl USING(doc_id) JOIN dfreq USING(word), nd)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "q_bigrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+        |SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+        |  i -> toks[i]||' '||toks[i+1])) AS bigram FROM (
+        |SELECT list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''),
+        |  x -> lower(x)) AS toks FROM documents))
+        |GROUP BY bigram HAVING count(*) >= 3 ORDER BY bigram""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, price, rn FROM (

@@ -259,4 +259,65 @@ object Relational {
         sum(when(col("o_totalprice") <= 200000, 1).otherwise(0)).as("n_low"),
         round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 2).as("avg_urgent"))
       .orderBy(col("o_orderstatus"))
+
+  /** As-of join (events → most recent order of that customer at or
+    * before the event time), in the MERGE formulation: union both sides
+    * tagged, one shuffle by key, one sort by (time, side), and a
+    * running `last(ignoreNulls)` window carries the latest right-side
+    * row forward. Unlike the join+filter+argmax plan this never
+    * enumerates (event × qualifying-order) pairs — per key the cost is
+    * the sorted run length, the formulation that survives skewed keys
+    * at 100 TB. Orders are pre-deduped to one row per (custkey, date)
+    * (max orderkey wins) so the as-of pick is deterministic.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("o"))
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        col("o.o_orderkey").as("ok"), col("o.o_totalprice").as("op"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        lit(1).as("side"), col("event_id"),
+        lit(null).cast("long").as("ok"), lit(null).cast("double").as("op"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("ok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .select(col("k"), col("side"), col("event_id"),
+        last(col("ok"), ignoreNulls = true).over(w).as("last_orderkey"),
+        last(col("op"), ignoreNulls = true).over(w).as("last_price"))
+      .filter(col("side") === 1 && col("last_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"),
+        col("last_orderkey"), col("last_price"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pivot: per-priority revenue fanned out by order status — groupBy +
+    * pivot with explicit value list (explicit values keep the plan to
+    * one pass; inferring them costs an extra distinct job).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact percentiles (sort-based within group). Computed over the
+    * integer-valued l_quantity so the linear interpolation is exact
+    * dyadic arithmetic — identical across engines regardless of
+    * formula association.
+    */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+      .orderBy(col("l_returnflag"))
 }

@@ -100,6 +100,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF: top-3 terms per document by (tf/len)·ln(N/df). The whole
+    * pipeline is three keyed aggregations (term counts, doc lengths,
+    * document frequencies) plus one scalar N — each a single shuffle
+    * with map-side partial aggregation; no driver-side collection (N
+    * rides along as a broadcast 1-row cross join). Ranking orders on the
+    * ROUNDED score with a term tie-break so rank boundaries cannot flip
+    * on a last-ulp ln() difference between engines.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(transform(tokens(col("text")), t => lower(t))).as("word"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("tot"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count_distinct(col("doc_id")).as("n_docs"))
+    val score = round(
+      (col("cnt").cast("double") / col("tot")) *
+        log(col("n_docs").cast("double") / col("df")), 6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(docLen, "doc_id")
+      .join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"), score.as("tfidf"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Word bigram counts (lowercased reference tokens) — the n-gram
+    * generalization of word count; the shuffle key is the bigram, with
+    * map-side combine as usual.
+    */
+  def wordBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = transform(tokens(col("text")), t => lower(t))
+    val bigrams = transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
+    Tables.documents(spark, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+      .orderBy(col("bigram"))
+  }
+
   /** Document fingerprinting: (a) md5-based 32-bit content fingerprint
     * (engine-portable, oracle-checked) and (b) rolling polynomial hash
     * computed with the higher-order aggregate builtin.
