@@ -136,11 +136,19 @@ object TextAnalysis {
     * map-side combine as usual.
     */
   def wordBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val toks = transform(tokens(col("text")), t => lower(t))
-    val bigrams = transform(
-      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (t, i) => concat_ws(" ", t, element_at(toks, i + 2)))
+    // Bind the token array to a real column FIRST: referencing the
+    // tokenizer expression inside the pairing lambda would re-tokenize
+    // the document once per element (HOFs inline their argument
+    // expressions; O(tokens²) regex work per doc).
+    // sequence(1, 0) yields a DESCENDING [1,0] in Spark, not empty —
+    // guard docs with <2 tokens explicitly.
+    val positions = when(size(col("toks")) >= 2,
+      sequence(lit(1), size(col("toks")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(positions,
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
     Tables.documents(spark, dir)
+      .select(transform(tokens(col("text")), t => lower(t)).as("toks"))
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
