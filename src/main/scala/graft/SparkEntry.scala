@@ -36,6 +36,7 @@ object SparkEntry {
     "q_union_distinct"  -> (Relational.unionDistinct _),
     "q_distinct_agg"    -> (Relational.distinctAgg _),
     "q_approx_distinct" -> (Relational.approxDistinctAgg _),
+    "q_hll_sketch"      -> (Relational.hllSketchRollup _),
     "q_rollup"          -> (Relational.rollupAgg _),
     "q_cube"            -> (Relational.cubeAgg _),
     "q_case_when"       -> (Relational.caseWhenAgg _),

@@ -306,6 +306,29 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy(col("o_orderpriority"))
 
+  /** Mergeable distinct-count sketches (DataSketches HLL via Spark 4
+    * builtins): build one sketch per (returnflag, linestatus) group,
+    * then RE-aggregate by unioning sketches per returnflag. This is the
+    * 100 TB pattern the plain `approx_count_distinct` can't give you —
+    * a pre-aggregated sketch TABLE whose rows merge associatively, so
+    * daily partitions re-roll into any coarser grouping without
+    * re-scanning raw data. No DuckDB oracle (sketch binaries are
+    * engine-specific) — registered rows-only.
+    */
+  def hllSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val perStatus = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_suppkey")).as("supp_sketch"),
+        count(lit(1)).as("n_rows"))
+    perStatus
+      .groupBy(col("l_returnflag"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("supp_sketch"))).cast("long")
+          .as("approx_supps"),
+        sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact percentiles (sort-based within group). Computed over the
     * integer-valued l_quantity so the linear interpolation is exact
     * dyadic arithmetic — identical across engines regardless of
