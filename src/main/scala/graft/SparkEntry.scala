@@ -46,7 +46,9 @@ object SparkEntry {
     // — window functions —
     "q_window_rank"     -> (Windows.windowRank _),
     "q_window_running"  -> (Windows.windowRunning _),
+    "q_window_range"    -> (Windows.windowRange _),
     "q_group_topk"      -> (Windows.groupTopK _),
+    "q_salted_wordcount" -> (Skew.saltedWordCount _),
     // — scalar function groups —
     "q_string_funcs"    -> (Scalars.stringFuncs _),
     "q_date_funcs"      -> (Scalars.dateFuncs _),
@@ -325,6 +327,15 @@ object SparkEntry {
 
     "q_wordcount" -> wordcountSql,
     "q_mapreduce_wordcount" -> wordcountSql,
+    // the salted two-phase plan must produce byte-identical results to
+    // the plain plan — same oracle proves the rewrite is lossless
+    "q_salted_wordcount" -> wordcountSql,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_90d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_inverted_index" ->
       s"SELECT DISTINCT word, doc_id FROM ($tokSql) ORDER BY word, doc_id",

@@ -47,6 +47,23 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE-frame window: 90-day trailing revenue per customer — the
+    * frame is bounded by the ORDER BY *value* (an interval), not row
+    * offsets, so ties and gaps in order dates behave correctly.
+    * Expressed in SQL form (the Scala DSL's rangeBetween takes only
+    * numeric offsets; interval frames need the SQL frame syntax).
+    */
+  def windowRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("trailing_90d",
+        expr("""round(sum(o_totalprice) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW), 2)"""))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_90d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
   /** Per-group top-k via ranking window — the scalable "top 2 orders
     * per segment" (global sort-free; each group ranks inside its own
     * partition).
