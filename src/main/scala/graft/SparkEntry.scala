@@ -28,6 +28,8 @@ object SparkEntry {
     "q_semi_join"       -> (Relational.semiJoin _),
     "q_anti_join"       -> (Relational.antiJoin _),
     "q_outer_join"      -> (Relational.outerJoin _),
+    "q_full_outer"      -> (Relational.fullOuterJoin _),
+    "q_typed_topk"      -> (Relational.typedTopK _),
     "q_range_join"      -> (Relational.rangeJoin _),
     "q_topk"            -> (Relational.topK _),
     "q_sort"            -> (Relational.distributedSort _),
@@ -171,6 +173,20 @@ object SparkEntry {
         |FROM customer LEFT JOIN
         |(SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey) o
         |ON c_custkey=o.o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH p AS (SELECT o_custkey, count(*) AS n_p FROM orders WHERE o_orderstatus='P' GROUP BY 1),
+        |f AS (SELECT o_custkey, count(*) AS n_f FROM orders WHERE o_orderstatus='F' GROUP BY 1)
+        |SELECT coalesce(p.o_custkey, f.o_custkey) AS custkey,
+        |coalesce(n_p, 0) AS n_p, coalesce(n_f, 0) AS n_f
+        |FROM p FULL OUTER JOIN f ON p.o_custkey=f.o_custkey ORDER BY custkey""".stripMargin,
+
+    "q_typed_topk" ->
+      """SELECT o_orderstatus, rn, price, o_orderkey FROM (
+        |SELECT o_orderstatus,
+        |row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |round(o_totalprice, 2) AS price, o_orderkey FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
 
     "q_range_join" ->
       """SELECT o_orderpriority, count(*) AS n_shipped_90d

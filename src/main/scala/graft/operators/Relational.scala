@@ -306,6 +306,46 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy(col("o_orderpriority"))
 
+  /** FULL OUTER join: per-customer 'P'-status vs 'F'-status order
+    * counts — both sides have exclusive keys, every row of each
+    * survives. (LEFT is covered by [[outerJoin]].)
+    */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def counts(status: String, out: String) =
+      o.filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(out))
+    counts("P", "n_p").withColumnRenamed("o_custkey", "ck_p")
+      .join(counts("F", "n_f").withColumnRenamed("o_custkey", "ck_f"),
+        col("ck_p") === col("ck_f"), "full_outer")
+      .select(coalesce(col("ck_p"), col("ck_f")).as("custkey"),
+        coalesce(col("n_p"), lit(0L)).as("n_p"),
+        coalesce(col("n_f"), lit(0L)).as("n_f"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Per-group top-k via a typed `Aggregator` with a BOUNDED buffer
+    * (k rows per partition per group cross the wire, not the group) —
+    * the aggregation-form alternative to the ranking-window plan in
+    * [[Windows.groupTopK]]; same results, verified by the same kind of
+    * oracle.
+    */
+  def typedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators.TopK
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, price, key) => (price, key) }
+      .agg(new TopK(3).toColumn.name("top"))
+      .toDF("o_orderstatus", "top")
+      .select(col("o_orderstatus"), posexplode(col("top")))
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rn"),
+        round(col("col._1"), 2).as("price"), col("col._2").as("o_orderkey"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
   /** Mergeable distinct-count sketches (DataSketches HLL via Spark 4
     * builtins): build one sketch per (returnflag, linestatus) group,
     * then RE-aggregate by unioning sketches per returnflag. This is the
