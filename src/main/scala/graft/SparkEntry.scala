@@ -78,6 +78,7 @@ object SparkEntry {
     "q_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
     "q_simhash"         -> (Dedup.simhash _),
+    "q_hash_split"      -> (Dedup.hashSplit _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     "q_knn_ivf"         -> (Similarity.ivfKnn _),
@@ -404,6 +405,12 @@ object SparkEntry {
     "q_dedup_hash" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+
+    "q_hash_split" ->
+      s"""SELECT lang, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+         |count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM (SELECT doc_id, lang, ${h32("text")} % 10 AS b FROM documents)
+         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",

@@ -193,6 +193,24 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Deterministic hash split: route every document to train/val/test
+    * by its content hash (md5-derived, engine-portable) — the standard
+    * leakage-free held-out split of a training-data pipeline: the
+    * assignment is a pure function of content, so re-runs, re-shards,
+    * and incremental ingests never move a document across splits.
+    * 80/10/10 by hash mod 10.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(md5Hash32(col("text")), lit(10))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** SimHash (32-bit): per token, an md5-derived 32-bit hash votes ±1
     * on each bit position weighted by token frequency; the fingerprint
     * sets bit b iff the vote sum is positive. One explode over

@@ -17,6 +17,8 @@ object SparkSessionTestWrapper {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .appName("graft-test")
     .getOrCreate()
 }
