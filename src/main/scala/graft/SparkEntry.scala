@@ -87,6 +87,7 @@ object SparkEntry {
     "q_tumbling"        -> (EventAnalytics.tumbling _),
     "q_sliding"         -> (EventAnalytics.sliding _),
     "q_sessions"        -> (EventAnalytics.sessions _),
+    "q_retention"       -> (EventAnalytics.retention _),
     // — multimodal columns (stubbed decode, real plumbing) —
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
@@ -500,6 +501,14 @@ object SparkEntry {
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_retention" ->
+      """WITH hourly AS (SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS h, user_id FROM events)
+        |SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour, count(*) AS active,
+        |count(b.user_id) AS retained
+        |FROM hourly a LEFT JOIN hourly b
+        |ON b.h = a.h - INTERVAL 1 HOUR AND b.user_id = a.user_id
+        |GROUP BY a.h ORDER BY hour""".stripMargin,
 
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

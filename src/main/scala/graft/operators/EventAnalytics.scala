@@ -45,4 +45,24 @@ object EventAnalytics {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
+
+  /** Hour-over-hour retention: of the distinct users active in hour h,
+    * how many were also active in h-1. One distinct (hour, user) set,
+    * self-joined shifted by an hour — both sides shuffle on the same
+    * (hour, user) key, so the join co-partitions.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      .distinct()
+    val prev = hourly.select((col("h") + expr("INTERVAL 1 HOUR")).as("hp"),
+      col("user_id").as("u2"))
+    hourly.join(prev,
+        col("h") === col("hp") && col("user_id") === col("u2"), "left")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("active"), count(col("u2")).as("retained"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("active"), col("retained"))
+      .orderBy(col("hour"))
+  }
 }
