@@ -67,6 +67,7 @@ object SparkEntry {
     "q_inverted_index"  -> (TextAnalysis.invertedIndex _),
     "q_tfidf"           -> (TextAnalysis.tfidf _),
     "q_bigrams"         -> (TextAnalysis.wordBigrams _),
+    "q_heavy_hitters"   -> (TextAnalysis.heavyHitters _),
     "q_token_count"     -> (TextAnalysis.tokenCount _),
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_lang_id"         -> (TextAnalysis.langId _),
@@ -357,6 +358,12 @@ object SparkEntry {
 
     "q_inverted_index" ->
       s"SELECT DISTINCT word, doc_id FROM ($tokSql) ORDER BY word, doc_id",
+
+    "q_heavy_hitters" ->
+      s"""SELECT word, count(*) AS cnt FROM ($tokSql)
+         |GROUP BY word
+         |HAVING count(*)::DOUBLE >= 0.01 * (SELECT count(*) FROM ($tokSql))
+         |ORDER BY word""".stripMargin,
 
     "q_token_count" ->
       """SELECT source, CAST(sum(n_words) AS BIGINT) AS total_words,

@@ -33,4 +33,37 @@ object TypedAggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       ExpressionEncoder[Seq[(Double, Long)]]()
   }
+
+  /** Misra-Gries frequent-items summary with k counters: any item with
+    * true frequency > n/k is GUARANTEED to survive (no false negatives;
+    * counts are underestimates). Buffers merge associatively (pairwise
+    * counter merge + decrement), so the sketch behaves like any other
+    * partial aggregate. Used as pass 1 of the exact heavy-hitters
+    * pattern: candidates here, exact counts for just the candidates in
+    * pass 2 — the 100 TB alternative to a full groupBy when the key
+    * space is huge and only the head matters.
+    */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Seq[String]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      if (b.contains(item) || b.size < k - 1) b.updated(item, b.getOrElse(item, 0L) + 1)
+      else b.transform((_, c) => c - 1).filter(_._2 > 0) // decrement-all step
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (i, c)) => m.updated(i, m.getOrElse(i, 0L) + c) }
+      if (sum.size < k) sum
+      else {
+        // keep the k-1 largest after subtracting the k-th largest count
+        // (Agarwal et al., "Mergeable Summaries": preserves the error bound)
+        val kth = sum.values.toSeq.sorted(Ordering[Long].reverse)
+          .lift(k - 1).getOrElse(0L)
+        sum.transform((_, c) => c - kth).filter(_._2 > 0)
+      }
+    }
+    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      ExpressionEncoder[Seq[String]]()
+  }
 }

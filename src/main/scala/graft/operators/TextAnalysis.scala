@@ -156,6 +156,34 @@ object TextAnalysis {
       .orderBy(col("bigram"))
   }
 
+  /** Exact heavy hitters (words with frequency ≥ 1% of all tokens) via
+    * the two-pass sketch pattern: pass 1 runs a Misra-Gries summary
+    * (200 counters; guarantees a SUPERSET of every item above n/200 —
+    * no false negatives) as a mergeable typed Aggregator; pass 2
+    * exactly counts only the broadcast candidates and applies the true
+    * threshold. Result is EXACT — the oracle is a plain HAVING query —
+    * but pass 1 never shuffles more than 200 counters per partition,
+    * the shape that replaces a full groupBy over a huge key space when
+    * only the head matters.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators.MisraGries
+    val words = Tables.documents(spark, dir)
+      .select(explode(upperTokens(col("text"))).as("word")).as[String]
+    val candidates = words.groupByKey(_ => true)
+      .agg(new MisraGries(200).toColumn.name("cands"))
+      .flatMap(_._2).toDF("word")
+    val total = words.toDF("word").agg(count(lit(1)).as("total"))
+    words.toDF("word")
+      .join(broadcast(candidates), "word")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") >= col("total") * 0.01)
+      .select(col("word"), col("cnt"))
+      .orderBy(col("word"))
+  }
+
   /** Document fingerprinting: (a) md5-based 32-bit content fingerprint
     * (engine-portable, oracle-checked) and (b) rolling polynomial hash
     * computed with the higher-order aggregate builtin.

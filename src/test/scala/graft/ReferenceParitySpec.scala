@@ -17,10 +17,10 @@ class ReferenceParitySpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("word count over the reference corpus reproduces mr-out-0 exactly") {
     assume(new java.io.File(goldenPath).isFile)
-    // wholeTextFiles matches the reference's per-file mapper input
+    // whole-file rows match the reference's per-file mapper input
     // (worker.ex:105-111: mapper receives the whole file content)
-    val texts = spark.sparkContext.wholeTextFiles(corpusDir)
-      .map(_._2).toDS()
+    val texts = graft.sources.TextSources.wholeFiles(spark, corpusDir)
+      .select($"content").as[String]
     val counted = MapReduceJob.wordCount(spark, texts)
       .collect().sortBy(_._1)
       .map { case (w, c) => s"$w $c" }
