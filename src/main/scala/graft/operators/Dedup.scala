@@ -166,6 +166,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("h"), col("pos"), col("sz"))
+      .cache() // both sides of the candidate self-join read this
     // Candidate enumeration with the published prune conditions: shared
     // prefix token, length filter (t·max(|A|,|B|) ≤ min(|A|,|B|)), and
     // the positional filter (suffix lengths bound best-case overlap
