@@ -29,6 +29,7 @@ object SparkEntry {
     "q_anti_join"       -> (Relational.antiJoin _),
     "q_outer_join"      -> (Relational.outerJoin _),
     "q_full_outer"      -> (Relational.fullOuterJoin _),
+    "q_cross_join"      -> (Relational.crossJoinSmall _),
     "q_typed_topk"      -> (Relational.typedTopK _),
     "q_range_join"      -> (Relational.rangeJoin _),
     "q_topk"            -> (Relational.topK _),
@@ -92,6 +93,7 @@ object SparkEntry {
     // — multimodal columns (stubbed decode, real plumbing) —
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
+    "q_frame_features"  -> ((s: SparkSession, dir: String) => Multimodal.frameFeatures(s, dir)),
   )
 
   // ——— shared oracle SQL fragments ———
@@ -176,6 +178,20 @@ object SparkEntry {
         |FROM customer LEFT JOIN
         |(SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey) o
         |ON c_custkey=o.o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_frame_features" ->
+      """SELECT frame_idx, count(*) AS n_frames, CAST(sum(chunk_bytes) AS BIGINT) AS total_bytes FROM (
+        |SELECT doc_id, i AS frame_idx,
+        |  least(step, greatest(n_bytes - i*step, 0)) AS chunk_bytes
+        |FROM (SELECT doc_id, n_bytes, greatest(n_bytes//4, 1) AS step
+        |      FROM (SELECT doc_id, least(octet_length(encode(text)), 4096) AS n_bytes FROM documents)),
+        |  (SELECT unnest(generate_series(0, 3)) AS i)
+        |WHERE i < least(4, n_bytes))
+        |GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
 
     "q_full_outer" ->
       """WITH p AS (SELECT o_custkey, count(*) AS n_p FROM orders WHERE o_orderstatus='P' GROUP BY 1),

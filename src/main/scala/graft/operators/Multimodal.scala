@@ -45,6 +45,25 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.payload.length.toLong, r.format,
         r.payload.length.toLong * 31L + first)
     }
+
+    /** STUB resize: a real implementation re-encodes pixels to the
+      * target box; the fake truncates bytes proportionally, preserving
+      * the contract a resize must have — output is a new payload, no
+      * bigger than the input, derived deterministically.
+      */
+    def resizeStub(r: MediaRecord, maxBytes: Int): MediaRecord =
+      r.copy(payload = r.payload.take(maxBytes))
+
+    /** STUB frame sampling: a real implementation decodes video and
+      * emits one record per sampled frame; the fake slices the payload
+      * into `n` deterministic chunks tagged by frame index — the
+      * one-to-many record shape (flatMap) is the real contract.
+      */
+    def frameSampleStub(r: MediaRecord, n: Int): Iterator[(Long, Int, Array[Byte])] = {
+      val step = math.max(r.payload.length / math.max(n, 1), 1)
+      Iterator.range(0, math.min(n, r.payload.length))
+        .map(i => (r.doc_id, i, r.payload.slice(i * step, i * step + step)))
+    }
   }
 
   /** Build the multimodal table from documents: text bytes stand in for
@@ -71,6 +90,24 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("format"), col("feature"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Resize + frame-sample pipeline: payload-shrinking stages run as
+    * narrow per-partition maps BEFORE anything wide; the one-to-many
+    * frame explosion emits (doc, frame_idx, chunk) records whose chunks
+    * are immediately reduced to features. Per-format frame counts are
+    * the (tiny) aggregate that shuffles.
+    */
+  def frameFeatures(spark: SparkSession, dir: String, frames: Int = 4): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .mapPartitions(_.map(MediaDecoder.resizeStub(_, 4096)))
+      .mapPartitions(_.flatMap(MediaDecoder.frameSampleStub(_, frames)))
+      .map { case (doc, idx, chunk) => (doc, idx, chunk.length.toLong) }
+      .toDF("doc_id", "frame_idx", "chunk_bytes")
+      .groupBy(col("frame_idx"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("chunk_bytes")).as("total_bytes"))
+      .orderBy(col("frame_idx"))
   }
 
   /** Per-format feature rollup (features only — payloads were dropped

@@ -306,6 +306,14 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy(col("o_orderpriority"))
 
+  /** Explicit cross join (tiny × tiny only — a deliberate cartesian for
+    * pair enumeration; anything larger belongs behind a blocking key).
+    */
+  def crossJoinSmall(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir).select(col("r_name"))
+      .crossJoin(Tables.nation(spark, dir).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
   /** FULL OUTER join: per-customer 'P'-status vs 'F'-status order
     * counts — both sides have exclusive keys, every row of each
     * survives. (LEFT is covered by [[outerJoin]].)

@@ -128,6 +128,16 @@ object EventStreams {
       }
   }
 
+  /** Streaming exactly-once event dedup: drop redundant deliveries of
+    * the same event_id while the watermark bounds the dedup state —
+    * the ingestion front door of a training-data pipeline (at-least-once
+    * upstream → exactly-once downstream). Without the watermark variant
+    * the seen-set grows forever.
+    */
+  def dedupStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Write helper: append sink to parquet with a checkpoint — the
     * exactly-once file sink pattern.
     */

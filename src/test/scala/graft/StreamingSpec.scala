@@ -100,6 +100,25 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("dedupStream drops redundant deliveries of the same event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 00:00:00", 1, "click", 1.0), // duplicate delivery
+        ev(2, "2024-01-01 00:01:00", 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 00:02:00", 1, "click", 1.0)) // redelivery, later batch
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events fixture produces rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // copy the fixture parquet in as a "landing zone" drop
