@@ -78,6 +78,7 @@ object SparkEntry {
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
     "q_minhash_signatures" -> (Dedup.minhashSignatures _),
     "q_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
+    "q_dup_clusters"    -> (Dedup.duplicateClusters _),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
     "q_simhash"         -> (Dedup.simhash _),
     "q_hash_split"      -> (Dedup.hashSplit _),
@@ -134,6 +135,27 @@ object SparkEntry {
 
   private val wordcountSql =
     s"SELECT word, count(*) AS cnt FROM ($tokSql) GROUP BY word ORDER BY word"
+
+  /** LSH near-dup pairs (unordered) — shared by q_minhash_lsh_pairs and
+    * the q_dup_clusters component oracle.
+    */
+  private val lshPairsSql = {
+    val bands = (0 until Dedup.Bands).map { b =>
+      val r = Dedup.NumHashes / Dedup.Bands
+      val key = (0 until r).map(i => s"mh${b * r + i}::VARCHAR").mkString("||'_'||")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"(sa.mh$i = sb.mh$i)::INT").mkString(" + ")
+    s"""WITH sig AS ($sigSql),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+       |  JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT id_a, id_b, round(($matches)::DOUBLE/${Dedup.NumHashes}, 4) AS est_jaccard
+       |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
+       |WHERE est_jaccard >= 0.5""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -439,23 +461,17 @@ object SparkEntry {
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",
 
-    "q_minhash_lsh_pairs" -> {
-      val bands = (0 until Dedup.Bands).map { b =>
-        val r = Dedup.NumHashes / Dedup.Bands
-        val key = (0 until r).map(i => s"mh${b * r + i}::VARCHAR").mkString("||'_'||")
-        s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
-      }.mkString(" UNION ALL ")
-      val matches = (0 until Dedup.NumHashes)
-        .map(i => s"(sa.mh$i = sb.mh$i)::INT").mkString(" + ")
-      s"""WITH sig AS ($sigSql),
-         |bands AS ($bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
-         |  JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id)
-         |SELECT id_a, id_b, est_jaccard FROM (
-         |  SELECT id_a, id_b, round(($matches)::DOUBLE/${Dedup.NumHashes}, 4) AS est_jaccard
-         |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
-         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-    },
+    "q_minhash_lsh_pairs" -> s"$lshPairsSql ORDER BY id_a, id_b",
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($lshPairsSql)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id)
+         |SELECT rep AS cluster_rep, count(*) AS n_members
+         |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH sh AS ($shSql),

@@ -194,6 +194,57 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Duplicate clusters: connected components over the LSH near-dup
+    * pair graph, via min-label propagation — each node repeatedly
+    * adopts the smallest label among itself and its neighbors until
+    * fixpoint (≤ graph-diameter iterations; each iteration is one
+    * shuffle-join, the standard large-graph CC dataflow). The driver
+    * loop is control flow only — labels never leave the cluster. A
+    * dedup pipeline keeps min(doc_id) per cluster and drops the rest.
+    */
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+    // Undirected edge list (both directions) PLUS a self-loop per node,
+    // so neighbor-min below needs no per-iteration union (self-loop
+    // carries each node's own label into the min). All unions happen
+    // here, on unckeckpointed lineage. localCheckpoint TRUNCATES
+    // lineage — without it each iteration's self-join doubles the plan
+    // until planning itself blows up (the classic iterative-DataFrame
+    // failure mode).
+    val rawEdges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val nodes = rawEdges.select(col("src").as("id")).distinct()
+    val edges = rawEdges
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 20) {
+      // (a) neighbor-min: adopt the smallest label in the neighborhood
+      // (self-loops make each node its own neighbor)
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // (b) pointer jump (path halving): adopt the label OF the label —
+      // collapses an L-long chain in O(log L) rounds instead of O(L)
+      val next = nbrMin.as("n")
+        .join(nbrMin.select(col("id").as("p_id"), col("lbl").as("p_lbl")).as("p"),
+          col("n.lbl") === col("p_id"), "left")
+        .select(col("n.id").as("id"),
+          least(col("n.lbl"), coalesce(col("p_lbl"), col("n.lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    labels.groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Deterministic hash split: route every document to train/val/test
     * by its content hash (md5-derived, engine-portable) — the standard
     * leakage-free held-out split of a training-data pipeline: the
