@@ -58,6 +58,8 @@ object SparkEntry {
     "q_math_funcs"      -> (Scalars.mathFuncs _),
     "q_json"            -> (Scalars.jsonFuncs _),
     "q_grep"            -> (Scalars.grep _),
+    "q_profile"         -> (Scalars.profile _),
+    "q_histogram"       -> (Scalars.histogram _),
     // — text analysis / word count (the reference application) —
     "q_wordcount"       -> (TextAnalysis.wordCount _),
     "q_mapreduce_wordcount" -> ((s: SparkSession, dir: String) => {
@@ -377,6 +379,22 @@ object SparkEntry {
         |min(k) AS min_k, max(k) AS max_k FROM (
         |SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |count(DISTINCT $c) AS n_distinct,
+           |round(min($c), 4) AS min_val, round(max($c), 4) AS max_val,
+           |round(avg($c), 4) AS avg_val FROM lineitem""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY \"column\"")
+    },
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |count(*) AS n, round(sum(o_totalprice), 2) AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_grep" ->
       """SELECT doc_id, source, lang FROM documents

@@ -74,6 +74,35 @@ object Scalars {
   /** Distributed grep (MapReduce paper §2.3 application #1): regex
     * predicate over documents, pushed onto the scan.
     */
+  /** Column profiling: per-column row/null/distinct counts and value
+    * range — the first pass any data pipeline runs over a new drop. One
+    * aggregation per column unioned; at 100 TB each is a single
+    * partial-agg scan and they share the cached input.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as("n_nulls"),
+        count_distinct(col(c)).as("n_distinct"),
+        round(min(col(c)), 4).as("min_val"),
+        round(max(col(c)), 4).as("max_val"),
+        round(avg(col(c)), 4).as("avg_val"))
+    }.reduce(_ unionByName _).orderBy(col("column"))
+  }
+
+  /** Fixed-width histogram of order values — bucket = floor(x / width);
+    * integer bucket ids keep the oracle comparison exact.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("bucket_total"))
+      .orderBy(col("bucket"))
+
   def grep(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").rlike("window.*join|join.*window"))

@@ -36,6 +36,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("ivfKnn: recall@5 vs exact is within the single-probe regime") {
+    val exact = byQuery(Similarity.bruteForceKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val ivf = byQuery(Similarity.ivfKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, e) =>
+      (ivf.getOrElse(q, Set.empty) & e).size.toDouble / e.size }
+    val avg = recalls.sum / recalls.size
+    // measured 0.84 avg on this fixture; 0.6 floor guards regressions
+    // without flaking (single-probe IVF loses boundary neighbors by design)
+    assert(avg >= 0.6, f"avg recall $avg%.2f below floor")
+  }
+
   test("embeddingDedup: canonical pair order and threshold respected") {
     val pairs = Similarity.embeddingDedup(spark, sfDir)
       .as[(Long, Long, Double)].collect()
