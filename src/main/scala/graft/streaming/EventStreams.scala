@@ -128,6 +128,28 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: attribute each "purchase" event to
+    * the same user's "click" events in the preceding hour. Both sides
+    * carry watermarks and the join condition bounds the time skew, so
+    * Spark can evict buffered state from BOTH sides — the conditions
+    * under which an unbounded×unbounded join is feasible at all.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming exactly-once event dedup: drop redundant deliveries of
     * the same event_id while the watermark bounds the dedup state —
     * the ingestion front door of a training-data pipeline (at-least-once

@@ -119,6 +119,30 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("t_attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 09:30:00", 1, "click", 0),
+        ev(11, "2024-01-01 09:50:00", 1, "click", 0),
+        ev(12, "2024-01-01 07:00:00", 2, "click", 0)) // stale for user 2
+      purchases.addData(
+        ev(100, "2024-01-01 10:00:00", 1, "purchase", 9.99),
+        ev(101, "2024-01-01 10:00:00", 2, "purchase", 5.0)) // no click in window
+      q.processAllAvailable()
+      val got = spark.table("t_attr")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      // user 1's purchase matches both clicks in the prior hour; user 2's
+      // click is 3h stale -> no attribution
+      assert(got === Set((100L, 10L), (100L, 11L)))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events fixture produces rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // copy the fixture parquet in as a "landing zone" drop
