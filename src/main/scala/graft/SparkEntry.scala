@@ -93,6 +93,8 @@ object SparkEntry {
     "q_sliding"         -> (EventAnalytics.sliding _),
     "q_sessions"        -> (EventAnalytics.sessions _),
     "q_retention"       -> (EventAnalytics.retention _),
+    "q_funnel"          -> (EventAnalytics.funnel _),
+    "q_new_users"       -> (EventAnalytics.newUsers _),
     // — multimodal columns (stubbed decode, real plumbing) —
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
@@ -566,6 +568,25 @@ object SparkEntry {
         |FROM hourly a LEFT JOIN hourly b
         |ON b.h = a.h - INTERVAL 1 HOUR AND b.user_id = a.user_id
         |GROUP BY a.h ORDER BY hour""".stripMargin,
+
+    "q_funnel" ->
+      """WITH scored AS (SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type='purchase' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_clicks,
+        |CAST(sum(CASE WHEN next_purchase IS NOT NULL
+        |  AND next_purchase <= ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM scored WHERE event_type='click' GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_new_users" ->
+      """WITH fs AS (SELECT user_id, time_bucket(INTERVAL '1 hour', min(ts)) AS h
+        |  FROM events GROUP BY user_id),
+        |hourly AS (SELECT h, count(*) AS n_new FROM fs GROUP BY h)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_new,
+        |CAST(sum(n_new) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM hourly ORDER BY hour""".stripMargin,
 
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -46,6 +46,50 @@ object EventAnalytics {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Funnel: per user, did a `click` lead to a `purchase` within 30
+    * minutes? Implemented with a forward-looking window (min purchase
+    * time at or after each click, per user) — one shuffle by user, no
+    * self-join explosion. Emits per-user conversion counts.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // event_id in the ordering: with ts ties a ROWS frame is otherwise
+    // peer-order-dependent and engines may disagree
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val nextPurchase = min(when(col("event_type") === "purchase", col("ts"))).over(w)
+    ev.withColumn("next_purchase", nextPurchase)
+      .filter(col("event_type") === "click")
+      .withColumn("converted",
+        (col("next_purchase").isNotNull &&
+          col("next_purchase") <= col("ts") + expr("INTERVAL 30 MINUTES")).cast("int"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("converted")).cast("long").as("n_converted"))
+      .orderBy(col("user_id"))
+  }
+
+  /** New-user accumulation: distinct users per hour counted by their
+    * FIRST-SEEN hour, then a running total — the scalable form of
+    * "cumulative distinct users over time" (one groupBy for first-seen,
+    * one tiny window over hours; never a running distinct).
+    */
+  def newUsers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h"))
+    val w = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.groupBy(col("h")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_new"), col("cum_users"))
+      .orderBy(col("hour"))
+  }
+
   /** Hour-over-hour retention: of the distinct users active in hour h,
     * how many were also active in h-1. One distinct (hour, user) set,
     * self-joined shifted by an hour — both sides shuffle on the same
