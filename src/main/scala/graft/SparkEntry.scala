@@ -426,10 +426,12 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT source, CAST(sum(n_words) AS BIGINT) AS total_words,
         |CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+        |CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
         |round(avg(n_words),4) AS avg_words_per_doc, count(*) AS n_docs FROM (
         |SELECT source,
         |len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS n_words,
-        |len(list_filter(string_split_regex(text,'\s+'), x -> x<>'')) AS n_ws
+        |len(list_filter(string_split_regex(text,'\s+'), x -> x<>'')) AS n_ws,
+        |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
         |FROM documents) GROUP BY source ORDER BY source""".stripMargin,
 
     "q_text_quality" ->

@@ -39,16 +39,24 @@ object TextAnalysis {
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letters runs / digit runs / single punctuation), per source.
     */
+  /** BPE-ish pre-tokenizer classes: letter runs, digit runs, or single
+    * non-space punctuation — the shape of a byte-pair-encoding
+    * pre-split (a real tokenizer would then merge within these).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("source"),
         size(tokens(col("text"))).as("n_words"),
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_ws"))
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("n_ws"),
+        regexp_count(col("text"), lit(BpeTokenPattern)).as("n_bpe"))
       .groupBy(col("source"))
       .agg(
         sum(col("n_words")).as("total_words"),
         sum(col("n_ws")).as("total_ws_tokens"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
         round(avg(col("n_words")), 4).as("avg_words_per_doc"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
