@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.graft.GraftFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom Catalyst expressions exposed through the SQL surface —
+  * a SQL user gets the same codegen'd functions the Scala API uses.
+  */
+class SqlFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("registered SQL functions evaluate like the Scala API") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos_same,
+        |  sq_dist(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS d2,
+        |  rolling_hash('ab') AS rh,
+        |  size(shingle_hash_set('aaaaaaaaaaaa', 8)) AS nsh,
+        |  size(char_shingles('abcdefghij', 8)) AS nraw,
+        |  sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS inter
+        |""".stripMargin).head()
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getDouble(1) === 25.0)
+    assert(row.getLong(2) === 3105L) // 97*31 + 98
+    assert(row.getInt(3) === 1)      // all shingles identical
+    assert(row.getInt(4) === 3)      // 10 chars -> 3 8-shingles
+    assert(row.getLong(5) === 2L)
+  }
+
+  test("SQL functions participate in whole-stage codegen over a table") {
+    GraftFunctions.register(spark)
+    graft.tables.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_v")
+    val df = spark.sql(
+      "SELECT doc_id, rolling_hash(text) AS rh, size(shingle_hash_set(lower(trim(text)), 8)) AS n FROM docs_v")
+    assert(df.count() === 500)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected whole-stage codegen markers in:\n$plan")
+  }
+}
