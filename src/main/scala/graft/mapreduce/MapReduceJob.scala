@@ -34,6 +34,20 @@ final case class MapReduceJob[IN, K, V, OUT](
 
 object MapReduceJob {
 
+  /** Literal RDD lowering: `flatMap → reduceByKey` — the classic Spark
+    * restatement of the paper's dataflow (reduceByKey IS map-side
+    * combine + hash-partitioned shuffle + reduce, i.e. the reference's
+    * worker.ex:111-150 pipeline with `rem(phash2(key), R)` replaced by
+    * Spark's HashPartitioner). Same results as the Dataset lowerings;
+    * kept because the RDD API is the direct idiom for imperative
+    * per-record logic that doesn't fit a schema.
+    */
+  def runRddReduce[IN, K: scala.reflect.ClassTag, V: scala.reflect.ClassTag](
+      input: org.apache.spark.rdd.RDD[IN],
+      mapper: IN => IterableOnce[(K, V)],
+      merge: (V, V) => V): org.apache.spark.rdd.RDD[(K, V)] =
+    input.flatMap(mapper).reduceByKey(merge)
+
   /** Combiner-friendly lowering for associative-commutative merge. */
   def runReduce[IN, K, V](
       input: Dataset[IN],

@@ -28,6 +28,18 @@ class MapReduceJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(seq1.nonEmpty)
   }
 
+  test("RDD lowering (flatMap -> reduceByKey) equals the Dataset lowerings") {
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .select($"text").as[String]
+    val viaDataset = MapReduceJob.wordCount(spark, texts).collect().toMap
+    val viaRdd = MapReduceJob.runRddReduce[String, String, Long](
+      texts.rdd,
+      content => content.split("[^a-zA-Z]").iterator
+        .filter(_.nonEmpty).map(w => (w.toUpperCase, 1L)),
+      _ + _).collect().toMap
+    assert(viaDataset === viaRdd)
+  }
+
   test("runReduce (combiner lowering) equals run (general lowering)") {
     val input = Seq("a b a", "b c").toDS()
     def mapper(s: String) = s.split(" ").iterator.map(w => (w, 1L))
