@@ -43,6 +43,8 @@ object SparkEntry {
     "q_rollup"          -> (Relational.rollupAgg _),
     "q_cube"            -> (Relational.cubeAgg _),
     "q_case_when"       -> (Relational.caseWhenAgg _),
+    "q_argmax"          -> (Relational.argMaxAgg _),
+    "q_embedding_stats" -> (Similarity.embeddingStats _),
     "q_asof_join"       -> (Relational.asofJoin _),
     "q_pivot"           -> (Relational.pivotAgg _),
     "q_percentile"      -> (Relational.percentileAgg _),
@@ -204,6 +206,25 @@ object SparkEntry {
         |FROM customer LEFT JOIN
         |(SELECT o_custkey, count(*) AS cnt, sum(o_totalprice) AS tot FROM orders GROUP BY o_custkey) o
         |ON c_custkey=o.o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_argmax" ->
+      """WITH ranked AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |max(CASE WHEN rd=1 THEN o_orderkey END) AS top_orderkey,
+        |round(max(o_totalprice), 2) AS top_price,
+        |max(CASE WHEN ra=1 THEN o_orderkey END) AS bottom_orderkey
+        |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_embedding_stats" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |round(embedding[1]::DOUBLE, 6) AS first_val,
+        |round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS head8_sum,
+        |round(list_max(embedding)::DOUBLE, 6) AS max_val,
+        |round(list_min(embedding)::DOUBLE, 6) AS min_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -306,6 +306,18 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy(col("o_orderpriority"))
 
+  /** Arg-max/arg-min aggregation: the row attribute AT the group
+    * extremum (max_by/min_by — one pass, no join-back or window).
+    */
+  def argMaxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("top_orderkey"),
+        round(max(col("o_totalprice")), 2).as("top_price"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey"))).as("bottom_orderkey"))
+      .orderBy(col("o_orderstatus"))
+
   /** Explicit cross join (tiny × tiny only — a deliberate cartesian for
     * pair enumeration; anything larger belongs behind a blocking key).
     */

@@ -93,6 +93,22 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Array-function surface over the embedding column: size, element
+    * access, subsequence stats — the scalar array ops a feature
+    * pipeline leans on (all codegen'd builtins, no shuffle until the
+    * final sort). Floats cast to double only at output.
+    */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(slice(col("embedding"), 1, 8),
+          lit(0.0), (acc, v) => acc + v.cast("double")), 6).as("head8_sum"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_val"),
+        round(array_min(col("embedding")).cast("double"), 6).as("min_val"))
+      .orderBy(col("vec_id"))
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     * sharing a coarse cell (the IVF assignment doubles as the LSH-style
     * blocking key, keeping the pair join off the full cross product).
