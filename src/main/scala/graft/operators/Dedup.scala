@@ -223,10 +223,11 @@ object Dedup {
     var iters = 0
     while (changed > 0 && iters < 20) {
       // (a) neighbor-min: adopt the smallest label in the neighborhood
-      // (self-loops make each node its own neighbor)
+      // (self-loops make each node its own neighbor). Not checkpointed:
+      // its lineage is bounded by the checkpointed labels, and the
+      // double evaluation in (b) is cheaper than a materialization job.
       val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
       // (b) pointer jump (path halving): adopt the label OF the label —
       // collapses an L-long chain in O(log L) rounds instead of O(L)
       val next = nbrMin.as("n")
@@ -235,10 +236,13 @@ object Dedup {
         .select(col("n.id").as("id"),
           least(col("n.lbl"), coalesce(col("p_lbl"), col("n.lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
       iters += 1
+      // convergence check every other round — halving converges in a
+      // handful of rounds; the count job is half the per-round cost
+      if (iters % 2 == 0 || iters >= 20)
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).count()
+      labels = next
     }
     labels.groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
