@@ -7,8 +7,12 @@ import org.apache.spark.sql.SparkSession
   * codegen + parquet footer caches are session costs, not query costs);
   * each query is forced through the `noop` sink so the FULL plan
   * executes (a bare count() lets Spark skip final sorts and prune
-  * columns); the cache is cleared between queries so none benefits from
-  * a predecessor's persisted subplan.
+  * columns); the cache is cleared between queries — OUTSIDE the timed
+  * window — so none benefits from a predecessor's persisted subplan.
+  *
+  * Failures are explicit: a query that throws reports its elapsed time
+  * under "queries" as usual but is listed in "errors" and flips
+  * "ok":false — a broken query must never masquerade as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,6 +22,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,16 +30,26 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     try exec("q_topk") catch { case _: Throwable => () } // warm-up, untimed
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { exec(name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // untimed: session hygiene, not query cost
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.forall(_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,6 +70,11 @@ object SparkEntry {
       MapReduceJob.wordCount(s, texts).toDF("word", "cnt").orderBy(col("word"))
     }),
     "q_inverted_index"  -> (TextAnalysis.invertedIndex _),
+    // the reference's literal text-dir input surface (S1/S2), graded:
+    "q_text_wordcount"  -> (TextAnalysis.textDirWordCount _),
+    "q_text_stats"      -> (TextAnalysis.textDirStats _),
+    // partitioned sink round-trip (K1 generalization), graded:
+    "q_sink_roundtrip"  -> (graft.sources.Sinks.partitionedRoundTrip _),
     "q_tfidf"           -> (TextAnalysis.tfidf _),
     "q_bigrams"         -> (TextAnalysis.wordBigrams _),
     "q_heavy_hitters"   -> (TextAnalysis.heavyHitters _),
@@ -80,15 +85,19 @@ object SparkEntry {
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
-    "q_minhash_signatures" -> (Dedup.minhashSignatures _),
-    "q_minhash_lsh_pairs"  -> (Dedup.minhashLshPairs _),
+    "q_minhash_signatures" -> ((s: SparkSession, dir: String) => Dedup.minhashSignatures(s, dir)),
+    "q_minhash_lsh_pairs"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir)),
+    // production-hash twins (xxhash64; no DuckDB analog → rows-only):
+    // same dataflow, benchmarked against the md5 oracle path
+    "q_minhash_signatures_xx" -> ((s: SparkSession, dir: String) => Dedup.minhashSignatures(s, dir, prodHash = true)),
+    "q_minhash_lsh_pairs_xx"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir, prodHash = true)),
     "q_dup_clusters"    -> (Dedup.duplicateClusters _),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
     "q_simhash"         -> (Dedup.simhash _),
     "q_hash_split"      -> (Dedup.hashSplit _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
-    "q_knn_ivf"         -> (Similarity.ivfKnn _),
+    "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
@@ -158,7 +167,7 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
        |  JOIN bands b ON a.band=b.band AND a.bkey=b.bkey AND a.doc_id<b.doc_id)
        |SELECT id_a, id_b, est_jaccard FROM (
-       |  SELECT id_a, id_b, round(($matches)::DOUBLE/${Dedup.NumHashes}, 4) AS est_jaccard
+       |  SELECT id_a, id_b, ($matches)::DOUBLE/${Dedup.NumHashes} AS est_jaccard
        |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
        |WHERE est_jaccard >= 0.5""".stripMargin
   }
@@ -437,6 +446,30 @@ object SparkEntry {
 
     "q_inverted_index" ->
       s"SELECT DISTINCT word, doc_id FROM ($tokSql) ORDER BY word, doc_id",
+
+    // text-dir source surface: DuckDB reads the same files via read_text
+    "q_text_wordcount" ->
+      """SELECT upper(w) AS word, count(*) AS cnt FROM (
+        |SELECT unnest(string_split_regex(content, '[^a-zA-Z]')) AS w
+        |FROM read_text('/root/reference/priv/resources/*.txt'))
+        |WHERE w <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT fname, count(*) AS n_tokens, count(DISTINCT word) AS n_distinct,
+        |CAST(max(length(word)) AS BIGINT) AS max_word_len FROM (
+        |SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname, upper(w) AS word FROM (
+        |  SELECT filename, unnest(string_split_regex(content, '[^a-zA-Z]')) AS w
+        |  FROM read_text('/root/reference/priv/resources/*.txt'))
+        |WHERE w <> '')
+        |GROUP BY fname ORDER BY fname""".stripMargin,
+
+    // sink round-trip: the oracle aggregates the ORIGINAL table — the
+    // Spark side must survive write→partition→pruned-read unchanged
+    "q_sink_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_heavy_hitters" ->
       s"""SELECT word, count(*) AS cnt FROM ($tokSql)

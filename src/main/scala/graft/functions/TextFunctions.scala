@@ -32,11 +32,14 @@ object TextFunctions {
     * md5 — chosen over Spark's murmur3 `hash()` because it is
     * reproducible in any engine (the DuckDB oracle computes the same
     * value via `('0x'||substr(md5(s),1,8))::BIGINT`), making MinHash
-    * signatures differentially testable. conv() parses hex → decimal
-    * string; cast to long gives [0, 2^32).
+    * signatures differentially testable. Computed by a native codegen
+    * expression straight from the digest bytes — the builtin
+    * `conv(substring(md5(s),1,8),16,10)` form produces the same value
+    * but pays a hex-string materialize + re-parse per row
+    * ([[org.apache.spark.sql.graft.HashExpressions]]).
     */
   def md5Hash32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.graft.HashExpressions.md5Prefix32Col(s)
 
   /** Seeded variant: independent hash family member i (for MinHash). */
   def md5Hash32Seeded(s: Column, seed: Int): Column =

@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+
+import scala.collection.mutable
 
 /** Typed `Aggregator[IN, BUF, OUT]` examples — the general UDAF contract
   * (SURVEY.md §2.2 UDF/UDAF row; the reference's pluggable reducer,
@@ -42,27 +44,55 @@ object TypedAggregators {
     * pattern: candidates here, exact counts for just the candidates in
     * pass 2 — the 100 TB alternative to a full groupBy when the key
     * space is huge and only the head matters.
+    *
+    * The buffer is a MUTABLE hash map updated in place: typed
+    * aggregation keeps the buffer as a live object between `reduce`
+    * calls and only serializes it at partition boundaries (Kryo), so
+    * the hot path is one hash probe + in-place increment per row —
+    * round 1's immutable `Map.updated` allocated per input row and
+    * rebuilt the whole map on every decrement, which made the sketch
+    * slower than the full groupBy it exists to avoid.
     */
   final class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Seq[String]] {
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-      if (b.contains(item) || b.size < k - 1) b.updated(item, b.getOrElse(item, 0L) + 1)
-      else b.transform((_, c) => c - 1).filter(_._2 > 0) // decrement-all step
-    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-      val sum = y.foldLeft(x) { case (m, (i, c)) => m.updated(i, m.getOrElse(i, 0L) + c) }
-      if (sum.size < k) sum
+      extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    override def reduce(b: mutable.HashMap[String, Long], item: String): mutable.HashMap[String, Long] = {
+      val cur = b.getOrElse(item, -1L)
+      if (cur >= 0L) b.update(item, cur + 1L)
+      else if (b.size < k - 1) b.update(item, 1L)
       else {
+        // decrement-all: snapshot keys (size < k) so removal is safe
+        val keys = b.keysIterator.toArray
+        var i = 0
+        while (i < keys.length) {
+          val c = b(keys(i))
+          if (c == 1L) b.remove(keys(i)) else b.update(keys(i), c - 1L)
+          i += 1
+        }
+      }
+      b
+    }
+    override def merge(x: mutable.HashMap[String, Long], y: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+      y.foreachEntry((i, c) => x.update(i, x.getOrElse(i, 0L) + c))
+      if (x.size >= k) {
         // keep the k-1 largest after subtracting the k-th largest count
         // (Agarwal et al., "Mergeable Summaries": preserves the error bound)
-        val kth = sum.values.toSeq.sorted(Ordering[Long].reverse)
-          .lift(k - 1).getOrElse(0L)
-        sum.transform((_, c) => c - kth).filter(_._2 > 0)
+        val counts = x.values.toArray
+        java.util.Arrays.sort(counts)
+        val kth = counts(counts.length - k) // k-th largest
+        val keys = x.keysIterator.toArray
+        var i = 0
+        while (i < keys.length) {
+          val c = x(keys(i)) - kth
+          if (c <= 0L) x.remove(keys(i)) else x.update(keys(i), c)
+          i += 1
+        }
       }
+      x
     }
-    override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
+    override def finish(r: mutable.HashMap[String, Long]): Seq[String] = r.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
     override def outputEncoder: Encoder[Seq[String]] =
       ExpressionEncoder[Seq[String]]()
   }

@@ -4,14 +4,18 @@ import graft.functions.TextFunctions._
 import graft.tables.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (hash group-by), MinHash signatures + LSH banding (near-dup), char
-  * n-gram Jaccard verification, and SimHash. All hashes derive from md5
-  * prefixes ([[graft.functions.TextFunctions.md5Hash32]]) so every stage
-  * is reproducible in the DuckDB oracle — a deliberate trade (md5 is
-  * slower than murmur3/xxhash64 but differential-testable; swap
-  * `md5Hash32` for `xxhash64` in production).
+  * n-gram Jaccard verification, and SimHash.
+  *
+  * Two hash paths: the default derives shingle hashes from md5 prefixes
+  * ([[graft.functions.TextFunctions.md5Hash32]]) so every stage is
+  * reproducible in the DuckDB oracle — a deliberate trade (md5 is slower
+  * than xxhash64 but differentially testable). The `prodHash = true`
+  * variants use Spark's codegen'd `xxhash64` — the production path —
+  * benchmarked side by side (q_minhash_signatures_xx).
   *
   * Scale design: every step is shuffle-by-key (shingle, band key, pair)
   * with partial aggregation — no driver-side collection, no quadratic
@@ -24,23 +28,37 @@ object Dedup {
   val ShingleK = 8 // Broder-style char shingles; k=8 keeps 4-gram-level
                    // stopword collisions out of the index (df skew kills
                    // the candidate join at corpus scale with small k)
-  val NumHashes = 8
-  val Bands = 4 // 4 bands x 2 rows per band
+
+  /** LSH parameterization: 64 hashes in 16 bands of r = 4 rows. The
+    * S-curve threshold is (1/b)^(1/r) = (1/16)^(1/4) = 0.5 — aligned
+    * with the est_jaccard >= 0.5 output filter — and the detection
+    * probability 1-(1-J^r)^b at J = 0.8 is 1-(1-0.4096)^16 ≈ 0.9998
+    * (≥ 0.95, the bar for a production near-dedup pipeline; round-1's
+    * toy 8/4 family only reached ≈ 0.83). LshParamsSpec asserts both.
+    */
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
 
   /** Universal-hash family for MinHash: mh_i = min((A(i)·h + B(i)) mod P)
-    * over the shingle set, where h = md5Hash32(shingle) is computed ONCE
-    * per shingle (instead of NumHashes md5 invocations — md5 is the
-    * expensive part; the affine members are three long ops each).
-    * P is the smallest prime > 2^32; A(i) < 2^31 keeps A·h + B below
-    * 2^63 so the identical arithmetic is expressible in DuckDB BIGINTs.
+    * over the shingle set, where h = hash32(shingle) is computed ONCE
+    * per shingle (instead of NumHashes full hash invocations; the affine
+    * members are three long ops each). P is the smallest prime > 2^32;
+    * A(i) < 2^31 keeps A·h + B below 2^63 so the identical arithmetic is
+    * expressible in DuckDB BIGINTs. A/B are drawn from a fixed xorshift64
+    * stream so the family is deterministic across engines and rounds —
+    * the oracle SQL generator interpolates the same constants.
     */
   val HashP = 4294967311L
-  val HashA: IndexedSeq[Long] = IndexedSeq(
-    1926125219L, 1209881391L, 1813258661L, 1610612741L,
-    805306457L, 402653189L, 201326611L, 100663319L)
-  val HashB: IndexedSeq[Long] = IndexedSeq(
-    7L, 2147483629L, 1073741827L, 536870923L,
-    268435459L, 134217757L, 67108879L, 33554467L)
+  val (hashA, hashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    var s = 0x9E3779B97F4A7C15L
+    def nxt(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s & 0x7FFFFFFFL }
+    val a = IndexedSeq.fill(NumHashes)(1L + nxt() % ((1L << 31) - 1))
+    val b = IndexedSeq.fill(NumHashes)(nxt() % (1L << 31))
+    (a, b)
+  }
+  def HashA(i: Int): Long = hashA(i)
+  def HashB(i: Int): Long = hashB(i)
 
   /** Exact dedup on normalized text: groupBy(norm) keeping the smallest
     * doc_id — one shuffle on the normalized-text key. At 100 TB,
@@ -64,22 +82,35 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct char-k-shingles per document, exploded: (doc_id, sh). */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** 32-bit shingle hash: md5-derived (oracle-reproducible) or xxhash64
+    * folded to 32 bits (codegen'd production path).
+    */
+  private def shingleHash32(c: Column, prodHash: Boolean): Column =
+    if (prodHash) pmod(xxhash64(c), lit(1L << 32)) else md5Hash32(c)
+
+  /** Per-document DISTINCT shingle hashes, exploded: (doc_id, h).
+    * Deduplication happens per row via `array_distinct` (narrow — no
+    * shuffle); a corpus-wide `distinct()` here would shuffle every
+    * (doc, shingle) occurrence, and MinHash's min() never needed it
+    * (min over a multiset equals min over its set). This was round 1's
+    * single most expensive shuffle, deleted for free.
+    */
+  private def shingleHashes(spark: SparkSession, dir: String, prodHash: Boolean): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(charShingles(normalized(col("text")), ShingleK)).as("sh"))
-      .distinct()
+        explode(array_distinct(charShingles(normalized(col("text")), ShingleK))).as("sh"))
+      .select(col("doc_id"), shingleHash32(col("sh"), prodHash).as("h"))
 
-  /** MinHash signature per document: one md5 per shingle, then NumHashes
+  /** MinHash signature per document: one hash per shingle, then NumHashes
     * affine family members min'd in a single groupBy(doc_id) — one
-    * shuffle total, partial-agg (map-side min) does the heavy lifting.
+    * shuffle total, and map-side partial min ships only NumHashes longs
+    * per document per partition.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String,
+                        prodHash: Boolean = false): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
-      min(pmod(lit(HashA(i)) * col("h") + lit(HashB(i)), lit(HashP))).as(s"mh$i"))
-    shingles(spark, dir)
-      .withColumn("h", md5Hash32(col("sh")))
+      min(pmod(lit(hashA(i)) * col("h") + lit(hashB(i)), lit(HashP))).as(s"mh$i"))
+    shingleHashes(spark, dir, prodHash)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("doc_id"))
@@ -91,18 +122,26 @@ object Dedup {
     * the band key), then candidates are verified with the MinHash
     * similarity estimate. Returns pairs with estimated Jaccard ≥ 0.5.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      prodHash: Boolean = false): DataFrame = {
     // The signature table feeds three branches (band keys + both sides of
-    // the verification join); without a cache Spark recomputes the whole
-    // shingle→md5→agg pipeline per branch. It is tiny (docs × 9 longs).
-    val sig = minhashSignatures(spark, dir).cache()
-    val rowsPerBand = NumHashes / Bands
-    val bandKeyed = (0 until Bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sig.select(col("doc_id"),
-        lit(b).as("band"),
-        concat_ws("_", cols: _*).as("bkey"))
-    }.reduce(_ union _)
+    // the verification join); without a persist Spark recomputes the whole
+    // shingle→hash→agg pipeline per branch. It is small (docs × 65 longs)
+    // but MEMORY_AND_DISK keeps a 1000× corpus from evicting to recompute.
+    val sig = minhashSignatures(spark, dir, prodHash)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Band keys via ONE explode over an array of (band, key) structs —
+    // not a Bands-way union: a 16-branch union over the 65-column
+    // cached relation costs seconds of PLANNING per action (16 branch
+    // analyses × every reference), swamping the actual sub-second data
+    // work; the single-generator form plans once.
+    val bandStructs = array((0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
+    }: _*)
+    val bandKeyed = sig
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val a = bandKeyed.as("a")
     val b = bandKeyed.as("b")
     val cand = a.join(b,
@@ -115,10 +154,13 @@ object Dedup {
     val matches = (0 until NumHashes)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
       .reduce[Column](_ + _)
+    // matches/64 is EXACT in binary (power-of-two denominator) — no
+    // round(): n/64 to 4 decimals can land on a .5 boundary where
+    // Spark's HALF_UP and DuckDB disagree.
     cand.join(sa, col("id_a") === col("sa.doc_id"))
       .join(sb, col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
-        round(matches.cast("double") / NumHashes, 4).as("est_jaccard"))
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -142,6 +184,9 @@ object Dedup {
     *
     * The hot shingles land at the END of the canonical order and never
     * enter the index, so candidate buckets stay small. Threshold 0.4.
+    *
+    * Caveat measured in SURVEY §8: cost scales with the TRUE result set;
+    * on duplicate-dominated corpora route to LSH + clusters instead.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -155,7 +200,7 @@ object Dedup {
       .select(col("doc_id"),
         shingleHashSetCol(normalized(col("text")), ShingleK).as("set"))
       .withColumn("sz", size(col("set")).cast("long"))
-      .cache() // reused: prefix index + both sides of verification
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: prefix index + both verification sides
     val exploded = docSets.select(col("doc_id"), col("sz"), explode(col("set")).as("h"))
     val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // Canonical per-doc order: rarest shingle first; index only the
@@ -166,7 +211,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("h"), col("pos"), col("sz"))
-      .cache() // both sides of the candidate self-join read this
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the candidate self-join
     // Candidate enumeration with the published prune conditions: shared
     // prefix token, length filter (t·max(|A|,|B|) ≤ min(|A|,|B|)), and
     // the positional filter (suffix lengths bound best-case overlap
@@ -195,55 +240,86 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the LSH near-dup
-    * pair graph, via min-label propagation — each node repeatedly
-    * adopts the smallest label among itself and its neighbors until
-    * fixpoint (≤ graph-diameter iterations; each iteration is one
-    * shuffle-join, the standard large-graph CC dataflow). The driver
-    * loop is control flow only — labels never leave the cluster. A
-    * dedup pipeline keeps min(doc_id) per cluster and drops the rest.
+    * pair graph, via min-label propagation with pointer jumping — each
+    * node adopts the smallest label in its neighborhood, then twice
+    * adopts the label OF its label (path halving), so an L-long chain
+    * collapses in O(log L) materialized rounds; each round is a handful
+    * of shuffle-joins over the (tiny relative to the corpus) label
+    * table. The driver loop is control flow only — labels never leave
+    * the cluster. A dedup pipeline keeps min(doc_id) per cluster and
+    * drops the rest.
+    *
+    * Round-2 cost structure (the round-1 version spent ~1.5 jobs per
+    * round): the node's OWN previous label rides the self-loop edge
+    * through the neighbor-min aggregation (`min(when(src = dst …))`),
+    * so the convergence check is a filter over the round's already-
+    * materialized localCheckpoint blocks — no separate join job — and
+    * two pointer jumps are fused into each materialized round.
     */
   def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the pair list ONCE: it feeds both union branches below,
+    // and without the checkpoint each branch re-executes the whole LSH
+    // candidate pipeline
+    val tDbg0 = System.nanoTime()
+    def dbg(msg: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] $msg at ${(System.nanoTime() - tDbg0) / 1e9}%.2f s")
     val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
-    // Undirected edge list (both directions) PLUS a self-loop per node,
-    // so neighbor-min below needs no per-iteration union (self-loop
-    // carries each node's own label into the min). All unions happen
-    // here, on unckeckpointed lineage. localCheckpoint TRUNCATES
-    // lineage — without it each iteration's self-join doubles the plan
-    // until planning itself blows up (the classic iterative-DataFrame
-    // failure mode).
+      .localCheckpoint()
+    dbg("pairs checkpointed")
+    // Undirected edge list (both directions) PLUS a self-loop per node:
+    // the self-loop both carries each node's own label into the
+    // neighbor-min (no per-round union) and exposes the previous label
+    // for the convergence check. All unions happen here, on
+    // uncheckpointed lineage; localCheckpoint TRUNCATES lineage —
+    // without it each round's self-join doubles the plan until planning
+    // itself blows up (the classic iterative-DataFrame failure mode).
     val rawEdges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
     val nodes = rawEdges.select(col("src").as("id")).distinct()
     val edges = rawEdges
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
+    dbg("edges checkpointed")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
-    var iters = 0
-    while (changed > 0 && iters < 20) {
-      // (a) neighbor-min: adopt the smallest label in the neighborhood
-      // (self-loops make each node its own neighbor). Not checkpointed:
-      // its lineage is bounded by the checkpointed labels, and the
-      // double evaluation in (b) is cheaper than a materialization job.
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("lbl")).as("lbl"))
-      // (b) pointer jump (path halving): adopt the label OF the label —
-      // collapses an L-long chain in O(log L) rounds instead of O(L)
-      val next = nbrMin.as("n")
-        .join(nbrMin.select(col("id").as("p_id"), col("lbl").as("p_lbl")).as("p"),
+    dbg("labels initialized")
+
+    // Path halving: adopt the label OF the label. Reads its input twice
+    // (shuffle reuse dedups the exchange); `old` is carried through.
+    def jump(df: DataFrame): DataFrame =
+      df.as("n").join(
+          df.select(col("id").as("p_id"), col("lbl").as("p_lbl")).as("p"),
           col("n.lbl") === col("p_id"), "left")
         .select(col("n.id").as("id"),
-          least(col("n.lbl"), coalesce(col("p_lbl"), col("n.lbl"))).as("lbl"))
-        .localCheckpoint()
-      iters += 1
-      // convergence check every other round — halving converges in a
-      // handful of rounds; the count job is half the per-round cost
-      if (iters % 2 == 0 || iters >= 20)
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).count()
-      labels = next
+          least(col("n.lbl"), coalesce(col("p_lbl"), col("n.lbl"))).as("lbl"),
+          col("n.old").as("old"))
+
+    val MaxRounds = 20
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < MaxRounds) {
+      // neighbor-min over the self-looped edges; the self-loop row
+      // (src = dst) surfaces the node's previous label as `old`
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("slbl")).as("lbl"),
+          min(when(col("src") === col("dst"), col("slbl"))).as("old"))
+      val t0 = System.nanoTime()
+      val next = jump(jump(nbrMin)).localCheckpoint() // ONE job per round
+      // convergence: a narrow filter-count over the blocks the
+      // checkpoint just materialized — near-free, checked every round
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select(col("id"), col("lbl"))
+      rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $rounds: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // A correctness-critical cap must fail loudly: silent exit would
+    // return WRONG cluster labels. 20 rounds of neighbor-min + double
+    // path halving cover astronomically long chains (> 2^20 hops).
+    require(changed == 0,
+      s"duplicateClusters: not converged after $rounds rounds ($changed labels still moving)")
     labels.groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))

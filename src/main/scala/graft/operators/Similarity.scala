@@ -12,21 +12,29 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceKnn]]: exact cosine top-k — broadcast the (small)
   *    query set against the full corpus, rank per query. The baseline
   *    and the correctness oracle for the approximate path.
-  *  - [[ivfKnn]]: IVF-style two-stage search — assign every vector to
-  *    its nearest centroid (coarse quantizer), then search only within
-  *    the probe cell(s). At 100 TB this turns an O(N·Q) scan into
-  *    O(N/cells · Q) with the corpus partitioned BY cell, which is the
-  *    standard billion-scale layout (cell = partition key → partition
-  *    pruning on probe).
+  *  - [[ivfKnn]]: IVF two-stage search — seeded k-means coarse
+  *    quantizer (cells ~√N), multi-probe within the nearest cells. At
+  *    100 TB this turns an O(N·Q) scan into O(probes·N/cells · Q) with
+  *    the corpus partitioned BY cell, which is the standard
+  *    billion-scale layout (cell = partition key → partition pruning
+  *    on probe).
   *
-  * All math via codegen'd higher-order functions (zip_with/aggregate) —
-  * see [[graft.functions.VectorFunctions]].
+  * All vector math runs in native codegen expressions (fused
+  * primitive loops, no boxing) — see
+  * [[org.apache.spark.sql.graft.ArrayMathExpressions]];
+  * [[graft.functions.VectorFunctions]] explains why the higher-order
+  * builtins were abandoned for the hot path.
   */
 object Similarity {
 
   val K = 5
   val NumQueries = 10 // vec_id < 10 are the query vectors
-  val NumCells = 8    // IVF coarse centroids (deterministic: vec_id < 8)
+  /** Coarse cells for [[embeddingDedup]]'s blocking key: deterministic
+    * (vec_id < 8 as centroids) so the DuckDB oracle can replicate the
+    * assignment exactly; [[ivfKnn]] uses the real k-means quantizer
+    * (rows-only gate) instead.
+    */
+  val NumCells = 8
 
   /** Exact top-k cosine neighbors for each query vector. The query set
     * is tiny → broadcast; the corpus side never shuffles until the
@@ -34,8 +42,10 @@ object Similarity {
     * round(sim, 6) with an id tie-break so results are reproducible
     * across engines and partitionings.
     */
-  def bruteForceKnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  def bruteForceKnn(spark: SparkSession, dir: String): DataFrame =
+    bruteForceKnnOn(spark, Tables.embeddings(spark, dir))
+
+  def bruteForceKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val sims = e.select(col("vec_id").as("n_id"), col("embedding"))
@@ -50,39 +60,71 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** IVF approximate top-k: centroids are the first NumCells vectors
-    * (a deterministic stand-in for k-means — the dataflow is identical:
-    * broadcast centroids, argmin assignment, search within the probe
-    * cell). Recall < 1.0 by construction; the scale path.
+  /** IVF approximate top-k with a REAL coarse quantizer: seeded
+    * k-means (Lloyd via `ml.KMeans`, k-means|| init) over the corpus,
+    * cell count scaling ~√N with the corpus (the standard IVF sizing:
+    * balances cells scanned per probe against vectors per cell), and
+    * MULTI-PROBE search — each query scans its `probes` nearest cells,
+    * which recovers the boundary neighbors single-probe loses.
+    *
+    * Scale shape: the fitted centroids are model state (k·dim floats —
+    * broadcast, never shuffled with the data); corpus vectors get their
+    * cell in one narrow pass; at 100 TB the corpus would be WRITTEN
+    * partitioned by cell so a probe is partition pruning, and the
+    * per-cell scan is the only data movement. Recall < 1.0 by
+    * construction; SimilaritySpec holds the floor at 0.8 recall@5.
     */
-  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val centroids = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+  def ivfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame =
+    ivfKnnOn(spark, Tables.embeddings(spark, dir), probes)
 
-    // argmin over centroids via min(struct(dist, c_id)) — one broadcast
-    // join + one narrow agg per vector, no shuffle of the embedding.
-    def assign(df: DataFrame, idCol: String, embCol: String): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .groupBy(col(idCol))
-        .agg(min(struct(sqDist(col(embCol), col("c_emb")).as("d"),
-          col("c_id").as("c"))).getField("c").as("cell"))
-
-    val corpusCells = assign(e.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
-    val corpus = e.join(corpusCells, "vec_id")
+  /** IVF search over any (vec_id, embedding: array<float>) relation —
+    * the quantizer-quality spec runs this on clustered data, where IVF
+    * actually earns its keep. (On a structureless corpus recall can
+    * never beat the scanned fraction: with no cluster signal, each
+    * probed cell holds a random ~1/cells of the true neighbors; that
+    * is a property of the DATA, not the quantizer.)
+    */
+  def ivfKnnOn(spark: SparkSession, e: DataFrame, probes: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nCells = math.max(4, math.sqrt(e.count().toDouble).toInt)
+    // Neighbors are ranked by COSINE, so the quantizer must cluster on
+    // the unit sphere: L2 k-means over NORMALIZED vectors is angular
+    // clustering (for unit vectors ||x-y||² = 2-2cos) — clustering the
+    // raw vectors scatters angular neighbors across magnitude-driven
+    // cells and recall collapses. One narrow pass; the norm is bound to
+    // a column first so the HOF lambda does not re-reduce per element.
+    val normed = e
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("unit", transform(col("embedding"),
+        x => (x.cast("double") / col("nrm")).cast("float")))
+    val fv = normed.withColumn("fv", array_to_vector(col("unit")))
+    val model = new KMeans().setK(nCells).setSeed(7).setMaxIter(8)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fv)
+    val corpus = model.transform(fv)
       .select(col("vec_id").as("n_id"), col("embedding"), col("cell"))
 
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val qCells = assign(e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id"), col("embedding")), "vec_id", "embedding")
-      .withColumnRenamed("vec_id", "q_id")
-      .withColumnRenamed("cell", "q_cell")
-    val queries = q.join(qCells, "q_id")
+    // centroid table (tiny, broadcast) for multi-probe assignment
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+    import spark.implicits._
+    val centDf = cents.toDF("c_id", "c_emb")
 
-    // probe: only vectors in the query's cell are scored
-    val sims = corpus.join(broadcast(queries),
-        col("cell") === col("q_cell") && col("q_id") =!= col("n_id"))
+    val q = normed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("unit").as("q_unit"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
+    val probeCells = q.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+        sqDist(col("q_unit"), col("c_emb")).as("d"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= probes)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+
+    // probe: only vectors in the query's `probes` nearest cells score
+    val sims = corpus.join(broadcast(probeCells), "cell")
+      .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
     val w = Window.partitionBy(col("q_id"))

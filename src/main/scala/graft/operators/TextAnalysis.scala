@@ -175,6 +175,7 @@ object TextAnalysis {
     * only the head matters.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     import graft.functions.TypedAggregators.MisraGries
     val words = Tables.documents(spark, dir)
@@ -182,15 +183,54 @@ object TextAnalysis {
     val candidates = words.groupByKey(_ => true)
       .agg(new MisraGries(200).toColumn.name("cands"))
       .flatMap(_._2).toDF("word")
-    val total = words.toDF("word").agg(count(lit(1)).as("total"))
-    words.toDF("word")
-      .join(broadcast(candidates), "word")
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
-      .filter(col("cnt").cast("double") >= col("total") * 0.01)
-      .select(col("word"), col("cnt"))
+    // Pass 2 fuses the exact candidate counts AND the corpus total into
+    // ONE scan: non-candidate tokens collapse onto a single null key, so
+    // the shuffle carries ≤ 201 keys after map-side combine and the
+    // total is the sum over that tiny aggregate (a global window over
+    // ≤ 201 rows — not over the corpus).
+    val counts = words.toDF("word")
+      .join(broadcast(candidates.withColumn("is_cand", lit(true))), Seq("word"), "left")
+      .groupBy(when(col("is_cand"), col("word")).as("cword"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .filter(col("cword").isNotNull &&
+        col("cnt").cast("double") >= col("total") * 0.01)
+      .select(col("cword").as("word"), col("cnt"))
       .orderBy(col("word"))
   }
+
+  /** The reference's LITERAL input surface, driver-graded: word count
+    * over the text-file directory the reference itself processes
+    * (master.ex:112-120 lists the dir, worker.ex:105-111 reads files,
+    * word_count.ex:3-13 tokenizes). Reads the line-oriented splittable
+    * form ([[graft.sources.TextSources.lines]]) — newline is a
+    * `[^a-zA-Z]` delimiter, so per-line tokenization equals whole-file
+    * tokenization. The sf dir parameter is unused: this is a fixed
+    * source-surface query (the corpus does not scale with sf).
+    */
+  val ReferenceCorpusDir = "/root/reference/priv/resources"
+
+  def textDirWordCount(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextSources.lines(spark, ReferenceCorpusDir)
+      .select(explode(upperTokens(col("line"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("word"))
+
+  /** Per-file corpus stats over the WHOLE-FILE read path (the exact
+    * shape the reference mapper receives, worker.ex:105-111): token
+    * count, distinct vocabulary, longest token per file.
+    */
+  def textDirStats(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TextSources.wholeFiles(spark, ReferenceCorpusDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        explode(upperTokens(col("content"))).as("word"))
+      .groupBy(col("fname"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("word")).as("n_distinct"),
+        max(length(col("word"))).cast("long").as("max_word_len"))
+      .orderBy(col("fname"))
 
   /** Document fingerprinting: (a) md5-based 32-bit content fingerprint
     * (engine-portable, oracle-checked) and (b) rolling polynomial hash

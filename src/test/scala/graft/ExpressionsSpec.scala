@@ -39,6 +39,17 @@ class ExpressionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq === want)
   }
 
+  test("md5Prefix32 equals the builtin conv(substring(md5)) form, incl. multibyte") {
+    val samples = Seq("", "a", "hello world", "héllø wörld", "Ab1 ~ü€",
+      "the quick brown fox jumps over the lazy dog")
+    val rows = samples.toDF("s").select(
+      org.apache.spark.sql.graft.HashExpressions.md5Prefix32Col($"s").as("fast"),
+      conv(substring(md5($"s"), 1, 8), 16, 10).cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // range contract: unsigned 32-bit in a long
+    rows.foreach(r => assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 32)))
+  }
+
   test("charShingles equals naive sliding window") {
     val samples = Seq("abcdefghij", "short", "", "héllø wörld")
     val k = 4

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.sources.Sinks
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the driver-graded source/sink-surface queries added in
+  * round 2: the text-dir input surface (S1/S2) checked against the
+  * reference's golden output, and the partitioned sink round-trip
+  * checked for both value parity and actual partition pruning.
+  */
+class GatedSourceSinkSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val goldenPath = "/root/reference/mr-out-0"
+
+  test("q_text_wordcount (line-oriented read) reproduces mr-out-0 exactly") {
+    assume(new java.io.File(goldenPath).isFile)
+    val counted = TextAnalysis.textDirWordCount(spark, sfDir)
+      .as[(String, Long)].collect()
+      .map { case (w, c) => s"$w $c" }
+    val golden = scala.io.Source.fromFile(goldenPath).getLines().toVector
+    assert(counted.length === golden.length)
+    counted.zip(golden).foreach { case (got, want) => assert(got === want) }
+  }
+
+  test("q_text_stats: 8 corpus files; token totals agree with word count") {
+    val stats = TextAnalysis.textDirStats(spark, sfDir).collect()
+    assert(stats.length === 8)
+    val totalTokens = stats.map(_.getLong(1)).sum
+    val wcTotal = TextAnalysis.textDirWordCount(spark, sfDir)
+      .agg(sum($"cnt")).as[Long].head()
+    assert(totalTokens === wcTotal)
+    stats.foreach { r =>
+      assert(r.getString(0).startsWith("pg-"))
+      assert(r.getLong(2) > 0 && r.getLong(2) <= r.getLong(1)) // distinct <= tokens
+    }
+  }
+
+  test("partitioned sink round-trip equals the direct aggregate and prunes partitions") {
+    val got = Sinks.partitionedRoundTrip(spark, sfDir).collect()
+    val want = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(got.toSeq === want.toSeq)
+    // the read-back scan must carry the filter as a PARTITION filter
+    // (pruned at planning — non-matching partitions never scanned)
+    val plan = Sinks.readBack(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n${plan.take(1500)}")
+    val pf = plan.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("o_orderstatus"), s"partition filter does not prune o_orderstatus: $pf")
+  }
+}
