@@ -42,7 +42,10 @@ object ArrayMathExpressions {
         dot += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      // all-zero vector: define cosine as 0 (NaN would diverge from the
+      // DuckDB oracle, whose guarded SQL mirrors this)
+      if (na * nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,7 +65,8 @@ object ArrayMathExpressions {
            |  double $yi = (double) $b.getFloat($i);
            |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
            |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |${ev.value} = ($na * $nb == 0.0) ? 0.0
+           |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 

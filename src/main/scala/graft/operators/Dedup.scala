@@ -95,8 +95,8 @@ object Dedup {
     * (min over a multiset equals min over its set). This was round 1's
     * single most expensive shuffle, deleted for free.
     */
-  private def shingleHashes(spark: SparkSession, dir: String, prodHash: Boolean): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingleHashes(docs: DataFrame, prodHash: Boolean): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(array_distinct(charShingles(normalized(col("text")), ShingleK))).as("sh"))
       .select(col("doc_id"), shingleHash32(col("sh"), prodHash).as("h"))
@@ -107,10 +107,14 @@ object Dedup {
     * per document per partition.
     */
   def minhashSignatures(spark: SparkSession, dir: String,
-                        prodHash: Boolean = false): DataFrame = {
+                        prodHash: Boolean = false): DataFrame =
+    minhashSignaturesOn(Tables.documents(spark, dir), prodHash)
+
+  /** Operator form over any (doc_id, text) relation. */
+  def minhashSignaturesOn(docs: DataFrame, prodHash: Boolean = false): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(pmod(lit(hashA(i)) * col("h") + lit(hashB(i)), lit(HashP))).as(s"mh$i"))
-    shingleHashes(spark, dir, prodHash)
+    shingleHashes(docs, prodHash)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("doc_id"))
@@ -122,26 +126,33 @@ object Dedup {
     * the band key), then candidates are verified with the MinHash
     * similarity estimate. Returns pairs with estimated Jaccard ≥ 0.5.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String,
-                      prodHash: Boolean = false): DataFrame = {
-    // The signature table feeds three branches (band keys + both sides of
-    // the verification join); without a persist Spark recomputes the whole
-    // shingle→hash→agg pipeline per branch. It is small (docs × 65 longs)
-    // but MEMORY_AND_DISK keeps a 1000× corpus from evicting to recompute.
-    val sig = minhashSignatures(spark, dir, prodHash)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Band keys via ONE explode over an array of (band, key) structs —
-    // not a Bands-way union: a 16-branch union over the 65-column
-    // cached relation costs seconds of PLANNING per action (16 branch
-    // analyses × every reference), swamping the actual sub-second data
-    // work; the single-generator form plans once.
+  /** Band keys via ONE explode over an array of (band, key) structs —
+    * not a Bands-way union: a 16-branch union over the 65-column
+    * cached relation costs seconds of PLANNING per action (16 branch
+    * analyses × every reference), swamping the actual sub-second data
+    * work; the single-generator form plans once.
+    */
+  private def bandKeys(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
     }: _*)
-    val bandKeyed = sig
-      .select(col("doc_id"), explode(bandStructs).as("bb"))
+    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, dir: String,
+                      prodHash: Boolean = false): DataFrame =
+    minhashLshPairsOn(Tables.documents(spark, dir), prodHash)
+
+  def minhashLshPairsOn(docs: DataFrame, prodHash: Boolean = false): DataFrame = {
+    // The signature table feeds three branches (band keys + both sides of
+    // the verification join); without a persist Spark recomputes the whole
+    // shingle→hash→agg pipeline per branch. It is small (docs × 65 longs)
+    // but MEMORY_AND_DISK keeps a 1000× corpus from evicting to recompute.
+    val sig = minhashSignaturesOn(docs, prodHash)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandKeyed = bandKeys(sig)
     val a = bandKeyed.as("a")
     val b = bandKeyed.as("b")
     val cand = a.join(b,
@@ -188,15 +199,17 @@ object Dedup {
     * Caveat measured in SURVEY §8: cost scales with the TRUE result set;
     * on duplicate-dominated corpora route to LSH + clusters instead.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOn(Tables.documents(spark, dir))
+
+  def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.TextShingleExpressions.{shingleHashSetCol, sortedIntersectSizeCol}
-    val threshold = 0.4
     // One codegen'd pass per document builds its shingle set as a SORTED
     // array of 64-bit hashes — set algebra becomes a primitive merge walk
     // (collision odds ~|vocab|²/2^65; the string-level oracle checks the
     // end-to-end values differentially).
-    val docSets = Tables.documents(spark, dir)
+    val docSets = docs
       .select(col("doc_id"),
         shingleHashSetCol(normalized(col("text")), ShingleK).as("set"))
       .withColumn("sz", size(col("set")).cast("long"))
@@ -256,14 +269,17 @@ object Dedup {
     * materialized localCheckpoint blocks — no separate join job — and
     * two pointer jumps are fused into each materialized round.
     */
-  def duplicateClusters(spark: SparkSession, dir: String): DataFrame = {
+  def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
+    duplicateClustersOn(Tables.documents(spark, dir))
+
+  def duplicateClustersOn(docs: DataFrame): DataFrame = {
     // materialize the pair list ONCE: it feeds both union branches below,
     // and without the checkpoint each branch re-executes the whole LSH
     // candidate pipeline
     val tDbg0 = System.nanoTime()
     def dbg(msg: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] $msg at ${(System.nanoTime() - tDbg0) / 1e9}%.2f s")
-    val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val pairs = minhashLshPairsOn(docs).select(col("id_a"), col("id_b"))
       .localCheckpoint()
     dbg("pairs checkpointed")
     // Undirected edge list (both directions) PLUS a self-loop per node:
@@ -324,6 +340,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))
   }
+
+  /** Duplicate-density probe: candidate near-dup pairs per document,
+    * bounded from the LSH band-bucket occupancies (Σ C(n,2) over
+    * buckets — exactly the work the banded self-join would do, without
+    * doing it). Uses the prod hash: this is an internal statistic, not
+    * an oracle-checked output.
+    */
+  def duplicateDensity(docs: DataFrame): Double = {
+    val sig = minhashSignaturesOn(docs, prodHash = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val row = bandKeys(sig)
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1)).as("cand2")).head()
+      val candPairs = Option(row.getAs[Long]("cand2")).getOrElse(0L) / 2.0
+      val nDocs = sig.count().toDouble
+      if (nDocs == 0) 0.0 else candPairs / nDocs
+    } finally { sig.unpersist(); () }
+  }
+
+  /** Near-dup pairs with the duplicate-heavy-corpus guard (measured in
+    * SURVEY §8): the exact PPJoin operator is OUTPUT-sensitive — on a
+    * duplicate-dominated corpus its true result set (and therefore its
+    * cost) grows quadratically with corpus size, while LSH + banding
+    * stays candidate-bounded. Probe the band buckets first; take the
+    * exact path only while candidates/doc stay under `maxCandPerDoc`,
+    * else fall back to the LSH estimate (whose downstream consumer is
+    * [[duplicateClustersOn]] — cluster reps, not all pairs, are the
+    * useful product of a duplicate-heavy corpus anyway).
+    */
+  def nearDupPairsAuto(spark: SparkSession, dir: String,
+                       maxCandPerDoc: Double = 2.0): DataFrame =
+    nearDupPairsAutoOn(Tables.documents(spark, dir), maxCandPerDoc)
+
+  def nearDupPairsAutoOn(docs: DataFrame, maxCandPerDoc: Double = 2.0): DataFrame =
+    if (duplicateDensity(docs) <= maxCandPerDoc)
+      ngramJaccardPairsOn(docs)
+    else
+      minhashLshPairsOn(docs).withColumnRenamed("est_jaccard", "jaccard")
 
   /** Deterministic hash split: route every document to train/val/test
     * by its content hash (md5-derived, engine-portable) — the standard

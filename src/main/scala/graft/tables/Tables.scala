@@ -27,14 +27,20 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds with integral division (`div`, not `/` — double
-    * division would lose precision above 2^53 ns). DuckDB performs the
-    * identical ns→µs truncation when it reads the same file, so oracle
+    * reader rejects. Read it as raw nanos and truncate to microseconds
+    * with integral division (`div`, not `/` — double division would
+    * lose precision above 2^53 ns). DuckDB performs the identical
+    * ns→µs truncation when it reads the same file, so oracle
     * comparisons stay exact.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * build time (set in Bench/Verify/BenchOne and the test wrapper) —
+    * a session-wide conf flip inside a loader would silently change how
+    * every later nanos-timestamp parquet in the session reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true when building the session (events.parquet is TIMESTAMP(NANOS))")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

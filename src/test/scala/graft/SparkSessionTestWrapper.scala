@@ -16,6 +16,9 @@ object SparkSessionTestWrapper {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet is TIMESTAMP(NANOS); set at build time so no
+    // loader has to flip session state as a side effect
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
