@@ -82,6 +82,8 @@ object SparkEntry {
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_lang_id"         -> (TextAnalysis.langId _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
+    "q_repetition"      -> (TextAnalysis.repetitionScore _),
+    "q_pack_sequences"  -> ((s: SparkSession, dir: String) => TextAnalysis.packSequences(s, dir)),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
@@ -540,6 +542,28 @@ object SparkEntry {
          |  list_transform(generate_series(1, length(text)), i -> CAST(ord(substr(text,i,1)) AS BIGINT))),
          |  (acc,c) -> (acc*31+c)%1000000007) AS fp_rolling
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |(len(grams) - len(list_distinct(grams)))::DOUBLE / greatest(len(grams), 1) AS dup_frac
+        |FROM (SELECT doc_id, list_transform(generate_series(1, greatest(len(toks)-3, 0)),
+        |    i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]) AS grams
+        |  FROM (SELECT doc_id,
+        |    list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
+        |  FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """SELECT shard, seq_id, count(*) AS n_docs,
+        |CAST(sum(n_tok) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
+        |FROM (SELECT doc_id, shard, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id
+        |FROM (SELECT doc_id, doc_id % 8 AS shard,
+        |  len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS n_tok
+        |  FROM documents))
+        |GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents

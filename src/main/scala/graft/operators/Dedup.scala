@@ -344,19 +344,34 @@ object Dedup {
   /** Duplicate-density probe: candidate near-dup pairs per document,
     * bounded from the LSH band-bucket occupancies (Σ C(n,2) over
     * buckets — exactly the work the banded self-join would do, without
-    * doing it). Uses the prod hash: this is an internal statistic, not
-    * an oracle-checked output.
+    * doing it), estimated on a deterministic 1-in-`sampleMod` document
+    * sample. Sampling each doc w.p. p scales bucket pair counts by p²
+    * and doc count by p, so the per-doc density estimate is corrected
+    * by 1/p — the probe touches p of the corpus (the point at 100 TB).
+    * `sampleMod = 0` (default) adapts: full probe below 100k documents
+    * (where a sampled estimate is variance-dominated and the full probe
+    * is cheap anyway), 1-in-16 above.
+    * Uses the prod hash: an internal statistic, not an oracle output.
     */
-  def duplicateDensity(docs: DataFrame): Double = {
-    val sig = minhashSignaturesOn(docs, prodHash = true)
+  def duplicateDensity(docs: DataFrame, sampleMod: Int = 0): Double = {
+    val mod = if (sampleMod > 0) sampleMod
+              else if (docs.count() < 100000L) 1 else 16
+    duplicateDensitySampled(docs, mod)
+  }
+
+  private def duplicateDensitySampled(docs: DataFrame, sampleMod: Int): Double = {
+    val sample =
+      if (sampleMod == 1) docs
+      else docs.filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === 0)
+    val sig = minhashSignaturesOn(sample, prodHash = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val row = bandKeys(sig)
         .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * (col("n") - 1)).as("cand2")).head()
       val candPairs = Option(row.getAs[Long]("cand2")).getOrElse(0L) / 2.0
-      val nDocs = sig.count().toDouble
-      if (nDocs == 0) 0.0 else candPairs / nDocs
+      val nSample = sig.count().toDouble
+      if (nSample == 0) 0.0 else (candPairs / nSample) * sampleMod
     } finally { sig.unpersist(); () }
   }
 

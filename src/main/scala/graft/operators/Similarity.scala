@@ -100,8 +100,15 @@ object Similarity {
       .withColumn("unit", transform(col("embedding"),
         x => (x.cast("double") / col("nrm")).cast("float")))
     val fv = normed.withColumn("fv", array_to_vector(col("unit")))
+    // fit on a deterministic quarter sample (centroid estimation needs
+    // far fewer points than assignment; at corpus scale fitting on the
+    // full table would iterate Lloyd over 100 TB), assign everything
+    // a quarter sample estimates centroids well once it holds ~8 points
+    // per cell; below that (tiny corpora) fit on everything
+    val fitSample = fv.filter(pmod(col("vec_id"), lit(4L)) === 0)
+    val fitOn = if (fitSample.count() >= nCells * 8L) fitSample else fv
     val model = new KMeans().setK(nCells).setSeed(7).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fv)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitOn)
     val corpus = model.transform(fv)
       .select(col("vec_id").as("n_id"), col("embedding"), col("cell"))
 

