@@ -75,6 +75,11 @@ object SparkEntry {
     "q_text_stats"      -> (TextAnalysis.textDirStats _),
     // partitioned sink round-trip (K1 generalization), graded:
     "q_sink_roundtrip"  -> (graft.sources.Sinks.partitionedRoundTrip _),
+    // bucketed (co-located join) storage round-trip, graded:
+    "q_bucketed_join"   -> (graft.sources.Sinks.bucketedJoinRoundTrip _),
+    // multiset set-ops (the ALL variants keep duplicates):
+    "q_intersect_all"   -> (Relational.intersectAllParts _),
+    "q_except_all"      -> (Relational.exceptAllParts _),
     "q_tfidf"           -> (TextAnalysis.tfidf _),
     "q_bigrams"         -> (TextAnalysis.wordBigrams _),
     "q_heavy_hitters"   -> (TextAnalysis.heavyHitters _),
@@ -309,6 +314,24 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus='O'
         |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='P'
         |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT l_partkey, count(*) AS copies FROM (
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+        |INTERSECT ALL SELECT l_partkey FROM lineitem WHERE l_returnflag='A')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT l_partkey, count(*) AS copies FROM (
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag='R'
+        |EXCEPT ALL SELECT l_partkey FROM lineitem WHERE l_returnflag='A')
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT DISTINCT nationkey FROM (

@@ -182,6 +182,27 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** INTERSECT ALL — multiset semantics: each common value keeps
+    * min(count_left, count_right) copies. Counted per value so the
+    * driver hash (order-insensitive within the sort key) is stable.
+    */
+  def intersectAllParts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      .intersectAll(l.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("copies"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** EXCEPT ALL — multiset semantics: left copies minus right copies. */
+  def exceptAllParts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      .exceptAll(l.filter(col("l_returnflag") === "A").select(col("l_partkey")))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("copies"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** EXCEPT: customers with an 'O' order but never a 'P' order. */
   def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -40,4 +40,40 @@ object Sinks {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"))
       .orderBy(col("o_orderpriority"))
+
+  /** Bucketed-table round trip: write orders and customer bucketed on
+    * the join key, join the BUCKETED tables, aggregate. Bucketing is
+    * the persisted co-located join — at 100 TB the fact table joined on
+    * the same key every day never shuffles again (BucketingSpec proves
+    * the no-Exchange plan; this query puts the write→read→join VALUES
+    * under the oracle gate).
+    */
+  def bucketedJoinRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketed(spark, Tables.orders(spark, dir), "graft_b_orders", "o_custkey")
+    writeBucketed(spark, Tables.customer(spark, dir), "graft_b_customer", "c_custkey")
+    spark.table("graft_b_orders")
+      .join(spark.table("graft_b_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** saveAsTable with a clean slate: the in-memory session catalog of
+    * a fresh JVM does not know about a previous run's table, and CTAS
+    * onto a non-empty managed location refuses — drop + delete first.
+    */
+  private def writeBucketed(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+                            table: String, key: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = wh.resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(table)
+  }
 }
