@@ -54,6 +54,7 @@ object SparkEntry {
     "q_window_range"    -> (Windows.windowRange _),
     "q_group_topk"      -> (Windows.groupTopK _),
     "q_salted_wordcount" -> (Skew.saltedWordCount _),
+    "q_salted_join"      -> (Skew.saltedJoinBrand _),
     // — scalar function groups —
     "q_string_funcs"    -> (Scalars.stringFuncs _),
     "q_date_funcs"      -> (Scalars.dateFuncs _),
@@ -224,6 +225,11 @@ object SparkEntry {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "q_join_broadcast" ->
+      """SELECT p_brand, round(sum(l_extendedprice),2) AS brand_revenue, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the salted-join plan must reproduce the plain join byte-for-byte
+    "q_salted_join" ->
       """SELECT p_brand, round(sum(l_extendedprice),2) AS brand_revenue, count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey=p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,

@@ -66,7 +66,10 @@ object Dedup {
     * shuffle rows narrow; `exactDedupByHash` does exactly that.
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    exactDedupOn(Tables.documents(spark, dir))
+
+  def exactDedupOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(normalized(col("text")).as("norm"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))

@@ -59,4 +59,22 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Brand revenue via the salted-join plan — identical results to
+    * [[Relational.joinBroadcast]] (shares its oracle: the gate proves
+    * the salting rewrite lossless), but the probe side fans each part
+    * key over `salt` sub-keys before the join.
+    */
+  def saltedJoinBrand(spark: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p_partkey"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val build = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    saltedJoin(probe, build, "p_partkey",
+        struct(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("brand_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance and idempotence properties — the
+  * reference's differential philosophy (sequential vs distributed must
+  * byte-match, map_reduce.ex:5-19) generalized: results must not depend
+  * on HOW the data was sharded. The reference itself violates this
+  * (its distributed path reduces per intermediate file, SURVEY §2.1
+  * quirks); our operators must not.
+  */
+class InvarianceSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sfDir).select($"doc_id", $"text")
+
+  test("word count is invariant under input partitioning") {
+    val baseline = TextAnalysis.wordCount(spark, sfDir).collect().toSeq
+    for (n <- Seq(1, 2, 7, 16)) {
+      val words = Tables.documents(spark, sfDir).repartition(n)
+        .select(explode(graft.functions.TextFunctions.upperTokens($"text")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"word")
+      assert(words.collect().toSeq === baseline, s"diverged at $n partitions")
+    }
+  }
+
+  test("minhash signatures are invariant under input partitioning") {
+    val baseline = Dedup.minhashSignaturesOn(docs).collect().toSeq
+    val shuffled = Dedup.minhashSignaturesOn(docs.repartition(13)).collect().toSeq
+    assert(shuffled === baseline)
+  }
+
+  test("exact dedup is idempotent: deduping the survivors changes nothing") {
+    val once = Dedup.exactDedup(spark, sfDir)
+    val survivors = docs.join(once.select($"keep_id".as("doc_id")), "doc_id")
+    val twice = Dedup.exactDedupOn(survivors)
+    assert(twice.filter($"n_copies" > 1).count() === 0L,
+      "dedup left duplicates among its own survivors")
+    assert(twice.count() === once.count())
+  }
+}
