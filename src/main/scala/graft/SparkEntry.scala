@@ -60,6 +60,8 @@ object SparkEntry {
     "q_date_funcs"      -> (Scalars.dateFuncs _),
     "q_math_funcs"      -> (Scalars.mathFuncs _),
     "q_json"            -> (Scalars.jsonFuncs _),
+    "q_map_funcs"       -> (Scalars.mapFuncs _),
+    "q_null_safe_join"  -> (Scalars.nullSafeJoin _),
     "q_grep"            -> (Scalars.grep _),
     "q_profile"         -> (Scalars.profile _),
     "q_histogram"       -> (Scalars.histogram _),
@@ -463,6 +465,23 @@ object SparkEntry {
         |min(k) AS min_k, max(k) AS max_k FROM (
         |SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_map_funcs" ->
+      s"""SELECT doc_id, count(*) AS n_distinct_words,
+         |coalesce(max(CASE WHEN word = 'THE' THEN cnt END), 0) AS n_the,
+         |CAST(sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent
+         |FROM (SELECT doc_id, word, count(*) AS cnt FROM ($tokSql) GROUP BY 1, 2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH base AS (SELECT event_type,
+        |  nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0) AS bucket
+        |  FROM events),
+        |c AS (SELECT bucket, count(*) AS n_click FROM base WHERE event_type='click' GROUP BY 1),
+        |v AS (SELECT bucket, count(*) AS n_view FROM base WHERE event_type='view' GROUP BY 1)
+        |SELECT c.bucket, n_click, n_view FROM c
+        |JOIN v ON c.bucket IS NOT DISTINCT FROM v.bucket
+        |ORDER BY c.bucket NULLS FIRST""".stripMargin,
 
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -108,4 +108,44 @@ object Scalars {
       .filter(col("text").rlike("window.*join|join.*window"))
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
+
+  /** Map-typed column surface: per document, build a word→count map
+    * (map_from_entries over the grouped counts), then query it with
+    * map_keys / element_at / map_filter. The MAP itself stays internal
+    * (map ordering is engine-specific); the graded outputs are scalar
+    * lookups, which are order-insensitive, so the DuckDB twin computes
+    * them relationally.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.upperTokens
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(upperTokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("cnt")))).as("wc"))
+      .select(col("doc_id"),
+        size(map_keys(col("wc"))).cast("long").as("n_distinct_words"),
+        coalesce(element_at(col("wc"), "THE"), lit(0L)).as("n_the"),
+        size(map_filter(col("wc"), (_, v) => v >= 5)).cast("long").as("n_frequent"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the null
+    * bucket must MATCH itself across the two sides — a plain equi-join
+    * silently drops it, the classic null-semantics trap. Buckets are
+    * derived deterministically from the event payload (nullif on the
+    * modulus) so both engines see identical nulls.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("nullif(CAST(get_json_object(props, '$.k') AS BIGINT) % 7, 0)").as("bucket"))
+    val clicks = base.filter(col("event_type") === "click")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_click"))
+    val views = base.filter(col("event_type") === "view")
+      .groupBy(col("bucket").as("vbucket")).agg(count(lit(1)).as("n_view"))
+    clicks.join(views, col("bucket") <=> col("vbucket"))
+      .select(col("bucket"), col("n_click"), col("n_view"))
+      .orderBy(col("bucket")) // Spark: nulls first ascending
+  }
 }
