@@ -115,6 +115,9 @@ object SparkEntry {
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
+    // the SAME aggregation executed as a real StreamingQuery (streaming
+    // file source -> AvailableNow -> memory sink); shares the oracle
+    "q_stream_tumbling" -> (graft.streaming.EventStreams.streamedTumbling _),
     "q_sliding"         -> (EventAnalytics.sliding _),
     "q_sessions"        -> (EventAnalytics.sessions _),
     "q_retention"       -> (EventAnalytics.retention _),
@@ -681,6 +684,12 @@ object SparkEntry {
          |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "q_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |event_type, count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // identical semantics, executed by the streaming engine
+    "q_stream_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,

@@ -168,4 +168,45 @@ object EventStreams {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
+
+  /** ACTUAL streaming execution under the driver gate: read the events
+    * parquet through the STREAMING file source, run the tumbling-window
+    * aggregation as a real StreamingQuery (Trigger.AvailableNow →
+    * processes all available data then stops), land it in a memory
+    * sink, and return the materialized result — the same rows the batch
+    * twin produces, so q_stream_tumbling shares q_tumbling's DuckDB
+    * oracle and the gate certifies the streaming ENGINE path, not just
+    * the shared window expressions.
+    *
+    * Complete output mode because AvailableNow ends with the watermark
+    * still behind the last window — append mode would hold every window
+    * open and emit nothing (the classic finite-replay trap).
+    */
+  def streamedTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // events.parquet is TIMESTAMP(NANOS): the streaming source reads it
+    // as raw longs (same session conf as batch) and converts exactly
+    // like Tables.events
+    val nanosSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    // the streaming file source wants a DIRECTORY (landing-zone shape);
+    // glob-filter it down to the events table
+    val events = spark.readStream.schema(nanosSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+    val q = agg.writeStream.format("memory").queryName("graft_stream_tumbling")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_tumbling")
+      .orderBy(col("hour"), col("event_type"))
+  }
 }
