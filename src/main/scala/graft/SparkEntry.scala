@@ -80,6 +80,8 @@ object SparkEntry {
     "q_sink_roundtrip"  -> (graft.sources.Sinks.partitionedRoundTrip _),
     // bucketed (co-located join) storage round-trip, graded:
     "q_bucketed_join"   -> (graft.sources.Sinks.bucketedJoinRoundTrip _),
+    // text-format (CSV) sink/source round-trip, graded:
+    "q_csv_roundtrip"   -> (graft.sources.Sinks.csvRoundTrip _),
     // multiset set-ops (the ALL variants keep duplicates):
     "q_intersect_all"   -> (Relational.intersectAllParts _),
     "q_except_all"      -> (Relational.exceptAllParts _),
@@ -343,6 +345,11 @@ object SparkEntry {
         |round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT DISTINCT nationkey FROM (

@@ -275,15 +275,21 @@ object Dedup {
   def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
     duplicateClustersOn(Tables.documents(spark, dir))
 
-  def duplicateClustersOn(docs: DataFrame): DataFrame = {
+  def duplicateClustersOn(docs: DataFrame): DataFrame =
+    clustersFromPairs(minhashLshPairsOn(docs).select(col("id_a"), col("id_b")))
+
+  /** Connected components over an arbitrary undirected pair list —
+    * exposed separately so the O(log chain) convergence claim is
+    * directly testable (DedupSpec clusters a 1000-node path graph).
+    */
+  def clustersFromPairs(rawPairs: DataFrame): DataFrame = {
     // materialize the pair list ONCE: it feeds both union branches below,
-    // and without the checkpoint each branch re-executes the whole LSH
-    // candidate pipeline
+    // and without the checkpoint each branch re-executes the whole
+    // upstream pipeline (for the LSH caller, the entire candidate join)
     val tDbg0 = System.nanoTime()
     def dbg(msg: String): Unit = if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] $msg at ${(System.nanoTime() - tDbg0) / 1e9}%.2f s")
-    val pairs = minhashLshPairsOn(docs).select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+    val pairs = rawPairs.toDF("id_a", "id_b").localCheckpoint()
     dbg("pairs checkpointed")
     // Undirected edge list (both directions) PLUS a self-loop per node:
     // the self-loop both carries each node's own label into the

@@ -59,6 +59,28 @@ object Sinks {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** CSV round-trip: write a projection as headered CSV, read it back
+    * with an explicit schema (inference would re-scan the data), and
+    * aggregate — Java's Double.toString is value-round-trippable, so
+    * the text format must reproduce the parquet-sourced aggregate
+    * exactly or the oracle hash breaks.
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/tmp/csv_roundtrip"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .option("header", "true")
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** saveAsTable with a clean slate: the in-memory session catalog of
     * a fresh JVM does not know about a previous run's table, and CTAS
     * onto a non-empty managed location refuses — drop + delete first.

@@ -52,6 +52,21 @@ class DedupSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("clustersFromPairs: 1000-node path graph collapses to one cluster (O(log) rounds)") {
+    // worst case for label propagation: a single long chain — plain
+    // min-label propagation needs ~1000 rounds; pointer jumping must
+    // finish well inside the 20-round cap or the loud require() fires
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.clustersFromPairs(chain).collect()
+    assert(clusters.length === 1)
+    assert(clusters.head.getLong(0) === 0L)   // min-label representative
+    assert(clusters.head.getLong(1) === 1000L) // all members
+    // and a disconnected forest keeps its components separate
+    val forest = chain.union(Seq((5000L, 5001L), (5001L, 5002L)).toDF("id_a", "id_b"))
+    val reps = Dedup.clustersFromPairs(forest).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.toSet === Set((0L, 1000L), (5000L, 3L)))
+  }
+
   test("simhash: near-identical docs get near-identical fingerprints") {
     val fp = Dedup.simhash(spark, sfDir).as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
