@@ -53,6 +53,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"hash aggregation not inside a codegen span:\n${plan.take(1200)}")
   }
 
+  test("q_minhash_signatures: exactly the minimal shuffles (agg + output sort)") {
+    // the round-1 plan carried a corpus-wide distinct() of every
+    // (doc, shingle) occurrence — a third, dominant exchange. MinHash
+    // min() never needed it; this pins the fix structurally.
+    val plan = planOf("q_minhash_signatures")
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+      (if (plan.trim.startsWith("Exchange")) 1 else 0)
+    assert(exchanges <= 2, s"expected <= 2 exchanges, found $exchanges:\n${plan.take(1500)}")
+  }
+
   test("fact-fact joins never plan a cartesian product") {
     for (q <- Seq("q_join_agg", "q_semi_join", "q_anti_join", "q_asof_join",
         "q_range_join", "q_outer_join", "q_full_outer")) {
