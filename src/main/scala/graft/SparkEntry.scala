@@ -111,6 +111,7 @@ object SparkEntry {
     "q_neardup_auto"    -> ((s: SparkSession, dir: String) => Dedup.nearDupPairsAuto(s, dir)),
     "q_simhash"         -> (Dedup.simhash _),
     "q_hash_split"      -> (Dedup.hashSplit _),
+    "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
@@ -636,6 +637,14 @@ object SparkEntry {
          |count(*) AS n_docs, min(doc_id) AS first_doc
          |FROM (SELECT doc_id, lang, ${h32("text")} % 10 AS b FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q_mixture_sample" ->
+      s"""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+         |FROM (SELECT source, doc_id,
+         |  ${h32("text || '#mix'")} % 100 AS bucket,
+         |  10 + (CAST(substr(source, 4) AS INT) * 4) % 91 AS rate
+         |  FROM documents)
+         |WHERE bucket < rate GROUP BY source ORDER BY source""".stripMargin,
 
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",

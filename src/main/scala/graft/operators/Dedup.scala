@@ -422,6 +422,27 @@ object Dedup {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Deterministic mixture sampling: each SOURCE is downsampled at its
+    * own rate (the data-mixing step that turns raw corpora into a
+    * training mixture: oversample curated sources, downsample crawl).
+    * Membership is a pure function of content hash — re-runs, re-shards
+    * and incremental ingests sample identically, and rates compose with
+    * [[hashSplit]] without leakage (independent hash domains via a
+    * salt). One narrow filter + one aggregation; no shuffle of bodies.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    // per-source keep-rate in percent, derived from the source id
+    // (fixture sources are src0..srcN; a production mixture would read
+    // rates from a config table and broadcast-join it)
+    val bucket = pmod(md5Hash32(concat(col("text"), lit("#mix"))), lit(100))
+    val rateCol = lit(10) + pmod(expr("CAST(substring(source, 4) AS INT)") * 4, lit(91))
+    Tables.documents(spark, dir)
+      .filter(bucket < rateCol)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   /** SimHash (32-bit): per token, an md5-derived 32-bit hash votes ±1
     * on each bit position weighted by token frequency; the fingerprint
     * sets bit b iff the vote sum is positive. One explode over

@@ -57,6 +57,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the round-1 plan carried a corpus-wide distinct() of every
     // (doc, shingle) occurrence — a third, dominant exchange. MinHash
     // min() never needed it; this pins the fix structurally.
+    // (clearCache: other suites may have left a persisted signature
+    // subplan that substitutes an InMemoryRelation into this plan)
+    spark.catalog.clearCache()
     val plan = planOf("q_minhash_signatures")
     val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
       plan.linesIterator.count(_.trim.startsWith(":- Exchange")) +
