@@ -126,7 +126,13 @@ object SparkEntry {
     "q_retention"       -> (EventAnalytics.retention _),
     "q_funnel"          -> (EventAnalytics.funnel _),
     "q_new_users"       -> (EventAnalytics.newUsers _),
-    // — multimodal columns (stubbed decode, real plumbing) —
+    // — multimodal columns —
+    // REAL codec round trips (JDK ImageIO PNG, RIFF/PCM WAV): payloads
+    // synthesized deterministically, decoded by actual format code, and
+    // the features must match DuckDB's closed-form pixel/sample math
+    "q_image_decode"    -> (Multimodal.imageDecode _),
+    "q_audio_decode"    -> (Multimodal.audioDecode _),
+    // stub-decoded plumbing (formats with no JVM codec):
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
     "q_frame_features"  -> ((s: SparkSession, dir: String) => Multimodal.frameFeatures(s, dir)),
@@ -755,6 +761,21 @@ object SparkEntry {
         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_new,
         |CAST(sum(n_new) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM hourly ORDER BY hour""".stripMargin,
+
+    "q_image_decode" ->
+      """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |CAST(sum((doc_id*31 + y*7 + x) % 256) AS BIGINT) AS luma_sum
+        |FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
+        |     (SELECT unnest(generate_series(0, 31)) AS x)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_audio_decode" ->
+      """SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+        |CAST(1000 + doc_id % 500 AS BIGINT) AS n_samples,
+        |CAST(sum(abs((doc_id*13 + i*17) % 65536 - 32768)) AS BIGINT) AS amp_sum
+        |FROM (SELECT doc_id, unnest(generate_series(0, 999 + doc_id % 500)) AS i
+        |      FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

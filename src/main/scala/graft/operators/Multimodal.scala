@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column pattern: media (image/audio/video) carried as an
   * opaque `binary` payload column with a typed metadata struct, decoded
-  * / feature-extracted per partition in batches. The Spark-side plumbing
-  * — schema, partition-wise batching, typed record shape — is real;
-  * the actual codec call is STUBBED (deterministic fake) because no
-  * image/audio libraries ship in this container. Swap
-  * [[MediaDecoder.decodeStub]] for a real JNI/library call without
-  * touching the dataflow.
+  * / feature-extracted per partition in batches.
+  *
+  * Decode is REAL for the formats whose codecs ship in the JDK:
+  * [[RealCodecs.decodePng]] (javax.imageio) and [[RealCodecs.decodeWav]]
+  * (RIFF/PCM chunk walk) — both driver-graded (q_image_decode /
+  * q_audio_decode): payloads are synthesized deterministically, pushed
+  * through a REAL encode→decode round trip, and the extracted features
+  * must hash-match the DuckDB oracle's closed-form pixel/sample
+  * definitions — any codec infidelity breaks the gate. Formats with no
+  * JVM codec (video) remain behind the disclosed
+  * [[MediaDecoder.decodeStub]]/frame stubs, whose one-to-many dataflow
+  * shape is the real contract.
   *
   * Scale notes: payloads never participate in a shuffle here — decode is
   * a narrow mapPartitions directly over the scan, features (small) are
@@ -64,6 +70,140 @@ object Multimodal {
       Iterator.range(0, math.min(n, r.payload.length))
         .map(i => (r.doc_id, i, r.payload.slice(i * step, i * step + step)))
     }
+  }
+
+  /** Real codecs over deterministic payloads. The synthesis side is the
+    * fixture (pixel/sample values are pure functions of doc_id, which
+    * is what lets DuckDB compute the expected features without any
+    * codec); the DECODE side is a genuine format implementation.
+    */
+  object RealCodecs {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+    /** pixel(x, y) = (doc_id·31 + y·7 + x) mod 256, 8-bit grayscale. */
+    def syntheticPng(docId: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((docId * 31 + y * 7 + x) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL PNG decode (JDK ImageIO): (width, height, Σ luminance). */
+    def decodePng(bytes: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (img.getWidth, img.getHeight, sum)
+    }
+
+    /** sample(i) = ((doc_id·13 + i·17) mod 65536) − 32768, 16-bit PCM
+      * mono little-endian with a standard 44-byte RIFF/WAVE header.
+      */
+    def syntheticWav(docId: Long, n: Int, rate: Int): Array[Byte] = {
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1) /* PCM */ ; bb.putShort(1) /* mono */
+      bb.putInt(rate); bb.putInt(rate * 2) /* byte rate */
+      bb.putShort(2) /* block align */ ; bb.putShort(16) /* bits */
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((docId * 13 + i * 17) % 65536) - 32768).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** REAL RIFF/WAV parse — walks chunks (not fixed offsets), reads the
+      * fmt sample rate and the 16-bit PCM data: (rate, nSamples, Σ|s|).
+      */
+    def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF file")
+      bb.getInt // riff size
+      require(fourcc() == "WAVE", "not a WAVE file")
+      var rate = -1
+      var nSamples = -1
+      var ampSum = 0L
+      while (bb.remaining() >= 8 && (rate < 0 || nSamples < 0)) {
+        val id = fourcc()
+        val len = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmtStart = bb.position()
+            val audioFormat = bb.getShort
+            require(audioFormat == 1, s"not PCM: $audioFormat")
+            bb.getShort // channels
+            rate = bb.getInt
+            bb.position(fmtStart + len)
+          case "data" =>
+            nSamples = len / 2
+            var i = 0
+            while (i < nSamples) { ampSum += math.abs(bb.getShort.toInt); i += 1 }
+          case _ =>
+            bb.position(bb.position() + len)
+        }
+      }
+      require(rate > 0 && nSamples >= 0, "missing fmt/data chunk")
+      (rate, nSamples, ampSum)
+    }
+  }
+
+  /** PNG encode → REAL decode per document, features under the gate.
+    * Encode and decode run as separate narrow stages (payload-in /
+    * payload-out), mirroring a landing-zone → decode pipeline.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
+      .mapPartitions(_.map { case (id, png) =>
+        val (w, h, luma) = RealCodecs.decodePng(png)
+        (id, w.toLong, h.toLong, luma)
+      })
+      .toDF("doc_id", "width", "height", "luma_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** WAV synth → REAL RIFF parse per document, features under the gate.
+    * Sample count varies per document (1000 + doc_id mod 500).
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, RealCodecs.syntheticWav(id, 1000 + (id % 500).toInt, 16000))))
+      .mapPartitions(_.map { case (id, wav) =>
+        val (rate, n, amp) = RealCodecs.decodeWav(wav)
+        (id, rate.toLong, n.toLong, amp)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "amp_sum")
+      .orderBy(col("doc_id"))
   }
 
   /** Build the multimodal table from documents: text bytes stand in for
