@@ -131,6 +131,7 @@ object SparkEntry {
     // synthesized deterministically, decoded by actual format code, and
     // the features must match DuckDB's closed-form pixel/sample math
     "q_image_decode"    -> (Multimodal.imageDecode _),
+    "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
     // stub-decoded plumbing (formats with no JVM codec):
     "q_media_features"  -> (Multimodal.mediaFeatures _),
@@ -767,6 +768,14 @@ object SparkEntry {
         |CAST(sum((doc_id*31 + y*7 + x) % 256) AS BIGINT) AS luma_sum
         |FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
         |     (SELECT unnest(generate_series(0, 31)) AS x)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
+    "q_image_resize" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |CAST(sum((doc_id*31 + (y*2)*7 + (x*2)) % 256) AS BIGINT) AS luma_sum
+        |FROM (SELECT doc_id, unnest(generate_series(0, 7)) AS y FROM documents),
+        |     (SELECT unnest(generate_series(0, 15)) AS x)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_audio_decode" ->

@@ -113,6 +113,32 @@ object Multimodal {
       (img.getWidth, img.getHeight, sum)
     }
 
+    /** REAL nearest-neighbor resize on the decoded raster —
+      * out(x, y) = in(⌊x·w/w'⌋, ⌊y·h/h'⌋) — then PNG re-encode. The
+      * interpolation is hand-rolled so the result is exactly
+      * closed-form (library scalers pick filters you can't oracle).
+      */
+    def resizePng(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val dst = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val sr = src.getRaster
+      val dr = dst.getRaster
+      var y = 0
+      while (y < outH) {
+        val sy = y * src.getHeight / outH
+        var x = 0
+        while (x < outW) {
+          dr.setSample(x, y, 0, sr.getSample(x * src.getWidth / outW, sy, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }
+
     /** sample(i) = ((doc_id·13 + i·17) mod 65536) − 32768, 16-bit PCM
       * mono little-endian with a standard 44-byte RIFF/WAVE header.
       */
@@ -182,6 +208,24 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
+      .mapPartitions(_.map { case (id, png) =>
+        val (w, h, luma) = RealCodecs.decodePng(png)
+        (id, w.toLong, h.toLong, luma)
+      })
+      .toDF("doc_id", "width", "height", "luma_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Encode → REAL resize (nearest-neighbor on rasters, re-encoded) →
+    * REAL decode. Three narrow payload stages; the oracle computes the
+    * resized luminance from the closed-form source pixels at the
+    * mapped coordinates.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
+      .mapPartitions(_.map { case (id, png) => (id, RealCodecs.resizePng(png, 16, 8)) })
       .mapPartitions(_.map { case (id, png) =>
         val (w, h, luma) = RealCodecs.decodePng(png)
         (id, w.toLong, h.toLong, luma)

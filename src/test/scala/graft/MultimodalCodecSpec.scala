@@ -18,6 +18,17 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-neighbor resize picks exactly the mapped source pixels") {
+    for (id <- Seq(3L, 42L)) {
+      val resized = RealCodecs.resizePng(RealCodecs.syntheticPng(id, 32, 16), 16, 8)
+      val (w, h, luma) = RealCodecs.decodePng(resized)
+      assert((w, h) === ((16, 8)))
+      val expect = (for (y <- 0 until 8; x <- 0 until 16)
+        yield (id * 31 + (y * 2) * 7 + (x * 2)) % 256).sum
+      assert(luma === expect)
+    }
+  }
+
   test("WAV RIFF parse recovers rate, length, and exact sample amplitudes") {
     for (id <- Seq(0L, 13L, 777L)) {
       val n = 1000 + (id % 500).toInt
