@@ -82,6 +82,13 @@ def main(sf_dir, out_dir):
                 print(f"    row {i}: spark={a}")
                 print(f"    row {i}: oracle={b}")
             n_fail += 1
+    # a query whose Verify dump is MISSING failed at dump time (the
+    # exception went to Verify's stderr) — it must not silently vanish
+    # from the tally
+    for name in sorted(oracles):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"{name}: MISSING-DUMP (query failed during Verify)")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
