@@ -53,6 +53,7 @@ object SparkEntry {
     "q_window_running"  -> (Windows.windowRunning _),
     "q_window_range"    -> (Windows.windowRange _),
     "q_group_topk"      -> (Windows.groupTopK _),
+    "q_gap_fill"        -> (Windows.gapFill _),
     "q_salted_wordcount" -> (Skew.saltedWordCount _),
     "q_salted_join"      -> (Skew.saltedJoinBrand _),
     // — scalar function groups —
@@ -452,6 +453,18 @@ object SparkEntry {
         |row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders JOIN customer ON o_custkey=c_custkey)
         |WHERE rn <= 2 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+        |  count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h FROM bounds),
+        |j AS (SELECT s.event_type, s.h, coalesce(n, 0) AS n_filled, total
+        |  FROM spine s LEFT JOIN hourly USING (event_type, h))
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n_filled,
+        |last_value(total IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM j ORDER BY event_type, hour""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,

@@ -80,4 +80,30 @@ object Windows {
         round(col("o_totalprice"), 2).as("price"), col("rn"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
+
+  /** Time-series gap filling: build each series' dense hourly spine
+    * (`sequence` between its own min/max — no global calendar), left
+    * join the observed aggregates, zero-fill counts, and carry the last
+    * observed value forward (`last(..., ignoreNulls)` running window).
+    * Scale shape: the spine generation is one row per series expanded
+    * narrowly; the only shuffles are the hourly pre-aggregation and the
+    * per-series window — both keyed by series, never by raw events.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_filled"),
+        last(col("total"), ignoreNulls = true).over(w).as("carried"))
+      .orderBy(col("event_type"), col("hour"))
+  }
 }
