@@ -80,6 +80,11 @@ object Multimodal {
   object RealCodecs {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
+    // ImageIO defaults to a DISK-backed stream cache per encode/decode —
+    // for thousands of tiny in-memory images that is a temp-file create/
+    // delete per call; keep it in heap
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** pixel(x, y) = (doc_id·31 + y·7 + x) mod 256, 8-bit grayscale. */
     def syntheticPng(docId: Long, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
