@@ -41,10 +41,10 @@ object Multimodal {
       feature: Long)
 
   object MediaDecoder {
-    /** STUB: a real implementation would decode the payload (JPEG →
-      * pixels, WAV → samples) and run feature extraction. The fake is
-      * deterministic and cheap: byte length and a trivial byte-derived
-      * "feature" so the pipeline is differentially testable end-to-end.
+    /** STUB for formats with no JVM codec (video) — see [[RealCodecs]]
+      * for the REAL PNG/WAV paths. The fake is deterministic and cheap:
+      * byte length and a trivial byte-derived "feature" so the pipeline
+      * stays differentially testable end-to-end.
       */
     def decodeStub(r: MediaRecord): MediaFeatures = {
       val first = if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else 0L
@@ -52,10 +52,10 @@ object Multimodal {
         r.payload.length.toLong * 31L + first)
     }
 
-    /** STUB resize: a real implementation re-encodes pixels to the
-      * target box; the fake truncates bytes proportionally, preserving
-      * the contract a resize must have — output is a new payload, no
-      * bigger than the input, derived deterministically.
+    /** STUB resize for codec-less formats ([[RealCodecs.resizePng]] is
+      * the real raster resize): truncates bytes proportionally,
+      * preserving the contract a resize must have — output is a new
+      * payload, no bigger than the input, derived deterministically.
       */
     def resizeStub(r: MediaRecord, maxBytes: Int): MediaRecord =
       r.copy(payload = r.payload.take(maxBytes))
