@@ -105,6 +105,7 @@ object SparkEntry {
     "q_minhash_signatures_xx" -> ((s: SparkSession, dir: String) => Dedup.minhashSignatures(s, dir, prodHash = true)),
     "q_minhash_lsh_pairs_xx"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir, prodHash = true)),
     "q_dup_clusters"    -> (Dedup.duplicateClusters _),
+    "q_pagerank"        -> (Dedup.nearDupPageRank _),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
     // density-routed near-dup: on this (diverse) corpus the probe picks
     // the exact PPJoin path, so the exact-Jaccard oracle grades it; a
@@ -680,6 +681,26 @@ object SparkEntry {
          |SELECT rep AS cluster_rep, count(*) AS n_members
          |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
          |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
+
+    // integer-arithmetic PageRank: iterations unrolled as chained CTEs
+    // (standard SQL forbids aggregates in a recursive member); same
+    // div/mod arithmetic as the Spark loop so the hash is exact
+    "q_pagerank" -> {
+      val iters = (1 to Dedup.PageRankIters).map { i =>
+        s"""r$i AS (SELECT e.dst AS id,
+           |  CAST(150000 + sum((r.rank * 85) // (d.deg * 100)) AS BIGINT) AS rank
+           |  FROM edges e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.id = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lsh AS ($lshPairsSql),
+         |pairs AS (SELECT id_a, id_b FROM lsh),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |$iters
+         |SELECT id AS doc_id, rank FROM r${Dedup.PageRankIters} ORDER BY doc_id""".stripMargin
+    },
 
     "q_ngram_jaccard" -> jaccardSql,
     // on the (diverse) fixture the density router provably takes the

@@ -422,6 +422,40 @@ object Dedup {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Fixed-point iteration under the oracle gate: PageRank over the
+    * symmetrized near-dup graph (MapReduce paper §2.3's iterative-graph
+    * family; reverse-link contribution = one shuffle join per round,
+    * lineage truncated per round like [[clustersFromPairs]]). All
+    * arithmetic is INTEGER — ranks in micro-units, damping via
+    * `(rank·85) div (deg·100)` — so every iteration is bit-identical
+    * in Spark and DuckDB and the result hash-matches exactly (float
+    * PageRank accumulates order-dependent rounding that no oracle can
+    * reproduce). 5 iterations, damping 0.85, teleport 0.15.
+    */
+  val PageRankIters = 5
+
+  def nearDupPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to PageRankIters) {
+      ranks = edges
+        .join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .select(col("dst").as("id"),
+          expr("(rank * 85) div (deg * 100)").as("c"))
+        .groupBy(col("id"))
+        .agg((lit(150000L) + sum(col("c"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id").as("doc_id"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic mixture sampling: each SOURCE is downsampled at its
     * own rate (the data-mixing step that turns raw corpora into a
     * training mixture: oversample curated sources, downsample crawl).
