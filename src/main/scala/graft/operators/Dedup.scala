@@ -243,11 +243,22 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val n_common = sortedIntersectSizeCol(col("set_a"), col("set_b"))
+    // Verification plan shape matters: candidates are NARROW (two ids)
+    // while docSets rows carry the full shingle arrays — shuffling the
+    // arrays to the candidates is a payload-sized shuffle (measured as
+    // the dominant cost when AQE mispicks a sort-merge join here).
+    // Below ~100k documents pin the broadcast explicitly; above, leave
+    // the planner to shuffle — broadcasting an unbounded corpus is the
+    // wrong call at scale. The count is free: docSets is persisted and
+    // needed by every downstream branch anyway.
+    val docSide =
+      if (docSets.count() < 100000L) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
     cand
-      .join(docSets.select(col("doc_id").as("id_a"),
-        col("set").as("set_a"), col("sz").as("sz_a")), "id_a")
-      .join(docSets.select(col("doc_id").as("id_b"),
-        col("set").as("set_b"), col("sz").as("sz_b")), "id_b")
+      .join(docSide(docSets.select(col("doc_id").as("id_a"),
+        col("set").as("set_a"), col("sz").as("sz_a"))), "id_a")
+      .join(docSide(docSets.select(col("doc_id").as("id_b"),
+        col("set").as("set_b"), col("sz").as("sz_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(n_common.cast("double") /
           (col("sz_a") + col("sz_b") - n_common), 4).as("jaccard"))
