@@ -44,13 +44,20 @@ object Bench {
       spark.catalog.clearCache() // untimed: session hygiene, not query cost
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // per-query times at 3 decimals: the full line's length is what put
+    // round 2's tail (23 queries AND the total) past the driver's
+    // capture window; millisecond precision is noise at these runtimes
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val ok = results.forall(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // compact line FIRST: if anything gets truncated it must be the
+    // per-query detail, never the operative total
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,6 +117,10 @@ object SparkEntry {
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
+    // the IVF serving layout made executable: corpus WRITTEN partitioned
+    // by fitted cell, probe = partition-pruned read-back (plan-asserted);
+    // same model/search as q_knn_ivf → identical rows (SimilaritySpec)
+    "q_knn_ivf_pruned"  -> ((s: SparkSession, dir: String) => Similarity.ivfKnnMaterialized(s, dir)),
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
@@ -160,8 +164,16 @@ object SparkEntry {
   /** md5-derived 32-bit hash — must mirror TextFunctions.md5Hash32. */
   private def h32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
 
+  /** Rolling polynomial hash (base 31 mod 1e9+7 over code points) —
+    * must mirror ArrayMathExpressions.RollingHashExpr; the same
+    * list_reduce form the q_fingerprint oracle already proves against
+    * the Spark expression.
+    */
+  private def rollSql(e: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ord(substr($e,i,1)) AS BIGINT))), (acc,c) -> (acc*31+c)%1000000007)"
+
   /** MinHash signature CTE body — mirrors Dedup.minhashSignatures: one
-    * md5-derived 32-bit hash per shingle, then the affine family
+    * rolling-polynomial hash per shingle, then the affine family
     * (A·h + B) mod P min'd per member (identical long arithmetic — A < 2^31
     * keeps A·h + B inside signed 64-bit in both engines).
     */
@@ -169,7 +181,7 @@ object SparkEntry {
     val mins = (0 until Dedup.NumHashes)
       .map(i => s"min((${Dedup.HashA(i)}*h + ${Dedup.HashB(i)}) % ${Dedup.HashP}) AS mh$i")
       .mkString(", ")
-    s"SELECT doc_id, $mins FROM (SELECT doc_id, ${h32("sh")} AS h FROM ($shSql)) GROUP BY doc_id"
+    s"SELECT doc_id, $mins FROM (SELECT doc_id, ${rollSql("sh")} AS h FROM ($shSql)) GROUP BY doc_id"
   }
 
   private def dotSql(a: String, b: String) =

@@ -184,6 +184,8 @@ object Multimodal {
       while (bb.remaining() >= 8 && (rate < 0 || nSamples < 0)) {
         val id = fourcc()
         val len = bb.getInt
+        // RIFF pads odd-length chunks with one byte; skip len + (len & 1)
+        // or every chunk after an odd one misparses
         id match {
           case "fmt " =>
             val fmtStart = bb.position()
@@ -191,13 +193,15 @@ object Multimodal {
             require(audioFormat == 1, s"not PCM: $audioFormat")
             bb.getShort // channels
             rate = bb.getInt
-            bb.position(fmtStart + len)
+            bb.position(fmtStart + len + (len & 1))
           case "data" =>
+            val dataStart = bb.position()
             nSamples = len / 2
             var i = 0
             while (i < nSamples) { ampSum += math.abs(bb.getShort.toInt); i += 1 }
+            bb.position(math.min(dataStart + len + (len & 1), bb.limit()))
           case _ =>
-            bb.position(bb.position() + len)
+            bb.position(bb.position() + len + (len & 1))
         }
       }
       require(rate > 0 && nSamples >= 0, "missing fmt/data chunk")

@@ -85,6 +85,17 @@ object Similarity {
     * is a property of the DATA, not the quantizer.)
     */
   def ivfKnnOn(spark: SparkSession, e: DataFrame, probes: Int = 3): DataFrame = {
+    val (corpus, probeCells) = ivfAssignments(spark, e, probes)
+    ivfSearch(corpus, probeCells)
+  }
+
+  /** The fitted quantizer's two products: the corpus tagged with its
+    * coarse cell (`n_id`, `embedding`, `cell`) and the per-query probe
+    * plan (`q_id`, `q_emb`, `cell` — one row per probed cell). Shared
+    * by the in-memory search and the materialized layout.
+    */
+  private def ivfAssignments(spark: SparkSession, e: DataFrame,
+                             probes: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val nCells = math.max(4, math.sqrt(e.count().toDouble).toInt)
@@ -94,11 +105,15 @@ object Similarity {
     // raw vectors scatters angular neighbors across magnitude-driven
     // cells and recall collapses. One narrow pass; the norm is bound to
     // a column first so the HOF lambda does not re-reduce per element.
+    // zero-norm guard: an all-zero embedding must stay zero, not become
+    // NaN and silently poison the k-means fit — same convention as the
+    // cosine expression's zero-vector guard
     val normed = e
       .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))))
-      .withColumn("unit", transform(col("embedding"),
-        x => (x.cast("double") / col("nrm")).cast("float")))
+      .withColumn("unit", when(col("nrm") === 0.0, col("embedding"))
+        .otherwise(transform(col("embedding"),
+          x => (x.cast("double") / col("nrm")).cast("float"))))
     val fv = normed.withColumn("fv", array_to_vector(col("unit")))
     // fit on a deterministic quarter sample (centroid estimation needs
     // far fewer points than assignment; at corpus scale fitting on the
@@ -128,8 +143,13 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= probes)
       .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+    (corpus, probeCells)
+  }
 
-    // probe: only vectors in the query's `probes` nearest cells score
+  /** Probe scan + exact rerank: only vectors in each query's probed
+    * cells are scored.
+    */
+  private def ivfSearch(corpus: DataFrame, probeCells: DataFrame): DataFrame = {
     val sims = corpus.join(broadcast(probeCells), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -140,6 +160,37 @@ object Similarity {
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** On-disk home of the cell-partitioned corpus (under target/ like
+    * the sink round-trip scratch datasets; overwritten per run).
+    */
+  val IvfLayoutDir = "/root/repo/target/tmp/ivf_layout"
+
+  /** The IVF layout MATERIALIZED: the corpus is WRITTEN partitioned by
+    * its fitted k-means cell, and a probe is a partition-PRUNED read —
+    * only the probed cells' files are ever opened, which is the
+    * billion-scale ANN serving layout SURVEY §8 describes (at 100 TB
+    * the write runs once at ingest; every query after that touches
+    * probes/cells of the data). Same fitted model (fixed seed,
+    * deterministic sample) and same search as [[ivfKnnOn]], so the
+    * result is identical to q_knn_ivf — SimilaritySpec asserts the
+    * equality, and PlanAuditSpec asserts the scan carries the cell
+    * PartitionFilters.
+    *
+    * The probed cell list is collected to the driver to become plan-time
+    * literals — that is what makes pruning static — and is bounded by
+    * queries × probes rows of one int each, probe METADATA in the same
+    * class as the density probe's scalar, never corpus data.
+    */
+  def ivfKnnMaterialized(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    val (corpus, probeCells) = ivfAssignments(spark, Tables.embeddings(spark, dir), probes)
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(IvfLayoutDir)
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val layout = spark.read.parquet(IvfLayoutDir)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    ivfSearch(layout, probeCells)
   }
 
   /** Array-function surface over the embedding column: size, element

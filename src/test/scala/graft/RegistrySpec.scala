@@ -13,6 +13,7 @@ class RegistrySpec extends AnyFunSuite {
     "q_approx_distinct",       // HLL estimate — no DuckDB twin
     "q_hll_sketch",            // mergeable sketch values
     "q_knn_ivf",               // approximate (k-means cells + probes)
+    "q_knn_ivf_pruned",        // same search over the materialized layout
     "q_minhash_signatures_xx", // xxhash64 not reproducible in DuckDB
     "q_minhash_lsh_pairs_xx")
 

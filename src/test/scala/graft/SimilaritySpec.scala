@@ -77,6 +77,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(avg >= 0.35, f"avg recall $avg%.2f below scanned-fraction line")
   }
 
+  test("ivfKnnMaterialized: identical to ivfKnn and partition-pruned scan") {
+    // same fitted model (fixed seed, deterministic fit sample) + same
+    // search ⇒ the materialized layout must reproduce the in-memory
+    // result row for row
+    val inMem = Similarity.ivfKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val layout = Similarity.ivfKnnMaterialized(spark, sfDir)
+    val mat = layout.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(mat === inMem)
+    // the probe must reach the parquet scan as a PARTITION filter —
+    // pruned at planning, non-probed cells never opened
+    val plan = layout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n${plan.take(1500)}")
+    val pf = plan.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("cell"), s"partition filter does not prune cell: $pf")
+  }
+
   test("embeddingDedup: canonical pair order and threshold respected") {
     val pairs = Similarity.embeddingDedup(spark, sfDir)
       .as[(Long, Long, Double)].collect()
