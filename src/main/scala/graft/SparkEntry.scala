@@ -104,6 +104,8 @@ object SparkEntry {
     // same dataflow, benchmarked against the md5 oracle path
     "q_minhash_signatures_xx" -> ((s: SparkSession, dir: String) => Dedup.minhashSignatures(s, dir, prodHash = true)),
     "q_minhash_lsh_pairs_xx"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir, prodHash = true)),
+    // leave-one-out multi-probe banding: recall below the S-curve knee
+    "q_lsh_multiprobe"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairsMultiProbe(s, dir)),
     "q_dup_clusters"    -> (Dedup.duplicateClusters _),
     "q_pagerank"        -> (Dedup.nearDupPageRank _),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
@@ -228,6 +230,31 @@ object SparkEntry {
        |  SELECT id_a, id_b, ($matches)::DOUBLE/${Dedup.NumHashes} AS est_jaccard
        |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
        |WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
+  /** Multi-probe (leave-one-out band key) LSH pairs — mirrors
+    * Dedup.minhashLshPairsMultiProbe: candidates agree on ≥ r-1 of a
+    * band's rows; output keeps est ≥ 0.35.
+    */
+  private val lshMultiProbeSql = {
+    val r = Dedup.NumHashes / Dedup.Bands
+    val bands = (0 until Dedup.Bands).flatMap { b =>
+      (0 until r).map { drop =>
+        val key = (0 until r).filter(_ != drop)
+          .map(i => s"mh${b * r + i}::VARCHAR").mkString("||'_'||")
+        s"SELECT doc_id, $b AS band, ${drop + 1} AS var, $key AS bkey FROM sig"
+      }
+    }.mkString(" UNION ALL ")
+    val matches = (0 until Dedup.NumHashes)
+      .map(i => s"(sa.mh$i = sb.mh$i)::INT").mkString(" + ")
+    s"""WITH sig AS ($sigSql),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a
+       |  JOIN bands b ON a.band=b.band AND a.var=b.var AND a.bkey=b.bkey AND a.doc_id<b.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT id_a, id_b, ($matches)::DOUBLE/${Dedup.NumHashes} AS est_jaccard
+       |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
+       |WHERE est_jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -683,6 +710,7 @@ object SparkEntry {
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",
 
     "q_minhash_lsh_pairs" -> s"$lshPairsSql ORDER BY id_a, id_b",
+    "q_lsh_multiprobe" -> lshMultiProbeSql,
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($lshPairsSql)),

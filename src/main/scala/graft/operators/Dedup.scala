@@ -153,10 +153,37 @@ object Dedup {
   private def bandKeys(sig: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bkey"))
+      struct(lit(b).as("band"), lit(0).as("variant"),
+        concat_ws("_", cols: _*).as("bkey"))
     }: _*)
     sig.select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.variant").as("variant"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Multi-probe band keys: for every band, the r leave-one-out keys
+    * (each omitting one signature row). Two documents collide iff they
+    * agree on ≥ r-1 of a band's r rows — a strictly larger candidate
+    * set than the full-key scheme (full agreement implies every LOO key
+    * matches), which lifts detection below the S-curve knee: at J=0.6
+    * the 16×4 full-key family detects with p≈0.89, the LOO family with
+    * p≈0.9997 (per-band p = J⁴ + 4·J³(1-J); LshParamsSpec asserts the
+    * curves). The trade is candidate volume — 3-row sub-keys collide
+    * more often — which the verification join then prunes exactly; on a
+    * duplicate-heavy corpus prefer the standard family.
+    */
+  private def bandKeysMultiProbe(sig: DataFrame): DataFrame = {
+    val bandStructs = array((0 until Bands).flatMap { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      (0 until RowsPerBand).map { drop =>
+        val kept = cols.zipWithIndex.collect { case (c, i) if i != drop => c }
+        struct(lit(b).as("band"), lit(drop + 1).as("variant"),
+          concat_ws("_", kept: _*).as("bkey"))
+      }
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.variant").as("variant"), col("bb.bkey").as("bkey"))
   }
 
   def minhashLshPairs(spark: SparkSession, dir: String,
@@ -193,12 +220,16 @@ object Dedup {
     * as the Jaccard verification join); above it, an unbounded corpus
     * must shuffle, and broadcasting would be the wrong call.
     */
-  private def lshPairsFromSignatures(sig: DataFrame): DataFrame = {
-    val bandKeyed = bandKeys(sig)
+  private def lshPairsFromSignatures(sig: DataFrame,
+                                     multiProbe: Boolean = false,
+                                     minEst: Double = 0.5): DataFrame = {
+    val bandKeyed = if (multiProbe) bandKeysMultiProbe(sig) else bandKeys(sig)
     val a = bandKeyed.as("a")
     val b = bandKeyed.as("b")
     val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.band") === col("b.band") &&
+        col("a.variant") === col("b.variant") &&
+        col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -219,7 +250,29 @@ object Dedup {
       .join(sb, col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / NumHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** Multi-probe LSH near-dup pairs (SURVEY lead #4): leave-one-out
+    * band keys recover pairs below the fixed (b, r) S-curve knee that
+    * the standard family misses, at the cost of a larger (still
+    * bucket-bounded) candidate set. Output keeps est ≥ 0.35 — the
+    * point of multi-probe is exactly the [0.35, 0.5) range where the
+    * full-key family's detection probability decays.
+    */
+  def minhashLshPairsMultiProbe(spark: SparkSession, dir: String,
+                                prodHash: Boolean = false): DataFrame =
+    minhashLshPairsMultiProbeOn(Tables.documents(spark, dir), prodHash)
+
+  def minhashLshPairsMultiProbeOn(docs: DataFrame,
+                                  prodHash: Boolean = false): DataFrame = {
+    val sig = minhashSignaturesUnsorted(docs, prodHash)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      lshPairsFromSignatures(sig, multiProbe = true, minEst = 0.35)
+        .localCheckpoint()
+        .orderBy(col("id_a"), col("id_b"))
+    } finally { sig.unpersist(); () }
   }
 
   /** Broadcast pin gate in ESTIMATED BYTES, not row count: a row-count

@@ -32,4 +32,26 @@ class LshParamsSpec extends AnyFunSuite {
       f"S-curve threshold $threshold%.3f drifted from the 0.5 output filter")
     assert(detectP(0.2) <= 0.05, f"J=0.2 false-candidate rate ${detectP(0.2)}%.4f")
   }
+
+  /** Leave-one-out multi-probe: a band fires when ≥ r-1 of its r rows
+    * agree, so per-band p = J^r + r·J^(r-1)·(1-J).
+    */
+  private def detectPMulti(j: Double): Double = {
+    val r = Dedup.RowsPerBand
+    val pBand = math.pow(j, r) + r * math.pow(j, r - 1) * (1 - j)
+    1.0 - math.pow(1.0 - pBand, Dedup.Bands)
+  }
+
+  test("multi-probe lifts detection below the S-curve knee, keeps low-J rejection sane") {
+    // at J=0.6 the full-key family leaks ~11% of true pairs; LOO probing
+    // closes that to < 0.1% — the recall the variant exists to buy
+    assert(detectP(0.6) <= 0.92, f"standard detection at J=0.6 is ${detectP(0.6)}%.4f")
+    assert(detectPMulti(0.6) >= 0.999,
+      f"multi-probe detection at J=0.6 is ${detectPMulti(0.6)}%.4f")
+    assert(detectPMulti(0.45) >= 0.9,
+      f"multi-probe detection at J=0.45 is ${detectPMulti(0.45)}%.4f")
+    // candidate-volume guard: deep-low-J pairs must still mostly miss
+    assert(detectPMulti(0.1) <= 0.1,
+      f"multi-probe J=0.1 false-candidate rate ${detectPMulti(0.1)}%.4f")
+  }
 }
