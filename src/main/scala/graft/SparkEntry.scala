@@ -116,6 +116,10 @@ object SparkEntry {
     "q_simhash"         -> (Dedup.simhash _),
     "q_hash_split"      -> (Dedup.hashSplit _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
+    // benchmark-contamination scan: eval-split shingle overlap vs train
+    "q_decontamination" -> (Dedup.decontamination _),
+    // fixed-window chunking with stride (context-window prep)
+    "q_chunk_documents" -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
@@ -697,6 +701,28 @@ object SparkEntry {
          |count(*) AS n_docs, min(doc_id) AS first_doc
          |FROM (SELECT doc_id, lang, ${h32("text")} % 10 AS b FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q_decontamination" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${h32("text")} % 10 AS b FROM documents)),
+         |sh AS (SELECT doc_id, ${rollSql("sh")} AS hh FROM ($shSql)),
+         |train AS (SELECT DISTINCT hh AS t_hh FROM sh JOIN sp USING(doc_id) WHERE split = 'train'),
+         |ev AS (SELECT sh.doc_id, split, hh FROM sh JOIN sp USING(doc_id) WHERE split <> 'train')
+         |SELECT doc_id, split, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN t_hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |  sum(CASE WHEN t_hh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
+         |FROM ev LEFT JOIN train ON hh = t_hh
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_documents" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS t FROM documents),
+         |starts AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s FROM toks)
+         |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens,
+         |  ${rollSql("array_to_string(list_slice(t, s, s + 31), ' ')")} AS chunk_hash
+         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_mixture_sample" ->
       s"""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc

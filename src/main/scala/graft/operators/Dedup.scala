@@ -604,6 +604,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination check: for every held-out (val/test)
+    * document, the fraction of its char-shingle set that also appears
+    * anywhere in the TRAIN split — the standard pre-training hygiene
+    * scan (an eval doc whose n-grams largely exist in train is
+    * contaminated and must be dropped or the benchmark is meaningless).
+    * Splits come from [[hashSplit]]'s content-hash routing, so the scan
+    * is stable under re-runs and re-shards.
+    *
+    * Scale shape: shingles ride as ROLLING-HASH LONGS, never strings —
+    * the train-vocabulary dedup and the eval⋈train membership join
+    * shuffle narrow 8-byte keys (train vocab at 100 TB is far too big
+    * to broadcast; a shuffle join on hash keys with per-doc
+    * `array_distinct` upstream is the right plan). Hash collisions can
+    * only create false POSITIVE hits (conservative for a contamination
+    * screen) and both engines compute identical hashes, so the oracle
+    * still matches bit-for-bit.
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = pmod(md5Hash32(col("text")), lit(10))
+    val tagged = docs
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"),
+        explode(array_distinct(charShingles(normalized(col("text")), ShingleK))).as("sh"))
+      .select(col("doc_id"), col("split"), rollingFingerprint(col("sh")).as("hh"))
+    val trainVocab = tagged.filter(col("split") === "train")
+      .select(col("hh")).distinct().withColumn("hit", lit(1L))
+    tagged.filter(col("split") =!= "train")
+      .join(trainVocab, Seq("hh"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contamination",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic mixture sampling: each SOURCE is downsampled at its
     * own rate (the data-mixing step that turns raw corpora into a
     * training mixture: oversample curated sources, downsample crawl).

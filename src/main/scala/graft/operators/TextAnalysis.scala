@@ -285,6 +285,34 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** Fixed-window chunking with stride: every document's token stream
+    * cut into `size`-token chunks starting every `stride` tokens
+    * (overlap = size - stride) — the standard context-window prep step
+    * between cleaning and packing (overlapping windows preserve
+    * cross-boundary context; dedup-by-chunk-hash then drops the
+    * redundant tails). Entirely narrow per-row work (sequence + slice
+    * over the bound token array — one generate, no shuffle until the
+    * output sort); chunk identity is the portable rolling hash so a
+    * downstream exact-dedup over chunks shuffles 8-byte keys.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      s"bad chunk geometry ($chunkSize, $stride)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // one start per stride step; greatest(...) guards the empty doc
+      // (sequence(1, 0) yields DESCENDING [1, 0], not empty)
+      .withColumn("start",
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride))))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("start"), lit(chunkSize))).cast("long").as("n_tokens"),
+        rollingFingerprint(concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize))))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Document fingerprinting: (a) md5-based 32-bit content fingerprint
     * (engine-portable, oracle-checked) and (b) rolling polynomial hash
     * computed with the higher-order aggregate builtin.

@@ -50,4 +50,40 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(ids === (0L until ids.length).toArray.map(identity), s"shard $shard has gaps")
     }
   }
+
+  test("decontamination: only eval splits reported, fractions well-formed, train excluded") {
+    val rows = graft.operators.Dedup.decontamination(spark, sfDir)
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, split, n, overlap, frac) =>
+      assert(split == "val" || split == "test", s"train doc leaked: $split")
+      assert(overlap >= 0L && overlap <= n)
+      assert(frac === overlap.toDouble / n)
+    }
+    // the eval partition must cover exactly the non-train docs of the split
+    val splitCounts = graft.operators.Dedup.hashSplit(spark, sfDir)
+      .as[(String, String, Long, Long)].collect() // lang, split, n_docs, first
+    val nEval = splitCounts.collect { case (_, s, n, _) if s != "train" => n }.sum
+    assert(rows.length.toLong === nEval, s"${rows.length} reported vs $nEval eval docs")
+  }
+
+  test("chunkDocuments: contiguous chunk ids, geometry respected, all docs covered") {
+    val chunkSize = 32; val stride = 24
+    val chunks = TextAnalysis.chunkDocuments(spark, sfDir, chunkSize, stride)
+      .as[(Long, Long, Long, Long)].collect() // doc_id, idx, n_tokens, hash
+    assert(chunks.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val perDoc = chunks.groupBy(_._1)
+    assert(perDoc.size.toLong === nDocs, "every document chunked")
+    perDoc.foreach { case (doc, cs) =>
+      val ids = cs.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.map(identity), s"doc $doc chunk gaps")
+      // a chunk that is followed by another must extend past the next
+      // start: its length exceeds the stride (it is full at chunkSize
+      // unless the document ends inside its window)
+      cs.sortBy(_._2).init.foreach { case (_, idx, n, _) =>
+        assert(n > stride.toLong, s"doc $doc chunk $idx shorter than stride") }
+      assert(cs.map(_._3).forall(_ <= chunkSize.toLong))
+    }
+  }
 }
