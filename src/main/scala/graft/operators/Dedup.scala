@@ -130,7 +130,7 @@ object Dedup {
     * into the persisted frame they share was pure waste — only the
     * graded q_minhash_signatures output pays for an orderBy now.
     */
-  private def minhashSignaturesUnsorted(docs: DataFrame, prodHash: Boolean): DataFrame = {
+  private[graft] def minhashSignaturesUnsorted(docs: DataFrame, prodHash: Boolean): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(pmod(lit(hashA(i)) * col("h") + lit(hashB(i)), lit(HashP))).as(s"mh$i"))
     shingleHashes(docs, prodHash)
@@ -220,9 +220,9 @@ object Dedup {
     * as the Jaccard verification join); above it, an unbounded corpus
     * must shuffle, and broadcasting would be the wrong call.
     */
-  private def lshPairsFromSignatures(sig: DataFrame,
-                                     multiProbe: Boolean = false,
-                                     minEst: Double = 0.5): DataFrame = {
+  private[graft] def lshPairsFromSignatures(sig: DataFrame,
+                                            multiProbe: Boolean = false,
+                                            minEst: Double = 0.5): DataFrame = {
     val bandKeyed = if (multiProbe) bandKeysMultiProbe(sig) else bandKeys(sig)
     val a = bandKeyed.as("a")
     val b = bandKeyed.as("b")

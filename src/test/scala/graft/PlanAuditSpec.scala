@@ -67,6 +67,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(exchanges <= 2, s"expected <= 2 exchanges, found $exchanges:\n${plan.take(1500)}")
   }
 
+  test("LSH verification join: both signature sides broadcast-pinned below the byte gate") {
+    // round 2's unpinned plan let AQE shuffle the 65-long signature
+    // payload to the candidates (the measured 4x swing on the _xx twin);
+    // the fix pins broadcast by estimated bytes — guard it structurally.
+    // (the operator checkpoints eagerly, so audit the pre-checkpoint
+    // builder directly with a persisted signature frame)
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val sig = Dedup.minhashSignaturesUnsorted(docs, prodHash = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val plan = Dedup.lshPairsFromSignatures(sig)
+        .queryExecution.executedPlan.toString
+      val nBroadcast = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(nBroadcast >= 2,
+        s"verification joins not broadcast-pinned ($nBroadcast found):\n${plan.take(1500)}")
+    } finally { sig.unpersist(); () }
+  }
+
   test("fact-fact joins never plan a cartesian product") {
     for (q <- Seq("q_join_agg", "q_semi_join", "q_anti_join", "q_asof_join",
         "q_range_join", "q_outer_join", "q_full_outer")) {
