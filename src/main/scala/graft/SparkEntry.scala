@@ -120,6 +120,8 @@ object SparkEntry {
     "q_decontamination" -> (Dedup.decontamination _),
     // fixed-window chunking with stride (context-window prep)
     "q_chunk_documents" -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
+    // chunking -> exact dedup over chunk hashes (cross-doc repeated spans)
+    "q_chunk_dedup"     -> (Dedup.chunkDedup _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
@@ -177,6 +179,18 @@ object SparkEntry {
     */
   private def rollSql(e: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ord(substr($e,i,1)) AS BIGINT))), (acc,c) -> (acc*31+c)%1000000007)"
+
+  /** Fixed-window chunking body (no ORDER BY) — mirrors
+    * TextAnalysis.chunkDocuments (size 32, stride 24); shared by
+    * q_chunk_documents and q_chunk_dedup.
+    */
+  private val chunkSql =
+    s"""SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens,
+       |  ${rollSql("array_to_string(list_slice(t, s, s + 31), ' ')")} AS chunk_hash
+       |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s
+       |  FROM (SELECT doc_id, list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS t
+       |    FROM documents))""".stripMargin
 
   /** MinHash signature CTE body — mirrors Dedup.minhashSignatures: one
     * rolling-polynomial hash per shingle, then the affine family
@@ -715,14 +729,18 @@ object SparkEntry {
          |FROM ev LEFT JOIN train ON hh = t_hh
          |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
-    "q_chunk_documents" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS t FROM documents),
-         |starts AS (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s FROM toks)
-         |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
-         |  CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens,
-         |  ${rollSql("array_to_string(list_slice(t, s, s + 31), ' ')")} AS chunk_hash
-         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_documents" -> s"$chunkSql ORDER BY doc_id, chunk_idx",
+
+    "q_chunk_dedup" ->
+      s"""SELECT chunk_hash, CAST(n_copies AS BIGINT) AS n_copies,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(k // 1000000 AS BIGINT) AS keep_doc,
+         |  CAST(k % 1000000 AS BIGINT) AS keep_idx
+         |FROM (SELECT chunk_hash, count(*) AS n_copies,
+         |    count(DISTINCT doc_id) AS n_docs,
+         |    min(doc_id * 1000000 + chunk_idx) AS k
+         |  FROM ($chunkSql) GROUP BY 1 HAVING count(*) > 1)
+         |ORDER BY chunk_hash""".stripMargin,
 
     "q_mixture_sample" ->
       s"""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc

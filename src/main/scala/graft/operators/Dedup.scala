@@ -642,6 +642,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level exact dedup: the end-to-end training-data flow —
+    * [[TextAnalysis.chunkDocuments]] cuts every document into stride
+    * windows whose identity is a portable rolling hash, and this
+    * operator groups those 8-byte hashes to find spans REPEATED ACROSS
+    * documents (near-duplicate docs share exact chunks wherever their
+    * edits miss a window — the redundancy a chunk-level dedup removes
+    * even when whole-document dedup keeps both docs). Reports only
+    * duplicated chunks with a deterministic keeper (smallest
+    * (doc_id, chunk_idx), packed into one long so both engines pick
+    * identically without struct-min support). Shuffle rows are
+    * (hash, ids) — never chunk text.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(spark, dir)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * lit(1000000L) + col("chunk_idx")).as("k"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        expr("CAST(k div 1000000 AS BIGINT)").as("keep_doc"),
+        expr("CAST(k % 1000000 AS BIGINT)").as("keep_idx"))
+      .orderBy(col("chunk_hash"))
+
   /** Deterministic mixture sampling: each SOURCE is downsampled at its
     * own rate (the data-mixing step that turns raw corpora into a
     * training mixture: oversample curated sources, downsample crawl).
