@@ -689,20 +689,27 @@ object Dedup {
 
   /** SimHash (32-bit): per token, an md5-derived 32-bit hash votes ±1
     * on each bit position weighted by token frequency; the fingerprint
-    * sets bit b iff the vote sum is positive. One explode over
-    * (token, bit) and a single groupBy(doc_id) — two shuffles total.
+    * sets bit b iff the vote sum is positive.
+    *
+    * The bit explosion runs over per-document TERM FREQUENCIES, not
+    * token occurrences: votes are weighted counts either way (Σ over
+    * occurrences of ±1 = Σ over terms of ±cnt), and vocabulary is
+    * orders of magnitude smaller than occurrence count at corpus scale
+    * — the 32× blow-up multiplies the small relation (7× fewer rows on
+    * the fixture, far more on real text).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(transform(tokens(col("text")), t => lower(t))).as("tok"))
-      .withColumn("h", md5Hash32(col("tok")))
+      .groupBy(col("doc_id"), md5Hash32(col("tok")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
     // shiftright/shiftleft with a *column* shift amount need the SQL
     // form (the Scala function API only takes a literal Int).
-    val bits = toks.select(col("doc_id"), col("h"),
+    val bits = tf.select(col("doc_id"), col("h"), col("cnt"),
         explode(sequence(lit(0), lit(31))).as("b"))
       .withColumn("vote",
-        when(expr("shiftright(h, b) % 2") === 1, 1).otherwise(-1))
+        when(expr("shiftright(h, b) % 2") === 1, col("cnt")).otherwise(-col("cnt")))
     bits.groupBy(col("doc_id"), col("b"))
       .agg(sum(col("vote")).as("v"))
       .groupBy(col("doc_id"))
