@@ -31,6 +31,20 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     try exec("q_topk") catch { case _: Throwable => () } // warm-up, untimed
+    // warm the heavy codegen/JIT paths too (shingle-set build, sorted
+    // merge intersect, 64-member signature agg) on a 64-document slice:
+    // first-touch JIT of these expressions measured ~10 s at sf0.1 and
+    // landed on whichever dedup query ran first — a session cost, same
+    // class as the q_topk warm-up's codegen + footer caches, not a
+    // property of any query
+    try {
+      val tiny = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").limit(64)
+      graft.operators.Dedup.ngramJaccardPairsOn(tiny)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Dedup.minhashSignaturesOn(tiny)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
