@@ -41,6 +41,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Relational.approxDistinctAgg _),
     "q_hll_sketch"      -> (Relational.hllSketchRollup _),
     "q_rollup"          -> (Relational.rollupAgg _),
+    "q_grouping_sets"   -> (Relational.groupingSetsAgg _),
     "q_cube"            -> (Relational.cubeAgg _),
     "q_case_when"       -> (Relational.caseWhenAgg _),
     "q_argmax"          -> (Relational.argMaxAgg _),
@@ -50,6 +51,7 @@ object SparkEntry {
     "q_percentile"      -> (Relational.percentileAgg _),
     // — window functions —
     "q_window_rank"     -> (Windows.windowRank _),
+    "q_window_distribution" -> (Windows.windowDistribution _),
     "q_window_running"  -> (Windows.windowRunning _),
     "q_window_range"    -> (Windows.windowRange _),
     "q_group_topk"      -> (Windows.groupTopK _),
@@ -436,6 +438,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        |CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice),2) AS sum_price,
         |count(*) AS n_orders,
@@ -497,6 +507,15 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price,
         |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_distribution" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -272,6 +272,26 @@ object Relational {
         grouping_id().cast("long").as("gid"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Arbitrary GROUPING SETS — the general form rollup/cube specialize
+    * (here: (status, priority), (status), ()) in ONE scan with partial
+    * aggregation per set; grouping_id() disambiguates the null rows.
+    * The DataFrame API only exposes the rollup/cube specializations, so
+    * this goes through the SQL surface — identical Catalyst plan.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    // NULLS FIRST spelled explicitly: Spark defaults ASC NULLS FIRST,
+    // DuckDB NULLS LAST — an implicit sort would shuffle row order
+    // between engines
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
   /** Conditional aggregation (CASE WHEN inside agg) — pivot-style
     * counters in a single scan.
     */

@@ -47,6 +47,26 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Distribution ranking family — ntile / percent_rank / cume_dist
+    * over order value within order status: the quantile-bucketing shape
+    * a feature pipeline uses for per-segment score normalization. All
+    * three are exact rational arithmetic over (rank, n) so the doubles
+    * are bit-identical across engines; the ORDER BY carries a unique
+    * key so peer order can never differ.
+    */
+  def windowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("quartile"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   /** RANGE-frame window: 90-day trailing revenue per customer — the
     * frame is bounded by the ORDER BY *value* (an interval), not row
     * offsets, so ties and gaps in order dates behave correctly.
