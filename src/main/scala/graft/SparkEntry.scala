@@ -84,6 +84,8 @@ object SparkEntry {
     // bucketed (co-located join) storage round-trip, graded:
     "q_bucketed_join"   -> (graft.sources.Sinks.bucketedJoinRoundTrip _),
     // text-format (CSV) sink/source round-trip, graded:
+    "q_json_roundtrip"  -> (graft.sources.Sinks.jsonRoundTrip _),
+    "q_orc_roundtrip"   -> (graft.sources.Sinks.orcRoundTrip _),
     "q_csv_roundtrip"   -> (graft.sources.Sinks.csvRoundTrip _),
     // multiset set-ops (the ALL variants keep duplicates):
     "q_intersect_all"   -> (Relational.intersectAllParts _),
@@ -419,6 +421,16 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         |round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT o_custkey % 10 AS bucket, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT DISTINCT nationkey FROM (

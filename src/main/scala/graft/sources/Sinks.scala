@@ -81,6 +81,42 @@ object Sinks {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** JSON-lines round-trip: Jackson writes doubles value-round-trippably
+    * (like CSV's Double.toString), so the aggregate over the read-back
+    * must equal the parquet-sourced oracle exactly. Read with an
+    * explicit schema — inference would re-scan and can widen types.
+    */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/tmp/json_roundtrip"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+      .json(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** ORC round-trip: the other columnar format (distinct reader/writer
+    * path from parquet — vectorized ORC batches); binary-faithful for
+    * longs/doubles so it shares the exact-aggregate contract.
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = "/root/repo/target/tmp/orc_roundtrip"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy(pmod(col("o_custkey"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("bucket"))
+  }
+
   /** saveAsTable with a clean slate: the in-memory session catalog of
     * a fresh JVM does not know about a previous run's table, and CTAS
     * onto a non-empty managed location refuses — drop + delete first.
