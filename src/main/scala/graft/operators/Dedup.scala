@@ -651,8 +651,11 @@ object Dedup {
     * even when whole-document dedup keeps both docs). Reports only
     * duplicated chunks with a deterministic keeper (smallest
     * (doc_id, chunk_idx), packed into one long so both engines pick
-    * identically without struct-min support). Shuffle rows are
-    * (hash, ids) — never chunk text.
+    * identically without struct-min support — valid while chunk_idx
+    * < 1e6, i.e. documents under ~24M tokens at the default stride,
+    * and doc_id < 2^63/1e6 ≈ 9.2e12; both hold with room at 100 TB
+    * corpus scale, and a violation shows up as an oracle mismatch, not
+    * silence). Shuffle rows are (hash, ids) — never chunk text.
     */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(spark, dir)
