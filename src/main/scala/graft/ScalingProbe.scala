@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not driver-graded): measure operator scaling under
+  * synthetic DIVERSE corpus growth — each added document draws fresh
+  * token sequences, the 100 TB shape — the same probe methodology that
+  * produced SURVEY §8's exact-Jaccard curves. Usage:
+  * `runMain graft.ScalingProbe decontamination 5000 10000 20000 40000`.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val op = args.headOption.getOrElse("decontamination")
+    val sizes = args.drop(1).map(_.toInt).toSeq match {
+      case Nil => Seq(5000, 10000, 20000, 40000)
+      case s => s
+    }
+
+    def corpus(n: Int): DataFrame = {
+      val words = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+        "window", "stream", "group", "vector", "filter", "join", "query",
+        "order", "data", "column", "small", "big", "the", "customer", "a")
+      spark.range(n.toLong).map { id =>
+        val rnd = new scala.util.Random(id * 2654435761L + 17)
+        val len = 40 + rnd.nextInt(120)
+        (id, Vector.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+
+    def run(docs: DataFrame): DataFrame = op match {
+      case "decontamination" => graft.operators.Dedup.decontaminationOn(docs)
+      case "jaccard"         => graft.operators.Dedup.ngramJaccardPairsOn(docs)
+      case "lsh"             => graft.operators.Dedup.minhashLshPairsOn(docs, prodHash = true)
+      case "exact"           => graft.operators.Dedup.exactDedupOn(docs)
+      case other             => sys.error(s"unknown op $other")
+    }
+
+    // warm-up (JIT of the shingle/hash codegen paths)
+    run(corpus(512)).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+
+    sizes.foreach { n =>
+      val docs = corpus(n).localCheckpoint() // generation cost out of the timing
+      val t0 = System.nanoTime()
+      val rows = run(docs).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"SCALING op=$op n=$n%6d rows=$rows%8d time=$dt%7.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -621,8 +621,11 @@ object Dedup {
     * screen) and both engines compute identical hashes, so the oracle
     * still matches bit-for-bit.
     */
-  def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontaminationOn(Tables.documents(spark, dir))
+
+  /** Operator form over any (doc_id, text) relation. */
+  def decontaminationOn(docs: DataFrame): DataFrame = {
     val bucket = pmod(md5Hash32(col("text")), lit(10))
     val tagged = docs
       .select(col("doc_id"),
