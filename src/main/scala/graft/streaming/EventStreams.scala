@@ -162,6 +162,14 @@ object EventStreams {
 
   /** Write helper: append sink to parquet with a checkpoint — the
     * exactly-once file sink pattern.
+    *
+    * (A session-window twin of [[streamedTumbling]] was evaluated for
+    * the gate and rejected: session windows support neither Complete
+    * nor Update output — merging windows forbid both — and Append
+    * emits only watermark-finalized sessions, so a finite replay can
+    * never reproduce the batch twin's full result. The session-state
+    * machinery is instead engine-verified by StreamingSpec's
+    * MemoryStream replays of [[sessionCounts]] and [[closedSessions]].)
     */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
     df.writeStream.format("parquet")
