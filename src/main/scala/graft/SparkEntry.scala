@@ -42,6 +42,8 @@ object SparkEntry {
     "q_hll_sketch"      -> (Relational.hllSketchRollup _),
     "q_rollup"          -> (Relational.rollupAgg _),
     "q_grouping_sets"   -> (Relational.groupingSetsAgg _),
+    "q_unpivot"         -> (Relational.unpivotMeasures _),
+    "q_exists_subquery" -> (Relational.existsSubquery _),
     "q_cube"            -> (Relational.cubeAgg _),
     "q_case_when"       -> (Relational.caseWhenAgg _),
     "q_argmax"          -> (Relational.argMaxAgg _),
@@ -449,6 +451,25 @@ object SparkEntry {
         |CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_returnflag, measure, count(*) AS n, round(sum(val), 2) AS total
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |GROUP BY 1, 2 ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

@@ -350,6 +350,46 @@ object Relational {
       .agg(round(sum(col("o_totalprice")), 2))
       .orderBy(col("o_orderpriority"))
 
+  /** UNPIVOT (melt) — the inverse reshape of [[pivotAgg]]: wide
+    * measure columns to long (key, measure, value) rows. Narrow per-row
+    * work (each input row fans out to #measures rows, no shuffle until
+    * the aggregate); the long form is what a generic metrics pipeline
+    * aggregates without schema-specific code.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** Correlated subqueries through the SQL surface: EXISTS with a
+    * correlated predicate AND a scalar subquery threshold — Catalyst
+    * DECORRELATES both (EXISTS → left-semi join, scalar subquery →
+    * broadcast one-row plan) instead of re-executing per outer row,
+    * which is the difference between O(n) and O(n·m) at scale;
+    * the plan audit asserts no nested-loop artifact survives.
+    */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_sq")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_sq")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer_sq c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders_sq o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq))
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Arg-max/arg-min aggregation: the row attribute AT the group
     * extremum (max_by/min_by — one pass, no join-back or window).
     */

@@ -89,6 +89,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { sig.unpersist(); () }
   }
 
+  test("q_exists_subquery: EXISTS decorrelated to a semi join, no nested re-execution") {
+    val plan = planOf("q_exists_subquery")
+    assert(plan.contains("LeftSemi") || plan.contains("ExistenceJoin"),
+      s"EXISTS not decorrelated to a semi join:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n${plan.take(800)}")
+  }
+
   test("fact-fact joins never plan a cartesian product") {
     for (q <- Seq("q_join_agg", "q_semi_join", "q_anti_join", "q_asof_join",
         "q_range_join", "q_outer_join", "q_full_outer")) {
