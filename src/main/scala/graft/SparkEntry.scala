@@ -113,6 +113,8 @@ object SparkEntry {
     // leave-one-out multi-probe banding: recall below the S-curve knee
     "q_lsh_multiprobe"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairsMultiProbe(s, dir)),
     "q_dup_clusters"    -> (Dedup.duplicateClusters _),
+    // WITH RECURSIVE (Spark 4.x): bounded BFS over the near-dup graph
+    "q_recursive_reach" -> (Dedup.recursiveReach _),
     "q_pagerank"        -> (Dedup.nearDupPageRank _),
     "q_ngram_jaccard"   -> (Dedup.ngramJaccardPairs _),
     // density-routed near-dup: on this (diverse) corpus the probe picks
@@ -807,6 +809,19 @@ object SparkEntry {
 
     "q_minhash_lsh_pairs" -> s"$lshPairsSql ORDER BY id_a, id_b",
     "q_lsh_multiprobe" -> lshMultiProbeSql,
+    "q_recursive_reach" ->
+      s"""WITH RECURSIVE pairs0 AS ($lshPairsSql),
+         |reach(doc_id, depth) AS (
+         |  SELECT DISTINCT id_a AS doc_id, 0 AS depth FROM pairs0 WHERE id_a % 10 = 0
+         |  UNION ALL
+         |  SELECT e.dst, r.depth + 1
+         |  FROM reach r
+         |  JOIN (SELECT id_a AS src, id_b AS dst FROM pairs0
+         |        UNION ALL SELECT id_b, id_a FROM pairs0) e
+         |    ON e.src = r.doc_id
+         |  WHERE r.depth < 3)
+         |SELECT doc_id, CAST(min(depth) AS BIGINT) AS min_depth
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->
       s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($lshPairsSql)),

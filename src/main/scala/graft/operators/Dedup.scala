@@ -672,6 +672,36 @@ object Dedup {
         expr("CAST(k % 1000000 AS BIGINT)").as("keep_idx"))
       .orderBy(col("chunk_hash"))
 
+  /** Recursive CTE (WITH RECURSIVE, new engine surface in Spark 4.x):
+    * bounded BFS over the near-dup graph — every document within 3
+    * hops of a seed (doc_id ≡ 0 mod 10 among pair endpoints), with its
+    * minimum hop depth. The recursion is UNION ALL with an explicit
+    * depth bound (cycles exist in dup clusters; the bound, not dedup,
+    * terminates it — cluster sizes are small so path fan-out stays
+    * bounded), min-depth aggregated OUTSIDE the recursive member
+    * (neither engine allows aggregation inside). The iterative-join
+    * shape is the declarative twin of [[clustersFromPairs]]' driver
+    * loop, now planned entirely by the engine.
+    */
+  def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
+    minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .createOrReplaceTempView("neardup_pairs")
+    spark.sql(
+      """WITH RECURSIVE reach(doc_id, depth) AS (
+        |  SELECT DISTINCT id_a AS doc_id, 0 AS depth
+        |  FROM neardup_pairs WHERE id_a % 10 = 0
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r
+        |  JOIN (SELECT id_a AS src, id_b AS dst FROM neardup_pairs
+        |        UNION ALL
+        |        SELECT id_b, id_a FROM neardup_pairs) e
+        |    ON e.src = r.doc_id
+        |  WHERE r.depth < 3)
+        |SELECT doc_id, CAST(min(depth) AS BIGINT) AS min_depth
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   /** Deterministic mixture sampling: each SOURCE is downsampled at its
     * own rate (the data-mixing step that turns raw corpora into a
     * training mixture: oversample curated sources, downsample crawl).
