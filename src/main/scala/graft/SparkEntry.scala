@@ -43,6 +43,8 @@ object SparkEntry {
     "q_rollup"          -> (Relational.rollupAgg _),
     "q_grouping_sets"   -> (Relational.groupingSetsAgg _),
     "q_unpivot"         -> (Relational.unpivotMeasures _),
+    // VARIANT (Spark 4.x): parse_json once, typed variant_get access
+    "q_variant"         -> (Scalars.variantFuncs _),
     "q_exists_subquery" -> (Relational.existsSubquery _),
     "q_cube"            -> (Relational.cubeAgg _),
     "q_case_when"       -> (Relational.caseWhenAgg _),
@@ -608,6 +610,12 @@ object SparkEntry {
         |min(k) AS min_k, max(k) AS max_k FROM (
         |SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_variant" ->
+      """SELECT k % 5 AS k_bucket, count(*) AS n_events,
+        |CAST(sum(k) AS BIGINT) AS sum_k, round(sum(value), 2) AS sum_value
+        |FROM (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, value FROM events)
+        |GROUP BY 1 ORDER BY k_bucket""".stripMargin,
 
     "q_map_funcs" ->
       s"""SELECT doc_id, count(*) AS n_distinct_words,

@@ -71,6 +71,22 @@ object Scalars {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** VARIANT — Spark 4.x's semi-structured type: parse_json into a
+    * binary variant once, then typed path extraction (variant_get),
+    * which at scale beats per-access string re-parsing and keeps the
+    * shredded access codegen-friendly. Values must equal the string
+    * json path the DuckDB oracle uses — the gate certifies the variant
+    * path is lossless for the typed accesses.
+    */
+  def variantFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+        col("value"))
+      .groupBy(pmod(col("k"), lit(5L)).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
   /** Distributed grep (MapReduce paper §2.3 application #1): regex
     * predicate over documents, pushed onto the scan.
     */
