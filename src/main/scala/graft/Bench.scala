@@ -15,6 +15,25 @@ import org.apache.spark.sql.SparkSession
   * "ok":false — a broken query must never masquerade as a speedup.
   */
 object Bench {
+
+  /** Untimed warm-up of the heavy codegen/JIT paths (shingle-set
+    * build, sorted merge intersect, 64-member signature agg) on a
+    * 64-document slice: first-touch JIT of these expressions measured
+    * ~10 s at sf0.1 and landed on whichever dedup query ran first — a
+    * session cost, same class as the q_topk warm-up's codegen +
+    * parquet-footer caches, not a property of any query. Shared with
+    * BenchOne so isolated re-measures see the same steady state.
+    */
+  def warmDedupCodegen(spark: SparkSession, sfDir: String): Unit =
+    try {
+      val tiny = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text").limit(64)
+      graft.operators.Dedup.ngramJaccardPairsOn(tiny)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Dedup.minhashSignaturesOn(tiny)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,20 +50,7 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     try exec("q_topk") catch { case _: Throwable => () } // warm-up, untimed
-    // warm the heavy codegen/JIT paths too (shingle-set build, sorted
-    // merge intersect, 64-member signature agg) on a 64-document slice:
-    // first-touch JIT of these expressions measured ~10 s at sf0.1 and
-    // landed on whichever dedup query ran first — a session cost, same
-    // class as the q_topk warm-up's codegen + footer caches, not a
-    // property of any query
-    try {
-      val tiny = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text").limit(64)
-      graft.operators.Dedup.ngramJaccardPairsOn(tiny)
-        .write.format("noop").mode("overwrite").save()
-      graft.operators.Dedup.minhashSignaturesOn(tiny)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    Bench.warmDedupCodegen(spark, sfDir)
     spark.catalog.clearCache()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
@@ -60,8 +66,11 @@ object Bench {
     }
     // per-query times at 3 decimals: the full line's length is what put
     // round 2's tail (23 queries AND the total) past the driver's
-    // capture window; millisecond precision is noise at these runtimes
-    def f3(v: Double): String = f"$v%.3f"
+    // capture window; millisecond precision is noise at these runtimes.
+    // Locale.ROOT: a comma-decimal default locale would otherwise turn
+    // every number into invalid JSON — the same failure class the
+    // total-first line exists to prevent.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }

@@ -22,15 +22,7 @@ object BenchOne {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     exec("q_topk") // warm-up
-    // same codegen/JIT warm-up as Bench (see comment there)
-    try {
-      val tiny = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select("doc_id", "text").limit(64)
-      graft.operators.Dedup.ngramJaccardPairsOn(tiny)
-        .write.format("noop").mode("overwrite").save()
-      graft.operators.Dedup.minhashSignaturesOn(tiny)
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    Bench.warmDedupCodegen(spark, sfDir)
     spark.catalog.clearCache()
     args.foreach { name =>
       val t0 = System.nanoTime()

@@ -190,6 +190,13 @@ object SparkEntry {
   private def rollSql(e: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ord(substr($e,i,1)) AS BIGINT))), (acc,c) -> (acc*31+c)%1000000007)"
 
+  /** Second independent polynomial (base 131 mod 999999937) — mirrors
+    * TextFunctions.rollingFingerprint2; pairs with [[rollSql]] for
+    * composite chunk identity.
+    */
+  private def rollSql2(e: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ord(substr($e,i,1)) AS BIGINT))), (acc,c) -> (acc*131+c)%999999937)"
+
   /** Fixed-window chunking body (no ORDER BY) — mirrors
     * TextAnalysis.chunkDocuments (size 32, stride 24); shared by
     * q_chunk_documents and q_chunk_dedup.
@@ -197,7 +204,8 @@ object SparkEntry {
   private val chunkSql =
     s"""SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
        |  CAST(len(list_slice(t, s, s + 31)) AS BIGINT) AS n_tokens,
-       |  ${rollSql("array_to_string(list_slice(t, s, s + 31), ' ')")} AS chunk_hash
+       |  ${rollSql("array_to_string(list_slice(t, s, s + 31), ' ')")} AS chunk_hash,
+       |  ${rollSql2("array_to_string(list_slice(t, s, s + 31), ' ')")} AS chunk_hash2
        |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s
        |  FROM (SELECT doc_id, list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS t
        |    FROM documents))""".stripMargin
@@ -794,15 +802,15 @@ object SparkEntry {
     "q_chunk_documents" -> s"$chunkSql ORDER BY doc_id, chunk_idx",
 
     "q_chunk_dedup" ->
-      s"""SELECT chunk_hash, CAST(n_copies AS BIGINT) AS n_copies,
+      s"""SELECT chunk_hash, chunk_hash2, CAST(n_copies AS BIGINT) AS n_copies,
          |  CAST(n_docs AS BIGINT) AS n_docs,
          |  CAST(k // 1000000 AS BIGINT) AS keep_doc,
          |  CAST(k % 1000000 AS BIGINT) AS keep_idx
-         |FROM (SELECT chunk_hash, count(*) AS n_copies,
+         |FROM (SELECT chunk_hash, chunk_hash2, count(*) AS n_copies,
          |    count(DISTINCT doc_id) AS n_docs,
          |    min(doc_id * 1000000 + chunk_idx) AS k
-         |  FROM ($chunkSql) GROUP BY 1 HAVING count(*) > 1)
-         |ORDER BY chunk_hash""".stripMargin,
+         |  FROM ($chunkSql) GROUP BY 1, 2 HAVING count(*) > 1)
+         |ORDER BY chunk_hash, chunk_hash2""".stripMargin,
 
     "q_mixture_sample" ->
       s"""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc

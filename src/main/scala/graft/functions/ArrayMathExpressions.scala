@@ -120,31 +120,28 @@ object ArrayMathExpressions {
   }
 
   /** Rolling polynomial fingerprint over a string's code points:
-    * h = (h*31 + codepoint) mod 1e9+7. Semantics match
-    * `ascii(substr(text, i, 1))` folded left (= DuckDB `ord(substr(...))`)
-    * — both index by code point, which the codePointAt walk reproduces.
+    * h = (h*base + codepoint) mod `mod` (defaults 31 / 1e9+7).
+    * Semantics match `ascii(substr(text, i, 1))` folded left (= DuckDB
+    * `ord(substr(...))`) — both index by code point, which the
+    * codePointAt walk reproduces. The (base, mod) parameters exist so
+    * composite keys can pair two INDEPENDENT polynomials (a salt
+    * appended to the input does NOT give independence: h(s+salt) is a
+    * deterministic function of h(s), so colliding inputs still
+    * collide; a different base/modulus breaks that).
     */
-  case class RollingHashExpr(child: Expression)
+  case class RollingHashExpr(child: Expression,
+                             base: Long = 31L, mod: Long = 1000000007L)
       extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def prettyName: String = "rolling_hash"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      var acc = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        acc = (acc * 31 + cp) % 1000000007L
-        i += Character.charCount(cp)
-      }
-      acc
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      ArrayMathExpressions.rollingHash(input.asInstanceOf[UTF8String], base, mod)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"org.apache.spark.sql.graft.ArrayMathExpressions.rollingHash($c)")
+        s"org.apache.spark.sql.graft.ArrayMathExpressions.rollingHash($c, ${base}L, ${mod}L)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -167,14 +164,17 @@ object ArrayMathExpressions {
   def rollingHashCol(c: Column): Column =
     ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c)))
 
+  def rollingHashCol(c: Column, base: Long, mod: Long): Column =
+    ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c), base, mod))
+
   /** Codegen entry point for [[RollingHashExpr]]. */
-  def rollingHash(s: UTF8String): Long = {
+  def rollingHash(s: UTF8String, base: Long, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
+      acc = (acc * base + cp) % mod
       i += Character.charCount(cp)
     }
     acc

@@ -64,4 +64,13 @@ object TextFunctions {
     */
   def rollingFingerprint(text: Column): Column =
     org.apache.spark.sql.graft.ArrayMathExpressions.rollingHashCol(text)
+
+  /** Second INDEPENDENT polynomial (base 131 mod 999999937) for
+    * composite keys: pairing it with [[rollingFingerprint]] gives a
+    * ~60-bit identity with both members portable to the oracle. (A
+    * salt on the input does not achieve this — h(s+salt) is a function
+    * of h(s), so colliding inputs still collide.)
+    */
+  def rollingFingerprint2(text: Column): Column =
+    org.apache.spark.sql.graft.ArrayMathExpressions.rollingHashCol(text, 131L, 999999937L)
 }

@@ -198,10 +198,11 @@ object Dedup {
     val sig = minhashSignaturesUnsorted(docs, prodHash)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // eager checkpoint: the pair list is tiny relative to the corpus,
-      // and materializing it here lets the persisted signature blocks be
-      // released at operator exit instead of leaking across a long-lived
-      // session (Verify runs every query in one session, no cache clears)
+      // eager checkpoint: the pair list is tiny relative to the corpus;
+      // materializing it here (a) releases the operator's own persisted
+      // signature blocks at exit instead of relying on the session's
+      // cache hygiene, and (b) truncates lineage so the downstream sort
+      // plans over the checkpointed blocks, not the whole pipeline
       lshPairsFromSignatures(sig).localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))
     } finally { sig.unpersist(); () }
@@ -485,9 +486,17 @@ object Dedup {
     * is cheap anyway), 1-in-16 above.
     * Uses the prod hash: an internal statistic, not an oracle output.
     */
+  /** Probe sampling policy, shared by [[duplicateDensity]] and
+    * [[nearDupPairsAutoOn]] so the router's probe can never disagree
+    * with the standalone one: full probe below 100k documents (a
+    * sampled estimate there is variance-dominated and the full probe
+    * is cheap), 1-in-16 above.
+    */
+  private def probeMod(docs: DataFrame): Int =
+    if (docs.count() < 100000L) 1 else 16
+
   def duplicateDensity(docs: DataFrame, sampleMod: Int = 0): Double = {
-    val mod = if (sampleMod > 0) sampleMod
-              else if (docs.count() < 100000L) 1 else 16
+    val mod = if (sampleMod > 0) sampleMod else probeMod(docs)
     val sig = probeSignatures(docs, mod)
     try densityFromSignatures(sig, mod)
     finally { sig.unpersist(); () }
@@ -528,7 +537,7 @@ object Dedup {
     nearDupPairsAutoOn(Tables.documents(spark, dir), maxCandPerDoc)
 
   def nearDupPairsAutoOn(docs: DataFrame, maxCandPerDoc: Double = 2.0): DataFrame = {
-    val mod = if (docs.count() < 100000L) 1 else 16
+    val mod = probeMod(docs)
     val sig = probeSignatures(docs, mod)
     try {
       if (densityFromSignatures(sig, mod) <= maxCandPerDoc)
@@ -627,22 +636,30 @@ object Dedup {
   /** Operator form over any (doc_id, text) relation. */
   def decontaminationOn(docs: DataFrame): DataFrame = {
     val bucket = pmod(md5Hash32(col("text")), lit(10))
+    // persisted: the train-vocabulary branch and the eval branch both
+    // consume the shingle pipeline — without this the corpus scan +
+    // shingle explode + hash runs twice (the branches diverge before
+    // any exchange, so shuffle reuse cannot dedup them)
     val tagged = docs
       .select(col("doc_id"),
         when(bucket < 8, "train").when(bucket === 8, "val")
           .otherwise("test").as("split"),
         explode(array_distinct(charShingles(normalized(col("text")), ShingleK))).as("sh"))
       .select(col("doc_id"), col("split"), rollingFingerprint(col("sh")).as("hh"))
-    val trainVocab = tagged.filter(col("split") === "train")
-      .select(col("hh")).distinct().withColumn("hit", lit(1L))
-    tagged.filter(col("split") =!= "train")
-      .join(trainVocab, Seq("hh"), "left")
-      .groupBy(col("doc_id"), col("split"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
-      .withColumn("contamination",
-        col("n_overlap").cast("double") / col("n_shingles"))
-      .orderBy(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trainVocab = tagged.filter(col("split") === "train")
+        .select(col("hh")).distinct().withColumn("hit", lit(1L))
+      tagged.filter(col("split") =!= "train")
+        .join(trainVocab, Seq("hh"), "left")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .withColumn("contamination",
+          col("n_overlap").cast("double") / col("n_shingles"))
+        .localCheckpoint() // materialize so the persist releases at exit
+        .orderBy(col("doc_id"))
+    } finally { tagged.unpersist(); () }
   }
 
   /** Chunk-level exact dedup: the end-to-end training-data flow —
@@ -651,26 +668,30 @@ object Dedup {
     * operator groups those 8-byte hashes to find spans REPEATED ACROSS
     * documents (near-duplicate docs share exact chunks wherever their
     * edits miss a window — the redundancy a chunk-level dedup removes
-    * even when whole-document dedup keeps both docs). Reports only
-    * duplicated chunks with a deterministic keeper (smallest
-    * (doc_id, chunk_idx), packed into one long so both engines pick
-    * identically without struct-min support — valid while chunk_idx
-    * < 1e6, i.e. documents under ~24M tokens at the default stride,
-    * and doc_id < 2^63/1e6 ≈ 9.2e12; both hold with room at 100 TB
-    * corpus scale, and a violation shows up as an oracle mismatch, not
-    * silence). Shuffle rows are (hash, ids) — never chunk text.
+    * even when whole-document dedup keeps both docs). Chunk identity
+    * is the COMPOSITE of two independent rolling polynomials (~60
+    * bits, both oracle-portable): a single 30-bit hash would hit
+    * birthday collisions around 10^8 chunks and silently mark
+    * distinct-content chunks as copies — an error no differential
+    * oracle can catch because both engines compute the same hash.
+    * Reports only duplicated chunks with a deterministic keeper
+    * (smallest (doc_id, chunk_idx), packed into one long so both
+    * engines pick identically without struct-min support — valid while
+    * chunk_idx < 1e6, i.e. documents under ~24M tokens at the default
+    * stride, and doc_id < 2^63/1e6 ≈ 9.2e12). Shuffle rows are
+    * (hashes, ids) — never chunk text.
     */
   def chunkDedup(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(spark, dir)
-      .groupBy(col("chunk_hash"))
+      .groupBy(col("chunk_hash"), col("chunk_hash2"))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("doc_id")).as("n_docs"),
         min(col("doc_id") * lit(1000000L) + col("chunk_idx")).as("k"))
       .filter(col("n_copies") > 1)
-      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+      .select(col("chunk_hash"), col("chunk_hash2"), col("n_copies"), col("n_docs"),
         expr("CAST(k div 1000000 AS BIGINT)").as("keep_doc"),
         expr("CAST(k % 1000000 AS BIGINT)").as("keep_idx"))
-      .orderBy(col("chunk_hash"))
+      .orderBy(col("chunk_hash"), col("chunk_hash2"))
 
   /** Recursive CTE (WITH RECURSIVE, new engine surface in Spark 4.x):
     * bounded BFS over the near-dup graph — every document within 3

@@ -193,7 +193,8 @@ object Multimodal {
             require(audioFormat == 1, s"not PCM: $audioFormat")
             bb.getShort // channels
             rate = bb.getInt
-            bb.position(fmtStart + len + (len & 1))
+            // clamp: a final odd chunk may legally omit the pad byte
+            bb.position(math.min(fmtStart + len + (len & 1), bb.limit()))
           case "data" =>
             val dataStart = bb.position()
             nSamples = len / 2
@@ -201,7 +202,7 @@ object Multimodal {
             while (i < nSamples) { ampSum += math.abs(bb.getShort.toInt); i += 1 }
             bb.position(math.min(dataStart + len + (len & 1), bb.limit()))
           case _ =>
-            bb.position(bb.position() + len + (len & 1))
+            bb.position(math.min(bb.position() + len + (len & 1), bb.limit()))
         }
       }
       require(rate > 0 && nSamples >= 0, "missing fmt/data chunk")

@@ -305,11 +305,17 @@ object TextAnalysis {
       // (sequence(1, 0) yields DESCENDING [1, 0], not empty)
       .withColumn("start",
         explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride))))
+      // chunk identity = TWO independent polynomials (~60-bit composite;
+      // one 30-bit hash alone would silently report distinct-content
+      // chunks as copies at the 10^8-chunk scale — birthday collisions
+      // neither engine could catch since both compute the same hash)
       .select(col("doc_id"),
         ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
         size(slice(col("toks"), col("start"), lit(chunkSize))).cast("long").as("n_tokens"),
         rollingFingerprint(concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize))))
-          .as("chunk_hash"))
+          .as("chunk_hash"),
+        rollingFingerprint2(concat_ws(" ", slice(col("toks"), col("start"), lit(chunkSize))))
+          .as("chunk_hash2"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

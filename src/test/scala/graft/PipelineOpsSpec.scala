@@ -70,7 +70,7 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("chunkDocuments: contiguous chunk ids, geometry respected, all docs covered") {
     val chunkSize = 32; val stride = 24
     val chunks = TextAnalysis.chunkDocuments(spark, sfDir, chunkSize, stride)
-      .as[(Long, Long, Long, Long)].collect() // doc_id, idx, n_tokens, hash
+      .as[(Long, Long, Long, Long, Long)].collect() // doc_id, idx, n_tokens, hash, hash2
     assert(chunks.nonEmpty)
     val nDocs = Tables.documents(spark, sfDir).count()
     val perDoc = chunks.groupBy(_._1)
@@ -81,7 +81,7 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // a chunk that is followed by another must extend past the next
       // start: its length exceeds the stride (it is full at chunkSize
       // unless the document ends inside its window)
-      cs.sortBy(_._2).init.foreach { case (_, idx, n, _) =>
+      cs.sortBy(_._2).init.foreach { case (_, idx, n, _, _) =>
         assert(n > stride.toLong, s"doc $doc chunk $idx shorter than stride") }
       assert(cs.map(_._3).forall(_ <= chunkSize.toLong))
     }
