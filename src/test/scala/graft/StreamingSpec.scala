@@ -143,6 +143,43 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming MinHash ingest: per-arrival signatures equal the batch computation") {
+    // incremental near-dup ingest (SURVEY §9 lead): signatures computed
+    // AS DOCUMENTS ARRIVE — explode/hash are stateless, the 64-member
+    // min agg is per-doc state, Update mode emits each completed doc.
+    // Every doc's shingles arrive within one batch here, so each doc is
+    // emitted exactly once with its final signature; the set must equal
+    // the batch operator over the full corpus.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.minhashSignaturesUnsorted(
+        input.toDF().toDF("doc_id", "text"), prodHash = true)
+      .writeStream.format("memory").queryName("t_minhash")
+      .outputMode("update").start()
+    try {
+      input.addData((0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "pack my box with five dozen liquor jugs"))
+      q.processAllAvailable()
+      input.addData((2L, "the quick brown fox jumps over the lazy dogs")) // near-copy of 0
+      q.processAllAvailable()
+      val streamed = spark.table("t_minhash").collect()
+        .map(r => (r.getLong(0), r.toSeq.drop(1))).toSet
+      val batch = graft.operators.Dedup.minhashSignaturesUnsorted(
+          Seq((0L, "the quick brown fox jumps over the lazy dog"),
+            (1L, "pack my box with five dozen liquor jugs"),
+            (2L, "the quick brown fox jumps over the lazy dogs"))
+            .toDF("doc_id", "text"), prodHash = true)
+        .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toSet
+      assert(streamed === batch)
+      // and the near-copy pair actually minhash-agrees more than the
+      // unrelated pair (sanity that the streamed signatures are usable)
+      def sig(s: Set[(Long, Seq[Any])], id: Long) = s.find(_._1 == id).get._2
+      def agree(a: Seq[Any], b: Seq[Any]) = a.zip(b).count { case (x, y) => x == y }
+      assert(agree(sig(streamed, 0L), sig(streamed, 2L)) >
+        agree(sig(streamed, 0L), sig(streamed, 1L)))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events fixture produces rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream").toString
     // copy the fixture parquet in as a "landing zone" drop
