@@ -77,10 +77,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val ok = results.forall(_._3)
-    // compact line FIRST: if anything gets truncated it must be the
-    // per-query detail, never the operative total
+    // The driver keeps only the TAIL of stdout (every prior round's
+    // capture window held ~2000 chars), so the operative compact line
+    // must be printed LAST — round 3 printed it first and it scrolled
+    // out, leaving only a head-truncated detail line. The detail line
+    // carries a distinct metric name so a consumer grepping for
+    // "total" can never double-count or pick the truncation-prone line.
+    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -830,7 +830,7 @@ object SparkEntry {
          |reach(doc_id, depth) AS (
          |  SELECT DISTINCT id_a AS doc_id, 0 AS depth FROM pairs0 WHERE id_a % 10 = 0
          |  UNION ALL
-         |  SELECT e.dst, r.depth + 1
+         |  SELECT DISTINCT e.dst, r.depth + 1
          |  FROM reach r
          |  JOIN (SELECT id_a AS src, id_b AS dst FROM pairs0
          |        UNION ALL SELECT id_b, id_a FROM pairs0) e

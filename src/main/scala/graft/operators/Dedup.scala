@@ -224,6 +224,14 @@ object Dedup {
   private[graft] def lshPairsFromSignatures(sig: DataFrame,
                                             multiProbe: Boolean = false,
                                             minEst: Double = 0.5): DataFrame = {
+    // Persistence is a CONTRACT, not a convention: sig feeds three
+    // branches (band keys + both verification sides) and this method
+    // count()s it — an unpersisted frame would recompute the full
+    // shingle→minhash pipeline four times. Fail loudly rather than
+    // silently quadrupling the caller's cost.
+    require(sig.storageLevel != StorageLevel.NONE,
+      "lshPairsFromSignatures requires a persisted signature frame " +
+        "(sig.persist(...) before calling); it consumes sig four times")
     val bandKeyed = if (multiProbe) bandKeysMultiProbe(sig) else bandKeys(sig)
     val a = bandKeyed.as("a")
     val b = bandKeyed.as("b")
@@ -531,6 +539,16 @@ object Dedup {
     * else fall back to the LSH estimate (whose downstream consumer is
     * [[duplicateClustersOn]] — cluster reps, not all pairs, are the
     * useful product of a duplicate-heavy corpus anyway).
+    *
+    * HASH-FAMILY CAVEAT for library callers: the exact route returns
+    * true n-gram Jaccard values; the duplicate-heavy route returns
+    * MinHash ESTIMATES computed with the production xxhash64 family
+    * (it reuses the router's probe signatures rather than recomputing
+    * with the slower oracle-portable md5 family). A corpus that routes
+    * heavy therefore gets `jaccard` values that are not reproducible
+    * by an external md5-based implementation — same estimator,
+    * different hash draws. Downstream clustering is unaffected (both
+    * families honor the same threshold semantics).
     */
   def nearDupPairsAuto(spark: SparkSession, dir: String,
                        maxCandPerDoc: Double = 2.0): DataFrame =
@@ -697,12 +715,17 @@ object Dedup {
     * bounded BFS over the near-dup graph — every document within 3
     * hops of a seed (doc_id ≡ 0 mod 10 among pair endpoints), with its
     * minimum hop depth. The recursion is UNION ALL with an explicit
-    * depth bound (cycles exist in dup clusters; the bound, not dedup,
-    * terminates it — cluster sizes are small so path fan-out stays
-    * bounded), min-depth aggregated OUTSIDE the recursive member
-    * (neither engine allows aggregation inside). The iterative-join
-    * shape is the declarative twin of [[clustersFromPairs]]' driver
-    * loop, now planned entirely by the engine.
+    * depth bound (cycles exist in dup clusters; the bound terminates
+    * it), min-depth aggregated OUTSIDE the recursive member (neither
+    * engine allows aggregation inside). The recursive member SELECTs
+    * DISTINCT (doc_id, depth): without the per-level dedup the row
+    * count grows as degree^depth through dup clusters — every path to
+    * a node is enumerated separately — which made this the single most
+    * expensive bench query (21.6 s) despite a 6-row result; with it,
+    * each level is bounded by the node count, the correct frontier
+    * shape for BFS at any scale. The min-depth aggregate is unchanged.
+    * The iterative-join shape is the declarative twin of
+    * [[clustersFromPairs]]' driver loop, now planned by the engine.
     */
   def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
     minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
@@ -712,7 +735,7 @@ object Dedup {
         |  SELECT DISTINCT id_a AS doc_id, 0 AS depth
         |  FROM neardup_pairs WHERE id_a % 10 = 0
         |  UNION ALL
-        |  SELECT e.dst, r.depth + 1
+        |  SELECT DISTINCT e.dst, r.depth + 1
         |  FROM reach r
         |  JOIN (SELECT id_a AS src, id_b AS dst FROM neardup_pairs
         |        UNION ALL

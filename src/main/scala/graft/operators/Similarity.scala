@@ -182,9 +182,23 @@ object Similarity {
     * literals — that is what makes pruning static — and is bounded by
     * queries × probes rows of one int each, probe METADATA in the same
     * class as the density probe's scalar, never corpus data.
+    *
+    * Equality with [[ivfKnn]] rests on the quantizer being a pure
+    * function of (data, seed): this method fits its OWN k-means (the
+    * two queries are independent library calls), and k-means|| init is
+    * deterministic only for identical data layout — same source files,
+    * same partitioning, fixed seed, which both paths share by reading
+    * the same table the same way. SimilaritySpec guards the equality
+    * on the fixture; callers re-partitioning the corpus between the
+    * two calls should share one fitted assignment instead.
     */
   def ivfKnnMaterialized(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
-    val (corpus, probeCells) = ivfAssignments(spark, Tables.embeddings(spark, dir), probes)
+    val (corpus, probeCells0) = ivfAssignments(spark, Tables.embeddings(spark, dir), probes)
+    // probeCells is consumed twice (driver collect of the probed cells,
+    // then the search join) and its lineage includes the full corpus
+    // normalization pass — eagerly materialize the tiny frame
+    // (queries × probes rows) so the second consumption is a local scan
+    val probeCells = probeCells0.localCheckpoint()
     corpus.write.mode("overwrite").partitionBy("cell").parquet(IvfLayoutDir)
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
