@@ -161,6 +161,18 @@ object SparkEntry {
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
     "q_frame_features"  -> ((s: SparkSession, dir: String) => Multimodal.frameFeatures(s, dir)),
+    // — TPC-H-shaped multi-join analytics (join-order/broadcast bench) —
+    "q_tpch_q3"         -> (Relational.tpchQ3 _),
+    "q_tpch_q5"         -> (Relational.tpchQ5 _),
+    "q_tpch_q10"        -> (Relational.tpchQ10 _),
+    // SQL LATERAL correlated subquery (Catalyst decorrelates to a join)
+    "q_lateral_join"    -> (Relational.lateralTopNations _),
+    // MERGE-style incremental snapshot upsert (full-outer merge dataflow)
+    "q_merge_upsert"    -> (Relational.mergeUpsert _),
+    // degree-oriented triangle counting over the near-dup graph
+    "q_triangles"       -> (Dedup.triangleCounts _),
+    // streaming DISTINCT executed by the real engine in APPEND mode
+    "q_stream_distinct" -> (graft.streaming.EventStreams.streamedDistinct _),
   )
 
   // ——— shared oracle SQL fragments ———
@@ -998,5 +1010,80 @@ object SparkEntry {
         |CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |CAST(min(octet_length(encode(text))*31 + ord(substr(text,1,1))) AS BIGINT) AS min_feature
         |FROM documents GROUP BY lang ORDER BY format""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON o_custkey=c_custkey
+        |JOIN lineitem ON l_orderkey=o_orderkey
+        |WHERE c_mktsegment='BUILDING'
+        |AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal, n_name,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |WHERE l_returnflag='R'
+        |AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT r_name, n_name, bal
+        |FROM region r,
+        |LATERAL (SELECT n_name, round(sum(c_acctbal),2) AS bal
+        |         FROM nation JOIN customer ON c_nationkey=n_nationkey
+        |         WHERE n_regionkey=r.r_regionkey
+        |         GROUP BY n_name ORDER BY bal DESC, n_name LIMIT 2) t
+        |ORDER BY r_name, bal DESC, n_name""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH cur AS (SELECT o_custkey AS k, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS v, strftime(max(o_orderdate),'%Y-%m-%d') AS d
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00' GROUP BY o_custkey),
+        |inc AS (SELECT o_custkey AS k, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS v, strftime(max(o_orderdate),'%Y-%m-%d') AS d
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' GROUP BY o_custkey)
+        |SELECT coalesce(cur.k, inc.k) AS custkey,
+        |CASE WHEN cur.k IS NULL THEN 'insert'
+        |     WHEN inc.k IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |CAST(coalesce(cur.n,0)+coalesce(inc.n,0) AS BIGINT) AS n_orders,
+        |round(coalesce(cur.v,0)+coalesce(inc.v,0),2) AS total_value,
+        |coalesce(inc.d, cur.d) AS last_order
+        |FROM cur FULL OUTER JOIN inc ON cur.k = inc.k
+        |ORDER BY custkey""".stripMargin,
+
+    "q_triangles" ->
+      s"""WITH e AS ($lshPairsSql),
+         |tri AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |  FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+         |  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM (SELECT a AS doc_id FROM tri
+         |      UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_stream_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -746,6 +746,49 @@ object Dedup {
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Per-document triangle counts over the near-dup graph — the
+    * cluster-cohesion signal (a document in many triangles sits in a
+    * dense duplicate clique; bridge documents connecting two clusters
+    * sit in none). Degree-ORIENTED enumeration (Cohen, "Graph Twiddling
+    * in a MapReduce World", 2009): every edge is directed from its
+    * (degree, id)-smaller endpoint to its larger one, so each triangle
+    * is generated exactly once — from its unique vertex with two
+    * out-edges — and the wedge join fans out from LOW-degree vertices
+    * only, which is what bounds intermediate size on skewed graphs (a
+    * degree-d hub yields C(d,2) wedges under naive enumeration; under
+    * orientation a hub is almost always the wedge TARGET, not source).
+    * Edges here are near-dup pairs (tiny); at corpus scale the same
+    * plan holds with the degree table broadcast.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val und = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "v")
+    // orient src→dst iff (deg, id) of src precedes dst; carry endpoint
+    // degrees so the wedge join can apply the SAME total order
+    val oriented = und
+      .join(broadcast(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "d_src")), "src")
+      .join(broadcast(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "d_dst")), "dst")
+      .filter(col("d_src") < col("d_dst") ||
+        (col("d_src") === col("d_dst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("d_dst"))
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val e3 = oriented.select(col("src").as("c_src"), col("dst").as("c_dst"))
+    val wedges = e1.join(e2, col("e1.src") === col("e2.src") &&
+        (col("e1.d_dst") < col("e2.d_dst") ||
+          (col("e1.d_dst") === col("e2.d_dst") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tris = wedges.join(e3, col("v") === col("c_src") && col("w") === col("c_dst"))
+      .select(col("u"), col("v"), col("w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic mixture sampling: each SOURCE is downsampled at its
     * own rate (the data-mixing step that turns raw corpora into a
     * training mixture: oversample curated sources, downsample crawl).

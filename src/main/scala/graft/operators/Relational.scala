@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Core relational surface: scan → project/filter → aggregate → join →
@@ -487,4 +487,155 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("p75"),
         expr("percentile(l_quantity, 0.95)").as("p95"))
       .orderBy(col("l_returnflag"))
+
+  /** TPC-H Q3 shape (shipping priority): selective filters on BOTH fact
+    * tables plus a filtered dim, three-way join, revenue agg, top-10.
+    * Plan shape at scale: the mktsegment-filtered customer side
+    * broadcasts; orders⋈lineitem is the one real shuffle, with both
+    * date predicates pushed to the parquet scans so the join sees only
+    * qualifying rows; the top-10 is TakeOrderedAndProject (no global
+    * sort). Ordering is on the ROUNDED revenue with an orderkey
+    * tie-break so the result is engine-stable.
+    */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape (local supplier volume): six-way join where the
+    * lineitem supplier and the ordering customer must share a nation
+    * inside one region. customer/supplier/nation/region all broadcast
+    * (dims); orders⋈lineitem is the only fact-fact shuffle; the
+    * c_nationkey = s_nationkey colocation predicate rides the supplier
+    * join rather than a post-filter so non-local rows never survive the
+    * join.
+    */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): which customers
+    * returned the most revenue in a quarter — fact-fact join filtered
+    * on both sides, customer + nation dims broadcast, top-20 by
+    * revenue. The group-by carries the customer attributes (grouping by
+    * the key plus functionally-dependent columns — no second join to
+    * re-attach attributes after the agg).
+    */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** LATERAL correlated subquery (SQL surface): per-region top-2
+    * nations by total customer account balance. The lateral derived
+    * table re-executes per outer row DECLARATIVELY — Catalyst decorrelates
+    * it into a ranked window over one join, so the plan is the same
+    * shuffle the explicit window formulation produces, not N subquery
+    * executions (the classic optimizer test for this surface).
+    */
+  def lateralTopNations(spark: SparkSession, dir: String): DataFrame = {
+    Tables.region(spark, dir).createOrReplaceTempView("g_region")
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT r_name, n_name, bal
+        |FROM g_region r,
+        |LATERAL (SELECT n_name, round(sum(c_acctbal), 2) AS bal
+        |         FROM g_nation JOIN g_customer ON c_nationkey = n_nationkey
+        |         WHERE n_regionkey = r.r_regionkey
+        |         GROUP BY n_name
+        |         ORDER BY bal DESC, n_name LIMIT 2) t
+        |ORDER BY r_name, bal DESC, n_name""".stripMargin)
+  }
+
+  /** Incremental MERGE/upsert without a table format: the core of an
+    * ingest pipeline that maintains a per-customer activity snapshot as
+    * new order batches land. `current` is the snapshot built from
+    * orders before the cutoff; `incoming` is the next batch's
+    * aggregate; the merge is one FULL OUTER join on the key emitting
+    * insert/update/keep actions with merged values — exactly the
+    * dataflow a MERGE INTO statement lowers to (join on merge key →
+    * per-row action). At scale both sides are pre-aggregated by the
+    * merge key, so the join is narrow and partial-agg absorbs the fact
+    * volume before any shuffle.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+    def snap(cond: Column, nOut: String, vOut: String, dOut: String) =
+      o.filter(cond).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(nOut),
+          round(sum(col("o_totalprice")), 2).as(vOut),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as(dOut))
+    val current = snap(col("o_orderdate") < cutoff,
+      "cur_n", "cur_v", "cur_d").withColumnRenamed("o_custkey", "cur_key")
+    val incoming = snap(col("o_orderdate") >= cutoff,
+      "inc_n", "inc_v", "inc_d").withColumnRenamed("o_custkey", "inc_key")
+    current.join(incoming, col("cur_key") === col("inc_key"), "full_outer")
+      .select(
+        coalesce(col("cur_key"), col("inc_key")).as("custkey"),
+        when(col("cur_key").isNull, "insert")
+          .when(col("inc_key").isNull, "keep").otherwise("update").as("action"),
+        (coalesce(col("cur_n"), lit(0L)) + coalesce(col("inc_n"), lit(0L)))
+          .as("n_orders"),
+        round(coalesce(col("cur_v"), lit(0.0)) + coalesce(col("inc_v"), lit(0.0)), 2)
+          .as("total_value"),
+        coalesce(col("inc_d"), col("cur_d")).as("last_order"))
+      .orderBy(col("custkey"))
+  }
 }

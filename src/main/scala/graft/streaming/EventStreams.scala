@@ -229,4 +229,42 @@ object EventStreams {
     spark.table("graft_stream_tumbling")
       .orderBy(col("hour"), col("event_type"))
   }
+
+  /** Streaming DISTINCT under the driver gate: the dedup operator run
+    * by the real engine in APPEND mode — unlike the windowed agg,
+    * dropDuplicates emits each first-seen key as it arrives, so a
+    * finite replay produces the complete distinct set with no
+    * watermark-finalization trap. Projecting to the key columns BEFORE
+    * the dedup makes the output order-insensitive (whichever duplicate
+    * arrives first, the emitted row is identical), which is what lets a
+    * streaming query share a deterministic batch oracle
+    * (SELECT DISTINCT). State note: an unbounded production stream
+    * would use [[dedupStream]]'s watermarked variant; the exact
+    * distinct-set gate query necessarily keeps all keys.
+    */
+  def streamedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val nanosSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val events = spark.readStream.schema(nanosSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val distinctKeys = events
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    // same state-partition sizing note as [[streamedTumbling]]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = distinctKeys.writeStream.format("memory")
+        .queryName("graft_stream_distinct")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table("graft_stream_distinct")
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }

@@ -103,4 +103,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n${plan.take(800)}")
     }
   }
+
+  test("TPC-H shapes: dims broadcast, date filters pushed, one fact-fact shuffle join") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: no broadcast dim join:\n${plan.take(1200)}")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      // both fact scans must carry their pushed date/flag predicates
+      assert(plan.contains("PushedFilters: [IsNotNull"),
+        s"$q: no pushed filters on the scans:\n${plan.take(1200)}")
+      // orders⋈lineitem is the ONLY sort-merge/shuffle-hash join
+      val shuffleJoins = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(shuffleJoins <= 1,
+        s"$q: $shuffleJoins shuffle joins (expected <= 1):\n${plan.take(1500)}")
+    }
+  }
+
+  test("q_tpch_q3/q10: top-k is TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10"))
+      assert(planOf(q).contains("TakeOrderedAndProject"), s"$q globally sorts")
+  }
+
+  test("q_lateral_join: decorrelated to joins, no per-row re-execution artifacts") {
+    val plan = planOf("q_lateral_join")
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral not decorrelated:\n${plan.take(1200)}")
+  }
+
+  test("q_triangles: wedge join fans out from oriented (low-degree) side, no cartesian") {
+    val plan = planOf("q_triangles")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n${plan.take(800)}")
+  }
 }
