@@ -171,6 +171,10 @@ object SparkEntry {
     "q_merge_upsert"    -> (Relational.mergeUpsert _),
     // degree-oriented triangle counting over the near-dup graph
     "q_triangles"       -> (Dedup.triangleCounts _),
+    // asymmetric containment join (sub-document duplication)
+    "q_containment"     -> ((s: SparkSession, dir: String) => Dedup.containmentPairs(s, dir)),
+    // composite curation cascade (first-failing-rule classification)
+    "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     // streaming DISTINCT executed by the real engine in APPEND mode
     "q_stream_distinct" -> (graft.streaming.EventStreams.streamedDistinct _),
   )
@@ -1085,5 +1089,36 @@ object SparkEntry {
     "q_stream_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH ds AS ($shSql),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+         |n_common / sa.sz AS containment
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a
+         |WHERE n_common / sa.sz >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_corpus_filter" ->
+      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |CASE WHEN len(toks) < 30 THEN 'too_short'
+        |     WHEN length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE
+        |       / greatest(length(text),1) < 0.81 THEN 'low_alpha'
+        |     WHEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+        |       / greatest(len(toks),1) < 0.02 THEN 'low_stopword'
+        |     WHEN (len(grams) - len(list_distinct(grams)))::DOUBLE
+        |       / greatest(len(grams),1) > 0.01 THEN 'repetitive'
+        |     ELSE 'keep' END AS reason
+        |FROM (SELECT doc_id, text, toks,
+        |    list_transform(generate_series(1, greatest(len(ltoks)-3, 0)),
+        |      i -> ltoks[i]||' '||ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3]) AS grams
+        |  FROM (SELECT doc_id, text, toks, list_transform(toks, x -> lower(x)) AS ltoks
+        |    FROM (SELECT doc_id, text,
+        |      list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS toks
+        |      FROM documents)))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -387,6 +387,71 @@ object Dedup {
     } finally { docSets.unpersist(); () }
   }
 
+  /** Asymmetric CONTAINMENT join: pairs where ≥ `threshold` of document
+    * A's shingle set lies inside document B — the sub-document
+    * duplication detector (boilerplate, quoted passages, a short doc
+    * embedded in a long one) that symmetric Jaccard structurally
+    * misses: a 100-shingle doc fully contained in a 10,000-shingle doc
+    * has containment 1.0 but Jaccard 0.01.
+    *
+    * Prefix filter on the CONTAINED side only (the containment analog
+    * of the PPJoin lemma: |A∩B| ≥ t·|A| means A's df-ordered prefix of
+    * length |A| - ceil(t·|A|) + 1 must hit B) probing the FULL inverted
+    * index of the container side — containment admits no length filter
+    * on B (the container may be arbitrarily larger). The prefix is
+    * df-ordered rarest-first, so probes ride rare shingles and the
+    * per-shingle candidate fan-out stays bounded on hot shingles
+    * exactly as in [[ngramJaccardPairsOn]]. Verification is the exact
+    * codegen sorted-merge intersect; the quotient is emitted UNROUNDED
+    * (identical IEEE division in both engines — rounding at a fixed
+    * decimal is the cross-engine half-up hazard, not the raw double).
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOn(Tables.documents(spark, dir))
+
+  def containmentPairsOn(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.TextShingleExpressions.{shingleHashSetCol, sortedIntersectSizeCol}
+    val docSets = docs
+      .select(col("doc_id"),
+        shingleHashSetCol(normalized(col("text")), ShingleK).as("set"))
+      .withColumn("sz", size(col("set")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exploded = docSets.select(col("doc_id"), col("sz"), explode(col("set")).as("h"))
+      val dfreq = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val prefixes = exploded.join(dfreq, "h")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+        .select(col("doc_id").as("id_a"), col("h"))
+      val cand = prefixes
+        .join(exploded.select(col("doc_id").as("id_b"), col("h")), "h")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      // same byte-gated broadcast pin as the Jaccard verification join
+      val szRow = docSets
+        .agg(sum(col("sz")).as("n_hashes"), count(lit(1)).as("n_docs")).head()
+      val estBytes =
+        (Option(szRow.getAs[Long]("n_hashes")).getOrElse(0L) +
+          2 * szRow.getAs[Long]("n_docs")) * 8L
+      val docSide: DataFrame => DataFrame =
+        if (estBytes < MaxPinnedBroadcastBytes) broadcast else identity
+      val nCommon = sortedIntersectSizeCol(col("set_a"), col("set_b"))
+      cand
+        .join(docSide(docSets.select(col("doc_id").as("id_a"),
+          col("set").as("set_a"), col("sz").as("sz_a"))), "id_a")
+        .join(docSide(docSets.select(col("doc_id").as("id_b"),
+          col("set").as("set_b"))), "id_b")
+        .select(col("id_a"), col("id_b"), nCommon.cast("long").as("n_common"),
+          (nCommon.cast("double") / col("sz_a")).as("containment"))
+        .filter(col("containment") >= threshold)
+        .localCheckpoint()
+        .orderBy(col("id_a"), col("id_b"))
+    } finally { docSets.unpersist(); () }
+  }
+
   /** Duplicate clusters: connected components over the LSH near-dup
     * pair graph, via min-label propagation with pointer jumping — each
     * node adopts the smallest label in its neighborhood, then twice

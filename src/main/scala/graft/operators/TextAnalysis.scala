@@ -258,6 +258,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Composite corpus-curation filter: every document classified
+    * keep-or-reject with its FIRST failing rule (fixed precedence, the
+    * C4/Gopher-style filter cascade of a training-data pipeline):
+    * too_short (< 30 words) → low_alpha (alphabetic chars < 81% —
+    * markup/numeric debris) → low_stopword (stopwords < 2% of tokens —
+    * non-prose) → repetitive (duplicated 4-grams > 1%) → keep. One
+    * narrow per-row pass, no shuffle until the output sort; thresholds
+    * compare RAW double ratios (identical IEEE division in both
+    * engines), never rounded ones.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val positions = when(size(col("ltoks")) >= 4,
+      sequence(lit(1), size(col("ltoks")) - 3))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(positions, i => concat_ws(" ",
+      element_at(col("ltoks"), i), element_at(col("ltoks"), i + 1),
+      element_at(col("ltoks"), i + 2), element_at(col("ltoks"), i + 3)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks.as("toks"),
+        transform(toks, t => lower(t)).as("ltoks"))
+      .select(col("doc_id"), col("text"), col("toks"), grams.as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        when(size(col("toks")) < 30, "too_short")
+          .when(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            greatest(length(col("text")), lit(1)) < 0.81, "low_alpha")
+          .when(size(filter(col("toks"), t => lower(t).isInCollection(stop))).cast("double") /
+            greatest(size(col("toks")), lit(1)) < 0.02, "low_stopword")
+          .when((size(col("grams")) - size(array_distinct(col("grams")))).cast("double") /
+            greatest(size(col("grams")), lit(1)) > 0.01, "repetitive")
+          .otherwise("keep").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget sequence packing: assign documents to fixed-budget
     * training sequences by exclusive running token count, packed WITHIN
     * deterministic shards (packing is inherently sequential, so the
