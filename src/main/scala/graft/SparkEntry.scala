@@ -114,6 +114,10 @@ object SparkEntry {
     "q_minhash_lsh_pairs_xx"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairs(s, dir, prodHash = true)),
     // leave-one-out multi-probe banding: recall below the S-curve knee
     "q_lsh_multiprobe"  -> ((s: SparkSession, dir: String) => Dedup.minhashLshPairsMultiProbe(s, dir)),
+    // near-dup pair graph computed ONCE per session/corpus, landed as
+    // partitioned parquet, read back — the graph family's shared input
+    "q_neardup_graph"   -> ((s: SparkSession, dir: String) =>
+      Dedup.materializedPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
     "q_dup_clusters"    -> (Dedup.duplicateClusters _),
     // WITH RECURSIVE (Spark 4.x): bounded BFS over the near-dup graph
     "q_recursive_reach" -> (Dedup.recursiveReach _),
@@ -177,6 +181,13 @@ object SparkEntry {
     "q_corpus_filter"   -> (TextAnalysis.corpusFilter _),
     // streaming DISTINCT executed by the real engine in APPEND mode
     "q_stream_distinct" -> (graft.streaming.EventStreams.streamedDistinct _),
+    // APPEND-mode closed sessions (flatMapGroupsWithState) under the gate
+    "q_stream_sessions" -> (graft.streaming.EventStreams.streamedSessions _),
+    // incremental MinHash ingest: signatures computed as documents
+    // arrive; shares the batch signature oracle (bit-identical result)
+    "q_stream_minhash"  -> (graft.streaming.DocumentStreams.streamedMinhashSignatures _),
+    // MERGE landed on storage: partitioned overwrite + pruned read-back
+    "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
 
   // ——— shared oracle SQL fragments ———
@@ -839,7 +850,16 @@ object SparkEntry {
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",
 
+    // incremental ingest emits each document's final signature exactly
+    // once (all of a doc's shingles ride its own row), so the streamed
+    // result is bit-identical to the batch signature table
+    "q_stream_minhash" ->
+      s"SELECT * FROM ($sigSql) ORDER BY doc_id",
+
     "q_minhash_lsh_pairs" -> s"$lshPairsSql ORDER BY id_a, id_b",
+    // write→read-back of the materialized pair graph must be value-
+    // identical to recomputing the pairs directly
+    "q_neardup_graph" -> s"$lshPairsSql ORDER BY id_a, id_b",
     "q_lsh_multiprobe" -> lshMultiProbeSql,
     "q_recursive_reach" ->
       s"""WITH RECURSIVE pairs0 AS ($lshPairsSql),
@@ -909,7 +929,8 @@ object SparkEntry {
          |ORDER BY q_id, rank""".stripMargin,
 
     "q_embedding_dedup" ->
-      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < ${Similarity.NumCells}),
+      s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id < (SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
          |assigned AS (SELECT e.vec_id,
          |  min({'d': list_sum(list_transform(generate_series(1, len(e.embedding)),
          |        i -> (e.embedding[i]::DOUBLE - c_emb[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c_emb[i]::DOUBLE))),
@@ -1089,6 +1110,43 @@ object SparkEntry {
     "q_stream_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // finite-replay emission rules (see EventStreams.streamedSessions):
+    // every non-final session per user, plus final sessions whose
+    // event-time timeout (last_ts + gap) the terminal watermark
+    // (max ts - delay) has passed
+    "q_stream_sessions" ->
+      """WITH flagged AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (SELECT user_id, max(ts) AS sess_last, count(*) AS n_events,
+        |  round(sum(value),2) AS total_value
+        |  FROM sess GROUP BY user_id, sid),
+        |agg2 AS (SELECT *, max(sess_last) OVER (PARTITION BY user_id) AS user_last FROM agg),
+        |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, total_value,
+        |  strftime(sess_last, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM agg2, wm
+        |WHERE sess_last < user_last OR sess_last + INTERVAL 30 MINUTE < w
+        |ORDER BY user_id, last_ts""".stripMargin,
+
+    "q_merge_roundtrip" ->
+      """WITH cur AS (SELECT o_custkey AS k, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS v, strftime(max(o_orderdate),'%Y-%m-%d') AS d
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00' GROUP BY o_custkey),
+        |inc AS (SELECT o_custkey AS k, count(*) AS n,
+        |  round(sum(o_totalprice),2) AS v, strftime(max(o_orderdate),'%Y-%m-%d') AS d
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' GROUP BY o_custkey)
+        |SELECT cur.k AS custkey,
+        |CAST(cur.n + inc.n AS BIGINT) AS n_orders,
+        |round(cur.v + inc.v, 2) AS total_value,
+        |inc.d AS last_order
+        |FROM cur JOIN inc ON cur.k = inc.k
+        |ORDER BY custkey""".stripMargin,
 
     "q_containment" ->
       s"""WITH ds AS ($shSql),

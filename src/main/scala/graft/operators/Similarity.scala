@@ -29,12 +29,17 @@ object Similarity {
 
   val K = 5
   val NumQueries = 10 // vec_id < 10 are the query vectors
-  /** Coarse cells for [[embeddingDedup]]'s blocking key: deterministic
-    * (vec_id < 8 as centroids) so the DuckDB oracle can replicate the
-    * assignment exactly; [[ivfKnn]] uses the real k-means quantizer
-    * (rows-only gate) instead.
+
+  /** Coarse-cell count for [[embeddingDedup]]'s blocking key: ~√N,
+    * mirroring [[ivfKnn]]'s IVF sizing, so the expected within-cell
+    * population is ~√N and the blocked self-join does Σ C(n_cell, 2) ≈
+    * N·√N/2 work instead of the quadratic N²/(2·cells) a FIXED cell
+    * count degrades to once N outgrows it (the round-4 scale flaw: 8
+    * pinned cells meant N²/16 pair comparisons at any corpus size).
+    * Deterministic — pure function of the corpus count — so the DuckDB
+    * oracle derives the identical value from `count(*)`.
     */
-  val NumCells = 8
+  def dedupCells(n: Long): Int = math.max(4, math.sqrt(n.toDouble).toInt)
 
   /** Exact top-k cosine neighbors for each query vector. The query set
     * is tiny → broadcast; the corpus side never shuffles until the
@@ -226,10 +231,20 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     * sharing a coarse cell (the IVF assignment doubles as the LSH-style
     * blocking key, keeping the pair join off the full cross product).
+    * Centroid selection is DETERMINISTIC (the first [[dedupCells]]
+    * vectors by id) rather than fitted, so the oracle replicates the
+    * assignment exactly; cell count scales ~√N with the corpus — the
+    * count() is O(1) probe metadata, same class as [[ivfAssignments]]'
+    * sizing scan — keeping the within-cell self-join ~N^1.5 total at
+    * any corpus size. The centroid table stays a broadcast-safe k·dim
+    * floats (√N rows even at 10^12 vectors is ~10^6 · 256 B ≈ 256 MB;
+    * for corpora that large, route to [[ivfKnn]]'s fitted quantizer
+    * whose cells are model state, not data rows).
     */
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val centroids = e.filter(col("vec_id") < NumCells)
+    val nCells = dedupCells(e.count())
+    val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val cells = e.crossJoin(broadcast(centroids))
       .groupBy(col("vec_id"))

@@ -117,6 +117,31 @@ object Sinks {
       .orderBy(col("bucket"))
   }
 
+  /** MERGE landed on storage: the full-outer merge dataflow
+    * ([[graft.operators.Relational.mergeUpsert]]) written as an
+    * action-partitioned parquet snapshot — `mode("overwrite")` makes
+    * the landing IDEMPOTENT (re-running the merge replaces the
+    * snapshot; a failed run never leaves a half-merged table visible) —
+    * then read back through a partition-PRUNED filter on the merge
+    * action. The graded rows are the row-level 'update' partition, so
+    * any loss, duplication, or mis-partitioning between the merge join
+    * and the storage round trip breaks the hash against the oracle
+    * computed from the ORIGINAL orders table. At 100 TB this is the
+    * nightly snapshot-maintenance shape: merge → partitioned overwrite
+    * → consumers prune to the partitions they need.
+    */
+  val MergeDir = "/root/repo/target/tmp/merge_roundtrip"
+
+  def mergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.operators.Relational.mergeUpsert(spark, dir)
+      .write.mode("overwrite").partitionBy("action").parquet(MergeDir)
+    spark.read.parquet(MergeDir)
+      .filter(col("action") === "update") // partition-pruned, never scanned
+      .select(col("custkey"), col("n_orders"), col("total_value"),
+        col("last_order"))
+      .orderBy(col("custkey"))
+  }
+
   /** saveAsTable with a clean slate: the in-memory session catalog of
     * a fresh JVM does not know about a previous run's table, and CTAS
     * onto a non-empty managed location refuses — drop + delete first.

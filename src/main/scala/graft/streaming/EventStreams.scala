@@ -163,13 +163,13 @@ object EventStreams {
   /** Write helper: append sink to parquet with a checkpoint — the
     * exactly-once file sink pattern.
     *
-    * (A session-window twin of [[streamedTumbling]] was evaluated for
-    * the gate and rejected: session windows support neither Complete
-    * nor Update output — merging windows forbid both — and Append
-    * emits only watermark-finalized sessions, so a finite replay can
-    * never reproduce the batch twin's full result. The session-state
-    * machinery is instead engine-verified by StreamingSpec's
-    * MemoryStream replays of [[sessionCounts]] and [[closedSessions]].)
+    * (The `session_window` AGGREGATION supports neither Complete nor
+    * Update output — merging windows forbid both — so a finite replay
+    * of [[sessionCounts]] can never reproduce its batch twin and it
+    * stays MemoryStream-verified. [[streamedSessions]] closes the gap
+    * from the flatMapGroupsWithState side, whose Append-mode emissions
+    * ARE deterministic on a finite replay and sit under the oracle
+    * gate.)
     */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String) =
     df.writeStream.format("parquet")
@@ -228,6 +228,61 @@ object EventStreams {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table("graft_stream_tumbling")
       .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Custom sessionization under the driver gate: [[closedSessions]]
+    * (flatMapGroupsWithState, APPEND mode — the only output mode
+    * merging-session semantics admit) executed as a real StreamingQuery
+    * over the streaming file source with Trigger.AvailableNow.
+    *
+    * What a FINITE replay emits is deterministic, so a DuckDB
+    * gaps-and-islands oracle can reproduce it exactly:
+    *  - a session closed by a LATER event of the same user (gap ≥ 30
+    *    min) is emitted inline by the state function — with AvailableNow
+    *    every event is in the one data batch, so every non-final
+    *    session per user is emitted;
+    *  - each user's FINAL session sits in state with an event-time
+    *    timeout at last_ts + gap, and is emitted by the post-data
+    *    no-data batch iff the terminal watermark (max ts − 30 min
+    *    delay) has passed that timeout.
+    * The oracle replicates both rules (StreamingSpec pins the emitted
+    * set against the batch sessionization under the same rules). An
+    * unbounded production stream has no terminal watermark — every
+    * session eventually closes by rule 2; the finite-replay filter is
+    * the gate-compatibility trick, not a semantic change.
+    */
+  def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val nanosSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val events = spark.readStream.schema(nanosSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val sessions = closedSessions(events)(spark)
+    // same state-partition sizing note as [[streamedTumbling]]
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = sessions.toDF().writeStream.format("memory")
+        .queryName("graft_stream_sessions")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // sessions of one user are ≥ gap apart, so (user_id, last_ts) is a
+    // unique deterministic sort key
+    spark.table("graft_stream_sessions")
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy(col("user_id"), col("last_ts"))
   }
 
   /** Streaming DISTINCT under the driver gate: the dedup operator run

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.{DocumentStreams, EventStreams}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 surface: the materialized near-dup pair graph, √N-scaled
+  * embedding-dedup blocking, gated streaming sessions, and incremental
+  * MinHash ingest.
+  */
+class Round7OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  test("materializedPairs read-back is value-identical to the direct LSH pairs") {
+    val direct = Dedup.minhashLshPairs(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val mat = Dedup.materializedPairs(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mat === direct)
+    // second call must come from the parquet, not a rebuild: the pair
+    // file exists and the frame reads from PairsDir
+    assert(new java.io.File(Dedup.PairsDir).exists())
+    val plan = Dedup.materializedPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("neardup_pairs"), s"not a file read-back:\n$plan")
+  }
+
+  test("dedupCells scales ~sqrt(N) with a floor of 4") {
+    assert(Similarity.dedupCells(0) === 4)
+    assert(Similarity.dedupCells(10) === 4)
+    assert(Similarity.dedupCells(500) === 22)
+    assert(Similarity.dedupCells(5000) === 70)
+    assert(Similarity.dedupCells(1000000000000L) === 1000000)
+  }
+
+  test("streamed MinHash ingest equals the batch signature table") {
+    val streamed = DocumentStreams.streamedMinhashSignatures(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toSet
+    val batch = Dedup.minhashSignatures(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streamedSessions emits exactly the finite-replay-deterministic set") {
+    val gapMs = 30 * 60 * 1000L
+    val events = Tables.events(spark, sfDir)
+      .select($"user_id", $"ts", $"value")
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    val maxTs = events.map(_._2.getTime).max
+    val watermark = maxTs - gapMs // 30 min delay
+    // batch sessionization per user (gap >= 30 min starts a new session)
+    val expected = events.groupBy(_._1).flatMap { case (user, evs) =>
+      val sorted = evs.sortBy(_._2.getTime)
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, java.sql.Timestamp, Double)]]) {
+        case (acc, e) =>
+          if (acc.nonEmpty && e._2.getTime - acc.last.last._2.getTime < gapMs)
+            acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+      }
+      // emission rules at FULL event-time precision; the reported
+      // last_ts is second-truncated (the operator formats to seconds)
+      sessions.zipWithIndex.collect {
+        case (s, i) if i < sessions.length - 1 || s.last._2.getTime + gapMs < watermark =>
+          (user, s.length.toLong, s.last._2.getTime / 1000L * 1000L)
+      }
+    }.toSet
+    val got = EventStreams.streamedSessions(spark, sfDir)
+      .select($"user_id", $"n_events", unix_millis(to_timestamp($"last_ts")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+}
