@@ -86,35 +86,25 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Shingle hash: the oracle path is the codegen'd rolling polynomial
-    * (base-31 mod 1e9+7 over code points — reproducible in DuckDB via
-    * list_reduce/ord, already differentially proven by q_fingerprint);
-    * the production path is xxhash64 folded to 32 bits. Round 2 used an
-    * md5 digest prefix for the oracle path; the isolated re-measure the
-    * judge asked for put the digest tax at ~2.7× the xx twin (6.6 s vs
-    * 2.5 s at sf0.1), and a polynomial over an 8-char shingle costs
-    * roughly what xxhash64 does while keeping engine portability.
+  /** Full MinHash signature as one array column — the per-row codegen
+    * expression ([[org.apache.spark.sql.graft.MinhashExpressions]]).
+    * Shingle hash parity: the oracle path is the codegen'd rolling
+    * polynomial (base-31 mod 1e9+7 over code points — reproducible in
+    * DuckDB via list_reduce/ord, already differentially proven by
+    * q_fingerprint); the production path is xxhash64 folded to 32 bits.
     */
-  private def shingleHash32(c: Column, prodHash: Boolean): Column =
-    if (prodHash) pmod(xxhash64(c), lit(1L << 32)) else rollingFingerprint(c)
+  def minhashSignatureArray(text: Column, prodHash: Boolean): Column =
+    org.apache.spark.sql.graft.MinhashExpressions
+      .minhashSigCol(normalized(text), ShingleK, prodHash)
 
-  /** Per-document DISTINCT shingle hashes, exploded: (doc_id, h).
-    * Deduplication happens per row via `array_distinct` (narrow — no
-    * shuffle); a corpus-wide `distinct()` here would shuffle every
-    * (doc, shingle) occurrence, and MinHash's min() never needed it
-    * (min over a multiset equals min over its set). This was round 1's
-    * single most expensive shuffle, deleted for free.
-    */
-  private def shingleHashes(docs: DataFrame, prodHash: Boolean): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(array_distinct(charShingles(normalized(col("text")), ShingleK))).as("sh"))
-      .select(col("doc_id"), shingleHash32(col("sh"), prodHash).as("h"))
-
-  /** MinHash signature per document: one hash per shingle, then NumHashes
-    * affine family members min'd in a single groupBy(doc_id) — one
-    * shuffle total, and map-side partial min ships only NumHashes longs
-    * per document per partition.
+  /** MinHash signature per document — a pure PER-ROW function (min over
+    * the shingle multiset equals min over the set), computed by one
+    * codegen expression. Rounds 1-7 formulated this as explode(shingles)
+    * → hash → groupBy(doc_id).agg(64 mins); that shuffles one row per
+    * (doc, shingle) occurrence for a computation that never needed to
+    * leave its row. The narrow form ships zero intermediate rows, keeps
+    * the whole signature inside whole-stage codegen, and is what makes
+    * the streaming ingest twin stateless.
     */
   def minhashSignatures(spark: SparkSession, dir: String,
                         prodHash: Boolean = false): DataFrame =
@@ -131,11 +121,11 @@ object Dedup {
     * graded q_minhash_signatures output pays for an orderBy now.
     */
   private[graft] def minhashSignaturesUnsorted(docs: DataFrame, prodHash: Boolean): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(pmod(lit(hashA(i)) * col("h") + lit(hashB(i)), lit(HashP))).as(s"mh$i"))
-    shingleHashes(docs, prodHash)
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    val unpack = (0 until NumHashes).map(i =>
+      element_at(col("sig"), i + 1).as(s"mh$i"))
+    docs
+      .select(col("doc_id"), minhashSignatureArray(col("text"), prodHash).as("sig"))
+      .select(col("doc_id") +: unpack: _*)
   }
 
   /** LSH banding: band key = (band index, hash of the band's signature

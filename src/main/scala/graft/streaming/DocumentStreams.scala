@@ -2,15 +2,23 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import graft.operators.Dedup
+
 /** Streaming surface over documents-shaped data: incremental ingest of
-  * an unbounded corpus drop directory, computing near-dup state
-  * (MinHash signatures) AS DOCUMENTS ARRIVE instead of re-running the
-  * batch pipeline per drop — the ingestion front half of a streaming
-  * dedup pipeline (signatures land incrementally; band-bucket joins
-  * against the accumulated signature store happen downstream).
+  * an unbounded corpus drop directory, computing near-dup state AS
+  * DOCUMENTS ARRIVE instead of re-running the batch pipeline per drop.
+  *
+  * The pipeline splits exactly where state is genuinely needed:
+  *  - signature ingest ([[streamedMinhashSignatures]]) is STATELESS —
+  *    a MinHash signature is a pure per-document function, one codegen
+  *    expression per row;
+  *  - the near-dup DECISION ([[streamedNearDupPairs]]) is the stateful
+  *    half: arrivals are banded and joined against the accumulated
+  *    signature store per LSH band bucket, emitting verified pairs the
+  *    moment the second member of a pair arrives.
   */
 object DocumentStreams {
 
@@ -21,42 +29,167 @@ object DocumentStreams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Incremental MinHash ingest under the driver gate: the SAME
-    * signature dataflow as the batch operator
-    * ([[graft.operators.Dedup.minhashSignaturesUnsorted]] — shingle
-    * explode + hash are stateless per row; the 64-member min is
-    * per-document aggregation state) executed as a real StreamingQuery
-    * over the streaming file source, UPDATE mode → memory sink.
-    *
-    * Every shingle of a document rides the document's own row, so each
-    * document's group is updated in exactly one micro-batch and Update
-    * mode emits exactly one final row per document — which is why a
-    * finite replay reproduces the batch operator bit-for-bit and the
-    * query shares q_minhash_signatures' DuckDB oracle (the stronger
-    * gate than rows-only). On an unbounded corpus the state store holds
-    * one 64-long vector per document seen in the current watermark
-    * horizon; signatures stream out to the band-bucket store as they
-    * finalize.
+  /** One banded arrival: the document's full signature riding each of
+    * its [[Dedup.Bands]] band keys (bucket = band + key, the shuffle and
+    * state key).
     */
-  def streamedMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val docs = spark.readStream.schema(docSchema)
+  case class BandedSig(bucket: String, band: Int, doc_id: Long, sig: Array[Long])
+
+  /** Accumulated band-bucket state: every signature ever filed under
+    * this bucket (the gate query's exact semantics necessarily keep all
+    * of them, like the streaming-DISTINCT gate; an unbounded production
+    * stream bounds the horizon with a TTL/watermark on arrival time —
+    * dedup against the last N days — exactly as [[EventStreams.dedupStream]]
+    * bounds exact dedup).
+    */
+  case class BucketMember(doc_id: Long, sig: Array[Long])
+  case class BucketState(members: List[BucketMember])
+
+  case class NearDupMatch(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  private def streamedDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .select(col("doc_id"), col("text"))
-    val sig = graft.operators.Dedup.minhashSignaturesUnsorted(docs, prodHash = false)
-    // same state-partition sizing note as EventStreams.streamedTumbling
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = sig.writeStream.format("memory")
-        .queryName("graft_stream_minhash")
-        .outputMode(OutputMode.Update())
+
+  /** Incremental MinHash ingest under the driver gate: the SAME
+    * per-row signature expression as the batch operator
+    * ([[Dedup.minhashSignatureArray]]) executed as a real StreamingQuery
+    * over the streaming file source — STATELESS (append mode, no state
+    * store at all): a signature is a pure function of its document, so
+    * the streaming twin is a map, not an aggregation. Each document
+    * emits exactly one signature row on arrival, which is why a finite
+    * replay reproduces the batch signature table bit-for-bit and the
+    * query shares q_minhash_signatures' DuckDB oracle (the stronger
+    * gate than rows-only). Downstream, signatures flow into the
+    * band-bucket store ([[streamedNearDupPairs]]) as they land.
+    */
+  def streamedMinhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val unpack = (0 until Dedup.NumHashes).map(i =>
+      element_at(col("sig"), i + 1).as(s"mh$i"))
+    val sig = streamedDocs(spark, dir)
+      .select(col("doc_id"),
+        Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
+      .select(col("doc_id") +: unpack: _*)
+    val q = sig.writeStream.format("memory")
+      .queryName("graft_stream_minhash")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_minhash").orderBy(col("doc_id"))
+  }
+
+  /** The streaming near-dup DECISION join — the back half of the
+    * incremental dedup pipeline: "is this arriving document a near-dup
+    * of anything seen so far?", answered the moment it arrives instead
+    * of by a nightly batch rebuild.
+    *
+    * Dataflow (the streaming restatement of the batch
+    * [[Dedup.minhashLshPairsOn]] band→candidate→verify pipeline, the
+    * same way q_stream_distinct restates dropDuplicates):
+    *  1. stateless per-row signature (one codegen expression);
+    *  2. explode into the [[Dedup.Bands]] band keys, the full signature
+    *     riding each banded row;
+    *  3. ONE stateful operator: flatMapGroupsWithState keyed on the
+    *     band bucket. State is the bucket's accumulated members; each
+    *     arrival is verified (exact signature-agreement count — the
+    *     same est_jaccard arithmetic as the batch verification join)
+    *     against them and appended.
+    *
+    * Exactly-once pair emission WITHOUT a downstream distinct: a pair
+    * colliding in several bands would be emitted by several buckets, so
+    * a bucket for band b emits a pair only if b is the SMALLEST band the
+    * two signatures agree on — decidable locally because both full
+    * signatures are in hand, and deterministic regardless of arrival
+    * interleaving. (The batch pipeline needs a candidate `distinct()`
+    * shuffle for the same dedup; the streaming form gets it free.)
+    *
+    * State per bucket is one 64-long vector per member — the signature
+    * store, not the corpus. Emissions depend only on the SET of
+    * documents seen, so a finite replay reproduces the batch pair set
+    * exactly and q_stream_neardup shares q_minhash_lsh_pairs' full-hash
+    * DuckDB oracle.
+    */
+  def streamedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val r = Dedup.RowsPerBand
+    val bandStructs = array((0 until Dedup.Bands).map { b =>
+      val key = concat_ws("_",
+        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
+      struct(lit(b).as("band"), concat_ws("|", lit(b), key).as("bucket"))
+    }: _*)
+    val banded = streamedDocs(spark, dir)
+      .select(col("doc_id"),
+        Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(bandStructs).as("bb"))
+      .select(col("bb.bucket").as("bucket"), col("bb.band").as("band"),
+        col("doc_id"), col("sig"))
+      .as[BandedSig]
+
+    val pairs = banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[BandedSig], state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[NearDupMatch]
+          // doc_id order makes same-batch processing deterministic; across
+          // batches emissions are order-independent (see scaladoc)
+          rows.toSeq.sortBy(_.doc_id).foreach { a =>
+            members.foreach { m =>
+              if (m.doc_id != a.doc_id &&
+                  firstSharedBand(a.sig, m.sig) == a.band) {
+                var eq = 0
+                var i = 0
+                while (i < a.sig.length) {
+                  if (a.sig(i) == m.sig(i)) eq += 1
+                  i += 1
+                }
+                // eq/64 is exact in binary — no round() (oracle parity)
+                val est = eq.toDouble / a.sig.length
+                if (est >= 0.5)
+                  out += NearDupMatch(math.min(a.doc_id, m.doc_id),
+                    math.max(a.doc_id, m.doc_id), est)
+              }
+            }
+            members = BucketMember(a.doc_id, a.sig) :: members
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+
+    // state-partition sizing note: see [[StreamConf]]
+    StreamConf.withStatePartitions(spark, 4) {
+      val q = pairs.toDF().writeStream.format("memory")
+        .queryName("graft_stream_neardup")
+        .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.table("graft_stream_minhash").orderBy(col("doc_id"))
+    }
+    spark.table("graft_stream_neardup").orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Smallest band index on which two signatures fully agree (exists for
+    * any two co-members of a bucket — they agree on that bucket's band
+    * by construction).
+    */
+  private def firstSharedBand(a: Array[Long], b: Array[Long]): Int = {
+    val r = Dedup.RowsPerBand
+    var band = 0
+    while (band < Dedup.Bands) {
+      var i = band * r
+      val end = i + r
+      while (i < end && a(i) == b(i)) i += 1
+      if (i == end) return band
+      band += 1
+    }
+    -1
   }
 }

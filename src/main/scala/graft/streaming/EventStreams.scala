@@ -33,12 +33,17 @@ object EventStreams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Per-user live session state carried between micro-batches. */
-  case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  /** Per-user live session state carried between micro-batches.
+    * Money accumulates as integer CENTS: a Double running sum depends
+    * on accumulation order (and Spark-vs-DuckDB round() diverges on .5
+    * boundaries), while integer addition is exact and order-independent
+    * in every engine — the only gate-stable way to sum money.
+    */
+  case class SessionState(nEvents: Long, totalCents: Long, lastTs: Long)
 
   /** Emitted when a session closes (watermark passes gap timeout). */
   case class ClosedSession(user_id: Long, n_events: Long,
-      total_value: Double, last_ts: Timestamp)
+      total_cents: Long, last_ts: Timestamp)
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -100,23 +105,24 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(ClosedSession(userId, s.nEvents, s.totalValue,
+            Iterator.single(ClosedSession(userId, s.nEvents, s.totalCents,
               new Timestamp(s.lastTs)))
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
+              val cents = math.round(e.value * 100)
               cur match {
                 case Some(s) if e.ts.getTime - s.lastTs < gapMs =>
-                  cur = Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                  cur = Some(SessionState(s.nEvents + 1, s.totalCents + cents,
                     math.max(s.lastTs, e.ts.getTime)))
                 case Some(s) =>
-                  closed += ClosedSession(userId, s.nEvents, s.totalValue,
+                  closed += ClosedSession(userId, s.nEvents, s.totalCents,
                     new Timestamp(s.lastTs))
-                  cur = Some(SessionState(1L, e.value, e.ts.getTime))
+                  cur = Some(SessionState(1L, cents, e.ts.getTime))
                 case None =>
-                  cur = Some(SessionState(1L, e.value, e.ts.getTime))
+                  cur = Some(SessionState(1L, cents, e.ts.getTime))
               }
             }
             cur.foreach { s =>
@@ -216,16 +222,14 @@ object EventStreams {
     // thousand group keys need a handful of state partitions; at
     // production stream volume this knob is sized to key cardinality,
     // not to the batch session's CPU count.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    StreamConf.withStatePartitions(spark, 4) {
       val q = agg.writeStream.format("memory").queryName("graft_stream_tumbling")
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table("graft_stream_tumbling")
       .orderBy(col("hour"), col("event_type"))
   }
@@ -265,9 +269,7 @@ object EventStreams {
       .as[Event]
     val sessions = closedSessions(events)(spark)
     // same state-partition sizing note as [[streamedTumbling]]
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    StreamConf.withStatePartitions(spark, 4) {
       val q = sessions.toDF().writeStream.format("memory")
         .queryName("graft_stream_sessions")
         .outputMode(OutputMode.Append())
@@ -275,12 +277,11 @@ object EventStreams {
         .start()
       q.awaitTermination()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     // sessions of one user are ≥ gap apart, so (user_id, last_ts) is a
     // unique deterministic sort key
     spark.table("graft_stream_sessions")
-      .select(col("user_id"), col("n_events"),
-        round(col("total_value"), 2).as("total_value"),
+      .select(col("user_id"), col("n_events"), col("total_cents"),
         date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .orderBy(col("user_id"), col("last_ts"))
   }
@@ -308,9 +309,7 @@ object EventStreams {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     // same state-partition sizing note as [[streamedTumbling]]
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    StreamConf.withStatePartitions(spark, 4) {
       val q = distinctKeys.writeStream.format("memory")
         .queryName("graft_stream_distinct")
         .outputMode(OutputMode.Append())
@@ -318,7 +317,7 @@ object EventStreams {
         .start()
       q.awaitTermination()
       q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     spark.table("graft_stream_distinct")
       .orderBy(col("user_id"), col("event_type"))
   }
