@@ -1114,7 +1114,10 @@ object SparkEntry {
     // finite-replay emission rules (see EventStreams.streamedSessions):
     // every non-final session per user, plus final sessions whose
     // event-time timeout (last_ts + gap) the terminal watermark
-    // (max ts - delay) has passed
+    // (max ts - delay) has passed. Money parity: the state function
+    // accumulates integer cents (math.round(value*100) per event), so
+    // the oracle sums per-event rounded cents — round-of-sum would be a
+    // DIFFERENT number, not just a different column name.
     "q_stream_sessions" ->
       """WITH flagged AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -1124,11 +1127,11 @@ object SparkEntry {
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM flagged),
         |agg AS (SELECT user_id, max(ts) AS sess_last, count(*) AS n_events,
-        |  round(sum(value),2) AS total_value
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS total_cents
         |  FROM sess GROUP BY user_id, sid),
         |agg2 AS (SELECT *, max(sess_last) OVER (PARTITION BY user_id) AS user_last FROM agg),
         |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
-        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, total_value,
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, total_cents,
         |  strftime(sess_last, '%Y-%m-%d %H:%M:%S') AS last_ts
         |FROM agg2, wm
         |WHERE sess_last < user_last OR sess_last + INTERVAL 30 MINUTE < w
