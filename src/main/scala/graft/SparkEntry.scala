@@ -186,6 +186,10 @@ object SparkEntry {
     // incremental MinHash ingest: signatures computed as documents
     // arrive; shares the batch signature oracle (bit-identical result)
     "q_stream_minhash"  -> (graft.streaming.DocumentStreams.streamedMinhashSignatures _),
+    // the streaming near-dup DECISION join (band-bucket state store);
+    // emissions depend only on the document set, so a finite replay
+    // reproduces the batch pair set and shares its full-hash oracle
+    "q_stream_neardup"  -> (graft.streaming.DocumentStreams.streamedNearDupPairs _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -860,6 +864,10 @@ object SparkEntry {
     // write→read-back of the materialized pair graph must be value-
     // identical to recomputing the pairs directly
     "q_neardup_graph" -> s"$lshPairsSql ORDER BY id_a, id_b",
+    // streaming arrivals joined against the accumulated band-bucket
+    // store emit exactly the batch pair set (first-shared-band rule
+    // dedups across buckets; see DocumentStreams.streamedNearDupPairs)
+    "q_stream_neardup" -> s"$lshPairsSql ORDER BY id_a, id_b",
     "q_lsh_multiprobe" -> lshMultiProbeSql,
     "q_recursive_reach" ->
       s"""WITH RECURSIVE pairs0 AS ($lshPairsSql),

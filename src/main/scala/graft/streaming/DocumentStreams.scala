@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -116,53 +116,7 @@ object DocumentStreams {
     */
   def streamedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import spark.implicits._
-    val r = Dedup.RowsPerBand
-    val bandStructs = array((0 until Dedup.Bands).map { b =>
-      val key = concat_ws("_",
-        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
-      struct(lit(b).as("band"), concat_ws("|", lit(b), key).as("bucket"))
-    }: _*)
-    val banded = streamedDocs(spark, dir)
-      .select(col("doc_id"),
-        Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
-      .select(col("doc_id"), col("sig"), explode(bandStructs).as("bb"))
-      .select(col("bb.bucket").as("bucket"), col("bb.band").as("band"),
-        col("doc_id"), col("sig"))
-      .as[BandedSig]
-
-    val pairs = banded
-      .groupByKey(_.bucket)
-      .flatMapGroupsWithState[BucketState, NearDupMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[BandedSig], state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
-          var members = state.getOption.map(_.members).getOrElse(Nil)
-          val out = List.newBuilder[NearDupMatch]
-          // doc_id order makes same-batch processing deterministic; across
-          // batches emissions are order-independent (see scaladoc)
-          rows.toSeq.sortBy(_.doc_id).foreach { a =>
-            members.foreach { m =>
-              if (m.doc_id != a.doc_id &&
-                  firstSharedBand(a.sig, m.sig) == a.band) {
-                var eq = 0
-                var i = 0
-                while (i < a.sig.length) {
-                  if (a.sig(i) == m.sig(i)) eq += 1
-                  i += 1
-                }
-                // eq/64 is exact in binary — no round() (oracle parity)
-                val est = eq.toDouble / a.sig.length
-                if (est >= 0.5)
-                  out += NearDupMatch(math.min(a.doc_id, m.doc_id),
-                    math.max(a.doc_id, m.doc_id), est)
-              }
-            }
-            members = BucketMember(a.doc_id, a.sig) :: members
-          }
-          state.update(BucketState(members))
-          out.result().iterator
-      }
-
+    val pairs = nearDupPairStream(streamedDocs(spark, dir))(spark)
     // state-partition sizing note: see [[StreamConf]]
     StreamConf.withStatePartitions(spark, 4) {
       val q = pairs.toDF().writeStream.format("memory")
@@ -174,6 +128,64 @@ object DocumentStreams {
       q.stop()
     }
     spark.table("graft_stream_neardup").orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The streaming TRANSFORM half of [[streamedNearDupPairs]], factored
+    * over any streaming (doc_id, text) frame so a MemoryStream replay
+    * can pin batch parity and re-delivery idempotence without the file
+    * source.
+    */
+  def nearDupPairStream(docs: DataFrame)(implicit spark: SparkSession): Dataset[NearDupMatch] = {
+    import spark.implicits._
+    val r = Dedup.RowsPerBand
+    val bandStructs = array((0 until Dedup.Bands).map { b =>
+      val key = concat_ws("_",
+        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
+      struct(lit(b).as("band"), concat_ws("|", lit(b), key).as("bucket"))
+    }: _*)
+    val banded = docs
+      .select(col("doc_id"),
+        Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(bandStructs).as("bb"))
+      .select(col("bb.bucket").as("bucket"), col("bb.band").as("band"),
+        col("doc_id"), col("sig"))
+      .as[BandedSig]
+
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[BandedSig], state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+          val out = List.newBuilder[NearDupMatch]
+          // doc_id order makes same-batch processing deterministic; across
+          // batches emissions are order-independent (see scaladoc)
+          rows.toSeq.sortBy(_.doc_id).foreach { a =>
+            // a re-delivered doc_id (file re-drop, restart replay) is
+            // already in state with the identical signature — storing a
+            // second copy would make later arrivals emit its pairs twice
+            if (!members.exists(_.doc_id == a.doc_id)) {
+              members.foreach { m =>
+                if (firstSharedBand(a.sig, m.sig) == a.band) {
+                  var eq = 0
+                  var i = 0
+                  while (i < a.sig.length) {
+                    if (a.sig(i) == m.sig(i)) eq += 1
+                    i += 1
+                  }
+                  // eq/64 is exact in binary — no round() (oracle parity)
+                  val est = eq.toDouble / a.sig.length
+                  if (est >= 0.5)
+                    out += NearDupMatch(math.min(a.doc_id, m.doc_id),
+                      math.max(a.doc_id, m.doc_id), est)
+                }
+              }
+              members = BucketMember(a.doc_id, a.sig) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
   }
 
   /** Smallest band index on which two signatures fully agree (exists for

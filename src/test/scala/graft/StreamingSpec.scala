@@ -93,10 +93,11 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       input.addData(ev(5, "2024-01-01 05:00:00", 3, "click", 0.5))
       q.processAllAvailable()
       val got = spark.table("t_closed").as[ClosedSession].collect().toSet
+      // total_cents: sums of math.round(value*100) per event
       assert(got === Set(
-        ClosedSession(1L, 2L, 3.0, ts("2024-01-01 00:10:00")),
-        ClosedSession(1L, 1L, 4.0, ts("2024-01-01 03:00:00")),
-        ClosedSession(2L, 1L, 8.0, ts("2024-01-01 00:05:00"))))
+        ClosedSession(1L, 2L, 300L, ts("2024-01-01 00:10:00")),
+        ClosedSession(1L, 1L, 400L, ts("2024-01-01 03:00:00")),
+        ClosedSession(2L, 1L, 800L, ts("2024-01-01 00:05:00"))))
     } finally q.stop()
   }
 
