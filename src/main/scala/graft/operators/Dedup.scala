@@ -442,13 +442,28 @@ object Dedup {
     } finally { docSets.unpersist(); () }
   }
 
-  /** On-disk home of the materialized near-dup pair graph (under
-    * target/ like the sink round-trip scratch datasets; overwritten
-    * when a session first touches a corpus).
+  /** On-disk home of one corpus's materialized near-dup pair graph:
+    * a per-corpus directory (keyed by a fingerprint of the source path)
+    * under the conf-derived scratch root, so two corpora touched by one
+    * session get independent pair files instead of thrashing one slot.
     */
-  val PairsDir = "/root/repo/target/tmp/neardup_pairs"
+  def pairsDir(spark: SparkSession, dir: String): String =
+    graft.sources.Scratch.dir(spark,
+      s"neardup_pairs/${scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7FFFFFFF}")
 
-  @volatile private var pairsMaterializedFor: Option[String] = None
+  private val pairsMaterialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Pair-file bucket count derived from the pair count: ~5M narrow
+    * (24-byte) pair rows per bucket targets ~128 MB files, with a floor
+    * of 4 so a small corpus still exercises the partitioned layout.
+    * Deterministic in the pair count — no pinned layout constant to
+    * outgrow (a billion-pair graph gets ~200 buckets, sf0.1's 25 pairs
+    * get 4).
+    */
+  private[graft] def pairBuckets(nPairs: Long): Long =
+    math.max(4L, (nPairs + PairRowsPerBucket - 1) / PairRowsPerBucket)
+  private val PairRowsPerBucket = 5L * 1000 * 1000
 
   /** The near-dup pair graph MATERIALIZED once per (session, corpus)
     * and shared by every downstream graph consumer ([[duplicateClusters]],
@@ -465,14 +480,20 @@ object Dedup {
     * value-identical to recomputing — q_neardup_graph puts the
     * write→read-back itself under the oracle gate.
     */
-  def materializedPairs(spark: SparkSession, dir: String): DataFrame = synchronized {
-    if (!pairsMaterializedFor.contains(dir)) {
-      minhashLshPairs(spark, dir)
-        .withColumn("bucket", pmod(col("id_a"), lit(8L)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(PairsDir)
-      pairsMaterializedFor = Some(dir)
+  def materializedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val path = pairsDir(spark, dir)
+    if (!pairsMaterialized.contains(path)) synchronized {
+      if (!pairsMaterialized.contains(path)) {
+        // already localCheckpoint'd by minhashLshPairs, so the count and
+        // the write read the checkpointed blocks, not the LSH pipeline
+        val pairs = minhashLshPairs(spark, dir)
+        val nBuckets = pairBuckets(pairs.count())
+        pairs.withColumn("bucket", pmod(col("id_a"), lit(nBuckets)))
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        pairsMaterialized.add(path)
+      }
     }
-    spark.read.parquet(PairsDir).select(col("id_a"), col("id_b"), col("est_jaccard"))
+    spark.read.parquet(path).select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Duplicate clusters: connected components over the LSH near-dup

@@ -167,10 +167,11 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** On-disk home of the cell-partitioned corpus (under target/ like
-    * the sink round-trip scratch datasets; overwritten per run).
+  /** On-disk home of the cell-partitioned corpus (conf-derived like the
+    * sink round-trip scratch datasets; overwritten per run).
     */
-  val IvfLayoutDir = "/root/repo/target/tmp/ivf_layout"
+  def ivfLayoutDir(spark: SparkSession): String =
+    graft.sources.Scratch.dir(spark, "ivf_layout")
 
   /** The IVF layout MATERIALIZED: the corpus is WRITTEN partitioned by
     * its fitted k-means cell, and a probe is a partition-PRUNED read —
@@ -204,10 +205,11 @@ object Similarity {
     // normalization pass — eagerly materialize the tiny frame
     // (queries × probes rows) so the second consumption is a local scan
     val probeCells = probeCells0.localCheckpoint()
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(IvfLayoutDir)
+    val layoutDir = ivfLayoutDir(spark)
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val layout = spark.read.parquet(IvfLayoutDir)
+    val layout = spark.read.parquet(layoutDir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     ivfSearch(layout, probeCells)
   }

@@ -16,16 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Scratch dataset location — under target/ so it never pollutes the
-    * repo tree; overwritten per run.
+  /** Scratch dataset location — conf-derived ([[Scratch]]); overwritten
+    * per run.
     */
-  val RoundTripDir = "/root/repo/target/tmp/sink_roundtrip"
+  def roundTripDir(spark: SparkSession): String =
+    Scratch.dir(spark, "sink_roundtrip")
 
   def partitionedRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir)
       .write.mode("overwrite")
       .partitionBy("o_orderstatus")
-      .parquet(RoundTripDir)
+      .parquet(roundTripDir(spark))
     readBack(spark)
   }
 
@@ -34,7 +35,7 @@ object Sinks {
     * non-matching partitions from the scan).
     */
   def readBack(spark: SparkSession): DataFrame =
-    spark.read.parquet(RoundTripDir)
+    spark.read.parquet(roundTripDir(spark))
       .filter(col("o_orderstatus") === "F") // partition-pruned, never scanned
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
@@ -66,7 +67,7 @@ object Sinks {
     * exactly or the oracle hash breaks.
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/tmp/csv_roundtrip"
+    val out = Scratch.dir(spark, "csv_roundtrip")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"))
@@ -87,7 +88,7 @@ object Sinks {
     * explicit schema — inference would re-scan and can widen types.
     */
   def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/tmp/json_roundtrip"
+    val out = Scratch.dir(spark, "json_roundtrip")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderpriority"), col("o_totalprice"))
@@ -106,7 +107,7 @@ object Sinks {
     * longs/doubles so it shares the exact-aggregate contract.
     */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = "/root/repo/target/tmp/orc_roundtrip"
+    val out = Scratch.dir(spark, "orc_roundtrip")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.mode("overwrite").orc(out)
@@ -130,12 +131,14 @@ object Sinks {
     * nightly snapshot-maintenance shape: merge → partitioned overwrite
     * → consumers prune to the partitions they need.
     */
-  val MergeDir = "/root/repo/target/tmp/merge_roundtrip"
+  def mergeDir(spark: SparkSession): String =
+    Scratch.dir(spark, "merge_roundtrip")
 
   def mergeRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = mergeDir(spark)
     graft.operators.Relational.mergeUpsert(spark, dir)
-      .write.mode("overwrite").partitionBy("action").parquet(MergeDir)
-    spark.read.parquet(MergeDir)
+      .write.mode("overwrite").partitionBy("action").parquet(out)
+    spark.read.parquet(out)
       .filter(col("action") === "update") // partition-pruned, never scanned
       .select(col("custkey"), col("n_orders"), col("total_value"),
         col("last_order"))

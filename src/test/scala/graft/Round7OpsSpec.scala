@@ -20,11 +20,17 @@ class Round7OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .as[(Long, Long, Double)].collect().toSet
     assert(mat === direct)
     // second call must come from the parquet, not a rebuild: the pair
-    // file exists and the frame reads from PairsDir
-    assert(new java.io.File(Dedup.PairsDir).exists())
+    // file exists and the frame reads from the corpus's pairs dir
+    // (the conf-derived path may carry a file: scheme)
+    val pairsPath = new java.net.URI(Dedup.pairsDir(spark, sfDir)).getPath
+    assert(new java.io.File(pairsPath).exists())
     val plan = Dedup.materializedPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("neardup_pairs"), s"not a file read-back:\n$plan")
+    // a rebuild would show the LSH join pipeline; the read-back is one
+    // parquet scan rooted in the scratch dir (the pairs-dir suffix may
+    // be truncated out of the plan's location string)
+    assert(plan.contains("FileScan parquet") && plan.contains("graft_scratch"),
+      s"not a file read-back:\n$plan")
   }
 
   test("dedupCells scales ~sqrt(N) with a floor of 4") {

@@ -22,6 +22,30 @@ class Round9OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.nonEmpty) // the fixture corpus has planted near-dups
   }
 
+  test("pair-file bucket count scales with the pair count, floor 4") {
+    assert(Dedup.pairBuckets(0L) === 4L)
+    assert(Dedup.pairBuckets(25L) === 4L)
+    assert(Dedup.pairBuckets(20L * 1000 * 1000) === 4L)
+    assert(Dedup.pairBuckets(100L * 1000 * 1000) === 20L)
+    assert(Dedup.pairBuckets(1000L * 1000 * 1000) === 200L)
+  }
+
+  test("pair-graph cache is keyed per corpus (no thrash on alternation)") {
+    val other = "/root/testdata/sf0.01"
+    val d1 = Dedup.pairsDir(spark, sfDir)
+    val d2 = Dedup.pairsDir(spark, other)
+    assert(d1 !== d2)
+    val n1 = Dedup.materializedPairs(spark, sfDir).count()
+    val n2 = Dedup.materializedPairs(spark, other).count()
+    // alternating back must read the first corpus's file, not rebuild
+    // over it — both per-corpus directories coexist on disk (the
+    // conf-derived paths may carry a file: scheme)
+    assert(Dedup.materializedPairs(spark, sfDir).count() === n1)
+    assert(new java.io.File(new java.net.URI(d1).getPath).exists())
+    assert(new java.io.File(new java.net.URI(d2).getPath).exists())
+    assert(n2 !== 0L)
+  }
+
   test("re-delivered documents are idempotent in the bucket store") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
