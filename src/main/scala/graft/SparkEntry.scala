@@ -143,6 +143,10 @@ object SparkEntry {
     // by fitted cell, probe = partition-pruned read-back (plan-asserted);
     // same model/search as q_knn_ivf → identical rows (SimilaritySpec)
     "q_knn_ivf_pruned"  -> ((s: SparkSession, dir: String) => Similarity.ivfKnnMaterialized(s, dir)),
+    // NSW-style graph ANN: navigable neighbor graph (blocked proximity
+    // links + hash-ring shortcuts) searched by batch beam expansion;
+    // approximate -> rows-only, recall floors held by SimilaritySpec
+    "q_knn_graph"       -> (Similarity.graphKnn _),
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),

@@ -214,6 +214,136 @@ object Similarity {
     ivfSearch(layout, probeCells)
   }
 
+  // ——— graph ANN (NSW-style) ———
+
+  val GraphM = 8        // proximity out-degree per node
+  val GraphBeam = 24    // search beam width per query
+  val GraphHops = 5     // beam-expansion rounds
+  val GraphEntries = 8  // deterministic global entry points
+  private val LongLinkGroup = 32L // target nodes per hash-ring group
+
+  /** Build the navigable neighbor graph over (vec_id, embedding) —
+    * the flat single-layer core of HNSW. (HNSW's hierarchy exists to
+    * cut the O(log N) descent a SINGLE pointer-chasing searcher pays
+    * per query; a batch engine amortizes that differently — one
+    * edge-table scan per hop serves the whole query batch — so the
+    * layer worth keeping is the navigable base graph.)
+    *
+    * Two link families, unioned:
+    *  - PROXIMITY links: top-[[GraphM]] cosine neighbors within
+    *    deterministic coarse blocks (each node assigned to its TWO
+    *    nearest of ~√N centroid blocks, so boundary neighbors still
+    *    pair — same blocking arithmetic as [[embeddingDedup]], ~N^1.5
+    *    total pair work at any corpus size, never N²).
+    *  - LONG-RANGE links: two hash-ordered ring families — nodes are
+    *    grouped by pmod(xxhash64(vec_id, salt), N/32) and chained in
+    *    hash order within each group (wrapping). A pure-proximity k-NN
+    *    graph over clustered data is a disconnected archipelago no
+    *    beam search can cross; two independent pseudo-random rings
+    *    make the union connected with high probability, NSW's small-
+    *    world shortcut property, WITHOUT a global sort — grouping is
+    *    one hash-keyed shuffle, so the build holds at corpus scale.
+    */
+  private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame): DataFrame = {
+    val n = e.count() // O(1) sizing metadata, same class as ivfAssignments
+    val nCells = dedupCells(n)
+    val centroids = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val bw = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))
+    val blocks = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        sqDist(col("embedding"), col("c_emb")).as("d"))
+      .withColumn("r", row_number().over(bw))
+      .filter(col("r") <= 2)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("blk"))
+    val a = blocks.as("a")
+    val b = blocks.as("b")
+    val pw = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    val proximity = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .dropDuplicates("src", "dst") // a pair can share both blocks
+      .withColumn("r", row_number().over(pw))
+      .filter(col("r") <= GraphM)
+      .select(col("src"), col("dst"))
+    val nGroups = math.max(1L, n / LongLinkGroup)
+    val rings = (1 to 2).map { salt =>
+      val grouped = e.select(col("vec_id"),
+        pmod(xxhash64(col("vec_id"), lit(salt)), lit(nGroups)).as("grp"),
+        xxhash64(col("vec_id"), lit(salt + 100)).as("ord"))
+      val rw = Window.partitionBy(col("grp")).orderBy(col("ord"), col("vec_id"))
+      grouped
+        .withColumn("nxt", lead(col("vec_id"), 1).over(rw))
+        .withColumn("wrap", first(col("vec_id")).over(
+          rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("vec_id").as("src"),
+          coalesce(col("nxt"), col("wrap")).as("dst"))
+        .filter(col("src") =!= col("dst")) // 1-node group has no link
+    }.reduce(_ unionByName _)
+    proximity.unionByName(rings).dropDuplicates("src", "dst")
+  }
+
+  /** Batch beam search over the navigable graph: every query starts at
+    * the same [[GraphEntries]] deterministic entry nodes, then
+    * [[GraphHops]] rounds of expand-score-prune — frontier nodes'
+    * out-edges are followed, the neighbors scored against the query,
+    * and the best [[GraphBeam]] of (beam ∪ neighbors) survive. Scores
+    * only improve monotonically, so a fixed hop count needs no visited
+    * set. Each round is two joins of the TINY beam (queries × beam
+    * rows, broadcast) against the edge and corpus tables — the batch
+    * restatement of HNSW's pointer chase, amortizing each edge-table
+    * scan over the whole query batch. Beams are localCheckpoint'd per
+    * round (driver-side loop is control flow only; beam data never
+    * leaves the cluster — the [[graft.operators.Dedup.duplicateClusters]]
+    * iteration pattern).
+    *
+    * Approximate by construction (rows-only gate, like q_knn_ivf);
+    * SimilaritySpec holds recall@5 ≥ 0.8 on clustered data and the
+    * structureless-fixture floor, and asserts approximate sims never
+    * beat the exact top-1.
+    */
+  def graphKnn(spark: SparkSession, dir: String): DataFrame =
+    graphKnnOn(spark, Tables.embeddings(spark, dir))
+
+  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = graphAnnEdges(spark, e).persist(StorageLevel.MEMORY_AND_DISK)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val score = cosine(col("q_emb"), col("embedding")).as("sim")
+    var beam = corpus.filter(col("n_id") < GraphEntries)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("n_id"), score)
+      .localCheckpoint()
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    for (_ <- 1 to GraphHops) {
+      val neighbors = edges
+        .join(broadcast(beam.select(col("q_id"), col("n_id").as("src"))), "src")
+        .select(col("q_id"), col("dst").as("n_id"))
+        .dropDuplicates("q_id", "n_id")
+        .join(corpus, "n_id")
+        .join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("n_id"), score)
+      beam = beam.unionByName(neighbors)
+        .dropDuplicates("q_id", "n_id") // identical sim on both sides
+        .withColumn("r", row_number().over(rankW))
+        .filter(col("r") <= GraphBeam)
+        .drop("r")
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    corpus.unpersist()
+    beam.filter(col("q_id") =!= col("n_id"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Array-function surface over the embedding column: size, element
     * access, subsequence stats — the scalar array ops a feature
     * pipeline leans on (all codegen'd builtins, no shuffle until the

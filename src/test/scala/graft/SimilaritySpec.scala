@@ -94,6 +94,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pf.contains("cell"), s"partition filter does not prune cell: $pf")
   }
 
+  test("graphKnn: approximate sims never beat exact top-1") {
+    val exact = byQuery(Similarity.bruteForceKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+    val approx = byQuery(Similarity.graphKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+    assert(approx.size === Similarity.NumQueries)
+    approx.foreach { case (q, ns) =>
+      assert(ns.length === Similarity.K)
+      val bestExact = exact(q).map(_._4).max
+      ns.foreach { case (_, _, _, sim) => assert(sim <= bestExact + 1e-9) }
+      assert(!ns.exists(_._3 == q), "self excluded")
+    }
+  }
+
+  test("graphKnn: recall@5 >= 0.8 on clustered data (graph navigability)") {
+    // same planted-cluster corpus as the IVF quality test; the beam
+    // must CROSS clusters via the ring shortcuts to reach queries
+    // whose cluster holds no entry point
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val points = (0 until 720).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val e = points.toDF("vec_id", "embedding")
+    val exact = byQuery(Similarity.bruteForceKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val graph = byQuery(Similarity.graphKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, x) =>
+      (graph.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    info(f"graphKnn clustered recall@5 = $avg%.3f")
+    assert(avg >= 0.8, f"avg recall $avg%.2f below navigability floor")
+  }
+
+  test("graphKnn: recall on the (structureless) fixture stays above the plumbing floor") {
+    val exact = byQuery(Similarity.bruteForceKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val graph = byQuery(Similarity.graphKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, x) =>
+      (graph.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    info(f"graphKnn fixture recall@5 = $avg%.3f")
+    assert(avg >= 0.35, f"avg recall $avg%.2f below plumbing floor")
+  }
+
   test("embeddingDedup: canonical pair order and threshold respected") {
     val pairs = Similarity.embeddingDedup(spark, sfDir)
       .as[(Long, Long, Double)].collect()
