@@ -132,6 +132,9 @@ object SparkEntry {
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // benchmark-contamination scan: eval-split shingle overlap vs train
     "q_decontamination" -> (Dedup.decontamination _),
+    // Bloom-prefiltered twin: eval-shingle sketch screens the train
+    // side at the scan; exact join verifies — same oracle proves it
+    "q_decontamination_bloom" -> (Dedup.decontaminationBloom _),
     // fixed-window chunking with stride (context-window prep)
     "q_chunk_documents" -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
     // chunking -> exact dedup over chunk hashes (cross-doc repeated spans)
@@ -194,6 +197,9 @@ object SparkEntry {
     // emissions depend only on the document set, so a finite replay
     // reproduces the batch pair set and shares its full-hash oracle
     "q_stream_neardup"  -> (graft.streaming.DocumentStreams.streamedNearDupPairs _),
+    // stream-stream interval join under the gate (inner-join emission
+    // is not watermark-gated, so finite replay = the batch join)
+    "q_stream_attribution" -> (graft.streaming.EventStreams.streamedAttribution _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -244,6 +250,23 @@ object SparkEntry {
        |FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 24)) AS s
        |  FROM (SELECT doc_id, list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS t
        |    FROM documents))""".stripMargin
+
+  /** Decontamination oracle — shared by q_decontamination and its
+    * Bloom-prefiltered twin (the prefilter is lossless by construction,
+    * so both must hash-match the same exact-join result).
+    */
+  private val decontaminationSql =
+    s"""WITH sp AS (SELECT doc_id,
+       |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, ${h32("text")} % 10 AS b FROM documents)),
+       |sh AS (SELECT doc_id, ${rollSql("sh")} AS hh FROM ($shSql)),
+       |train AS (SELECT DISTINCT hh AS t_hh FROM sh JOIN sp USING(doc_id) WHERE split = 'train'),
+       |ev AS (SELECT sh.doc_id, split, hh FROM sh JOIN sp USING(doc_id) WHERE split <> 'train')
+       |SELECT doc_id, split, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN t_hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  sum(CASE WHEN t_hh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
+       |FROM ev LEFT JOIN train ON hh = t_hh
+       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
   /** MinHash signature CTE body — mirrors Dedup.minhashSignatures: one
     * rolling-polynomial hash per shingle, then the affine family
@@ -821,18 +844,11 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, ${h32("text")} % 10 AS b FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
-    "q_decontamination" ->
-      s"""WITH sp AS (SELECT doc_id,
-         |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT doc_id, ${h32("text")} % 10 AS b FROM documents)),
-         |sh AS (SELECT doc_id, ${rollSql("sh")} AS hh FROM ($shSql)),
-         |train AS (SELECT DISTINCT hh AS t_hh FROM sh JOIN sp USING(doc_id) WHERE split = 'train'),
-         |ev AS (SELECT sh.doc_id, split, hh FROM sh JOIN sp USING(doc_id) WHERE split <> 'train')
-         |SELECT doc_id, split, count(*) AS n_shingles,
-         |  CAST(sum(CASE WHEN t_hh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-         |  sum(CASE WHEN t_hh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS contamination
-         |FROM ev LEFT JOIN train ON hh = t_hh
-         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "q_decontamination" -> decontaminationSql,
+    // the Bloom prefilter is lossless (no false negatives + exact
+    // verify join), so the same oracle grades it — the hash match IS
+    // the losslessness proof
+    "q_decontamination_bloom" -> decontaminationSql,
 
     "q_chunk_documents" -> s"$chunkSql ORDER BY doc_id, chunk_idx",
 
@@ -1122,6 +1138,16 @@ object SparkEntry {
     "q_stream_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  c.event_id AS click_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, p.value AS value
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     // finite-replay emission rules (see EventStreams.streamedSessions):
     // every non-final session per user, plus final sessions whose

@@ -762,7 +762,42 @@ object Dedup {
     decontaminationOn(Tables.documents(spark, dir))
 
   /** Operator form over any (doc_id, text) relation. */
-  def decontaminationOn(docs: DataFrame): DataFrame = {
+  def decontaminationOn(docs: DataFrame): DataFrame =
+    decontaminationWith(docs, (trainSide, _) => trainSide)
+
+  /** Bloom-prefiltered variant: the train side is screened against a
+    * Bloom sketch of the EVAL shingle hashes before the exact
+    * membership join. At 100 TB the train vocabulary dwarfs the eval
+    * benchmark suite by orders of magnitude, and without a prefilter
+    * every distinct train shingle travels through the vocab dedup +
+    * join shuffles; the sketch (bits ∝ eval shingles — bounded model
+    * state, collected and embedded as a literal so the probe is pure
+    * codegen) drops the non-candidate bulk at the SCAN, the explicit
+    * form of the runtime row-level filtering AQE plants when statistics
+    * justify it. Bloom filters have no false negatives and the exact
+    * join still verifies every survivor, so the result is IDENTICAL to
+    * [[decontaminationOn]] — q_decontamination_bloom shares its oracle,
+    * and the gate proves the prefilter lossless.
+    */
+  def decontaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminationBloomOn(Tables.documents(spark, dir))
+
+  def decontaminationBloomOn(docs: DataFrame): DataFrame =
+    decontaminationWith(docs, (trainSide, evalSide) => {
+      import org.apache.spark.sql.graft.BloomExpressions
+      // eval row count is an upper bound on distinct eval shingles —
+      // an oversized sketch only lowers the false-positive rate. 8
+      // bits/item ≈ 2% fpp; the count is O(1) sizing metadata over the
+      // persisted frame, same class as the LSH byte gates.
+      val nEval = evalSide.count()
+      val bloomBytes = evalSide
+        .select(BloomExpressions.bloomFilterAgg(col("hh"), nEval, nEval * 8).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      trainSide.filter(BloomExpressions.mightContain(bloomBytes, col("hh")))
+    })
+
+  private def decontaminationWith(docs: DataFrame,
+      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val bucket = pmod(md5Hash32(col("text")), lit(10))
     // persisted: the train-vocabulary branch and the eval branch both
     // consume the shingle pipeline — without this the corpus scan +
@@ -776,9 +811,10 @@ object Dedup {
       .select(col("doc_id"), col("split"), rollingFingerprint(col("sh")).as("hh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val trainVocab = tagged.filter(col("split") === "train")
+      val evalSide = tagged.filter(col("split") =!= "train")
+      val trainVocab = prefilter(tagged.filter(col("split") === "train"), evalSide)
         .select(col("hh")).distinct().withColumn("hit", lit(1L))
-      tagged.filter(col("split") =!= "train")
+      evalSide
         .join(trainVocab, Seq("hh"), "left")
         .groupBy(col("doc_id"), col("split"))
         .agg(count(lit(1)).as("n_shingles"),

@@ -156,6 +156,45 @@ object EventStreams {
         col("click_id"), col("purchase_ts"), col("value"))
   }
 
+  /** The stream-stream interval join executed under the driver gate:
+    * both sides read through the STREAMING file source (each filtered
+    * to its event type), joined by [[attributionJoin]] as a real
+    * StreamingQuery. A stream-stream INNER join emits each match the
+    * moment both members have arrived — the watermark + time-range
+    * condition exist to EVICT buffered state, not to gate inner-join
+    * output — so a finite replay emits exactly the batch join result
+    * and the query shares a plain-SQL DuckDB oracle. (Contrast the
+    * windowed-agg gate queries, where append-mode emission IS
+    * watermark-gated and the finite-replay rules must be spelled out.)
+    */
+  def streamedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val nanosSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    def side(eventType: String): DataFrame =
+      spark.readStream.schema(nanosSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+    val joined = attributionJoin(side("click"), side("purchase"))
+    // same state-partition sizing note as [[streamedTumbling]]
+    StreamConf.withStatePartitions(spark, 4) {
+      val q = joined.writeStream.format("memory")
+        .queryName("graft_stream_attribution")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
+    spark.table("graft_stream_attribution")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming exactly-once event dedup: drop redundant deliveries of
     * the same event_id while the watermark bounds the dedup state —
     * the ingestion front door of a training-data pipeline (at-least-once

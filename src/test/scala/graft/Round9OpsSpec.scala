@@ -22,6 +22,24 @@ class Round9OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.nonEmpty) // the fixture corpus has planted near-dups
   }
 
+  test("streamed attribution join equals the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val events = graft.tables.Tables.events(spark, sfDir)
+    val p = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("p_ts"), $"value")
+    val c = events.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+    val batch = p.join(c, $"c_user" === $"user_id" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 1 hour"))
+      .select($"purchase_id", $"user_id", $"click_id",
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"), $"value")
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    val streamed = graft.streaming.EventStreams.streamedAttribution(spark, sfDir)
+      .as[(Long, Long, Long, String, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("pair-file bucket count scales with the pair count, floor 4") {
     assert(Dedup.pairBuckets(0L) === 4L)
     assert(Dedup.pairBuckets(25L) === 4L)
@@ -44,6 +62,15 @@ class Round9OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(new java.io.File(new java.net.URI(d1).getPath).exists())
     assert(new java.io.File(new java.net.URI(d2).getPath).exists())
     assert(n2 !== 0L)
+  }
+
+  test("bloom-prefiltered decontamination is lossless vs the exact scan") {
+    val exact = Dedup.decontamination(spark, sfDir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    val bloomed = Dedup.decontaminationBloom(spark, sfDir)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(bloomed === exact)
+    assert(bloomed.nonEmpty)
   }
 
   test("re-delivered documents are idempotent in the bucket store") {
