@@ -102,6 +102,9 @@ object SparkEntry {
     "q_lang_id"         -> (TextAnalysis.langId _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
     "q_repetition"      -> (TextAnalysis.repetitionScore _),
+    // bigram-LM typicality: the statistical quality screen (mean corpus
+    // frequency of a doc's bigrams — integer-exact under the gate)
+    "q_lm_typicality"   -> (TextAnalysis.lmTypicality _),
     "q_pack_sequences"  -> ((s: SparkSession, dir: String) => TextAnalysis.packSequences(s, dir)),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
@@ -604,6 +607,21 @@ object SparkEntry {
         |SELECT list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''),
         |  x -> lower(x)) AS toks FROM documents))
         |GROUP BY bigram HAVING count(*) >= 3 ORDER BY bigram""".stripMargin,
+
+    // shares q_bigrams' tokenizer; integer sums + one exactly-rounded
+    // division keep the score engine-portable
+    "q_lm_typicality" ->
+      """WITH db AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+        |    i -> toks[i]||' '||toks[i+1])) AS bigram
+        |  FROM (SELECT doc_id, list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''),
+        |    x -> lower(x)) AS toks FROM documents)),
+        |cnts AS (SELECT bigram, count(*) AS cnt FROM db GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(cnt) AS BIGINT) AS freq_sum,
+        |  CAST(sum(cnt) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avg_freq
+        |FROM db JOIN cnts USING(bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, price, rn FROM (

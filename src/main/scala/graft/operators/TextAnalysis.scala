@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis surface over the documents table: the reference's
   * word-count application generalized (word_count.ex:3-13), plus the
@@ -162,6 +163,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 3)
       .orderBy(col("bigram"))
+  }
+
+  /** Corpus-statistics quality score — the STATISTICAL member of the
+    * quality-filter family (q_text_quality is heuristic ratios, this is
+    * a bigram language model fit to the corpus itself): for every
+    * document, how typical its word sequences are of the corpus,
+    * measured as the mean corpus frequency of its bigrams. Gibberish
+    * and OCR noise sink (their bigrams appear nowhere else); templated
+    * boilerplate tops the flipped sort — both standard pre-training
+    * screens.
+    *
+    * Gate-exact by construction: counts and their per-doc sums are
+    * integers (order-independent in every engine) and the one double
+    * is a single division, exactly rounded IEEE in both Spark and
+    * DuckDB — no log/exp whose libm last-ulp could diverge.
+    *
+    * Scale shape: the bigram vocabulary is a groupBy with map-side
+    * combine; the per-doc score is one join of (doc_id, bigram) against
+    * it keyed on the bigram. Keys stay strings here for oracle
+    * portability; at 100 TB ride rolling-hash longs instead (the
+    * decontamination trick) and the plan is two narrow hash shuffles.
+    */
+  def lmTypicality(spark: SparkSession, dir: String): DataFrame =
+    lmTypicalityOn(Tables.documents(spark, dir))
+
+  /** Operator form over any (doc_id, text) relation. */
+  def lmTypicalityOn(docs: DataFrame): DataFrame = {
+    val positions = when(size(col("toks")) >= 2,
+      sequence(lit(1), size(col("toks")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(positions,
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    // persisted: the vocabulary count and the per-doc join both consume
+    // the tokenize→bigram pipeline (branches diverge pre-exchange)
+    val docBigrams = docs
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => lower(t)).as("toks"))
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocab = docBigrams.groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+      docBigrams.join(vocab, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+          (col("freq_sum").cast("double") / col("n_bigrams").cast("double"))
+            .as("avg_freq"))
+        .localCheckpoint() // materialize so the persist releases at exit
+        .orderBy(col("doc_id"))
+    } finally { docBigrams.unpersist(); () }
   }
 
   /** Exact heavy hitters (words with frequency ≥ 1% of all tokens) via

@@ -73,6 +73,20 @@ class Round9OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bloomed.nonEmpty)
   }
 
+  test("lmTypicality: hand-computed bigram frequencies on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b", "b a", "a b"
+      (2L, "a b"),     // bigram:  "a b"
+      (3L, "x")        // no bigrams -> absent from output
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmTypicalityOn(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // corpus counts: "a b" = 3, "b a" = 1
+    assert(got === Seq(
+      (1L, 3L, 7L, 7.0 / 3.0), // 3 + 1 + 3
+      (2L, 1L, 3L, 3.0)))
+  }
+
   test("re-delivered documents are idempotent in the bucket store") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
