@@ -783,7 +783,14 @@ object Dedup {
     decontaminationBloomOn(Tables.documents(spark, dir))
 
   def decontaminationBloomOn(docs: DataFrame): DataFrame =
-    decontaminationWith(docs, (trainSide, evalSide) => {
+    decontaminationWith(docs, bloomPrefilter)
+
+  /** The Bloom screen itself, exposed for the plan audit (the operator
+    * localCheckpoints its result, so the probe must be asserted on the
+    * pre-checkpoint dataflow).
+    */
+  private[graft] val bloomPrefilter: (DataFrame, DataFrame) => DataFrame =
+    (trainSide, evalSide) => {
       import org.apache.spark.sql.graft.BloomExpressions
       // eval row count is an upper bound on distinct eval shingles —
       // an oversized sketch only lowers the false-positive rate. 8
@@ -794,10 +801,11 @@ object Dedup {
         .select(BloomExpressions.bloomFilterAgg(col("hh"), nEval, nEval * 8).as("bf"))
         .head().getAs[Array[Byte]](0)
       trainSide.filter(BloomExpressions.mightContain(bloomBytes, col("hh")))
-    })
+    }
 
-  private def decontaminationWith(docs: DataFrame,
-      prefilter: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+  private[graft] def decontaminationWith(docs: DataFrame,
+      prefilter: (DataFrame, DataFrame) => DataFrame,
+      checkpoint: Boolean = true): DataFrame = {
     val bucket = pmod(md5Hash32(col("text")), lit(10))
     // persisted: the train-vocabulary branch and the eval branch both
     // consume the shingle pipeline — without this the corpus scan +
@@ -814,14 +822,17 @@ object Dedup {
       val evalSide = tagged.filter(col("split") =!= "train")
       val trainVocab = prefilter(tagged.filter(col("split") === "train"), evalSide)
         .select(col("hh")).distinct().withColumn("hit", lit(1L))
-      evalSide
+      val agg = evalSide
         .join(trainVocab, Seq("hh"), "left")
         .groupBy(col("doc_id"), col("split"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
         .withColumn("contamination",
           col("n_overlap").cast("double") / col("n_shingles"))
-        .localCheckpoint() // materialize so the persist releases at exit
+      // materialize so the persist releases at exit (checkpoint=false
+      // exists for plan audits only — the checkpointed plan is a bare
+      // RDD scan that hides the dataflow under audit)
+      (if (checkpoint) agg.localCheckpoint() else agg)
         .orderBy(col("doc_id"))
     } finally { tagged.unpersist(); () }
   }

@@ -319,21 +319,8 @@ object Similarity {
       .select(col("q_id"), col("n_id"), score)
       .localCheckpoint()
     val rankW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    for (_ <- 1 to GraphHops) {
-      val neighbors = edges
-        .join(broadcast(beam.select(col("q_id"), col("n_id").as("src"))), "src")
-        .select(col("q_id"), col("dst").as("n_id"))
-        .dropDuplicates("q_id", "n_id")
-        .join(corpus, "n_id")
-        .join(broadcast(queries), "q_id")
-        .select(col("q_id"), col("n_id"), score)
-      beam = beam.unionByName(neighbors)
-        .dropDuplicates("q_id", "n_id") // identical sim on both sides
-        .withColumn("r", row_number().over(rankW))
-        .filter(col("r") <= GraphBeam)
-        .drop("r")
-        .localCheckpoint()
-    }
+    for (_ <- 1 to GraphHops)
+      beam = beamExpand(edges, corpus, queries, beam).localCheckpoint()
     edges.unpersist()
     corpus.unpersist()
     beam.filter(col("q_id") =!= col("n_id"))
@@ -342,6 +329,28 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** One expand-score-prune round of the beam search, factored out so
+    * the plan audit can assert the join sides on the pre-checkpoint
+    * dataflow (the loop checkpoints each round's result).
+    */
+  private[graft] def beamExpand(edges: DataFrame, corpus: DataFrame,
+      queries: DataFrame, beam: DataFrame): DataFrame = {
+    val score = cosine(col("q_emb"), col("embedding")).as("sim")
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val neighbors = edges
+      .join(broadcast(beam.select(col("q_id"), col("n_id").as("src"))), "src")
+      .select(col("q_id"), col("dst").as("n_id"))
+      .dropDuplicates("q_id", "n_id")
+      .join(corpus, "n_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("n_id"), score)
+    beam.unionByName(neighbors)
+      .dropDuplicates("q_id", "n_id") // identical sim on both sides
+      .withColumn("r", row_number().over(rankW))
+      .filter(col("r") <= GraphBeam)
+      .drop("r")
   }
 
   /** Array-function surface over the embedding column: size, element

@@ -188,8 +188,11 @@ object TextAnalysis {
   def lmTypicality(spark: SparkSession, dir: String): DataFrame =
     lmTypicalityOn(Tables.documents(spark, dir))
 
-  /** Operator form over any (doc_id, text) relation. */
-  def lmTypicalityOn(docs: DataFrame): DataFrame = {
+  /** Operator form over any (doc_id, text) relation. checkpoint=false
+    * exists for plan audits only (the checkpointed plan is a bare RDD
+    * scan that hides the dataflow under audit).
+    */
+  def lmTypicalityOn(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     val positions = when(size(col("toks")) >= 2,
       sequence(lit(1), size(col("toks")) - 1))
       .otherwise(array().cast("array<int>"))
@@ -205,13 +208,14 @@ object TextAnalysis {
     try {
       val vocab = docBigrams.groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
-      docBigrams.join(vocab, "bigram")
+      val scored = docBigrams.join(vocab, "bigram")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
         .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
           (col("freq_sum").cast("double") / col("n_bigrams").cast("double"))
             .as("avg_freq"))
-        .localCheckpoint() // materialize so the persist releases at exit
+      // materialize so the persist releases at exit
+      (if (checkpoint) scored.localCheckpoint() else scored)
         .orderBy(col("doc_id"))
     } finally { docBigrams.unpersist(); () }
   }

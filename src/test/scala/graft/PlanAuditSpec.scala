@@ -136,4 +136,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = planOf("q_triangles")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n${plan.take(800)}")
   }
+
+  test("q_decontamination_bloom: the sketch probe reaches the train-side plan") {
+    // the prefilter must execute as the codegen might_contain predicate
+    // on the train branch — if it silently drops out of the plan the
+    // query still hash-matches (lossless!) but the 100 TB scan benefit
+    // is gone, which only this audit would catch. Audited on the
+    // pre-checkpoint dataflow (the operator checkpoints its result).
+    import graft.operators.Dedup
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val plan = Dedup.decontaminationWith(docs, Dedup.bloomPrefilter, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from plan:\n${plan.take(1500)}")
+  }
+
+  test("q_lm_typicality: vocabulary aggregation has a map-side partial phase") {
+    import graft.operators.TextAnalysis
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val df = TextAnalysis.lmTypicalityOn(docs, checkpoint = false)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_count before the exchange = map-side combine on the
+    // bigram vocabulary groupBy
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no partial aggregation:\n${plan.take(1500)}")
+  }
+
+  test("graph-ANN beam search: per-hop joins broadcast the beam, never the corpus") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.storage.StorageLevel
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+    val edges = Similarity.graphAnnEdges(spark, e).persist(StorageLevel.MEMORY_AND_DISK)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val beam = corpus.filter(col("n_id") < Similarity.GraphEntries)
+        .crossJoin(queries).select(col("q_id"), col("n_id"), lit(0.0).as("sim"))
+        .localCheckpoint()
+      val hop = Similarity.beamExpand(edges, corpus, queries, beam)
+      hop.collect()
+      val plan = hop.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n${plan.take(800)}")
+      // the tiny beam (queries x beam-width rows) must be the broadcast
+      // side; shuffling the edge or corpus table per hop would be the
+      // wrong side at corpus scale
+      assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+        s"beam joins not broadcast:\n${plan.take(1500)}")
+    } finally { edges.unpersist(); corpus.unpersist(); () }
+  }
 }
