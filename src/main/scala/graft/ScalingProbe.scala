@@ -38,20 +38,40 @@ object ScalingProbe {
       }.toDF("doc_id", "text")
     }
 
+    /** Clustered synthetic embeddings (~√n clusters of 64-dim gaussians —
+      * the shape a topic-clustered 100 TB embedding table has) for the
+      * graph-ANN probes.
+      */
+    def embCorpus(n: Int): DataFrame = {
+      val k = math.max(4, math.sqrt(n.toDouble).toInt)
+      spark.range(n.toLong).map { id =>
+        val c = (id % k).toInt
+        val crnd = new scala.util.Random(c * 1000003L + 7)
+        val center = Array.fill(64)(crnd.nextGaussian().toFloat)
+        val rnd = new scala.util.Random(id * 2654435761L + 31)
+        (id, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+    }
+
     def run(docs: DataFrame): DataFrame = op match {
       case "decontamination" => graft.operators.Dedup.decontaminationOn(docs)
+      case "decon_bloom"     => graft.operators.Dedup.decontaminationBloomOn(docs)
       case "jaccard"         => graft.operators.Dedup.ngramJaccardPairsOn(docs)
       case "lsh"             => graft.operators.Dedup.minhashLshPairsOn(docs, prodHash = true)
       case "exact"           => graft.operators.Dedup.exactDedupOn(docs)
+      case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
+      case "lm"              => graft.operators.TextAnalysis.lmTypicalityOn(docs)
       case other             => sys.error(s"unknown op $other")
     }
 
+    val gen: Int => DataFrame = if (op == "graphann") embCorpus else corpus
+
     // warm-up (JIT of the shingle/hash codegen paths)
-    run(corpus(512)).write.format("noop").mode("overwrite").save()
+    run(gen(512)).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     sizes.foreach { n =>
-      val docs = corpus(n).localCheckpoint() // generation cost out of the timing
+      val docs = gen(n).localCheckpoint() // generation cost out of the timing
       val t0 = System.nanoTime()
       val rows = run(docs).count()
       val dt = (System.nanoTime() - t0) / 1e9
