@@ -154,6 +154,9 @@ object SparkEntry {
     // approximate -> rows-only, recall floors held by SimilaritySpec
     "q_knn_graph"       -> (Similarity.graphKnn _),
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
+    // int8 scalar quantization: 4x vector compression with measured
+    // reconstruction error (per-row codegen arithmetic, gate-exact)
+    "q_embedding_quantize" -> (Similarity.embeddingQuantize _),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
     // the SAME aggregation executed as a real StreamingQuery (streaming
@@ -421,6 +424,29 @@ object SparkEntry {
         |round(list_max(embedding)::DOUBLE, 6) AS max_val,
         |round(list_min(embedding)::DOUBLE, 6) AS min_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // int8 quantization: all-double IEEE arithmetic both engines
+    // reproduce exactly; the error sum is an IN-ORDER left fold on both
+    // sides (Spark aggregate / DuckDB list_reduce) — float sums must
+    // never ride an order-free aggregate. (x - q*scale) is squared by
+    // multiplication, not pow(), to keep the op identical.
+    "q_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (SELECT vec_id, emb, scale,
+        |    CASE WHEN scale = 0.0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(emb, x -> CAST(round(x / scale) AS BIGINT)) END AS qvec
+        |  FROM s)
+        |SELECT vec_id, scale, CAST(len(emb) AS BIGINT) AS dim,
+        |  array_to_string(list_transform(qvec[1:8], v -> CAST(v AS VARCHAR)), ',') AS q_head8_csv,
+        |  sqrt(list_reduce(
+        |    list_prepend(0.0, list_transform(generate_series(1, len(emb)),
+        |      i -> (emb[i] - qvec[i] * scale) * (emb[i] - qvec[i] * scale))),
+        |    (a, b) -> a + b)) AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

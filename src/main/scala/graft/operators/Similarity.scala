@@ -353,6 +353,45 @@ object Similarity {
       .drop("r")
   }
 
+  /** Scalar int8 quantization of the embedding column — the standard
+    * 4× storage/serving compression for a 100 TB vector corpus: per
+    * vector, scale = max|x|/127 and q_i = round(x_i/scale), stored as
+    * one tiny scale plus byte-sized components. Emits the scale, the
+    * quantized head, and the reconstruction error so a pipeline can
+    * gate quantization on measured quality.
+    *
+    * Entirely per-row arithmetic (narrow, codegen, no shuffle until
+    * the output sort), and gate-exact: every step is IEEE double math
+    * both engines reproduce bit-for-bit — abs/max/divide, round-half-
+    * away-from-zero to an integer (Spark's HALF_UP equals DuckDB's
+    * round for this arithmetic), and an IN-ORDER fold for the error
+    * sum (`aggregate` folds the array sequentially, as does DuckDB's
+    * list_reduce — order-dependent float sums must never ride a
+    * groupBy).
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .withColumn("scale",
+        aggregate(col("emb"), lit(0.0), (acc, v) => greatest(acc, abs(v))) / 127.0)
+      .withColumn("qvec",
+        when(col("scale") === 0.0,
+          transform(col("emb"), _ => lit(0L)))
+        .otherwise(transform(col("emb"), v => round(v / col("scale"), 0).cast("long"))))
+    x.select(col("vec_id"), col("scale"),
+        size(col("emb")).cast("long").as("dim"),
+        concat_ws(",",
+          transform(slice(col("qvec"), 1, 8), q => q.cast("string")))
+          .as("q_head8_csv"),
+        sqrt(aggregate(
+          zip_with(col("emb"), col("qvec"),
+            (v, q) => (v - q.cast("double") * col("scale")) *
+                      (v - q.cast("double") * col("scale"))),
+          lit(0.0), (acc, d) => acc + d)).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Array-function surface over the embedding column: size, element
     * access, subsequence stats — the scalar array ops a feature
     * pipeline leans on (all codegen'd builtins, no shuffle until the

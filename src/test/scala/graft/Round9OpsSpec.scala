@@ -87,6 +87,19 @@ class Round9OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (2L, 1L, 3L, 3.0)))
   }
 
+  test("embeddingQuantize: components bounded by ±127, error below the int8 bound") {
+    val rows = graft.operators.Similarity.embeddingQuantize(spark, sfDir)
+      .as[(Long, Double, Long, String, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, scale, dim, head, err) =>
+      assert(scale >= 0.0)
+      head.split(",").foreach(q => assert(math.abs(q.toLong) <= 127L))
+      // per-component error <= scale/2, so ||err|| <= sqrt(dim)*scale/2
+      assert(err <= math.sqrt(dim.toDouble) * scale / 2 + 1e-12,
+        s"error $err above the int8 rounding bound")
+    }
+  }
+
   test("re-delivered documents are idempotent in the bucket store") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
