@@ -157,6 +157,9 @@ object SparkEntry {
     // int8 scalar quantization: 4x vector compression with measured
     // reconstruction error (per-row codegen arithmetic, gate-exact)
     "q_embedding_quantize" -> (Similarity.embeddingQuantize _),
+    // the quantized serving path: int8-dot coarse pass over the packed
+    // table + exact rerank of the short list (approximate -> rows-only)
+    "q_knn_quantized"   -> (Similarity.quantizedKnn _),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
     // the SAME aggregation executed as a real StreamingQuery (streaming

@@ -119,6 +119,74 @@ object ArrayMathExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Pack a float embedding into signed int8 bytes: q_i =
+    * clamp(round(x_i/scale), ±127). The 4× serving compression —
+    * 64 bytes + one scale per 64-dim vector instead of 256 float
+    * bytes; at corpus scale this table is what stays resident.
+    */
+  case class Int8PackExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), DoubleType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "int8_pack"
+
+    override protected def nullSafeEval(a: Any, s: Any): Any =
+      ArrayMathExpressions.int8Pack(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, s) =>
+        s"org.apache.spark.sql.graft.ArrayMathExpressions.int8Pack($a, $s)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Integer dot product of two packed int8 vectors — the quantized
+    * scoring kernel (all integer MACs; the shape hardware int8 paths
+    * accelerate).
+    */
+  case class Int8DotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "int8_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      ArrayMathExpressions.int8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"org.apache.spark.sql.graft.ArrayMathExpressions.int8Dot($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def int8Pack(arr: ArrayData, scale: Double): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) {
+        val q = Math.round(arr.getFloat(i).toDouble / scale)
+        out(i) = Math.max(-127L, Math.min(127L, q)).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  def int8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = math.min(a.length, b.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** Rolling polynomial fingerprint over a string's code points:
     * h = (h*base + codepoint) mod `mod` (defaults 31 / 1e9+7).
     * Semantics match `ascii(substr(text, i, 1))` folded left (= DuckDB
@@ -159,6 +227,14 @@ object ArrayMathExpressions {
 
   def sqDistCol(a: Column, b: Column): Column =
     ExpressionUtils.column(SqDistExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def int8PackCol(emb: Column, scale: Column): Column =
+    ExpressionUtils.column(Int8PackExpr(
+      ExpressionUtils.expression(emb), ExpressionUtils.expression(scale)))
+
+  def int8DotCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(Int8DotExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def rollingHashCol(c: Column): Column =

@@ -21,6 +21,16 @@ object VectorFunctions {
   /** Squared euclidean distance (cheaper than sqrt for argmin). */
   def sqDist(a: Column, b: Column): Column = ArrayMathExpressions.sqDistCol(a, b)
 
+  /** Pack a float embedding into signed int8 bytes at the given scale
+    * (4× serving compression; codegen'd).
+    */
+  def int8Pack(emb: Column, scale: Column): Column =
+    ArrayMathExpressions.int8PackCol(emb, scale)
+
+  /** Integer dot product of two int8-packed vectors (codegen'd). */
+  def int8Dot(a: Column, b: Column): Column =
+    ArrayMathExpressions.int8DotCol(a, b)
+
   /** Elementwise product summed: dot(a, b) — HOF reference form. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(

@@ -353,6 +353,65 @@ object Similarity {
       .drop("r")
   }
 
+  /** Quantized two-stage kNN: the int8 serving path that closes the
+    * quantize→search loop. Stage 1 scores EVERY candidate with the
+    * integer dot product over the packed int8 table ([[int8Pack]] —
+    * 64 bytes + scale + norm per vector, the 4× layout a 100 TB
+    * serving tier keeps resident where float32 would not fit) and
+    * keeps the top [[QuantRerank]] per query; stage 2 re-ranks only
+    * that short list with exact float cosine. Standard quantized-ANN
+    * shape: the cheap integer kernel does the bulk elimination, the
+    * expensive exact math touches `rerank` rows per query.
+    *
+    * Ranking key: scale_n · int8dot / ‖n‖ — per-query factors (query
+    * scale and norm) are constant within a query's ranking and drop;
+    * corpus norms are full-precision (stored alongside the bytes, the
+    * standard layout). Approximate because int8 rounding can reorder
+    * near-ties below the rerank horizon → rows-only gate; recall vs
+    * exact brute force floored in SimilaritySpec (with the rerank,
+    * errors require a true neighbor to fall out of the quantized
+    * top-[[QuantRerank]]).
+    */
+  val QuantRerank = 20
+
+  def quantizedKnn(spark: SparkSession, dir: String): DataFrame =
+    quantizedKnnOn(spark, Tables.embeddings(spark, dir))
+
+  def quantizedKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
+    val scaleCol = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    val normCol = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val quant = e
+      .withColumn("scale", scaleCol)
+      .select(col("vec_id").as("n_id"),
+        int8Pack(col("embedding"), col("scale")).as("qb"),
+        col("scale"), normCol.as("nrm"))
+    val qQuant = quant.filter(col("n_id") < NumQueries)
+      .select(col("n_id").as("q_id"), col("qb").as("q_qb"))
+    val coarse = quant.join(broadcast(qQuant), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("scale") * int8Dot(col("q_qb"), col("qb")).cast("double") /
+          when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm"))).as("qsim"))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("n_id"))
+    val shortList = coarse.withColumn("r", row_number().over(cw))
+      .filter(col("r") <= QuantRerank)
+      .select(col("q_id"), col("n_id"))
+    val full = e.select(col("vec_id").as("n_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    shortList.join(full, "n_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the standard
     * 4× storage/serving compression for a 100 TB vector corpus: per
     * vector, scale = max|x|/127 and q_i = round(x_i/scale), stored as

@@ -146,6 +146,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(avg >= 0.35, f"avg recall $avg%.2f below plumbing floor")
   }
 
+  test("quantizedKnn: recall@5 vs exact brute force (int8 + rerank)") {
+    val exact = byQuery(Similarity.bruteForceKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+    val quant = byQuery(Similarity.quantizedKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+    assert(quant.size === Similarity.NumQueries)
+    quant.foreach { case (q, ns) =>
+      assert(ns.length === Similarity.K)
+      val bestExact = exact(q).map(_._4).max
+      ns.foreach { case (_, _, _, sim) => assert(sim <= bestExact + 1e-9) }
+      assert(!ns.exists(_._3 == q), "self excluded")
+    }
+    val recalls = exact.map { case (q, x) =>
+      val xs = x.map(_._3).toSet
+      (quant(q).map(_._3).toSet & xs).size.toDouble / xs.size }
+    val avg = recalls.sum / recalls.size
+    info(f"quantizedKnn recall@5 = $avg%.3f")
+    // int8 rounding only loses a true neighbor if it falls out of the
+    // quantized top-20 — rare even on dense random sims
+    assert(avg >= 0.8, f"avg recall $avg%.2f below quantization floor")
+  }
+
+  test("int8 pack/dot: quantized cosine tracks exact cosine within the rounding bound") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    val e = Seq(
+      (0L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (1L, Array(-1.0f, 0.5f, 0.25f, -0.125f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)) // zero vector -> zero bytes
+    ).toDF("vec_id", "embedding")
+    val scale = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    val q = e.select(col("vec_id"), col("embedding"),
+      int8Pack(col("embedding"), scale).as("qb"), scale.as("s"))
+    val rows = q.collect()
+    val qb = rows.map(r => r.getLong(0) -> (r.getAs[Array[Byte]]("qb"), r.getDouble(3))).toMap
+    assert(qb(2L)._1.forall(_ == 0), "zero vector must pack to zero bytes")
+    assert(qb(0L)._1.max <= 127 && qb(0L)._1.min >= -127)
+    // dot(q0, q1)*s0*s1 approximates dot(e0, e1)
+    val approx = qb(0L)._1.zip(qb(1L)._1).map { case (a, b) => a.toInt * b.toInt }.sum *
+      qb(0L)._2 * qb(1L)._2
+    val exact = (0.5 * -1.0) + (-0.25 * 0.5) + (0.125 * 0.25) + (1.0 * -0.125)
+    assert(math.abs(approx - exact) < 0.02, s"approx $approx vs exact $exact")
+  }
+
   test("embeddingDedup: canonical pair order and threshold respected") {
     val pairs = Similarity.embeddingDedup(spark, sfDir)
       .as[(Long, Long, Double)].collect()
