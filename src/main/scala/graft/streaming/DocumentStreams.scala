@@ -188,6 +188,91 @@ object DocumentStreams {
       }
   }
 
+  case class TimedBandedSig(bucket: String, band: Int, doc_id: Long,
+      sig: Array[Long], ts: java.sql.Timestamp)
+  case class TimedMember(doc_id: Long, sig: Array[Long], tsMs: Long)
+  case class TimedBucketState(members: List[TimedMember])
+
+  /** The PRODUCTION memory bound for the streaming near-dup join:
+    * bucket members older than `horizonMs` of event time are aged out,
+    * so state is "signatures seen in the last N days", not the whole
+    * history — the same trade [[EventStreams.dedupStream]] makes for
+    * exact dedup. A new arrival pairs only against in-horizon members;
+    * eviction happens on every bucket invocation and, for quiet
+    * buckets, on an event-time timeout at (newest member + horizon),
+    * after which empty state is removed entirely.
+    *
+    * The caller supplies (doc_id, text, ts) WITH a watermark already
+    * set on ts — the watermark is what drives both the eviction clock
+    * and the timeouts. Kept off the driver gate deliberately: the gate
+    * corpus has no arrival times, and the exact-history query
+    * (q_stream_neardup) is the gate-shaped variant; this one is pinned
+    * by a deterministic MemoryStream replay instead (Round9OpsSpec).
+    */
+  def nearDupPairStreamTtl(docs: DataFrame, horizonMs: Long)(
+      implicit spark: SparkSession): Dataset[NearDupMatch] = {
+    import spark.implicits._
+    val r = Dedup.RowsPerBand
+    val bandStructs = array((0 until Dedup.Bands).map { b =>
+      val key = concat_ws("_",
+        (0 until r).map(i => element_at(col("sig"), b * r + i + 1)): _*)
+      struct(lit(b).as("band"), concat_ws("|", lit(b), key).as("bucket"))
+    }: _*)
+    val banded = docs
+      .select(col("doc_id"), col("ts"),
+        Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"), explode(bandStructs).as("bb"))
+      .select(col("bb.bucket").as("bucket"), col("bb.band").as("band"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[TimedBandedSig]
+
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[TimedBucketState, NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[TimedBandedSig], state: org.apache.spark.sql.streaming.GroupState[TimedBucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+            .filter(_.tsMs >= wm - horizonMs)
+          def park(): Unit =
+            if (members.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(TimedBucketState(members))
+              // wake when the newest member ages out (must stay ahead
+              // of the current watermark or the engine rejects it)
+              state.setTimeoutTimestamp(
+                math.max(members.map(_.tsMs).max + horizonMs, wm + 1))
+            }
+          if (state.hasTimedOut) { park(); Iterator.empty }
+          else {
+            val out = List.newBuilder[NearDupMatch]
+            rows.toSeq.sortBy(_.doc_id).foreach { a =>
+              val aMs = a.ts.getTime
+              if (aMs >= wm - horizonMs &&
+                  !members.exists(_.doc_id == a.doc_id)) {
+                members.foreach { m =>
+                  if (firstSharedBand(a.sig, m.sig) == a.band) {
+                    var eq = 0
+                    var i = 0
+                    while (i < a.sig.length) {
+                      if (a.sig(i) == m.sig(i)) eq += 1
+                      i += 1
+                    }
+                    val est = eq.toDouble / a.sig.length
+                    if (est >= 0.5)
+                      out += NearDupMatch(math.min(a.doc_id, m.doc_id),
+                        math.max(a.doc_id, m.doc_id), est)
+                  }
+                }
+                members = TimedMember(a.doc_id, a.sig, aMs) :: members
+              }
+            }
+            park()
+            out.result().iterator
+          }
+      }
+  }
+
   /** Smallest band index on which two signatures fully agree (exists for
     * any two co-members of a bucket — they agree on that bucket's band
     * by construction).

@@ -100,6 +100,45 @@ class Round9OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("TTL near-dup stream: aged-out members stop pairing, fresh ones still do") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def ts(t: String) = Timestamp.valueOf(t)
+    val horizonMs = 60 * 60 * 1000L // 1 hour
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "10 minutes")
+    val q = graft.streaming.DocumentStreams.nearDupPairStreamTtl(docs, horizonMs).toDF()
+      .writeStream.format("memory").queryName("r9_neardup_ttl")
+      .outputMode("append").start()
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog again and again"
+      val textB = textA + "!"
+      // A arrives at 00:00
+      input.addData((1L, textA, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // filler far in the future advances the watermark past A's horizon
+      input.addData((99L, "zzz completely unrelated filler text qqq", ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // A' is a near-dup of A but A has aged out -> no pair
+      input.addData((2L, textB, ts("2024-01-01 03:10:00")))
+      q.processAllAvailable()
+      // B and B' arrive within one horizon of each other -> pair emits
+      input.addData((10L, textA + " extra", ts("2024-01-01 03:20:00")))
+      q.processAllAvailable()
+      input.addData((11L, textA + " extra!", ts("2024-01-01 03:30:00")))
+      q.processAllAvailable()
+      val out = spark.table("r9_neardup_ttl")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(!out.exists(p => p._1 == 1L && p._2 == 2L),
+        s"aged-out member still paired: $out")
+      assert(out.count(p => p._1 == 10L && p._2 == 11L) === 1,
+        s"in-horizon pair missing: $out")
+    } finally q.stop()
+  }
+
   test("re-delivered documents are idempotent in the bucket store") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
