@@ -443,13 +443,16 @@ object Dedup {
   }
 
   /** On-disk home of one corpus's materialized near-dup pair graph:
-    * a per-corpus directory (keyed by a fingerprint of the source path)
-    * under the conf-derived scratch root, so two corpora touched by one
+    * a per-corpus directory (keyed by the full 128-bit MD5 of the
+    * source path, so distinct corpora cannot collide into one slot)
+    * under the conf-derived scratch root — two corpora touched by one
     * session get independent pair files instead of thrashing one slot.
     */
-  def pairsDir(spark: SparkSession, dir: String): String =
-    graft.sources.Scratch.dir(spark,
-      s"neardup_pairs/${scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7FFFFFFF}")
+  def pairsDir(spark: SparkSession, dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.sources.Scratch.dir(spark, s"neardup_pairs/$md5")
+  }
 
   private val pairsMaterialized =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -796,10 +799,28 @@ object Dedup {
       // an oversized sketch only lowers the false-positive rate. 8
       // bits/item ≈ 2% fpp; the count is O(1) sizing metadata over the
       // persisted frame, same class as the LSH byte gates.
+      //
+      // BloomFilterAggregate silently clamps its sizing to the AQE
+      // runtime-filter confs (maxNumBits defaults to 64M bits ≈ 8M
+      // eval shingles at 8 bits/item; maxNumItems to 4M) — past those
+      // the fpp would degrade silently (still lossless, the exact join
+      // verifies every survivor, but the scan-reduction claim erodes).
+      // We build this sketch INTENTIONALLY, so raise the clamps to
+      // cover the requested size for the duration of the build.
       val nEval = evalSide.count()
-      val bloomBytes = evalSide
-        .select(BloomExpressions.bloomFilterAgg(col("hh"), nEval, nEval * 8).as("bf"))
-        .head().getAs[Array[Byte]](0)
+      val spark = evalSide.sparkSession
+      val clamps = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> nEval * 8,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nEval)
+      val saved = clamps.map { case (k, _) => k -> spark.conf.get(k) }
+      clamps.foreach { case (k, want) =>
+        if (want > spark.conf.get(k).toLong) spark.conf.set(k, want.toString)
+      }
+      val bloomBytes =
+        try evalSide
+          .select(BloomExpressions.bloomFilterAgg(col("hh"), nEval, nEval * 8).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
       trainSide.filter(BloomExpressions.mightContain(bloomBytes, col("hh")))
     }
 

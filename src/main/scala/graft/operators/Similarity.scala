@@ -245,7 +245,18 @@ object Similarity {
     *    one hash-keyed shuffle, so the build holds at corpus scale.
     */
   private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame): DataFrame = {
-    val n = e.count() // O(1) sizing metadata, same class as ivfAssignments
+    // Centroids, entry points, and queries are derived by filtering
+    // vec_id < k (the NumQueries/ivf fixture convention), which REQUIRES
+    // dense ids 0..n-1 — on a sparse or offset id space those filters
+    // can be empty and the search would return nothing, silently. The
+    // min/max probe rides the same O(1) sizing job as the count.
+    val szRow = e.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+    val n = szRow.getLong(0)
+    require(n == 0L ||
+        (szRow.getAs[Long](1) == 0L && szRow.getAs[Long](2) == n - 1),
+      s"graph ANN derives centroids/entries/queries from `vec_id < k`: " +
+        s"vec_id must be dense 0..n-1 (got min=${szRow.get(1)}, " +
+        s"max=${szRow.get(2)}, n=$n)")
     val nCells = dedupCells(n)
     val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))

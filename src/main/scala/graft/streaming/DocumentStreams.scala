@@ -204,10 +204,18 @@ object DocumentStreams {
     *
     * The caller supplies (doc_id, text, ts) WITH a watermark already
     * set on ts — the watermark is what drives both the eviction clock
-    * and the timeouts. Kept off the driver gate deliberately: the gate
-    * corpus has no arrival times, and the exact-history query
-    * (q_stream_neardup) is the gate-shaped variant; this one is pinned
-    * by a deterministic MemoryStream replay instead (Round9OpsSpec).
+    * and the timeouts.
+    *
+    * The horizon is WATERMARK-relative, not pairwise: a member is kept
+    * iff its ts >= (current watermark - horizon) at the moment a new
+    * arrival is processed, so whether two docs within `horizonMs` of
+    * each other pair depends on how far the watermark had advanced
+    * when the later one arrived — emissions near the horizon boundary
+    * are batching/trigger-cadence-dependent. That is the standard
+    * state-TTL contract (the pairwise-exact alternative would need
+    * per-pair event-time bookkeeping the state store can't bound);
+    * replay the same batch boundaries and the output is deterministic,
+    * which is exactly what the gate harness and Round9OpsSpec do.
     */
   def nearDupPairStreamTtl(docs: DataFrame, horizonMs: Long)(
       implicit spark: SparkSession): Dataset[NearDupMatch] = {

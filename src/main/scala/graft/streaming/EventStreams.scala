@@ -112,7 +112,11 @@ object EventStreams {
             var cur = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
-              val cents = math.round(e.value * 100)
+              // half-AWAY-FROM-ZERO, matching DuckDB/ANSI round():
+              // math.round alone is half-toward-+inf and diverges on
+              // negative values landing exactly on a half-cent
+              val c0 = e.value * 100
+              val cents = if (c0 >= 0) math.round(c0) else -math.round(-c0)
               cur match {
                 case Some(s) if e.ts.getTime - s.lastTs < gapMs =>
                   cur = Some(SessionState(s.nEvents + 1, s.totalCents + cents,
