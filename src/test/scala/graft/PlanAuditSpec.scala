@@ -188,4 +188,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"beam joins not broadcast:\n${plan.take(1500)}")
     } finally { edges.unpersist(); corpus.unpersist(); () }
   }
+
+  test("q_pipeline_e2e: one corpus scan — every stage reads the persisted frames") {
+    // four stages consume the corpus (filter, dedup keeper set, shingle
+    // pipeline, final pack join); without the persist scoping each one
+    // would re-scan + re-tokenize the 100 TB table. The audit runs the
+    // pre-checkpoint dataflow (checkpoint=false keeps the persists
+    // live) and asserts NO direct parquet scan survives in the final
+    // plan — corpus access goes through the in-memory stage frames,
+    // whose single backing scan runs once.
+    import graft.operators.Pipeline
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.catalog.clearCache()
+    try {
+      val docs = graft.tables.Tables.documents(spark, sfDir)
+      val df = Pipeline.curationPipelineOn(docs, checkpoint = false)
+      val direct = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(direct.isEmpty,
+        s"stage re-scans the corpus directly: ${direct.map(_.nodeName)}")
+    } finally { spark.catalog.clearCache(); () }
+  }
 }
