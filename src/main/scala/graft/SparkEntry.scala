@@ -106,6 +106,10 @@ object SparkEntry {
     // frequency of a doc's bigrams — integer-exact under the gate)
     "q_lm_typicality"   -> (TextAnalysis.lmTypicality _),
     "q_pack_sequences"  -> ((s: SparkSession, dir: String) => TextAnalysis.packSequences(s, dir)),
+    // the graded stages composed end-to-end, the way a training-data
+    // pipeline runs them: quality filter → exact dedup → train-side
+    // decontamination → sequence packing, one dataflow, one corpus scan
+    "q_pipeline_e2e"    -> (Pipeline.curationPipeline _),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
@@ -160,6 +164,10 @@ object SparkEntry {
     // the quantized serving path: int8-dot coarse pass over the packed
     // table + exact rerank of the short list (approximate -> rows-only)
     "q_knn_quantized"   -> (Similarity.quantizedKnn _),
+    // IVF-PQ-style composition: the int8 coarse pass confined to the
+    // probed k-means cells of a partition-pruned packed layout — the
+    // sublinear form of q_knn_quantized (approximate -> rows-only)
+    "q_knn_quantized_ivf" -> ((s: SparkSession, dir: String) => Similarity.quantizedIvfKnn(s, dir)),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
     // the SAME aggregation executed as a real StreamingQuery (streaming
@@ -206,6 +214,11 @@ object SparkEntry {
     // emissions depend only on the document set, so a finite replay
     // reproduces the batch pair set and shares its full-hash oracle
     "q_stream_neardup"  -> (graft.streaming.DocumentStreams.streamedNearDupPairs _),
+    // the TTL-bounded variant GRADED: deterministic replay clock
+    // (ts = base + doc_id s, one micro-batch per 100-id chunk) makes
+    // the watermark-relative horizon pure doc_id arithmetic the oracle
+    // re-derives — the production memory bound, driver-graded
+    "q_stream_neardup_ttl" -> (graft.streaming.DocumentStreams.streamedNearDupPairsTtl _),
     // stream-stream interval join under the gate (inner-join emission
     // is not watermark-gated, so finite replay = the batch join)
     "q_stream_attribution" -> (graft.streaming.EventStreams.streamedAttribution _),
@@ -222,15 +235,38 @@ object SparkEntry {
     "SELECT doc_id, upper(w) AS word FROM (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''"
 
   /** Distinct char-k-shingles of normalized text per document (k =
-    * Dedup.ShingleK, kept in lockstep with the Spark builders).
+    * Dedup.ShingleK, kept in lockstep with the Spark builders), over an
+    * arbitrary (doc_id, text) relation — the pipeline oracle shingles
+    * its FILTERED corpus, not the raw table.
     */
-  private val shSql = {
-    val k = Dedup.ShingleK
-    s"SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(norm)-${k - 1},1)), i -> substr(norm,i,$k))) AS sh FROM (SELECT doc_id, lower(trim(text)) AS norm FROM documents))"
-  }
+  private def shSqlFrom(rel: String, k: Int = Dedup.ShingleK) =
+    s"SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(length(norm)-${k - 1},1)), i -> substr(norm,i,$k))) AS sh FROM (SELECT doc_id, lower(trim(text)) AS norm FROM $rel))"
+  private val shSql = shSqlFrom("documents")
 
   /** md5-derived 32-bit hash — must mirror TextFunctions.md5Hash32. */
   private def h32(e: String) = s"('0x'||substr(md5($e),1,8))::BIGINT"
+
+  /** Corpus-filter decision with the text column still in flight —
+    * mirrors TextAnalysis.corpusReasons; shared by q_corpus_filter and
+    * the q_pipeline_e2e cascade (whose kept-docs stage consumes text).
+    */
+  private val corpusReasonSql =
+    """SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_words,
+      |CASE WHEN len(toks) < 30 THEN 'too_short'
+      |     WHEN length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE
+      |       / greatest(length(text),1) < 0.81 THEN 'low_alpha'
+      |     WHEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+      |       / greatest(len(toks),1) < 0.02 THEN 'low_stopword'
+      |     WHEN (len(grams) - len(list_distinct(grams)))::DOUBLE
+      |       / greatest(len(grams),1) > 0.01 THEN 'repetitive'
+      |     ELSE 'keep' END AS reason
+      |FROM (SELECT doc_id, text, toks,
+      |    list_transform(generate_series(1, greatest(len(ltoks)-3, 0)),
+      |      i -> ltoks[i]||' '||ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3]) AS grams
+      |  FROM (SELECT doc_id, text, toks, list_transform(toks, x -> lower(x)) AS ltoks
+      |    FROM (SELECT doc_id, text,
+      |      list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS toks
+      |      FROM documents)))""".stripMargin
 
   /** Rolling polynomial hash (base 31 mod 1e9+7 over code points) —
     * must mirror ArrayMathExpressions.RollingHashExpr; the same
@@ -935,6 +971,28 @@ object SparkEntry {
     // store emit exactly the batch pair set (first-shared-band rule
     // dedups across buckets; see DocumentStreams.streamedNearDupPairs)
     "q_stream_neardup" -> s"$lshPairsSql ORDER BY id_a, id_b",
+    // TTL variant under the deterministic replay clock (ts = base +
+    // doc_id s, one micro-batch per TtlChunk-wide id range, watermark
+    // delay 0): a member a is still in state when b arrives iff
+    // ts(a) >= wm - horizon, and wm while b's chunk processes is the
+    // max doc_id of EARLIER chunks (in seconds) — so the horizon is
+    // the pure integer predicate below. First chunk: wm = 0 → the
+    // coalesce keeps everything, matching the engine's initial
+    // watermark.
+    "q_stream_neardup_ttl" -> {
+      val chunk = graft.streaming.DocumentStreams.TtlChunk
+      val hSec = graft.streaming.DocumentStreams.TtlHorizonMs / 1000
+      s"""WITH pairs AS ($lshPairsSql),
+         |chmax AS (SELECT doc_id // $chunk AS ch, max(doc_id) AS mx
+         |  FROM documents GROUP BY 1),
+         |prevm AS (SELECT ch, max(mx) OVER (ORDER BY ch
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+         |  FROM chmax)
+         |SELECT id_a, id_b, est_jaccard FROM pairs
+         |JOIN prevm ON id_b // $chunk = prevm.ch
+         |WHERE id_a >= coalesce(prevm.prevmax, id_a) - $hSec
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q_lsh_multiprobe" -> lshMultiProbeSql,
     "q_recursive_reach" ->
       s"""WITH RECURSIVE pairs0 AS ($lshPairsSql),
@@ -1200,9 +1258,10 @@ object SparkEntry {
     // every non-final session per user, plus final sessions whose
     // event-time timeout (last_ts + gap) the terminal watermark
     // (max ts - delay) has passed. Money parity: the state function
-    // accumulates integer cents (math.round(value*100) per event), so
-    // the oracle sums per-event rounded cents — round-of-sum would be a
-    // DIFFERENT number, not just a different column name.
+    // accumulates integer cents per event with half-away-from-zero
+    // rounding (DuckDB round()'s mode — exact for negative half-cents
+    // too), so the oracle sums per-event rounded cents — round-of-sum
+    // would be a DIFFERENT number, not just a different column name.
     "q_stream_sessions" ->
       """WITH flagged AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
@@ -1249,22 +1308,36 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_filter" ->
-      """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-        |CASE WHEN len(toks) < 30 THEN 'too_short'
-        |     WHEN length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE
-        |       / greatest(length(text),1) < 0.81 THEN 'low_alpha'
-        |     WHEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it')))::DOUBLE
-        |       / greatest(len(toks),1) < 0.02 THEN 'low_stopword'
-        |     WHEN (len(grams) - len(list_distinct(grams)))::DOUBLE
-        |       / greatest(len(grams),1) > 0.01 THEN 'repetitive'
-        |     ELSE 'keep' END AS reason
-        |FROM (SELECT doc_id, text, toks,
-        |    list_transform(generate_series(1, greatest(len(ltoks)-3, 0)),
-        |      i -> ltoks[i]||' '||ltoks[i+1]||' '||ltoks[i+2]||' '||ltoks[i+3]) AS grams
-        |  FROM (SELECT doc_id, text, toks, list_transform(toks, x -> lower(x)) AS ltoks
-        |    FROM (SELECT doc_id, text,
-        |      list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'') AS toks
-        |      FROM documents)))
-        |ORDER BY doc_id""".stripMargin,
+      s"SELECT doc_id, n_words, reason FROM ($corpusReasonSql) ORDER BY doc_id",
+
+    // the full curation cascade as ONE oracle CTE chain — each stage's
+    // rule byte-identical to its individually-graded oracle (corpus
+    // filter, exact dedup, hash split + shingle fingerprints, packing),
+    // so the hash match proves the COMPOSITION: stage boundaries, join
+    // plumbing, and that no stage leaks rows another should have dropped
+    "q_pipeline_e2e" ->
+      s"""WITH cf AS ($corpusReasonSql),
+         |kept AS (SELECT doc_id, text FROM cf WHERE reason = 'keep'),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY lower(trim(text))),
+         |dd AS (SELECT k.doc_id, k.text FROM kept k JOIN keepers USING (doc_id)),
+         |tag AS (SELECT doc_id, ${h32("text")} % 10 < 8 AS is_train FROM dd),
+         |sh AS (SELECT doc_id, ${rollSql("sh")} AS hh FROM (${shSqlFrom("dd", Pipeline.DecontaminationSpanK)})),
+         |ev AS (SELECT DISTINCT hh FROM sh JOIN tag USING(doc_id) WHERE NOT is_train),
+         |score AS (SELECT sh.doc_id, count(*) AS n,
+         |    sum(CASE WHEN ev.hh IS NOT NULL THEN 1 ELSE 0 END) AS o
+         |  FROM sh JOIN tag USING(doc_id) LEFT JOIN ev ON sh.hh = ev.hh
+         |  WHERE is_train GROUP BY sh.doc_id),
+         |clean AS (SELECT dd.doc_id, dd.text FROM dd JOIN score USING(doc_id)
+         |  WHERE o::DOUBLE / n <= 0.05),
+         |sized AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS n_tok
+         |  FROM clean),
+         |packed AS (SELECT doc_id, shard, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id
+         |  FROM sized)
+         |SELECT shard, seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
+         |FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
   )
 }

@@ -423,6 +423,79 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-indexed int8 serving — the standard IVF-PQ-style composition
+    * and the fix for [[quantizedKnnOn]]'s one deliberate weakness: its
+    * coarse pass scores EVERY corpus vector (int8 makes the scan 4×
+    * cheaper, not sublinear). Here the coarse int8-dot runs only
+    * inside each query's probed k-means cells, over a MATERIALIZED
+    * packed layout (the corpus written partitioned by cell, scanned
+    * with plan-time partition pruning — non-probed cells' files are
+    * never opened), and the exact full-precision rerank of the int8
+    * top-[[QuantRerank]] is unchanged. At 100 TB: the pack+write runs
+    * once at ingest; a query batch touches probes/cells of the data
+    * AND moves 4×-compressed bytes through the coarse scorer — the
+    * two savings compose. Candidate pool is identical to [[ivfKnnOn]]
+    * (same fitted quantizer — fixed seed, deterministic fit sample),
+    * so result quality differs from q_knn_ivf only when int8 rounding
+    * pushes a true pool-neighbor out of the quantized shortlist
+    * (SimilaritySpec floors recall vs the exact-rerank IVF at 0.9).
+    * Approximate → rows-only gate, like the rest of the ANN family.
+    */
+  def quantizedIvfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
+    val e = Tables.embeddings(spark, dir)
+    val (corpus, probeCells0) = ivfAssignments(spark, e, probes)
+    // tiny (queries × probes rows), consumed thrice (cell collect,
+    // query pack, coarse join) with the corpus pass in its lineage
+    val probeCells = probeCells0.localCheckpoint()
+    val scaleCol = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    val normCol = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val packed = corpus
+      .withColumn("scale", scaleCol)
+      .select(col("n_id"), int8Pack(col("embedding"), col("scale")).as("qb"),
+        col("scale"), normCol.as("nrm"), col("cell"))
+    val layoutDir = graft.sources.Scratch.dir(spark, "ivf_quant_layout")
+    packed.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    // probed cells as plan-time pruning literals — queries × probes
+    // ints, probe METADATA (the ivfKnnMaterialized convention)
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val layout = spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    // query-side pack: the query's own scale/norm are constant per
+    // q_id, so dropping them from qsim is rank-invariant (same
+    // shortcut quantizedKnnOn takes)
+    val qScale = aggregate(col("q_emb"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    val qq = probeCells.select(col("q_id"), col("cell"),
+      int8Pack(col("q_emb"), qScale).as("q_qb"))
+    val coarse = layout.join(broadcast(qq), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("scale") * int8Dot(col("q_qb"), col("qb")).cast("double") /
+          when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm"))).as("qsim"))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("n_id"))
+    val shortList = coarse.withColumn("r", row_number().over(cw))
+      .filter(col("r") <= QuantRerank)
+      .select(col("q_id"), col("n_id"))
+    // exact rerank unchanged — full-precision vectors for the
+    // shortlist only
+    val full = e.select(col("vec_id").as("n_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    shortList.join(full, "n_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the standard
     * 4× storage/serving compression for a 100 TB vector corpus: per
     * vector, scale = max|x|/127 and q_i = round(x_i/scale), stored as

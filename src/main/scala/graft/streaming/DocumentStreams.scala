@@ -188,6 +188,60 @@ object DocumentStreams {
       }
   }
 
+  /** Replay clock for the GATED TTL variant (q_stream_neardup_ttl):
+    * ts(doc) = [[TtlBaseMs]] + doc_id·1000 (one second per doc_id),
+    * replayed in ascending doc_id order as one micro-batch per
+    * [[TtlChunk]]-wide doc_id range, watermark delay 0. Everything is
+    * deterministic, so the watermark while chunk c processes is
+    * exactly max(doc_id of earlier chunks)·1000 + base — and the
+    * operator's watermark-relative horizon reduces to pure doc_id
+    * arithmetic the DuckDB oracle re-derives: pair (a, b) survives
+    * iff a ≥ prevmax(chunk(b)) − [[TtlHorizonMs]]/1000. At the gate
+    * corpus (500 docs, 5 chunks, 150 s horizon) that splits the batch
+    * LSH pair set roughly in half — both aging-out and survival are
+    * exercised, promoting the production memory bound from spec-only
+    * to driver-graded.
+    */
+  val TtlChunk = 100L
+  val TtlHorizonMs = 150L * 1000
+  val TtlBaseMs = 1704067200000L // 2024-01-01T00:00:00Z
+
+  def streamedNearDupPairsTtl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Replay HARNESS, not operator: the gate corpus is collected and
+    // re-fed through a MemoryStream so batch boundaries (and therefore
+    // watermark advancement) are deterministic — the operator under
+    // the gate (nearDupPairStreamTtl) is source-agnostic and unchanged.
+    // Bounded by the gate corpus size; a production deployment feeds
+    // the same operator from a real source with real arrival times.
+    val rows = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "0 seconds")
+    val pairs = nearDupPairStreamTtl(docs, TtlHorizonMs)
+    StreamConf.withStatePartitions(spark, 4) {
+      val q = pairs.toDF().writeStream.format("memory")
+        .queryName("graft_stream_neardup_ttl")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        rows.groupBy(_._1 / TtlChunk).toSeq.sortBy(_._1).foreach {
+          case (_, chunk) =>
+            input.addData(chunk.toSeq.map { case (id, text) =>
+              (id, text, new java.sql.Timestamp(TtlBaseMs + id * 1000L))
+            })
+            q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    spark.table("graft_stream_neardup_ttl").orderBy(col("id_a"), col("id_b"))
+  }
+
   case class TimedBandedSig(bucket: String, band: Int, doc_id: Long,
       sig: Array[Long], ts: java.sql.Timestamp)
   case class TimedMember(doc_id: Long, sig: Array[Long], tsMs: Long)

@@ -146,6 +146,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(avg >= 0.35, f"avg recall $avg%.2f below plumbing floor")
   }
 
+  test("quantizedIvfKnn: recall vs exact-rerank IVF, partition-pruned packed scan") {
+    // same fitted quantizer ⇒ same candidate pool as ivfKnn; the int8
+    // coarse pass can only lose a pool-neighbor that falls out of the
+    // quantized top-20, so recall against the IVF result (not brute
+    // force — IVF's own fixture recall is the pool's property) must
+    // stay near 1
+    val ivf = byQuery(Similarity.ivfKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val layout = Similarity.quantizedIvfKnn(spark, sfDir)
+    val quant = byQuery(layout.as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = ivf.map { case (q, x) =>
+      (quant.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    info(f"quantizedIvfKnn recall@5 vs ivfKnn = $avg%.3f")
+    assert(avg >= 0.9, f"avg recall $avg%.2f below int8-shortlist floor")
+    // the probe must prune the PACKED layout's scan at plan time (the
+    // rerank's embeddings scans also print PartitionFilters — empty —
+    // so check every scan's segment, not just the first)
+    val plan = layout.queryExecution.executedPlan.toString
+    val pfs = plan.split("PartitionFilters:").drop(1).map(_.split("]")(0))
+    assert(pfs.exists(_.contains("cell")),
+      s"no cell partition filter in any scan: ${pfs.mkString(" | ")}")
+  }
+
   test("quantizedKnn: recall@5 vs exact brute force (int8 + rerank)") {
     val exact = byQuery(Similarity.bruteForceKnn(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect())
