@@ -270,11 +270,23 @@ object Similarity {
     val a = blocks.as("a")
     val b = blocks.as("b")
     val pw = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
-    val proximity = a.join(b,
-        col("a.blk") === col("b.blk") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+    // mirror-pair build: join each unordered within-block pair ONCE
+    // (vec_id <, half the join output and half the cosine work of the
+    // =!= form), then explode both directions for the per-src top-M —
+    // cosine is evaluated before the explode, so the mirror row reuses
+    // the number instead of recomputing it (and the edge set is
+    // bit-identical: multiplication commutes and the accumulation
+    // order is the index order either way)
+    val half = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
         cosine(col("a.embedding"), col("b.embedding")).as("sim"))
-      .dropDuplicates("src", "dst") // a pair can share both blocks
+      .dropDuplicates("x", "y") // a pair can share both blocks
+    val proximity = half
+      .select(explode(array(
+          struct(col("x").as("src"), col("y").as("dst"), col("sim")),
+          struct(col("y").as("src"), col("x").as("dst"), col("sim")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.sim"))
       .withColumn("r", row_number().over(pw))
       .filter(col("r") <= GraphM)
       .select(col("src"), col("dst"))
