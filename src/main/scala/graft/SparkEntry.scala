@@ -100,6 +100,10 @@ object SparkEntry {
     "q_token_count"     -> (TextAnalysis.tokenCount _),
     "q_text_quality"    -> (TextAnalysis.textQuality _),
     "q_lang_id"         -> (TextAnalysis.langId _),
+    // PII scrub (emails/phones/IPs -> typed tokens + audit counts);
+    // synthetic PII injected deterministically from doc_id on BOTH
+    // sides, so the hash match grades the redaction regexes themselves
+    "q_redact_pii"      -> (TextAnalysis.redactPii _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
     "q_repetition"      -> (TextAnalysis.repetitionScore _),
     // bigram-LM typicality: the statistical quality screen (mean corpus
@@ -126,6 +130,9 @@ object SparkEntry {
     "q_neardup_graph"   -> ((s: SparkSession, dir: String) =>
       Dedup.materializedPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
     "q_dup_clusters"    -> (Dedup.duplicateClusters _),
+    // cluster dedup with keep-longest keeper selection (production
+    // pipelines keep the best duplicate, not the lowest doc_id)
+    "q_dedup_keep_best" -> (Dedup.dedupKeepBest _),
     // WITH RECURSIVE (Spark 4.x): bounded BFS over the near-dup graph
     "q_recursive_reach" -> (Dedup.recursiveReach _),
     "q_pagerank"        -> (Dedup.nearDupPageRank _),
@@ -136,6 +143,9 @@ object SparkEntry {
     "q_neardup_auto"    -> ((s: SparkSession, dir: String) => Dedup.nearDupPairsAuto(s, dir)),
     "q_simhash"         -> (Dedup.simhash _),
     "q_hash_split"      -> (Dedup.hashSplit _),
+    // incremental ingest: near-dup pairs touching the NEW batch only
+    // (delta-probed LSH join — existing-vs-existing never enumerated)
+    "q_delta_dedup"     -> (Dedup.deltaDedup _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // benchmark-contamination scan: eval-split shingle overlap vs train
     "q_decontamination" -> (Dedup.decontamination _),
@@ -884,6 +894,25 @@ object SparkEntry {
         |FROM (SELECT doc_id, list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
         |FROM documents)) ORDER BY doc_id""".stripMargin,
 
+    // identical injection, then RE2 forms of the same PII regexes (no
+    // backreferences/lookaround, so Java and RE2 agree); DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark applies always
+    "q_redact_pii" ->
+      """WITH raw AS (SELECT doc_id, text
+        |  || ' contact user' || doc_id::VARCHAR || '@example.com'
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' call (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(raw,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |CAST(len(regexp_extract_all(raw, '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM raw ORDER BY doc_id""".stripMargin,
+
     "q_fingerprint" ->
       s"""SELECT doc_id, ${h32("lower(trim(text))")} AS fp_md5,
          |list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1017,6 +1046,38 @@ object SparkEntry {
          |SELECT rep AS cluster_rep, count(*) AS n_members
          |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
          |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
+
+    // the batch pair set restricted to pairs touching the new side of
+    // the hash split — the delta probe must find exactly these (the
+    // incremental join changes WORK, not results)
+    "q_delta_dedup" ->
+      s"""WITH pairs AS ($lshPairsSql),
+         |tag AS (SELECT doc_id, ${h32("text")} % 10 >= 8 AS is_new FROM documents)
+         |SELECT id_a, id_b, est_jaccard,
+         |  CASE WHEN ta.is_new AND tb.is_new THEN 'new_new'
+         |       ELSE 'new_existing' END AS pair_type
+         |FROM pairs JOIN tag ta ON id_a = ta.doc_id
+         |JOIN tag tb ON id_b = tb.doc_id
+         |WHERE ta.is_new OR tb.is_new
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same recursive-CTE labeling as q_dup_clusters, then keep-longest
+    // keeper per cluster (n_words desc, doc_id tie-break)
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($lshPairsSql)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id),
+         |lbl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |words AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS BIGINT) AS n_words FROM documents),
+         |ranked AS (SELECT rep, id, n_words,
+         |    row_number() OVER (PARTITION BY rep ORDER BY n_words DESC, id) AS rn,
+         |    count(*) OVER (PARTITION BY rep) AS n_members
+         |  FROM lbl JOIN words ON lbl.id = words.doc_id)
+         |SELECT rep AS cluster_rep, id AS keeper,
+         |  CAST(n_members AS BIGINT) AS n_members, n_words AS keeper_words
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
 
     // integer-arithmetic PageRank: iterations unrolled as chained CTEs
     // (standard SQL forbids aggregates in a recursive member); same

@@ -232,6 +232,16 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    verifiedPairs(sig, cand, minEst)
+  }
+
+  /** Signature-verification join over an (id_a, id_b) candidate list —
+    * the shared tail of every LSH pair producer ([[lshPairsFromSignatures]],
+    * [[deltaDedupOn]]). Broadcast-vs-shuffle choice and the exact
+    * matches/64 arithmetic documented at [[lshPairsFromSignatures]].
+    */
+  private def verifiedPairs(sig: DataFrame, cand: DataFrame,
+                            minEst: Double): DataFrame = {
     // signature bytes ≈ rows × (doc_id + NumHashes longs); the count is
     // a cheap action over the persisted frame
     val estBytes = sig.count() * (NumHashes + 1) * 8L
@@ -522,11 +532,13 @@ object Dedup {
   def duplicateClustersOn(docs: DataFrame): DataFrame =
     clustersFromPairs(minhashLshPairsOn(docs).select(col("id_a"), col("id_b")))
 
-  /** Connected components over an arbitrary undirected pair list —
-    * exposed separately so the O(log chain) convergence claim is
-    * directly testable (DedupSpec clusters a 1000-node path graph).
+  /** Connected components over an arbitrary undirected pair list,
+    * returning the converged per-node label table (id, lbl) — exposed
+    * separately so the O(log chain) convergence claim is directly
+    * testable (DedupSpec clusters a 1000-node path graph) and so
+    * membership consumers ([[dedupKeepBest]]) can join it.
     */
-  def clustersFromPairs(rawPairs: DataFrame): DataFrame = {
+  private[graft] def clusterLabels(rawPairs: DataFrame): DataFrame = {
     // materialize the pair list ONCE: it feeds both union branches below,
     // and without the checkpoint each branch re-executes the whole
     // upstream pipeline (for the LSH caller, the entire candidate join)
@@ -589,8 +601,44 @@ object Dedup {
     // path halving cover astronomically long chains (> 2^20 hops).
     require(changed == 0,
       s"duplicateClusters: not converged after $rounds rounds ($changed labels still moving)")
-    labels.groupBy(col("lbl").as("cluster_rep"))
+    labels
+  }
+
+  /** Connected components, aggregated to (cluster_rep, n_members) —
+    * the q_dup_clusters shape. [[clusterLabels]] exposes the per-doc
+    * label table for consumers that need membership, not just sizes
+    * ([[dedupKeepBest]]).
+    */
+  def clustersFromPairs(rawPairs: DataFrame): DataFrame =
+    clusterLabels(rawPairs).groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+
+  /** Cluster dedup with QUALITY keeper selection: a production pipeline
+    * keeps the best representative of each near-dup cluster, not the
+    * lowest doc_id — here "best" is the longest document (token count,
+    * tie-break min doc_id), the standard keep-longest heuristic when no
+    * model-based quality score is wired in. One label join + one
+    * cluster-partitioned window over the (tiny relative to the corpus)
+    * label table; clusters are near-dup groups, so partitions are small
+    * by construction and the window never skews.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterLabels(
+      materializedPairs(spark, dir).select(col("id_a"), col("id_b")))
+    val words = Tables.documents(spark, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("n_words").desc, col("doc_id"))
+    labels.join(words, col("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .filter(col("rn") === 1)
+      .select(col("lbl").as("cluster_rep"), col("doc_id").as("keeper"),
+        col("n_members").cast("long").as("n_members"),
+        col("n_words").as("keeper_words"))
       .orderBy(col("cluster_rep"))
   }
 
@@ -707,6 +755,58 @@ object Dedup {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"), col("split"))
+  }
+
+  /** Incremental (delta) near-dup detection — the daily-ingest shape:
+    * a new batch lands next to an already-ingested corpus, and the
+    * question is which NEW documents near-duplicate anything already
+    * present (or each other) — existing-vs-existing pairs must NOT be
+    * re-enumerated, that work was paid at prior ingests. Membership is
+    * the [[hashSplit]] arithmetic (md5 bucket mod 10, buckets 8-9 =
+    * new ~20%): content-derived, so the fixture split is deterministic
+    * and oracle-reproducible. The candidate join probes the NEW side's
+    * band keys against ALL band keys, so join work scales with
+    * |delta| × bucket occupancy, never |corpus|² — and at 100 TB the
+    * existing side's signatures and band keys are a stored index
+    * (written at prior ingests, cf. [[materializedPairs]]'s layout)
+    * that this probe reads without touching existing text at all;
+    * here both sides come from one signature pass over the corpus
+    * table. Output tags each surviving pair `new_new` (both sides in
+    * the batch) or `new_existing` (batch vs corpus).
+    */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame =
+    deltaDedupOn(Tables.documents(spark, dir))
+
+  def deltaDedupOn(docs: DataFrame): DataFrame = {
+    // tiny per-doc (doc_id, is_new) — consumed three times (band tag +
+    // both pair-classification joins); checkpoint so the md5 pass over
+    // text runs once
+    val newness = docs.select(col("doc_id"),
+      (pmod(md5Hash32(col("text")), lit(10)) >= 8).as("is_new"))
+      .localCheckpoint()
+    val sig = minhashSignaturesUnsorted(docs, prodHash = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyed = bandKeys(sig).join(newness, "doc_id")
+      val all = keyed.as("a")
+      val delta = keyed.filter(col("is_new")).as("d")
+      val cand = all.join(delta,
+          col("a.band") === col("d.band") &&
+          col("a.variant") === col("d.variant") &&
+          col("a.bkey") === col("d.bkey") &&
+          col("a.doc_id") =!= col("d.doc_id"))
+        .select(least(col("a.doc_id"), col("d.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("d.doc_id")).as("id_b"))
+        .distinct()
+      verifiedPairs(sig, cand, minEst = 0.5)
+        .join(newness.select(col("doc_id").as("id_a"), col("is_new").as("new_a")), "id_a")
+        .join(newness.select(col("doc_id").as("id_b"), col("is_new").as("new_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          when(col("new_a") && col("new_b"), "new_new")
+            .otherwise("new_existing").as("pair_type"))
+        .localCheckpoint()
+        .orderBy(col("id_a"), col("id_b"))
+    } finally { sig.unpersist(); () }
   }
 
   /** Fixed-point iteration under the oracle gate: PageRank over the

@@ -109,6 +109,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // PII redaction patterns — valid and equivalent in BOTH Java regex
+  // (Spark codegen regexp_replace/regexp_count) and RE2 (the DuckDB
+  // oracle): no backreferences, no lookaround.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the standard curation scrub stage (emails, phone
+    * numbers, IPv4 addresses → typed placeholder tokens) plus per-doc
+    * redaction counts for audit. The synthetic corpus is letters-only,
+    * so deterministic synthetic PII derived from doc_id is injected
+    * first (email always; phone on doc_id % 3 = 0; IP on doc_id % 2 =
+    * 0) — the oracle performs the identical injection, so the gate's
+    * hash match proves the regex REDACTION semantics byte-for-byte on
+    * text that actually contains matches. Map-only: per-row codegen'd
+    * regexp work, no shuffle — at 100 TB this pass rides the same scan
+    * as any other per-document transform.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF: top-3 terms per document by (tf/len)·ln(N/df). The whole
     * pipeline is three keyed aggregations (term counts, doc lengths,
     * document frequencies) plus one scalar N — each a single shuffle

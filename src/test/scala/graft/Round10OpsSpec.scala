@@ -79,6 +79,79 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getAs[Long]("total_tokens") > 30L)
   }
 
+  test("PII redaction: placeholders replace every injected pattern, counts audit them") {
+    val out = graft.operators.TextAnalysis.redactPii(spark, sfDir)
+      .select("doc_id", "redacted", "n_emails", "n_phones", "n_ips")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, red, ne, np, ni) =>
+      // every injected pattern redacted: nothing email/phone/IP-shaped
+      // survives in the output text
+      assert(!red.matches(".*" + graft.operators.TextAnalysis.EmailRe + ".*"), s"doc $id: $red")
+      assert(!red.matches("(?s).*\\(\\d{3}\\) \\d{3}-\\d{4}.*"), s"doc $id")
+      assert(!red.matches("(?s).*\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}.*"), s"doc $id")
+      // counts mirror the deterministic injection rule
+      assert(ne === 1L, s"doc $id emails")
+      assert(np === (if (id % 3 == 0) 1L else 0L), s"doc $id phones")
+      assert(ni === (if (id % 2 == 0) 1L else 0L), s"doc $id ips")
+      assert(red.contains("<EMAIL>"))
+      if (id % 3 == 0) assert(red.contains("<PHONE>"))
+      if (id % 2 == 0) assert(red.contains("<IP>"))
+    }
+  }
+
+  test("dedupKeepBest: keeper is the longest member of its own cluster") {
+    import graft.operators.Dedup
+    val keep = Dedup.dedupKeepBest(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(keep.nonEmpty) // fixture corpus has planted near-dups
+    val labels = Dedup.clusterLabels(
+      Dedup.minhashLshPairs(spark, sfDir).select("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    val byCluster = labels.groupBy(_._2).map { case (l, m) => l -> m.map(_._1).toSet }
+    val words = graft.tables.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(keep.map(_._1).toSet === byCluster.keySet) // one keeper per cluster
+    keep.foreach { case (rep, keeper, nMembers, keeperWords) =>
+      val members = byCluster(rep)
+      assert(members.contains(keeper), s"keeper $keeper not in cluster $rep")
+      assert(nMembers === members.size.toLong)
+      assert(keeperWords === words(keeper))
+      val best = members.maxBy(m => (words(m), -m))
+      assert(keeper === best, s"cluster $rep: keeper $keeper vs longest $best")
+    }
+  }
+
+  test("deltaDedup: exactly the batch pairs touching the new side, correctly typed") {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions.md5Hash32
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val delta = Dedup.deltaDedup(spark, sfDir)
+      .as[(Long, Long, Double, String)].collect()
+    assert(delta.nonEmpty)
+    val isNew = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(md5Hash32(col("text")), lit(10)) >= 8)
+      .as[(Long, Boolean)].collect().toMap
+    // the incremental probe changes WORK, not results: same pairs as
+    // the full batch join restricted to the new side
+    val full = Dedup.minhashLshPairs(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.filter { case (a, b, _) => isNew(a) || isNew(b) }
+      .map { case (a, b, e) =>
+        (a, b, e, if (isNew(a) && isNew(b)) "new_new" else "new_existing") }
+      .toSet
+    assert(delta.toSet === expected)
+    // and no existing-vs-existing pair leaks through
+    delta.foreach { case (a, b, _, t) =>
+      assert(isNew(a) || isNew(b))
+      assert(t === (if (isNew(a) && isNew(b)) "new_new" else "new_existing"))
+    }
+  }
+
   test("curation pipeline: disjoint train and eval docs both survive their stages") {
     val ev = steer(
       "heavy snowfall blanketed the mountain passage overnight and " +
