@@ -60,11 +60,13 @@ object ScalingProbe {
       case "lsh"             => graft.operators.Dedup.minhashLshPairsOn(docs, prodHash = true)
       case "exact"           => graft.operators.Dedup.exactDedupOn(docs)
       case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
+      case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
       case "lm"              => graft.operators.TextAnalysis.lmTypicalityOn(docs)
       case other             => sys.error(s"unknown op $other")
     }
 
-    val gen: Int => DataFrame = if (op == "graphann") embCorpus else corpus
+    val gen: Int => DataFrame =
+      if (op.startsWith("graphann")) embCorpus else corpus
 
     // warm-up (JIT of the shingle/hash codegen paths)
     run(gen(512)).write.format("noop").mode("overwrite").save()

@@ -174,6 +174,10 @@ object SparkEntry {
     // the quantized serving path: int8-dot coarse pass over the packed
     // table + exact rerank of the short list (approximate -> rows-only)
     "q_knn_quantized"   -> (Similarity.quantizedKnn _),
+    // the same beam search over an NN-descent-built graph — the
+    // O(N·M²)-per-round build whose round cost scales linearly with
+    // the corpus (approximate -> rows-only)
+    "q_knn_graph_nnd"   -> ((s: SparkSession, dir: String) => Similarity.graphKnnNnd(s, dir)),
     // IVF-PQ-style composition: the int8 coarse pass confined to the
     // probed k-means cells of a partition-pruned packed layout — the
     // sublinear form of q_knn_quantized (approximate -> rows-only)

@@ -244,19 +244,47 @@ object Similarity {
     *    world shortcut property, WITHOUT a global sort — grouping is
     *    one hash-keyed shuffle, so the build holds at corpus scale.
     */
-  private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame): DataFrame = {
-    // Centroids, entry points, and queries are derived by filtering
-    // vec_id < k (the NumQueries/ivf fixture convention), which REQUIRES
-    // dense ids 0..n-1 — on a sparse or offset id space those filters
-    // can be empty and the search would return nothing, silently. The
-    // min/max probe rides the same O(1) sizing job as the count.
+  /** Dense-id sizing probe shared by both graph builders: centroids,
+    * entry points, and queries are derived by filtering vec_id < k
+    * (the NumQueries/ivf fixture convention), which REQUIRES dense ids
+    * 0..n-1 — on a sparse or offset id space those filters can be
+    * empty and the search would return nothing, silently. The min/max
+    * probe rides the same O(1) sizing job as the count.
+    */
+  private def denseCount(e: DataFrame, who: String): Long = {
     val szRow = e.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
     val n = szRow.getLong(0)
     require(n == 0L ||
         (szRow.getAs[Long](1) == 0L && szRow.getAs[Long](2) == n - 1),
-      s"graph ANN derives centroids/entries/queries from `vec_id < k`: " +
+      s"$who derives centroids/entries/queries from `vec_id < k`: " +
         s"vec_id must be dense 0..n-1 (got min=${szRow.get(1)}, " +
         s"max=${szRow.get(2)}, n=$n)")
+    n
+  }
+
+  /** The two hash-ordered ring families (NSW's long-range shortcut
+    * property without a global sort) — shared by both graph builders;
+    * see [[graphAnnEdges]] for why a pure-proximity graph needs them.
+    */
+  private def ringEdges(e: DataFrame, n: Long): DataFrame = {
+    val nGroups = math.max(1L, n / LongLinkGroup)
+    (1 to 2).map { salt =>
+      val grouped = e.select(col("vec_id"),
+        pmod(xxhash64(col("vec_id"), lit(salt)), lit(nGroups)).as("grp"),
+        xxhash64(col("vec_id"), lit(salt + 100)).as("ord"))
+      val rw = Window.partitionBy(col("grp")).orderBy(col("ord"), col("vec_id"))
+      grouped
+        .withColumn("nxt", lead(col("vec_id"), 1).over(rw))
+        .withColumn("wrap", first(col("vec_id")).over(
+          rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("vec_id").as("src"),
+          coalesce(col("nxt"), col("wrap")).as("dst"))
+        .filter(col("src") =!= col("dst")) // 1-node group has no link
+    }.reduce(_ unionByName _)
+  }
+
+  private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame): DataFrame = {
+    val n = denseCount(e, "graph ANN")
     val nCells = dedupCells(n)
     val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -290,21 +318,7 @@ object Similarity {
       .withColumn("r", row_number().over(pw))
       .filter(col("r") <= GraphM)
       .select(col("src"), col("dst"))
-    val nGroups = math.max(1L, n / LongLinkGroup)
-    val rings = (1 to 2).map { salt =>
-      val grouped = e.select(col("vec_id"),
-        pmod(xxhash64(col("vec_id"), lit(salt)), lit(nGroups)).as("grp"),
-        xxhash64(col("vec_id"), lit(salt + 100)).as("ord"))
-      val rw = Window.partitionBy(col("grp")).orderBy(col("ord"), col("vec_id"))
-      grouped
-        .withColumn("nxt", lead(col("vec_id"), 1).over(rw))
-        .withColumn("wrap", first(col("vec_id")).over(
-          rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("vec_id").as("src"),
-          coalesce(col("nxt"), col("wrap")).as("dst"))
-        .filter(col("src") =!= col("dst")) // 1-node group has no link
-    }.reduce(_ unionByName _)
-    proximity.unionByName(rings).dropDuplicates("src", "dst")
+    proximity.unionByName(ringEdges(e, n)).dropDuplicates("src", "dst")
   }
 
   /** Batch beam search over the navigable graph: every query starts at
@@ -329,9 +343,25 @@ object Similarity {
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     graphKnnOn(spark, Tables.embeddings(spark, dir))
 
-  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
+  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame =
+    graphSearch(e, graphAnnEdges(spark, e))
+
+  /** NN-descent variant: same beam search over edges built by
+    * iterative neighbor-of-neighbor refinement ([[nnDescentEdges]])
+    * instead of the blocked ~N^1.5 construction.
+    */
+  def graphKnnNnd(spark: SparkSession, dir: String): DataFrame =
+    graphKnnNndOn(spark, Tables.embeddings(spark, dir))
+
+  def graphKnnNndOn(spark: SparkSession, e: DataFrame): DataFrame =
+    graphSearch(e, nnDescentEdges(spark, e))
+
+  /** Batch beam search over an arbitrary prebuilt edge table — the
+    * shared serving half of both graph-ANN variants.
+    */
+  private def graphSearch(e: DataFrame, rawEdges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = graphAnnEdges(spark, e).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = rawEdges.persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val queries = e.filter(col("vec_id") < NumQueries)
@@ -352,6 +382,73 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  val NndRounds = 4 // neighbor-of-neighbor refinement rounds
+
+  /** NN-descent neighbor-graph build (Dong et al., WWW'11): start from
+    * [[GraphM]] deterministic pseudo-random out-neighbors per node,
+    * then each round proposes neighbors-of-neighbors as candidates,
+    * scores only the pairs never scored before, and keeps each node's
+    * top-[[GraphM]] — the EXPONENT fix over the blocked ~N^1.5 build:
+    * every round is O(N·M²) candidate rows through hash-shuffle joins
+    * (no centroid cross join, no within-block quadratic term), so
+    * doubling the corpus doubles the round cost. The trade is R
+    * materialized iterations and probabilistic (not block-guaranteed)
+    * proximity coverage; SimilaritySpec floors recall on the same
+    * clustered fixture as the blocked build. Long-range ring families
+    * are unioned exactly as in [[graphAnnEdges]] — NN-descent
+    * converges toward pure proximity, which beam search cannot cross
+    * alone on clustered data. Lineage per round is truncated with
+    * localCheckpoint (the [[graft.operators.Dedup.clusterLabels]]
+    * iteration pattern); the scored-pair accumulator is the standard
+    * NN-descent "visited" set, carried as data, never on the driver.
+    */
+  private[graft] def nnDescentEdges(spark: SparkSession, e: DataFrame,
+      rounds: Int = NndRounds): DataFrame = {
+    val n = denseCount(e, "NN-descent")
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
+    def scorePairs(cand: DataFrame): DataFrame =
+      cand.join(corpus.select(col("n_id").as("x"), col("embedding").as("ex")), "x")
+        .join(corpus.select(col("n_id").as("y"), col("embedding").as("ey")), "y")
+        .select(col("x"), col("y"), cosine(col("ex"), col("ey")).as("sim"))
+    // deterministic pseudo-random init: GraphM hash-derived neighbors
+    // per node, canonicalized x < y so each unordered pair scores once
+    val init = e.select(col("vec_id"),
+        explode(array((0 until GraphM).map(j =>
+          pmod(xxhash64(col("vec_id"), lit(j * 31 + 7)), lit(n))): _*)).as("nbr"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(least(col("vec_id"), col("nbr")).as("x"),
+        greatest(col("vec_id"), col("nbr")).as("y"))
+      .distinct()
+    var scored = scorePairs(init).localCheckpoint()
+    val pw = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))
+    def topM: DataFrame = scored
+      .select(explode(array(
+          struct(col("x").as("src"), col("y").as("dst"), col("sim")),
+          struct(col("y").as("src"), col("x").as("dst"), col("sim")))).as("p"))
+      .select(col("p.src"), col("p.dst"), col("p.sim"))
+      .withColumn("r", row_number().over(pw))
+      .filter(col("r") <= GraphM)
+      .select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      // undirected current-neighbor view → neighbor-of-neighbor
+      // proposals; anti-join drops pairs already scored (the visited
+      // set), so each round pays cosines only for NEW candidates
+      val und = topM.unionByName(
+          topM.select(col("dst").as("src"), col("src").as("dst")))
+        .dropDuplicates("src", "dst")
+      val cand = und.as("t1")
+        .join(und.select(col("src").as("mid"), col("dst").as("c")).as("t2"),
+          col("t1.dst") === col("t2.mid"))
+        .filter(col("t1.src") =!= col("t2.c"))
+        .select(least(col("t1.src"), col("t2.c")).as("x"),
+          greatest(col("t1.src"), col("t2.c")).as("y"))
+        .distinct()
+        .join(scored.select(col("x"), col("y")), Seq("x", "y"), "left_anti")
+      scored = scored.unionByName(scorePairs(cand)).localCheckpoint()
+    }
+    topM.unionByName(ringEdges(e, n)).dropDuplicates("src", "dst")
   }
 
   /** One expand-score-prune round of the beam search, factored out so

@@ -15,6 +15,7 @@ class RegistrySpec extends AnyFunSuite {
     "q_knn_ivf",               // approximate (k-means cells + probes)
     "q_knn_ivf_pruned",        // same search over the materialized layout
     "q_knn_graph",             // approximate (NSW graph beam search)
+    "q_knn_graph_nnd",         // approximate (NN-descent-built graph)
     "q_knn_quantized",         // approximate (int8 coarse pass + rerank)
     "q_knn_quantized_ivf",     // approximate (int8 within probed cells)
     "q_minhash_signatures_xx", // xxhash64 not reproducible in DuckDB
