@@ -1013,16 +1013,17 @@ object SparkEntry {
     // coalesce keeps everything, matching the engine's initial
     // watermark.
     "q_stream_neardup_ttl" -> {
-      val chunk = graft.streaming.DocumentStreams.TtlChunk
+      val floor = graft.streaming.DocumentStreams.TtlChunk
       val hSec = graft.streaming.DocumentStreams.TtlHorizonMs / 1000
-      s"""WITH pairs AS ($lshPairsSql),
-         |chmax AS (SELECT doc_id // $chunk AS ch, max(doc_id) AS mx
+      s"""WITH cw AS (SELECT greatest($floor, (max(doc_id)+5)//5) AS w FROM documents),
+         |pairs AS ($lshPairsSql),
+         |chmax AS (SELECT doc_id // (SELECT w FROM cw) AS ch, max(doc_id) AS mx
          |  FROM documents GROUP BY 1),
          |prevm AS (SELECT ch, max(mx) OVER (ORDER BY ch
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
          |  FROM chmax)
          |SELECT id_a, id_b, est_jaccard FROM pairs
-         |JOIN prevm ON id_b // $chunk = prevm.ch
+         |JOIN prevm ON id_b // (SELECT w FROM cw) = prevm.ch
          |WHERE id_a >= coalesce(prevm.prevmax, id_a) - $hSec
          |ORDER BY id_a, id_b""".stripMargin
     },

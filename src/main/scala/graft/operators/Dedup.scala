@@ -787,18 +787,7 @@ object Dedup {
     val sig = minhashSignaturesUnsorted(docs, prodHash = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val keyed = bandKeys(sig).join(newness, "doc_id")
-      val all = keyed.as("a")
-      val delta = keyed.filter(col("is_new")).as("d")
-      val cand = all.join(delta,
-          col("a.band") === col("d.band") &&
-          col("a.variant") === col("d.variant") &&
-          col("a.bkey") === col("d.bkey") &&
-          col("a.doc_id") =!= col("d.doc_id"))
-        .select(least(col("a.doc_id"), col("d.doc_id")).as("id_a"),
-          greatest(col("a.doc_id"), col("d.doc_id")).as("id_b"))
-        .distinct()
-      verifiedPairs(sig, cand, minEst = 0.5)
+      verifiedPairs(sig, deltaCandidates(sig, newness), minEst = 0.5)
         .join(newness.select(col("doc_id").as("id_a"), col("is_new").as("new_a")), "id_a")
         .join(newness.select(col("doc_id").as("id_b"), col("is_new").as("new_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("est_jaccard"),
@@ -807,6 +796,25 @@ object Dedup {
         .localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))
     } finally { sig.unpersist(); () }
+  }
+
+  /** The delta-probed band-bucket candidate join, factored out so the
+    * plan audit can assert the probe side is is_new-filtered BELOW the
+    * join on the pre-checkpoint dataflow (PlanAuditSpec).
+    */
+  private[graft] def deltaCandidates(sig: DataFrame,
+                                     newness: DataFrame): DataFrame = {
+    val keyed = bandKeys(sig).join(newness, "doc_id")
+    val all = keyed.as("a")
+    val delta = keyed.filter(col("is_new")).as("d")
+    all.join(delta,
+        col("a.band") === col("d.band") &&
+        col("a.variant") === col("d.variant") &&
+        col("a.bkey") === col("d.bkey") &&
+        col("a.doc_id") =!= col("d.doc_id"))
+      .select(least(col("a.doc_id"), col("d.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("d.doc_id")).as("id_b"))
+      .distinct()
   }
 
   /** Fixed-point iteration under the oracle gate: PageRank over the

@@ -23,9 +23,12 @@ import org.apache.spark.storage.StorageLevel
   *   4. sequence packing — [[TextAnalysis.packSequencesOn]] over the
   *      clean train corpus.
   *
-  * Scale shape: the corpus is scanned ONCE — the keep-filtered frame
-  * is persisted and feeds both the dedup keeper set and the survivor
-  * join; the deduped frame is persisted and feeds both the shingle
+  * Scale shape: the corpus is scanned TWICE — once by the quality
+  * decision pass (which materializes only a 16-byte-per-doc id/reason
+  * table; see the pushdown note at the first stage) and once by the
+  * semi join that carries survivors' text forward; the kept frame is
+  * persisted and feeds both the dedup keeper set and the survivor
+  * join, and the deduped frame is persisted and feeds both the shingle
   * pipeline and the final pack join. Everything that shuffles is
   * narrow (8-byte shingle fingerprints, doc_ids, token counts), never
   * document text except the dedup key itself (use the sha256 variant
@@ -62,9 +65,23 @@ object Pipeline {
                          budget: Int = 2048, shards: Int = 8,
                          maxContamination: Double = 0.05,
                          checkpoint: Boolean = true): DataFrame = {
-    val kept = TextAnalysis.corpusReasons(docs)
+    // Decision pass FIRST, as a narrow (doc_id, reason) table that is
+    // checkpointed BEFORE filtering. Filtering corpusReasons directly
+    // looks natural but is a 60× trap: predicate pushdown substitutes
+    // the collapsed reason expression into the Filter condition, and
+    // FilterExec (unlike ProjectExec) performs no subexpression
+    // elimination — every `toks`/`ltoks`/`grams` reference re-tokenizes
+    // the document, measured 61s vs 1s on the sf0.1 corpus. The
+    // checkpoint pins the CASE to one Project evaluation and the keep
+    // filter to a 16-byte-row scan; the corpus is then re-read once for
+    // the semi join (columnar, doc_id+text only).
+    val qualityIds = TextAnalysis.corpusReasons(docs)
+      .select(col("doc_id"), col("reason"))
+      .localCheckpoint()
       .filter(col("reason") === "keep")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"))
+    val kept = docs.select(col("doc_id"), col("text"))
+      .join(qualityIds, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // exact-dedup keeper ids over the kept docs (min doc_id per
     // normalized text); LEFT SEMI keeps survivors without widening rows

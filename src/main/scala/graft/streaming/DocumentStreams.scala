@@ -191,13 +191,19 @@ object DocumentStreams {
   /** Replay clock for the GATED TTL variant (q_stream_neardup_ttl):
     * ts(doc) = [[TtlBaseMs]] + doc_id·1000 (one second per doc_id),
     * replayed in ascending doc_id order as one micro-batch per
-    * [[TtlChunk]]-wide doc_id range, watermark delay 0. Everything is
-    * deterministic, so the watermark while chunk c processes is
-    * exactly max(doc_id of earlier chunks)·1000 + base — and the
-    * operator's watermark-relative horizon reduces to pure doc_id
-    * arithmetic the DuckDB oracle re-derives: pair (a, b) survives
-    * iff a ≥ prevmax(chunk(b)) − [[TtlHorizonMs]]/1000. At the gate
-    * corpus (500 docs, 5 chunks, 150 s horizon) that splits the batch
+    * chunk-wide doc_id range, watermark delay 0. The chunk width is
+    * max([[TtlChunk]], ceil((max_id+1)/5)) — floored so the gate
+    * corpus (500 docs) replays in exactly 5 chunks, and scaled so a
+    * 10× corpus still replays in ~5 micro-batches instead of paying
+    * 10× per-batch engine overhead (the bench corpus measured 35s in
+    * 50 batches vs ~6s in 5; the oracle re-derives the same width via
+    * a scalar subquery, so the two sides stay in lockstep at any SF).
+    * Everything is deterministic, so the watermark while chunk c
+    * processes is exactly max(doc_id of earlier chunks)·1000 + base —
+    * and the operator's watermark-relative horizon reduces to pure
+    * doc_id arithmetic the DuckDB oracle re-derives: pair (a, b)
+    * survives iff a ≥ prevmax(chunk(b)) − [[TtlHorizonMs]]/1000. At
+    * the gate corpus (5 chunks, 150 s horizon) that splits the batch
     * LSH pair set roughly in half — both aging-out and survival are
     * exercised, promoting the production memory bound from spec-only
     * to driver-graded.
@@ -205,6 +211,12 @@ object DocumentStreams {
   val TtlChunk = 100L
   val TtlHorizonMs = 150L * 1000
   val TtlBaseMs = 1704067200000L // 2024-01-01T00:00:00Z
+
+  /** ceil((maxId+1)/5) floored at [[TtlChunk]] — mirrored by the
+    * oracle's `greatest(100, (max(doc_id)+5)//5)`.
+    */
+  def ttlChunkWidth(maxId: Long): Long =
+    math.max(TtlChunk, (maxId + 5) / 5)
 
   def streamedNearDupPairsTtl(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -230,7 +242,8 @@ object DocumentStreams {
         .outputMode(OutputMode.Append())
         .start()
       try {
-        rows.groupBy(_._1 / TtlChunk).toSeq.sortBy(_._1).foreach {
+        val chunkW = ttlChunkWidth(rows.lastOption.map(_._1).getOrElse(0L))
+        rows.groupBy(_._1 / chunkW).toSeq.sortBy(_._1).foreach {
           case (_, chunk) =>
             input.addData(chunk.toSeq.map { case (id, text) =>
               (id, text, new java.sql.Timestamp(TtlBaseMs + id * 1000L))

@@ -163,6 +163,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"no partial aggregation:\n${plan.take(1500)}")
   }
 
+  test("delta dedup: the band candidate join probes an is_new-filtered side") {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions.md5Hash32
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import org.apache.spark.storage.StorageLevel
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // checkpointed as in production — without it Catalyst pushes the
+    // is_new predicate below the aliasing projection and rewrites it
+    // in md5 terms, which is the same probe-side reduction
+    val newness = docs.select(col("doc_id"),
+      (pmod(md5Hash32(col("text")), lit(10)) >= 8).as("is_new"))
+      .localCheckpoint()
+    val sig = Dedup.minhashSignaturesUnsorted(docs, prodHash = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cand = Dedup.deltaCandidates(sig, newness)
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString
+      // the incremental property in the PHYSICAL plan: one join input
+      // is reduced to the new batch by an is_new filter before the
+      // band join, so candidate work scales with |delta|, not |corpus|
+      assert(plan.linesIterator.exists(l =>
+          l.contains("Filter") && l.contains("is_new")),
+        s"no is_new filter below the band join:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"), plan.take(800))
+    } finally { sig.unpersist(); () }
+  }
+
   test("graph-ANN beam search: per-hop joins broadcast the beam, never the corpus") {
     import graft.operators.Similarity
     import org.apache.spark.sql.functions.{col, lit}
@@ -189,14 +217,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { edges.unpersist(); corpus.unpersist(); () }
   }
 
-  test("q_pipeline_e2e: one corpus scan — every stage reads the persisted frames") {
+  test("q_pipeline_e2e: stages read the persisted frames, never re-scan the corpus") {
     // four stages consume the corpus (filter, dedup keeper set, shingle
     // pipeline, final pack join); without the persist scoping each one
-    // would re-scan + re-tokenize the 100 TB table. The audit runs the
-    // pre-checkpoint dataflow (checkpoint=false keeps the persists
-    // live) and asserts NO direct parquet scan survives in the final
-    // plan — corpus access goes through the in-memory stage frames,
-    // whose single backing scan runs once.
+    // would re-scan + re-tokenize the 100 TB table. The quality
+    // decision pass runs once up front (checkpointed narrow id/reason
+    // table — see the pushdown note in Pipeline); after it, corpus
+    // access goes through the in-memory stage frames, whose single
+    // backing scan (the semi join carrying survivors' text) runs once.
+    // The audit runs the pre-checkpoint dataflow (checkpoint=false
+    // keeps the persists live) and asserts NO direct parquet scan
+    // survives in the final plan.
     import graft.operators.Pipeline
     import org.apache.spark.sql.execution.FileSourceScanExec
     spark.catalog.clearCache()
