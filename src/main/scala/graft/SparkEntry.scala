@@ -53,6 +53,9 @@ object SparkEntry {
     "q_asof_join"       -> (Relational.asofJoin _),
     "q_pivot"           -> (Relational.pivotAgg _),
     "q_percentile"      -> (Relational.percentileAgg _),
+    // the GK-sketch twin of q_percentile (mergeable, sort-free — the
+    // 100 TB form; approximate -> rows-only, bounds pinned in spec)
+    "q_approx_percentile" -> (Relational.approxPercentileAgg _),
     // — window functions —
     "q_window_rank"     -> (Windows.windowRank _),
     "q_window_distribution" -> (Windows.windowDistribution _),

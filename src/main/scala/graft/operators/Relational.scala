@@ -488,6 +488,27 @@ object Relational {
         expr("percentile(l_quantity, 0.95)").as("p95"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles via Spark's mergeable quantile sketch
+    * (Greenwald-Khanna `percentile_approx`) — the sketch companion to
+    * the exact sort-based [[percentileAgg]], the same relationship
+    * q_approx_distinct has to exact COUNT(DISTINCT). At 100 TB the
+    * exact form's per-group sort is the scaling liability; the GK
+    * sketch is bounded-size per group, merges associatively across
+    * partitions (one map-side partial + one merge, no sort), and
+    * trades a documented rank error ≤ 1/accuracy. No DuckDB twin
+    * (different sketch) → rows-only gate; Round10OpsSpec bounds every
+    * approximate value inside the exact quartile neighborhood.
+    */
+  def approxPercentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, 0.25, 1000)").as("p25"),
+        expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50"),
+        expr("percentile_approx(l_quantity, 0.75, 1000)").as("p75"),
+        expr("percentile_approx(l_quantity, 0.95, 1000)").as("p95"))
+      .orderBy(col("l_returnflag"))
+
   /** TPC-H Q3 shape (shipping priority): selective filters on BOTH fact
     * tables plus a filtered dim, three-way join, revenue agg, top-10.
     * Plan shape at scale: the mktsegment-filtered customer side

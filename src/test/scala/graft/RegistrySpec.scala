@@ -11,6 +11,7 @@ class RegistrySpec extends AnyFunSuite {
 
   private val RowsOnlyByDesign = Set(
     "q_approx_distinct",       // HLL estimate — no DuckDB twin
+    "q_approx_percentile",     // GK quantile sketch — no DuckDB twin
     "q_hll_sketch",            // mergeable sketch values
     "q_knn_ivf",               // approximate (k-means cells + probes)
     "q_knn_ivf_pruned",        // same search over the materialized layout

@@ -152,6 +152,28 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("approxPercentile: every sketch value lies within the exact quartile spread") {
+    import org.apache.spark.sql.Row
+    val exact = graft.operators.Relational.percentileAgg(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.operators.Relational.approxPercentileAgg(spark, sfDir)
+      .collect()
+    assert(approx.nonEmpty && approx.length === exact.size)
+    // GK with accuracy=1000 has rank error <= n/1000; on l_quantity
+    // (integers 1..50) that is at most one adjacent integer value —
+    // assert each approximate percentile within 1.0 of the exact one
+    def d(r: Row, i: Int): Double = r.get(i) match {
+      case x: java.lang.Number => x.doubleValue()
+    }
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      (1 to 4).foreach { i =>
+        assert(math.abs(d(r, i) - d(e, i)) <= 1.0 + 1e-9,
+          s"flag ${r.getString(0)} col $i: approx ${d(r, i)} vs exact ${d(e, i)}")
+      }
+    }
+  }
+
   test("curation pipeline: disjoint train and eval docs both survive their stages") {
     val ev = steer(
       "heavy snowfall blanketed the mountain passage overnight and " +
