@@ -239,6 +239,10 @@ object SparkEntry {
     // stream-stream interval join under the gate (inner-join emission
     // is not watermark-gated, so finite replay = the batch join)
     "q_stream_attribution" -> (graft.streaming.EventStreams.streamedAttribution _),
+    // stream-STATIC join under the gate: eval docs stream against the
+    // static train vocabulary (stateless join + Complete-mode per-doc
+    // agg, so finite replay = the batch decontamination scan)
+    "q_stream_decontamination" -> (graft.streaming.DocumentStreams.streamedDecontamination _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -964,6 +968,9 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q_decontamination" -> decontaminationSql,
+    // the stream-static twin emits exactly the batch scan's rows
+    // (stateless join, Complete-mode agg) — same oracle proves it
+    "q_stream_decontamination" -> decontaminationSql,
     // the Bloom prefilter is lossless (no false negatives + exact
     // verify join), so the same oracle grades it — the hash match IS
     // the losslessness proof

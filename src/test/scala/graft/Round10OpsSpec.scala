@@ -174,6 +174,16 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("streamed decontamination equals the batch scan (stream-static join)") {
+    val streamed = graft.streaming.DocumentStreams
+      .streamedDecontamination(spark, sfDir)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.decontamination(spark, sfDir)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("curation pipeline: disjoint train and eval docs both survive their stages") {
     val ev = steer(
       "heavy snowfall blanketed the mountain passage overnight and " +
