@@ -385,6 +385,7 @@ object Similarity {
   }
 
   val NndRounds = 4 // neighbor-of-neighbor refinement rounds
+  val ConvergenceCheckMinN = 100000L // engage NN-descent early-exit above this
 
   /** NN-descent neighbor-graph build (Dong et al., WWW'11): start from
     * [[GraphM]] deterministic pseudo-random out-neighbors per node,
@@ -393,7 +394,12 @@ object Similarity {
     * top-[[GraphM]] — the EXPONENT fix over the blocked ~N^1.5 build:
     * every round is O(N·M²) candidate rows through hash-shuffle joins
     * (no centroid cross join, no within-block quadratic term), so
-    * doubling the corpus doubles the round cost. The trade is R
+    * doubling the corpus doubles the round cost. Rounds are capped at
+    * `rounds` with the standard convergence early-exit (a round
+    * contributing < N/100 fresh pairs ends the loop — deterministic,
+    * since candidate sets are; engaged only above
+    * [[ConvergenceCheckMinN]], where a skipped round repays the
+    * per-round count). The trade is R
     * materialized iterations and probabilistic (not block-guaranteed)
     * proximity coverage; SimilaritySpec floors recall on the same
     * clustered fixture as the blocked build. Long-range ring families
@@ -431,7 +437,15 @@ object Similarity {
       .withColumn("r", row_number().over(pw))
       .filter(col("r") <= GraphM)
       .select(col("src"), col("dst"))
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    // convergence counting is itself a per-round job; below this size
+    // the capped rounds are cheaper than the bookkeeping (measured
+    // ~2s/round-set at 5k-40k for zero skipped rounds), so the check
+    // engages only where a skipped O(N·M²) round repays it
+    val checkConvergence = n >= ConvergenceCheckMinN
+    var prevTotal = if (checkConvergence) scored.count() else 0L
+    while (round < rounds && !converged) {
       // undirected current-neighbor view → neighbor-of-neighbor
       // proposals; anti-join drops pairs already scored (the visited
       // set), so each round pays cosines only for NEW candidates
@@ -447,6 +461,17 @@ object Similarity {
         .distinct()
         .join(scored.select(col("x"), col("y")), Seq("x", "y"), "left_anti")
       scored = scored.unionByName(scorePairs(cand)).localCheckpoint()
+      // NN-descent's standard termination: stop once a round proposes
+      // almost nothing new (< n/100 fresh pairs). The delta comes from
+      // a narrow count over the blocks the checkpoint just
+      // materialized (no extra materialization of the fresh rows), and
+      // at scale a skipped round saves the full O(N·M²) pass.
+      if (checkConvergence) {
+        val total = scored.count()
+        converged = total - prevTotal < math.max(1L, n / 100)
+        prevTotal = total
+      }
+      round += 1
     }
     topM.unionByName(ringEdges(e, n)).dropDuplicates("src", "dst")
   }
