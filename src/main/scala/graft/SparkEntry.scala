@@ -155,6 +155,10 @@ object SparkEntry {
     // Bloom-prefiltered twin: eval-shingle sketch screens the train
     // side at the scan; exact join verifies — same oracle proves it
     "q_decontamination_bloom" -> (Dedup.decontaminationBloom _),
+    // the same scan written as ONE spark.sql(...) TEXT driving the
+    // SQL-registered codegen functions (char_shingles / rolling_hash /
+    // md5_hash32) — same oracle proves the SQL surface end-to-end
+    "q_sql_decontamination" -> (Dedup.decontaminationSqlForm _),
     // fixed-window chunking with stride (context-window prep)
     "q_chunk_documents" -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
     // chunking -> exact dedup over chunk hashes (cross-doc repeated spans)
@@ -975,6 +979,11 @@ object SparkEntry {
     // verify join), so the same oracle grades it — the hash match IS
     // the losslessness proof
     "q_decontamination_bloom" -> decontaminationSql,
+    // the spark.sql(...) TEXT form computes the identical scan through
+    // the SQL-registered expressions, so the same oracle grades it —
+    // the hash match proves registration + binding + codegen, not just
+    // that the functions evaluate (SqlFunctionsSpec covers that)
+    "q_sql_decontamination" -> decontaminationSql,
 
     "q_chunk_documents" -> s"$chunkSql ORDER BY doc_id, chunk_idx",
 

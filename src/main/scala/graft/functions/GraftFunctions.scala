@@ -50,6 +50,10 @@ object GraftFunctions {
     "sorted_intersect_size" -> { args =>
       require(args.length == 2, "sorted_intersect_size(a, b)")
       TextShingleExpressions.SortedIntersectSizeExpr(args(0), args(1))
+    },
+    "md5_hash32" -> { args =>
+      require(args.length == 1, "md5_hash32(s)")
+      HashExpressions.Md5Prefix32Expr(args(0))
     })
 
   private def info(name: String) =

@@ -876,6 +876,46 @@ object Dedup {
   def decontaminationOn(docs: DataFrame): DataFrame =
     decontaminationWith(docs, (trainSide, _) => trainSide)
 
+  /** The decontamination scan as ONE SQL TEXT — the "switch to this
+    * library and keep writing SQL" proof: a user drives the same
+    * codegen expressions ([[graft.functions.TextFunctions]]'s native
+    * char_shingles / rolling_hash / md5_hash32, registered through
+    * [[org.apache.spark.sql.graft.GraftFunctions]] /
+    * SparkSessionExtensions) from `spark.sql(...)` with no Scala
+    * DataFrame code, and Catalyst plans the identical dataflow. Same
+    * rules as [[decontaminationOn]] → shares q_decontamination's
+    * oracle; the hash match proves the SQL surface end-to-end
+    * (registration, argument binding, codegen) — not just that the
+    * functions exist (SqlFunctionsSpec covers evaluation).
+    */
+  def decontaminationSqlForm(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_documents_v")
+    spark.sql(
+      s"""WITH sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN pmod(md5_hash32(text), 10) < 8 THEN 'train'
+         |         WHEN pmod(md5_hash32(text), 10) = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM graft_documents_v),
+         |sh AS (
+         |  SELECT doc_id, rolling_hash(s) AS hh
+         |  FROM (SELECT doc_id,
+         |          explode(array_distinct(char_shingles(lower(trim(text)), $ShingleK))) AS s
+         |        FROM graft_documents_v)),
+         |train AS (SELECT DISTINCT hh FROM sh JOIN sp USING (doc_id)
+         |          WHERE split = 'train'),
+         |ev AS (SELECT sh.doc_id, split, hh FROM sh JOIN sp USING (doc_id)
+         |       WHERE split <> 'train')
+         |SELECT ev.doc_id, ev.split, count(*) AS n_shingles,
+         |  sum(CASE WHEN t.hh IS NOT NULL THEN 1L ELSE 0L END) AS n_overlap,
+         |  CAST(sum(CASE WHEN t.hh IS NOT NULL THEN 1L ELSE 0L END) AS DOUBLE)
+         |    / count(*) AS contamination
+         |FROM ev LEFT JOIN train t ON ev.hh = t.hh
+         |GROUP BY ev.doc_id, ev.split
+         |ORDER BY ev.doc_id""".stripMargin)
+  }
+
   /** Bloom-prefiltered variant: the train side is screened against a
     * Bloom sketch of the EVAL shingle hashes before the exact
     * membership join. At 100 TB the train vocabulary dwarfs the eval

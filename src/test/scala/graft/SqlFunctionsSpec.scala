@@ -27,6 +27,28 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getLong(5) === 2L)
   }
 
+  test("md5_hash32 SQL function matches the Scala API") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.lit
+    val viaSql = spark.sql("SELECT md5_hash32('hello world') AS h").head().getLong(0)
+    val viaApi = spark.range(1)
+      .select(graft.functions.TextFunctions.md5Hash32(lit("hello world")).as("h"))
+      .head().getLong(0)
+    assert(viaSql === viaApi)
+  }
+
+  test("decontaminationSqlForm: the pure-SQL-text pipeline equals the Scala operator") {
+    // q_sql_decontamination's premise: a user who only writes SQL gets
+    // the identical scan — registration, argument binding, and codegen
+    // all exercised through one spark.sql(...) text
+    val viaApi = graft.operators.Dedup.decontamination(spark, sfDir)
+      .collect().map(_.toString)
+    val viaSql = graft.operators.Dedup.decontaminationSqlForm(spark, sfDir)
+      .collect().map(_.toString)
+    assert(viaSql.length > 0)
+    assert(viaSql.sameElements(viaApi))
+  }
+
   test("SQL functions participate in whole-stage codegen over a table") {
     GraftFunctions.register(spark)
     graft.tables.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_v")
