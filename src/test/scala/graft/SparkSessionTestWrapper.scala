@@ -19,6 +19,11 @@ object SparkSessionTestWrapper {
     // events.parquet is TIMESTAMP(NANOS); set at build time so no
     // loader has to flip session state as a side effect
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the production install path for the SQL function surface — by
+    // class-name STRING, exactly as a user's spark-submit --conf would;
+    // SqlFunctionsSpec proves it took effect (via newSession, which
+    // only build-time-injected functions reach)
+    .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)

@@ -49,6 +49,26 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaSql.sameElements(viaApi))
   }
 
+  test("spark.sql.extensions config string installs the functions at session build") {
+    // the production install path: the shared test session is built
+    // with spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+    // as a class-name STRING (SparkSessionTestWrapper), exactly as a
+    // user's spark-submit --conf would — classloader lookup, no-arg
+    // instantiation, injectFunction. The proof must be register()-proof:
+    // newSession() builds a FRESH function registry that only
+    // build-time-injected functions reach (other tests'
+    // createOrReplaceTempFunction cannot leak into it).
+    import org.apache.spark.sql.functions.lit
+    val fresh = spark.newSession()
+    val row = fresh.sql(
+      "SELECT rolling_hash('ab') AS rh, md5_hash32('x') AS h32").head()
+    assert(row.getLong(0) === 3105L) // 97*31 + 98
+    val apiH32 = fresh.range(1)
+      .select(graft.functions.TextFunctions.md5Hash32(lit("x")).as("h"))
+      .head().getLong(0)
+    assert(row.getLong(1) === apiH32)
+  }
+
   test("SQL functions participate in whole-stage codegen over a table") {
     GraftFunctions.register(spark)
     graft.tables.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_v")
