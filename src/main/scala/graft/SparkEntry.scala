@@ -150,6 +150,9 @@ object SparkEntry {
     // (delta-probed LSH join — existing-vs-existing never enumerated)
     "q_delta_dedup"     -> (Dedup.deltaDedup _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
+    // rates FROM corpus stats: p(s) ∝ n^α flattening (α=1/2) as a
+    // deterministic static downsample — the actual data-mixing math
+    "q_temperature_mixture" -> (Dedup.temperatureMixture _),
     // benchmark-contamination scan: eval-split shingle overlap vs train
     "q_decontamination" -> (Dedup.decontamination _),
     // Bloom-prefiltered twin: eval-shingle sketch screens the train
@@ -1005,6 +1008,20 @@ object SparkEntry {
          |  10 + (CAST(substr(source, 4) AS INT) * 4) % 91 AS rate
          |  FROM documents)
          |WHERE bucket < rate GROUP BY source ORDER BY source""".stripMargin,
+
+    // α = 1/2 keeps the rate computable from sqrt + division alone —
+    // both IEEE-exact in the two engines, so the double column itself
+    // is under the hash (pow() would not be portable)
+    "q_temperature_mixture" ->
+      s"""WITH sizes AS (SELECT lang, count(*) AS n_docs,
+         |    1.0/sqrt(count(*)) AS w FROM documents GROUP BY 1),
+         |rates AS (SELECT lang, n_docs,
+         |    w / (SELECT max(w) FROM sizes) AS rate FROM sizes)
+         |SELECT lang, n_docs, rate, count(*) AS n_sampled,
+         |  min(doc_id) AS first_doc
+         |FROM documents JOIN rates USING (lang)
+         |WHERE ${h32("text || '#temp'")} % 1000000 < rate * 1000000
+         |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
 
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",

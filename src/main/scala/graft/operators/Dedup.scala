@@ -1142,6 +1142,45 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Temperature-flattened mixture: per-source keep-rates derived FROM
+    * corpus statistics rather than a config table — the standard
+    * multilingual/multi-source flattening where the mixture probability
+    * p(s) ∝ n_s^α (here α = 1/2, "temperature 2") is materialized as a
+    * static downsample with rate_s ∝ n_s^(α−1), normalized so the
+    * smallest LANGUAGE keeps everything and dominant languages shrink
+    * toward the flattened mixture (the fixture's lang column is the
+    * naturally skewed axis: en dominates the long tail, so the rate
+    * actually bites). Membership is content-hash-deterministic
+    * (same re-run/re-shard/ingest stability as [[mixtureSample]], its
+    * own salt so it composes with [[hashSplit]] and the mixture
+    * without leakage).
+    *
+    * Oracle portability pins α = 1/2: rate_s = √(n_min)/√(n_s) uses
+    * only sqrt and one division — both IEEE-correctly-rounded in Spark
+    * and DuckDB, so the double compares EXACTLY under the gate. A
+    * general α would need pow(), whose libm results are not guaranteed
+    * bit-identical across engines.
+    *
+    * Scale shape: one count aggregation builds the rate table (rows =
+    * sources, tiny), broadcast back over the corpus; the sample itself
+    * is a narrow per-row hash filter — document bodies never shuffle.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sizes = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", lit(1.0) / sqrt(col("n_docs").cast("double")))
+    val maxW = sizes.agg(max(col("w")).as("max_w"))
+    val rates = sizes.crossJoin(broadcast(maxW))
+      .select(col("lang"), col("n_docs"), (col("w") / col("max_w")).as("rate"))
+    val bucket = pmod(md5Hash32(concat(col("text"), lit("#temp"))), lit(1000000))
+    docs.join(broadcast(rates), "lang")
+      .filter(bucket.cast("double") < col("rate") * 1000000.0)
+      .groupBy(col("lang"), col("n_docs"), col("rate"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** SimHash (32-bit): per token, an md5-derived 32-bit hash votes ±1
     * on each bit position weighted by token frequency; the fingerprint
     * sets bit b iff the vote sum is positive.

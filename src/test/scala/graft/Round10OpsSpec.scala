@@ -204,4 +204,31 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(packed.head.getAs[Long]("first_doc") === 1L)
     assert(packed.head.getAs[Long]("n_docs") === 1L)
   }
+
+  test("temperature mixture: rates flatten the lang skew, smallest lang keeps all") {
+    val rows = graft.operators.Dedup.temperatureMixture(spark, sfDir)
+      .as[(String, Long, Double, Long, Long)].collect()
+    val byLang = rows.map(r => r._1 -> r).toMap
+    // normalization anchor: the rarest language is never downsampled
+    val minLang = rows.minBy(_._2)
+    assert(minLang._3 === 1.0)
+    // the dominant language IS downsampled (rate = sqrt(n_min/n_en) < 1
+    // and the hash filter removed documents)
+    val en = byLang("en")
+    assert(en._3 < 1.0 && en._4 < en._2,
+      s"en not flattened: rate=${en._3} sampled=${en._4}/${en._2}")
+    // rate math, in the operator's exact evaluation order — the
+    // algebraically-equal sqrt(n_min)/sqrt(n_l) differs by an ULP
+    rows.foreach { case (_, n, rate, _, _) =>
+      assert(rate ===
+        (1.0 / math.sqrt(n.toDouble)) / (1.0 / math.sqrt(minLang._2.toDouble)))
+    }
+    // sampling is within-rate: hash-uniformity keeps n_sampled near
+    // n_docs·rate (loose band — this is determinism, not statistics)
+    rows.foreach { case (lang, n, rate, sampled, _) =>
+      assert(sampled <= n, s"$lang oversampled")
+      assert(math.abs(sampled - n * rate) <= math.max(6.0, 0.35 * n),
+        s"$lang sampled=$sampled far from n·rate=${n * rate}")
+    }
+  }
 }
