@@ -241,4 +241,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"stage re-scans the corpus directly: ${direct.map(_.nodeName)}")
     } finally { spark.catalog.clearCache(); () }
   }
+
+  test("q_temperature_mixture: rate table broadcast, corpus never shuffled pre-filter") {
+    // the corpus-side dataflow must be scan → broadcast-join the tiny
+    // per-lang rate table → narrow hash filter → partial agg; a
+    // shuffle of document rows BEFORE the filter would move the whole
+    // 100 TB corpus to sample it
+    val plan = planOf("q_temperature_mixture")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val beforeFilter = plan.split("Filter ").head
+    assert(!beforeFilter.contains("SortMergeJoin"),
+      "corpus joined by shuffle instead of broadcast")
+  }
 }
