@@ -976,34 +976,39 @@ object Dedup {
       prefilter: (DataFrame, DataFrame) => DataFrame,
       checkpoint: Boolean = true): DataFrame = {
     val bucket = pmod(md5Hash32(col("text")), lit(10))
-    // persisted: the train-vocabulary branch and the eval branch both
-    // consume the shingle pipeline — without this the corpus scan +
-    // shingle explode + hash runs twice (the branches diverge before
-    // any exchange, so shuffle reuse cannot dedup them)
+    // NOT persisted, deliberately: both branches consume this narrow
+    // scan → shingle-explode → hash pipeline, and recomputing it per
+    // branch beats materializing it — the explode output is a
+    // corpus-sized-times-expansion intermediate, so a persist writes
+    // it to the block store and blocks pipelining into each branch's
+    // first shuffle, while the recompute stays fused into whole-stage
+    // codegen (measured at sf0.1: 1.4s vs 2.8-3.7s persisted; the
+    // SQL-text twin q_sql_decontamination exposed the gap). At 100 TB
+    // the persist trade only worsens: the cache spills an exploded
+    // copy of the corpus to executor disks. Everything here is
+    // deterministic, so per-branch recompute cannot diverge.
     val tagged = docs
       .select(col("doc_id"),
         when(bucket < 8, "train").when(bucket === 8, "val")
           .otherwise("test").as("split"),
         explode(array_distinct(charShingles(normalized(col("text")), ShingleK))).as("sh"))
       .select(col("doc_id"), col("split"), rollingFingerprint(col("sh")).as("hh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val evalSide = tagged.filter(col("split") =!= "train")
-      val trainVocab = prefilter(tagged.filter(col("split") === "train"), evalSide)
-        .select(col("hh")).distinct().withColumn("hit", lit(1L))
-      val agg = evalSide
-        .join(trainVocab, Seq("hh"), "left")
-        .groupBy(col("doc_id"), col("split"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
-        .withColumn("contamination",
-          col("n_overlap").cast("double") / col("n_shingles"))
-      // materialize so the persist releases at exit (checkpoint=false
-      // exists for plan audits only — the checkpointed plan is a bare
-      // RDD scan that hides the dataflow under audit)
-      (if (checkpoint) agg.localCheckpoint() else agg)
-        .orderBy(col("doc_id"))
-    } finally { tagged.unpersist(); () }
+    val evalSide = tagged.filter(col("split") =!= "train")
+    val trainVocab = prefilter(tagged.filter(col("split") === "train"), evalSide)
+      .select(col("hh")).distinct().withColumn("hit", lit(1L))
+    val agg = evalSide
+      .join(trainVocab, Seq("hh"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contamination",
+        col("n_overlap").cast("double") / col("n_shingles"))
+    // materialize the (tiny) per-doc result so downstream consumers
+    // don't re-run the scan (checkpoint=false exists for plan audits
+    // only — the checkpointed plan is a bare RDD scan that hides the
+    // dataflow under audit)
+    (if (checkpoint) agg.localCheckpoint() else agg)
+      .orderBy(col("doc_id"))
   }
 
   /** Chunk-level exact dedup: the end-to-end training-data flow —
