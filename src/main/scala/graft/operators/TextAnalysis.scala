@@ -243,14 +243,17 @@ object TextAnalysis {
       .otherwise(array().cast("array<int>"))
     val bigrams = transform(positions,
       i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
-    // persisted: the vocabulary count and the per-doc join both consume
-    // the tokenize→bigram pipeline (branches diverge pre-exchange)
+    // NOT persisted: both consumers re-derive the narrow tokenize →
+    // bigram-explode pipeline, which stays fused in codegen and
+    // pipelines into each branch's shuffle — same measured trade as
+    // decontaminationWith (persisting the corpus-scale exploded rows
+    // costs more than computing them twice; at 100 TB the cache would
+    // spill an exploded corpus copy to executor disks)
     val docBigrams = docs
       .select(col("doc_id"),
         transform(tokens(col("text")), t => lower(t)).as("toks"))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       val vocab = docBigrams.groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
       val scored = docBigrams.join(vocab, "bigram")
@@ -259,10 +262,11 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
           (col("freq_sum").cast("double") / col("n_bigrams").cast("double"))
             .as("avg_freq"))
-      // materialize so the persist releases at exit
+      // materialize the tiny per-doc result so downstream consumers
+      // don't re-run the corpus passes
       (if (checkpoint) scored.localCheckpoint() else scored)
         .orderBy(col("doc_id"))
-    } finally { docBigrams.unpersist(); () }
+    }
   }
 
   /** Exact heavy hitters (words with frequency ≥ 1% of all tokens) via
