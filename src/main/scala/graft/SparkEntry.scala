@@ -181,6 +181,9 @@ object SparkEntry {
     // int8 scalar quantization: 4x vector compression with measured
     // reconstruction error (per-row codegen arithmetic, gate-exact)
     "q_embedding_quantize" -> (Similarity.embeddingQuantize _),
+    // chunk→doc mean pooling; float parity by explicit fold ORDER
+    // (first member seeds, like DuckDB list_reduce), never tolerance
+    "q_embedding_pool"  -> (Similarity.embeddingPool _),
     // the quantized serving path: int8-dot coarse pass over the packed
     // table + exact rerank of the short list (approximate -> rows-only)
     "q_knn_quantized"   -> (Similarity.quantizedKnn _),
@@ -514,6 +517,25 @@ object SparkEntry {
         |      i -> (emb[i] - qvec[i] * scale) * (emb[i] - qvec[i] * scale))),
         |    (a, b) -> a + b)) AS recon_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // mean pooling: members fold in vec_id order with the FIRST member
+    // as init on BOTH sides (list_reduce's seeding; a zero-vector init
+    // would differ on ±0.0 inputs) — bit-identical running sums, so
+    // the exploded doubles sit directly under the hash
+    "q_embedding_pool" ->
+      s"""WITH m AS (
+         |  SELECT vec_id // ${graft.operators.Similarity.PoolGroup} AS group_id,
+         |    array_agg(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS embs,
+         |    count(*) AS n
+         |  FROM embeddings GROUP BY 1),
+         |pooled AS (
+         |  SELECT group_id, n,
+         |    list_reduce(embs,
+         |      (acc, e) -> list_transform(generate_series(1, len(acc)), i -> acc[i] + e[i])) AS vec
+         |  FROM m)
+         |SELECT group_id, CAST(unnest(generate_series(1, len(vec))) AS BIGINT) AS pos,
+         |  unnest(vec) / n AS val
+         |FROM pooled ORDER BY group_id, pos""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation

@@ -685,6 +685,46 @@ object Similarity {
         round(array_min(col("embedding")).cast("double"), 6).as("min_val"))
       .orderBy(col("vec_id"))
 
+  /** Chunk→document embedding mean-pooling: every [[PoolGroup]]
+    * consecutive vec_ids form one document and their vectors average
+    * element-wise into the document embedding — the standard retrieval
+    * step that turns per-chunk encoder outputs into one doc vector.
+    *
+    * Float portability is by ORDER, not tolerance: members are folded
+    * in explicit vec_id order with the FIRST member as the fold init
+    * (exactly DuckDB's `list_reduce` seeding — a zero-vector init
+    * differs on ±0.0 inputs), so the running sums are bit-identical in
+    * both engines and the exploded (group, pos, val) doubles sit under
+    * the oracle hash. Cross-row float sums must never ride an
+    * order-free aggregate (same rule as the quantization error fold).
+    *
+    * Scale shape: one hash shuffle on the group key; vectors ride the
+    * shuffle packed (one row per chunk, no per-element explosion
+    * before the group); the per-group buffer is bounded by chunks/doc
+    * (a small constant), never corpus-sized. The output explode to
+    * (group, pos, val) is for the differential gate — a production
+    * consumer keeps the pooled array column.
+    */
+  val PoolGroup = 5L
+
+  def embeddingPool(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.embeddings(spark, dir)
+      .groupBy(expr(s"vec_id div $PoolGroup").as("group_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("members"), count(lit(1)).as("n"))
+    val first = element_at(col("members"), 1).getField("embedding")
+    val rest = slice(col("members"), lit(2), size(col("members")) - 1)
+    val summed = aggregate(rest,
+      transform(first, v => v.cast("double")),
+      (acc, m) => zip_with(acc, m.getField("embedding"),
+        (a, v) => a + v.cast("double")))
+    grouped
+      .select(col("group_id"), col("n"), posexplode(summed))
+      .select(col("group_id"), (col("pos") + 1).cast("long").as("pos"),
+        (col("col") / col("n").cast("double")).as("val"))
+      .orderBy(col("group_id"), col("pos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     * sharing a coarse cell (the IVF assignment doubles as the LSH-style
     * blocking key, keeping the pair join off the full cross product).

@@ -205,6 +205,26 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(packed.head.getAs[Long]("n_docs") === 1L)
   }
 
+  test("embedding pool: first-member-seeded fold equals a reduceLeft mean, exactly") {
+    val rows = graft.operators.Similarity.embeddingPool(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val e = graft.tables.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val groups = e.groupBy(_._1 / graft.operators.Similarity.PoolGroup)
+    assert(rows.map(_._1).distinct.length === groups.size)
+    // bit-exact against the same fold order on the driver: first
+    // member seeds, then left-fold in vec_id order — no tolerance
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    groups.foreach { case (g, members) =>
+      val dims = members.head._2.length
+      (0 until dims).foreach { d =>
+        val exp = members.map(_._2(d).toDouble).reduceLeft(_ + _) / members.length
+        assert(byKey((g, d + 1L)) === exp, s"group $g pos ${d + 1}")
+      }
+    }
+  }
+
   test("temperature mixture: rates flatten the lang skew, smallest lang keeps all") {
     val rows = graft.operators.Dedup.temperatureMixture(spark, sfDir)
       .as[(String, Long, Double, Long, Long)].collect()
