@@ -63,11 +63,12 @@ object ScalingProbe {
       case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
       case "lm"              => graft.operators.TextAnalysis.lmTypicalityOn(docs)
+      case "pool"            => graft.operators.Similarity.embeddingPoolOn(docs)
       case other             => sys.error(s"unknown op $other")
     }
 
     val gen: Int => DataFrame =
-      if (op.startsWith("graphann")) embCorpus else corpus
+      if (op.startsWith("graphann") || op == "pool") embCorpus else corpus
 
     // warm-up (JIT of the shingle/hash codegen paths)
     run(gen(512)).write.format("noop").mode("overwrite").save()

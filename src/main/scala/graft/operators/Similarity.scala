@@ -707,8 +707,12 @@ object Similarity {
     */
   val PoolGroup = 5L
 
-  def embeddingPool(spark: SparkSession, dir: String): DataFrame = {
-    val grouped = Tables.embeddings(spark, dir)
+  def embeddingPool(spark: SparkSession, dir: String): DataFrame =
+    embeddingPoolOn(Tables.embeddings(spark, dir))
+
+  /** Operator form over any (vec_id, embedding) relation. */
+  def embeddingPoolOn(e: DataFrame): DataFrame = {
+    val grouped = e
       .groupBy(expr(s"vec_id div $PoolGroup").as("group_id"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("members"), count(lit(1)).as("n"))
