@@ -109,6 +109,9 @@ object SparkEntry {
     "q_redact_pii"      -> (TextAnalysis.redactPii _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
     "q_repetition"      -> (TextAnalysis.repetitionScore _),
+    // C4-style corpus-wide boilerplate strip + document REASSEMBLY
+    // (the cleaned corpus as output, not a flag report)
+    "q_boilerplate"     -> (TextAnalysis.removeBoilerplate _),
     // bigram-LM typicality: the statistical quality screen (mean corpus
     // frequency of a doc's bigrams — integer-exact under the gate)
     "q_lm_typicality"   -> (TextAnalysis.lmTypicality _),
@@ -184,6 +187,14 @@ object SparkEntry {
     // chunk→doc mean pooling; float parity by explicit fold ORDER
     // (first member seeds, like DuckDB list_reduce), never tolerance
     "q_embedding_pool"  -> (Similarity.embeddingPool _),
+    // declarative Lloyd's k-means (fixed seeds, 3 rounds, fixed-point
+    // centroid sums) — deterministic, so the full clustering sits
+    // under the DuckDB gate, unlike the fitted ml.KMeans inside IVF
+    "q_kmeans"          -> (Similarity.kmeansAssign _),
+    // SemDeDup-style semantic dedup: k-means blocks, within-cluster
+    // cosine pairs, rank-based keep policy (keep the outlier, prune
+    // the dense duplicated core) — a curation DECISION per vector
+    "q_semdedup"        -> ((s: SparkSession, dir: String) => Similarity.semanticDedup(s, dir)),
     // the quantized serving path: int8-dot coarse pass over the packed
     // table + exact rerank of the short list (approximate -> rows-only)
     "q_knn_quantized"   -> (Similarity.quantizedKnn _),
@@ -364,6 +375,40 @@ object SparkEntry {
   private def cosSql(a: String, b: String) =
     s"(CASE WHEN ${dotSql(a, a)} * ${dotSql(b, b)} = 0 THEN 0.0 ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
 
+  /** Lloyd-round CTE chain shared by q_kmeans / q_semdedup — the DuckDB
+    * twin of Similarity.kmeansAssignOn's three determinism rules:
+    * fixed-point longs at 2^20 (round-half-away both engines), centroid
+    * mean = associative long-sum / (n·2^20) (one deterministic float
+    * rounding per dimension), per-row distances as in-element-order
+    * list_sum folds. Ends at CTE `kmf(vec_id, cluster, dist)`.
+    */
+  private val kmeansChainSql: String = {
+    val k = graft.operators.Similarity.KmeansK
+    val iters = graft.operators.Similarity.KmeansIters
+    def dist(qv: String, cent: String) =
+      s"list_sum(list_transform(generate_series(1, len($qv)), i -> " +
+        s"($qv[i]::DOUBLE / 1048576.0 - $cent[i]) * ($qv[i]::DOUBLE / 1048576.0 - $cent[i])))"
+    val sb = new StringBuilder
+    sb ++= s"""q AS (SELECT vec_id, list_transform(embedding,
+              |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
+              |c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE / 1048576.0) AS cent
+              |  FROM q WHERE vec_id < $k)""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |a$t AS (SELECT t.vec_id, min({'d': ${dist("t.qv", "c.cent")}, 'c': c.cid}) AS m
+                |  FROM q t, c${t - 1} c GROUP BY t.vec_id)""".stripMargin
+      if (t < iters) sb ++= s""",
+                |s$t AS (SELECT a.m.c AS cluster, CAST(unnest(generate_series(1, len(t.qv))) AS BIGINT) AS pos,
+                |    unnest(t.qv) AS v FROM q t JOIN a$t a ON t.vec_id = a.vec_id),
+                |u$t AS (SELECT cluster, pos, sum(v) AS s, count(*) AS n FROM s$t GROUP BY 1, 2),
+                |c$t AS (SELECT cluster AS cid, array_agg(s::DOUBLE / (n * 1048576.0) ORDER BY pos) AS cent
+                |  FROM u$t GROUP BY cluster)""".stripMargin
+    }
+    sb ++= s""",
+              |kmf AS (SELECT vec_id, m.c AS cluster, round(m.d, 6) AS dist FROM a$iters)""".stripMargin
+    sb.toString
+  }
+
   private val wordcountSql =
     s"SELECT word, count(*) AS cnt FROM ($tokSql) GROUP BY word ORDER BY word"
 
@@ -536,6 +581,31 @@ object SparkEntry {
          |SELECT group_id, CAST(unnest(generate_series(1, len(vec))) AS BIGINT) AS pos,
          |  unnest(vec) / n AS val
          |FROM pooled ORDER BY group_id, pos""".stripMargin,
+
+    // full Lloyd's clustering under the exact gate: fixed-point
+    // centroid sums make every float deterministic (see kmeansChainSql)
+    "q_kmeans" ->
+      s"""WITH $kmeansChainSql,
+         |sz AS (SELECT cluster, count(*) AS n_cluster FROM kmf GROUP BY 1)
+         |SELECT kmf.vec_id, kmf.cluster, kmf.dist, sz.n_cluster
+         |FROM kmf JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup decision: rank within cluster by centroid distance DESC
+    // (vec_id tie-break), drop any vector with a higher-ranked
+    // within-cluster neighbor at cosine >= 0.4
+    "q_semdedup" ->
+      s"""WITH $kmeansChainSql,
+         |r AS (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS rnk
+         |  FROM kmf),
+         |re AS (SELECT r.vec_id, r.cluster, r.rnk, e.embedding
+         |  FROM r JOIN embeddings e USING (vec_id)),
+         |dropped AS (SELECT DISTINCT b.vec_id
+         |  FROM re a JOIN re b ON a.cluster = b.cluster AND a.rnk < b.rnk
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4)
+         |SELECT r.vec_id, r.cluster, CAST(r.rnk AS BIGINT) AS "rank",
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r LEFT JOIN dropped d ON r.vec_id = d.vec_id ORDER BY r.vec_id""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
@@ -970,6 +1040,29 @@ object SparkEntry {
         |    list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
         |  FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // boilerplate strip: segment (non-overlapping 4-word windows),
+    // count corpus-wide, drop common segments, reassemble in seg order
+    "q_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |e AS (SELECT doc_id, tk, unnest(generate_series(0,
+         |    CAST(ceil(len(tk) / ${graft.operators.TextAnalysis.BoilerplateWindow}.0) AS BIGINT) - 1)) AS i
+         |  FROM toks),
+         |segs AS (SELECT doc_id, i AS seg_idx,
+         |    array_to_string(tk[(i * ${graft.operators.TextAnalysis.BoilerplateWindow} + 1):(i * ${graft.operators.TextAnalysis.BoilerplateWindow} + ${graft.operators.TextAnalysis.BoilerplateWindow})], ' ') AS seg
+         |  FROM e),
+         |common AS (SELECT seg FROM segs GROUP BY seg
+         |  HAVING count(*) >= ${graft.operators.TextAnalysis.BoilerplateMinCount}),
+         |kept AS (SELECT s.* FROM segs s WHERE s.seg NOT IN (SELECT seg FROM common)),
+         |rebuilt AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |totals AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(t.n_segs, 0) AS n_segs,
+         |  coalesce(t.n_segs, 0) - coalesce(r.n_kept, 0) AS n_removed,
+         |  coalesce(r.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN totals t ON d.doc_id = t.doc_id
+         |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """SELECT shard, seq_id, count(*) AS n_docs,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -742,6 +742,144 @@ object Similarity {
     * for corpora that large, route to [[ivfKnn]]'s fitted quantizer
     * whose cells are model state, not data rows).
     */
+  /** Declarative Lloyd's k-means over the embedding column — the
+    * semantic-clustering stage a curation pipeline runs before
+    * cluster-local work (SemDeDup-style pruning, cluster-balanced
+    * sampling, per-topic mixture weights). Unlike the fitted
+    * `ml.KMeans` inside [[ivfKnn]] (model quality, opaque init), this
+    * form is fully DETERMINISTIC and oracle-replicable: seeds are the
+    * first [[KmeansK]] vectors, [[KmeansIters]] fixed Lloyd rounds, and
+    * every float that crosses rows is carried as a FIXED-POINT long so
+    * the result is independent of partitioning and summation order.
+    *
+    * Exactness across engines, the three rules:
+    *  1. Each embedding is quantized ONCE to longs at 2^20
+    *     (round-half-away, Spark HALF_UP = DuckDB round — the
+    *     [[embeddingQuantize]] parity). All later math derives from
+    *     these integers.
+    *  2. Centroid update is sum(long)/(n·2^20): long sums are
+    *     associative, so the one float rounding per dimension is a
+    *     single deterministic division — order-free, unlike a double
+    *     mean. (The fold-in-vec_id-order alternative used by
+    *     [[embeddingPoolOn]] is exact too but buffers whole groups;
+    *     clusters are N/k-sized, so here partial long sums are the
+    *     scalable shape: posexplode → map-side combine → k·dim rows.)
+    *  3. Per-row distances fold over zip_with in element order with a
+    *     0.0 init — sequential, matching DuckDB's list_sum (the
+    *     [[embeddingDedup]] parity); assignment ties break by
+    *     min(struct(dist, cid)).
+    *
+    * Scale shape per round: one broadcast of k·dim centroid doubles
+    * (model state, same class as `ml.KMeans.clusterCenters`), one
+    * map-side-combined hash shuffle of k·dim·partitions partial sums.
+    * Centroids are collected per round (k·dim scalars — O(1) model
+    * state, the IVF convention) so round t+1's plan does not re-execute
+    * round t's shuffle through lineage. Empty clusters drop out of the
+    * centroid table (both engines GROUP BY surviving clusters only).
+    * Long-sum headroom: |q| ≤ maxAbs·2^20, so overflow needs
+    * N_cluster·maxAbs > 2^43 — at 10^12 rows per cluster raise the
+    * scale out or switch the sum to DECIMAL.
+    */
+  val KmeansK = 8
+  val KmeansIters = 3
+  val KmeansScale = 1048576.0 // 2^20
+
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignOn(spark, Tables.embeddings(spark, dir))
+
+  def kmeansAssignOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    // the quantized table is read by every round (assignment + update)
+    // plus the final output — persist it once; it is N×(dim+1) longs
+    // (~0.5 KB/row), far below the shingle-pipeline intermediates whose
+    // persists lost the round-10 A/B. Session hygiene (Verify/Bench
+    // clearCache between queries) bounds the lifetime.
+    val q = quantized(e).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = q.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cid"),
+        transform(col("qv"), v => v.cast("double") / KmeansScale).as("cent"))
+    var assigned: DataFrame = null
+    for (iter <- 1 to KmeansIters) {
+      assigned = q.crossJoin(broadcast(cents))
+        .withColumn("d", qDist(col("qv"), col("cent")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
+      if (iter < KmeansIters) {
+        val sums = q.join(assigned, "vec_id")
+          .select(col("cluster"), posexplode(col("qv")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("cluster"))
+          .agg(sort_array(collect_list(struct(col("pos"),
+            (col("s").cast("double") / (col("n").cast("double") * KmeansScale))
+              .as("m")))).as("pcs"))
+          .select(col("cluster").as("cid"),
+            transform(col("pcs"), p => p.getField("m")).as("cent"))
+        // k·dim model state to the driver (the ml.KMeans convention),
+        // so each round's plan is shallow instead of lineage-stacked.
+        val rows = sums.collect()
+        cents = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), sums.schema)
+      }
+    }
+    // the final assignment feeds both the size agg and the output join
+    val last = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = last.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    last.join(sizes, "cluster")
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"),
+        col("n_cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** vec → fixed-point longs at 2^20 (rule 1 above). */
+  private def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * KmeansScale, 0).cast("long")).as("qv"))
+
+  /** Squared L2 between a quantized vector and a double centroid,
+    * folded in element order from 0.0 (rule 3 above).
+    */
+  private def qDist(qv: Column, cent: Column): Column =
+    aggregate(
+      zip_with(qv, cent, (v, c) => (v.cast("double") / KmeansScale - c) *
+                                   (v.cast("double") / KmeansScale - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** SemDeDup-style semantic dedup: k-means clusters as the blocking
+    * key, cosine pairs only WITHIN a cluster, and a rank-based keep
+    * policy — for every within-cluster pair with cosine ≥ threshold,
+    * the lower-ranked member is dropped; survivors are the semantic
+    * representatives. Rank follows the SemDeDup paper's choice: order
+    * by distance to the final centroid DESCENDING (keep the outlier,
+    * prune toward the dense duplicated core), vec_id tie-break. The
+    * per-vector drop rule (∃ higher-ranked neighbor with sim ≥ τ)
+    * needs no connected components — one blocked self-join and an
+    * aggregate, O(Σ n_c²) pair work like [[embeddingDedup]], but with
+    * ITERATED clusters as blocks and a curation DECISION as output.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = kmeansAssignOn(spark, e)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("dist").desc, col("vec_id"))
+    val ranked = assigned.withColumn("rank", row_number().over(w))
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      // both sides of the within-cluster self-join read this — persist,
+      // or the whole Lloyd chain executes twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = ranked.as("a")
+    val b = ranked.as("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("a.rank") < col("b.rank"))
+      .filter(round(cosine(col("a.embedding"), col("b.embedding")), 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    ranked.join(dropped.withColumn("is_dropped", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("rank").cast("long").as("rank"),
+        when(col("is_dropped").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   def embeddingDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val nCells = dedupCells(e.count())

@@ -492,4 +492,57 @@ object TextAnalysis {
         md5Hash32(normalized(col("text"))).as("fp_md5"),
         rollingFingerprint(col("text")).as("fp_rolling"))
       .orderBy(col("doc_id"))
+
+  /** C4/CCNet-style boilerplate removal: the corpus-wide "most common
+    * lines" cleanup, reshaped for the fixture's unlined prose as
+    * non-overlapping [[BoilerplateWindow]]-word segments. Any segment
+    * occurring ≥ [[BoilerplateMinCount]] times ACROSS THE CORPUS
+    * (navigation chrome, cookie banners, duplicated headers) is
+    * stripped from every document, and the cleaned text is REASSEMBLED
+    * — the output is a usable corpus, not a report (the flag-only twin
+    * is [[graft.operators.Dedup.chunkDedup]]).
+    *
+    * Scale shape: segmenting is a narrow per-row explode; the count is
+    * one hash shuffle on the segment string with map-side combine (the
+    * wordCount shape — skew-safe because a segment's partial counts
+    * combine before the shuffle); the verdict joins back on the
+    * segment key, and reassembly is one shuffle by doc_id with a
+    * bounded per-doc buffer (segments of ONE document, ordered by
+    * seg_idx — the same sort_array(collect_list) rebuild as the
+    * k-means centroids). Documents whose every segment was boilerplate
+    * survive with empty clean_text (left join from the corpus), so
+    * downstream length filters see them instead of losing rows.
+    */
+  val BoilerplateWindow = 4
+  val BoilerplateMinCount = 3
+
+  def removeBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val w = BoilerplateWindow
+    val docs = Tables.documents(spark, dir)
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), ceil(size(col("tk")).cast("double") / w).cast("long") - 1),
+          i => concat_ws(" ", slice(col("tk"), (i * w + 1).cast("int"), lit(w))))))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg"))
+    val common = segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= BoilerplateMinCount)
+    val kept = segs.join(common.select(col("seg")), Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("seg_idx"), col("seg")))).as("parts"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("parts"), p => p.getField("seg"))).as("clean_text"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        (coalesce(col("n_segs"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -251,4 +251,116 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"$lang sampled=$sampled far from n·rate=${n * rate}")
     }
   }
+
+  /** In-JVM reference Lloyd over the quantized fixture — the same three
+    * determinism rules as kmeansAssignOn, computed sequentially. The
+    * distributed result must match EXACTLY (assignment and cluster
+    * sizes), not approximately: fixed-point sums make the algorithm a
+    * pure function of the data, so any drift is a bug, not noise.
+    */
+  private def referenceLloyd(): (Map[Long, Int], Map[Int, Array[Double]]) = {
+    import graft.operators.Similarity.{KmeansIters, KmeansK, KmeansScale}
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * KmeansScale)).toArray)
+      .sortBy(_._1)
+    var cents: Map[Int, Array[Double]] = vecs.take(KmeansK)
+      .map { case (id, q) => id.toInt -> q.map(_.toDouble / KmeansScale) }.toMap
+    var assign = Map.empty[Long, Int]
+    for (iter <- 1 to KmeansIters) {
+      assign = vecs.map { case (id, q) =>
+        val best = cents.toSeq.map { case (cid, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < q.length) {
+            val t = q(i) / KmeansScale - c(i); d += t * t; i += 1
+          }
+          (d, cid)
+        }.min
+        id -> best._2
+      }.toMap
+      if (iter < KmeansIters) {
+        cents = assign.groupBy(_._2).map { case (cid, members) =>
+          val qs = members.keys.toSeq.sorted.map(id => vecs(id.toInt)._2)
+          val dim = qs.head.length
+          val mean = Array.tabulate(dim) { i =>
+            qs.map(_(i)).sum.toDouble / (qs.size.toDouble * KmeansScale)
+          }
+          cid -> mean
+        }
+      }
+    }
+    (assign, cents)
+  }
+
+  test("kmeans: distributed fixed-point Lloyd equals the in-JVM reference exactly") {
+    val got = graft.operators.Similarity.kmeansAssign(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect()
+    val (refAssign, _) = referenceLloyd()
+    assert(got.length === refAssign.size)
+    got.foreach { case (id, cluster, _, _) =>
+      assert(cluster === refAssign(id).toLong, s"vec $id diverged from reference Lloyd")
+    }
+    val sizes = refAssign.groupBy(_._2).view
+      .map { case (c, m) => c.toLong -> m.size.toLong }.toMap
+    got.foreach { case (id, cluster, _, n) =>
+      assert(n === sizes(cluster), s"vec $id n_cluster mismatch")
+    }
+    assert(got.map(_._2).distinct.length > 1, "degenerate single cluster")
+  }
+
+  test("semdedup: drop rule matches the per-pair recomputation; ranks well-formed") {
+    val rows = graft.operators.Similarity.semanticDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // ranks are a permutation of 1..n within each cluster
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).sorted.toSeq === (1L to members.length).toSeq,
+        s"cluster $c ranks not 1..n")
+    }
+    // recompute the decision rule from raw vectors: dropped iff some
+    // higher-ranked same-cluster vector has cosine >= 0.4 (rounded 6,
+    // the operator's own comparison)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na * nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = rows.groupBy(_._2)
+    rows.foreach { case (id, c, rank, kept) =>
+      val higher = byCluster(c).filter(_._3 < rank)
+      val shouldDrop = higher.exists(h =>
+        BigDecimal(cos(emb(h._1), emb(id))).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.4)
+      assert((kept == 0L) === shouldDrop, s"vec $id kept=$kept but rule says drop=$shouldDrop")
+    }
+    val dropped = rows.count(_._4 == 0L)
+    assert(dropped > 0 && dropped < rows.length / 2,
+      s"implausible drop count $dropped")
+  }
+
+  test("boilerplate removal equals the in-JVM recomputation, reassembly ordered") {
+    import graft.operators.TextAnalysis.{BoilerplateMinCount, BoilerplateWindow}
+    val got = graft.operators.TextAnalysis.removeBoilerplate(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect()
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    def segments(t: String): Seq[String] =
+      t.split(" ", -1).grouped(BoilerplateWindow).map(_.mkString(" ")).toSeq
+    val counts = texts.values.toSeq.flatMap(segments)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.length === texts.size)
+    got.foreach { case (id, nSegs, nRemoved, clean) =>
+      val segs = segments(texts(id))
+      assert(nSegs === segs.length.toLong, s"doc $id n_segs")
+      val kept = segs.filter(counts(_) < BoilerplateMinCount)
+      assert(nRemoved === (segs.length - kept.length).toLong, s"doc $id n_removed")
+      assert(clean === kept.mkString(" "), s"doc $id clean_text")
+    }
+    // the stage actually bites on this corpus
+    assert(got.map(_._3).sum > 0, "no boilerplate found — window/threshold dead")
+  }
 }
