@@ -64,11 +64,20 @@ object ScalingProbe {
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
       case "lm"              => graft.operators.TextAnalysis.lmTypicalityOn(docs)
       case "pool"            => graft.operators.Similarity.embeddingPoolOn(docs)
+      case "kmeans"          => graft.operators.Similarity.kmeansAssignOn(spark, docs)
+      case "semdedup"        => graft.operators.Similarity.semanticDedupOn(spark, docs)
+      // the scale path: k sized ~√N so within-cluster pair work stays ~N^1.5
+      case "semdedup_sqrtk"  =>
+        val n = docs.count()
+        graft.operators.Similarity.semanticDedupOn(spark, docs, 0.4,
+          math.max(8, math.sqrt(n.toDouble).toInt))
+      case "boilerplate"     => graft.operators.TextAnalysis.removeBoilerplateOn(docs)
       case other             => sys.error(s"unknown op $other")
     }
 
+    val embOps = Set("pool", "kmeans", "semdedup", "semdedup_sqrtk")
     val gen: Int => DataFrame =
-      if (op.startsWith("graphann") || op == "pool") embCorpus else corpus
+      if (op.startsWith("graphann") || embOps(op)) embCorpus else corpus
 
     // warm-up (JIT of the shingle/hash codegen paths)
     run(gen(512)).write.format("noop").mode("overwrite").save()

@@ -119,6 +119,56 @@ object ArrayMathExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Double-array squared L2 — the k-means assignment kernel.
+    * Accumulates sequentially from 0.0 in element order, exactly the
+    * HOF `aggregate(zip_with(...))` fold it replaces (and DuckDB's
+    * list_sum), so swapping it in cannot move a single bit; it exists
+    * because the interpreted HOF lambda was the kmeans hot-spot
+    * (4× wall jump crossing 200k vectors × k centroids).
+    */
+  case class SqDistDoubleExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "sq_dist_d"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Pack a float embedding into signed int8 bytes: q_i =
     * clamp(round(x_i/scale), ±127). The 4× serving compression —
     * 64 bytes + one scale per 64-dim vector instead of 256 float
@@ -227,6 +277,10 @@ object ArrayMathExpressions {
 
   def sqDistCol(a: Column, b: Column): Column =
     ExpressionUtils.column(SqDistExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sqDistDoubleCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(SqDistDoubleExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def int8PackCol(emb: Column, scale: Column): Column =

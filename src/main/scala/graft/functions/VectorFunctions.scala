@@ -21,6 +21,11 @@ object VectorFunctions {
   /** Squared euclidean distance (cheaper than sqrt for argmin). */
   def sqDist(a: Column, b: Column): Column = ArrayMathExpressions.sqDistCol(a, b)
 
+  /** Double-array squared distance — same sequential fold as the HOF
+    * form, codegen'd (the k-means assignment kernel).
+    */
+  def sqDistD(a: Column, b: Column): Column = ArrayMathExpressions.sqDistDoubleCol(a, b)
+
   /** Pack a float embedding into signed int8 bytes at the given scale
     * (4× serving compression; codegen'd).
     */

@@ -764,10 +764,11 @@ object Similarity {
     *     [[embeddingPoolOn]] is exact too but buffers whole groups;
     *     clusters are N/k-sized, so here partial long sums are the
     *     scalable shape: posexplode → map-side combine → k·dim rows.)
-    *  3. Per-row distances fold over zip_with in element order with a
-    *     0.0 init — sequential, matching DuckDB's list_sum (the
-    *     [[embeddingDedup]] parity); assignment ties break by
-    *     min(struct(dist, cid)).
+    *  3. Per-row distances accumulate sequentially in element order
+    *     from 0.0 — the codegen [[graft.functions.VectorFunctions.sqDistD]]
+    *     kernel over the exact doubles qv/2^20, identical fold to
+    *     DuckDB's list_sum (the [[embeddingDedup]] parity); assignment
+    *     ties break by min(struct(dist, cid)).
     *
     * Scale shape per round: one broadcast of k·dim centroid doubles
     * (model state, same class as `ml.KMeans.clusterCenters`), one
@@ -787,20 +788,29 @@ object Similarity {
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
     kmeansAssignOn(spark, Tables.embeddings(spark, dir))
 
-  def kmeansAssignOn(spark: SparkSession, e: DataFrame): DataFrame = {
+  /** `k` defaults to the oracle-pinned [[KmeansK]]; a production corpus
+    * sizes it so clusters stay bounded (~N/target_cluster_size — the
+    * SemDeDup paper runs 11k clusters for 1.3B embeddings), because
+    * every within-cluster consumer pays O(Σ n_c²).
+    */
+  def kmeansAssignOn(spark: SparkSession, e: DataFrame, k: Int = KmeansK): DataFrame = {
     // the quantized table is read by every round (assignment + update)
     // plus the final output — persist it once; it is N×(dim+1) longs
     // (~0.5 KB/row), far below the shingle-pipeline intermediates whose
     // persists lost the round-10 A/B. Session hygiene (Verify/Bench
-    // clearCache between queries) bounds the lifetime.
-    val q = quantized(e).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = q.filter(col("vec_id") < KmeansK)
+    // clearCache between queries) bounds the lifetime. `xv` carries the
+    // EXACT doubles qv/2^20 (power-of-2 division) so the assignment
+    // kernel runs codegen'd on a plain double array.
+    val q = quantized(e)
+      .withColumn("xv", transform(col("qv"), v => v.cast("double") / KmeansScale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = q.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
         transform(col("qv"), v => v.cast("double") / KmeansScale).as("cent"))
     var assigned: DataFrame = null
     for (iter <- 1 to KmeansIters) {
       assigned = q.crossJoin(broadcast(cents))
-        .withColumn("d", qDist(col("qv"), col("cent")))
+        .withColumn("d", sqDistD(col("xv"), col("cent")))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
@@ -837,15 +847,6 @@ object Similarity {
       transform(col("embedding"),
         v => round(v.cast("double") * KmeansScale, 0).cast("long")).as("qv"))
 
-  /** Squared L2 between a quantized vector and a double centroid,
-    * folded in element order from 0.0 (rule 3 above).
-    */
-  private def qDist(qv: Column, cent: Column): Column =
-    aggregate(
-      zip_with(qv, cent, (v, c) => (v.cast("double") / KmeansScale - c) *
-                                   (v.cast("double") / KmeansScale - c)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** SemDeDup-style semantic dedup: k-means clusters as the blocking
     * key, cosine pairs only WITHIN a cluster, and a rank-based keep
     * policy — for every within-cluster pair with cosine ≥ threshold,
@@ -858,9 +859,17 @@ object Similarity {
     * aggregate, O(Σ n_c²) pair work like [[embeddingDedup]], but with
     * ITERATED clusters as blocks and a curation DECISION as output.
     */
-  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val assigned = kmeansAssignOn(spark, e)
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame =
+    semanticDedupOn(spark, Tables.embeddings(spark, dir), threshold)
+
+  /** Operator form over any (vec_id, embedding) relation. `k` as in
+    * [[kmeansAssignOn]] — the pair stage below is O(Σ n_c²), so k is
+    * THE scale knob: at fixed k the stage grows N²/k, sized correctly
+    * it stays ~N·target_cluster_size.
+    */
+  def semanticDedupOn(spark: SparkSession, e: DataFrame,
+      threshold: Double = 0.4, k: Int = KmeansK): DataFrame = {
+    val assigned = kmeansAssignOn(spark, e, k)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("dist").desc, col("vec_id"))
     val ranked = assigned.withColumn("rank", row_number().over(w))

@@ -516,9 +516,12 @@ object TextAnalysis {
   val BoilerplateWindow = 4
   val BoilerplateMinCount = 3
 
-  def removeBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+  def removeBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    removeBoilerplateOn(Tables.documents(spark, dir))
+
+  /** Operator form over any (doc_id, text) relation. */
+  def removeBoilerplateOn(docs: DataFrame): DataFrame = {
     val w = BoilerplateWindow
-    val docs = Tables.documents(spark, dir)
     val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),

@@ -253,4 +253,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!beforeFilter.contains("SortMergeJoin"),
       "corpus joined by shuffle instead of broadcast")
   }
+
+  test("q_kmeans: centroids broadcast to the corpus, distance kernel codegen'd") {
+    try {
+      val plan = planOf("q_kmeans")
+      // assignment = corpus × broadcast(k·dim centroids); a shuffle of
+      // corpus rows per centroid round would move 100 TB three times
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"), plan.take(1500))
+      // the hot kernel is the native expression, not an interpreted HOF
+      assert(plan.contains("sq_dist_d"), "codegen distance kernel missing")
+      assert(!plan.contains("aggregate(zip_with"),
+        "interpreted HOF lambda back in the assignment path")
+    } finally { spark.catalog.clearCache(); () }
+  }
+
+  test("q_boilerplate: segment count has a map-side partial phase before its shuffle") {
+    // the corpus-wide segment count must partially aggregate before
+    // shuffling (the wordCount discipline) — a raw segment shuffle is
+    // the whole exploded corpus over the wire
+    val plan = planOf("q_boilerplate")
+    assert(plan.contains("partial_count"),
+      "no partial aggregation in the segment count")
+  }
 }
