@@ -191,6 +191,14 @@ object SparkEntry {
     // centroid sums) — deterministic, so the full clustering sits
     // under the DuckDB gate, unlike the fitted ml.KMeans inside IVF
     "q_kmeans"          -> (Similarity.kmeansAssign _),
+    // the SAME assignment executed by the streaming engine: batch-fitted
+    // centroid model as plan literals, stateless per-row argmin, APPEND
+    // mode with zero state rows (the serving shape); shares the Lloyd
+    // chain oracle minus the batch-side size aggregate
+    "q_stream_kmeans"   -> (graft.streaming.EmbeddingStreams.streamedKmeansAssign _),
+    // kNN majority-vote classification over the labeled fixture — the
+    // label-propagation primitive; vote = groupBy over the exact top-k
+    "q_knn_classify"    -> (Similarity.knnClassify _),
     // SemDeDup-style semantic dedup: k-means blocks, within-cluster
     // cosine pairs, rank-based keep policy (keep the outlier, prune
     // the dense duplicated core) — a curation DECISION per vector
@@ -589,6 +597,30 @@ object SparkEntry {
          |sz AS (SELECT cluster, count(*) AS n_cluster FROM kmf GROUP BY 1)
          |SELECT kmf.vec_id, kmf.cluster, kmf.dist, sz.n_cluster
          |FROM kmf JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin,
+
+    // the streaming twin: same Lloyd chain, assignment columns only
+    "q_stream_kmeans" ->
+      s"""WITH $kmeansChainSql
+         |SELECT vec_id, cluster, dist FROM kmf ORDER BY vec_id""".stripMargin,
+
+    // kNN majority vote: extend the gated brute-force top-k with the
+    // label join + (n_votes DESC, label) argmax
+    "q_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < ${graft.operators.Similarity.NumQueries}),
+         |sims AS (SELECT q_id, e.vec_id AS n_id,
+         |  round(${cosSql("q_emb", "e.embedding")}, 6) AS sim
+         |  FROM embeddings e, q WHERE q_id <> e.vec_id),
+         |ranked AS (SELECT q_id, n_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims),
+         |votes AS (SELECT t.q_id, CAST(e.label AS BIGINT) AS label, count(*) AS n_votes
+         |  FROM ranked t JOIN embeddings e ON t.n_id = e.vec_id
+         |  WHERE t.rank <= ${graft.operators.Similarity.K} GROUP BY 1, 2),
+         |best AS (SELECT q_id, label, n_votes,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn FROM votes)
+         |SELECT b.q_id, b.label AS pred_label, b.n_votes,
+         |  CAST(e2.label AS BIGINT) AS true_label
+         |FROM best b JOIN embeddings e2 ON b.q_id = e2.vec_id
+         |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin,
 
     // SemDeDup decision: rank within cluster by centroid distance DESC
     // (vec_id tie-break), drop any vector with a higher-ranked

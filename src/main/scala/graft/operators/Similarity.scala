@@ -794,46 +794,12 @@ object Similarity {
     * every within-cluster consumer pays O(Σ n_c²).
     */
   def kmeansAssignOn(spark: SparkSession, e: DataFrame, k: Int = KmeansK): DataFrame = {
-    // the quantized table is read by every round (assignment + update)
-    // plus the final output — persist it once; it is N×(dim+1) longs
-    // (~0.5 KB/row), far below the shingle-pipeline intermediates whose
-    // persists lost the round-10 A/B. Session hygiene (Verify/Bench
-    // clearCache between queries) bounds the lifetime. `xv` carries the
-    // EXACT doubles qv/2^20 (power-of-2 division) so the assignment
-    // kernel runs codegen'd on a plain double array.
-    val q = quantized(e)
-      .withColumn("xv", transform(col("qv"), v => v.cast("double") / KmeansScale))
+    val q = quantizedX(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"),
-        transform(col("qv"), v => v.cast("double") / KmeansScale).as("cent"))
-    var assigned: DataFrame = null
-    for (iter <- 1 to KmeansIters) {
-      assigned = q.crossJoin(broadcast(cents))
-        .withColumn("d", sqDistD(col("xv"), col("cent")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
-      if (iter < KmeansIters) {
-        val sums = q.join(assigned, "vec_id")
-          .select(col("cluster"), posexplode(col("qv")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-          .groupBy(col("cluster"))
-          .agg(sort_array(collect_list(struct(col("pos"),
-            (col("s").cast("double") / (col("n").cast("double") * KmeansScale))
-              .as("m")))).as("pcs"))
-          .select(col("cluster").as("cid"),
-            transform(col("pcs"), p => p.getField("m")).as("cent"))
-        // k·dim model state to the driver (the ml.KMeans convention),
-        // so each round's plan is shallow instead of lineage-stacked.
-        val rows = sums.collect()
-        cents = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), sums.schema)
-      }
-    }
+    val cents = lloydRounds(spark, q, k)
     // the final assignment feeds both the size agg and the output join
-    val last = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val last = assignStep(q, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = last.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
     last.join(sizes, "cluster")
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"),
@@ -841,11 +807,102 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The fitted centroid MODEL — the (cid, cent) table the final Lloyd
+    * assignment scores against, for serving/streaming consumers
+    * ([[graft.streaming.EmbeddingStreams.streamedKmeansAssign]]). The
+    * returned frame is backed by collected k·dim model state, so it
+    * stays valid after this call's working set is unpersisted.
+    */
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int = KmeansK): DataFrame = {
+    val q = quantizedX(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try lloydRounds(spark, q, k) finally { q.unpersist(); () }
+  }
+
+  /** Runs the [[KmeansIters]]-1 assign/update rounds and returns the
+    * centroids the FINAL assignment uses. Centroids collect to the
+    * driver per round (k·dim scalars — O(1) model state, the ml.KMeans
+    * convention) so each round's plan is shallow instead of
+    * lineage-stacked.
+    */
+  private def lloydRounds(spark: SparkSession, q: DataFrame, k: Int): DataFrame = {
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("qv"), v => v.cast("double") / KmeansScale).as("cent"))
+    for (_ <- 1 until KmeansIters) {
+      val assigned = assignStep(q, cents)
+      val sums = q.join(assigned, "vec_id")
+        .select(col("cluster"), posexplode(col("qv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * KmeansScale))
+            .as("m")))).as("pcs"))
+        .select(col("cluster").as("cid"),
+          transform(col("pcs"), p => p.getField("m")).as("cent"))
+      val rows = sums.collect()
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), sums.schema)
+    }
+    cents
+  }
+
+  /** One assignment pass: corpus × broadcast(centroids), codegen
+    * distance, min(struct(d, cid)) tie-break.
+    */
+  private def assignStep(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("d", sqDistD(col("xv"), col("cent")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
+
+  /** The quantized working set every round reads (persisted by
+    * callers): fixed-point longs `qv` plus `xv` = qv/2^20 — EXACT
+    * doubles (power-of-2 division) for the codegen assignment kernel.
+    * N×(dim+1) longs + dim doubles per row, far below the
+    * shingle-pipeline intermediates whose persists lost the round-10
+    * A/B; session hygiene (Verify/Bench clearCache) bounds lifetimes.
+    */
+  private def quantizedX(e: DataFrame): DataFrame =
+    quantized(e)
+      .withColumn("xv", transform(col("qv"), v => v.cast("double") / KmeansScale))
+
   /** vec → fixed-point longs at 2^20 (rule 1 above). */
   private def quantized(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       transform(col("embedding"),
         v => round(v.cast("double") * KmeansScale, 0).cast("long")).as("qv"))
+
+  /** kNN classification over the labeled embedding table — the
+    * label-propagation primitive (auto-labeling a new batch from a
+    * labeled corpus, quality-tier transfer, weak supervision): each
+    * query vector takes the majority label of its [[K]] nearest
+    * neighbors (excluding itself), ties broken toward the smaller
+    * label. Reuses [[bruteForceKnnOn]]'s exact top-k (broadcast query
+    * side, one per-query rank) — at scale the same classification runs
+    * over any of the sublinear kNN tiers (IVF/graph/quantized) since
+    * the vote is just a groupBy on their identical output shape.
+    * true_label rides along for accuracy audits.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val labels = e.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = bruteForceKnnOn(spark, e)
+      .join(labels.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "true_label"), "q_id")
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"))
+      .orderBy(col("q_id"))
+  }
 
   /** SemDeDup-style semantic dedup: k-means clusters as the blocking
     * key, cosine pairs only WITHIN a cluster, and a rank-based keep

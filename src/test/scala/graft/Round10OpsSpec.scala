@@ -363,4 +363,34 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the stage actually bites on this corpus
     assert(got.map(_._3).sum > 0, "no boilerplate found — window/threshold dead")
   }
+
+  test("streamed kmeans assignment equals the batch assignment exactly") {
+    val streamed = graft.streaming.EmbeddingStreams.streamedKmeansAssign(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val batch = graft.operators.Similarity.kmeansAssign(spark, sfDir)
+      .selectExpr("vec_id", "cluster", "dist")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s === b, s"stream/batch diverged at vec ${s._1}")
+    }
+  }
+
+  test("knn classify: votes recompute from the gated top-k; ties break to smaller label") {
+    val pred = graft.operators.Similarity.knnClassify(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)").as[(Long, Long)].collect().toMap
+    val topk = graft.operators.Similarity.bruteForceKnn(spark, sfDir)
+      .selectExpr("q_id", "n_id").as[(Long, Long)].collect()
+    assert(pred.length === graft.operators.Similarity.NumQueries)
+    pred.foreach { case (qid, predLabel, nVotes, trueLabel) =>
+      val votes = topk.filter(_._1 == qid).map(t => e(t._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val best = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(predLabel === best._1, s"query $qid wrong majority label")
+      assert(nVotes === best._2, s"query $qid wrong vote count")
+      assert(trueLabel === e(qid))
+    }
+  }
 }
