@@ -199,6 +199,9 @@ object SparkEntry {
     // kNN majority-vote classification over the labeled fixture — the
     // label-propagation primitive; vote = groupBy over the exact top-k
     "q_knn_classify"    -> (Similarity.knnClassify _),
+    // temperature flattening over SEMANTIC clusters (kmeans assignment
+    // instead of language tags) — the DataComp-style topic rebalance
+    "q_cluster_mixture" -> (Similarity.clusterMixture _),
     // SemDeDup-style semantic dedup: k-means blocks, within-cluster
     // cosine pairs, rank-based keep policy (keep the outlier, prune
     // the dense duplicated core) — a curation DECISION per vector
@@ -621,6 +624,20 @@ object SparkEntry {
          |  CAST(e2.label AS BIGINT) AS true_label
          |FROM best b JOIN embeddings e2 ON b.q_id = e2.vec_id
          |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin,
+
+    // temperature flattening over the Lloyd-chain clusters; same
+    // IEEE-exact sqrt/divide rate math as q_temperature_mixture
+    "q_cluster_mixture" ->
+      s"""WITH $kmeansChainSql,
+         |sz AS (SELECT cluster, count(*) AS n_cluster FROM kmf GROUP BY 1),
+         |sw AS (SELECT cluster, n_cluster, 1.0/sqrt(n_cluster) AS w FROM sz),
+         |rates AS (SELECT cluster, n_cluster,
+         |    w / (SELECT max(w) FROM sw) AS rate FROM sw)
+         |SELECT r.cluster, r.n_cluster, r.rate, count(*) AS n_sampled,
+         |  min(kmf.vec_id) AS first_vec
+         |FROM kmf JOIN rates r USING (cluster)
+         |WHERE ${h32("CAST(kmf.vec_id AS VARCHAR) || '#cmix'")} % 1000000 < r.rate * 1000000
+         |GROUP BY 1, 2, 3 ORDER BY r.cluster""".stripMargin,
 
     // SemDeDup decision: rank within cluster by centroid distance DESC
     // (vec_id tie-break), drop any vector with a higher-ranked

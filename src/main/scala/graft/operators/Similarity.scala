@@ -904,6 +904,37 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Cluster-balanced mixture sampling: the [[graft.operators.Dedup.temperatureMixture]]
+    * flattening applied to SEMANTIC clusters instead of language tags —
+    * per-cluster keep-rate ∝ 1/√n normalized so the smallest topic
+    * keeps everything (the DataComp-style rebalance toward rare
+    * content, driven by the fitted k-means assignment rather than
+    * metadata). Same exactness recipe as the language form: 1/√n and
+    * the normalizing division are IEEE-exact in both engines, the
+    * sampling decision is an md5-derived hash bucket per vec_id, and
+    * the output is per-cluster counts — one broadcast of k rates, one
+    * narrow filter, one partial-agged count. Scale: identical to the
+    * language mixture (the corpus never shuffles before the filter);
+    * the clustering cost is [[kmeansAssignOn]]'s.
+    */
+  def clusterMixture(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssignOn(spark, Tables.embeddings(spark, dir))
+    val sizes = assigned.select(col("cluster"), col("n_cluster")).distinct()
+      .withColumn("w", lit(1.0) / sqrt(col("n_cluster").cast("double")))
+    val maxW = sizes.agg(max(col("w")).as("max_w"))
+    val rates = sizes.crossJoin(broadcast(maxW))
+      .select(col("cluster"), col("n_cluster"), (col("w") / col("max_w")).as("rate"))
+    val bucket = pmod(
+      graft.functions.TextFunctions.md5Hash32(
+        concat(col("vec_id").cast("string"), lit("#cmix"))), lit(1000000))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(broadcast(rates), "cluster")
+      .filter(bucket.cast("double") < col("rate") * 1000000.0)
+      .groupBy(col("cluster"), col("n_cluster"), col("rate"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("vec_id")).as("first_vec"))
+      .orderBy(col("cluster"))
+  }
+
   /** SemDeDup-style semantic dedup: k-means clusters as the blocking
     * key, cosine pairs only WITHIN a cluster, and a rank-based keep
     * policy — for every within-cluster pair with cosine ≥ threshold,

@@ -364,6 +364,24 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.map(_._3).sum > 0, "no boilerplate found — window/threshold dead")
   }
 
+  test("cluster mixture: rate math exact, smallest cluster keeps all, sampling within-rate") {
+    val rows = graft.operators.Similarity.clusterMixture(spark, sfDir)
+      .as[(Long, Long, Double, Long, Long)].collect()
+    val sizes = graft.operators.Similarity.kmeansAssign(spark, sfDir)
+      .selectExpr("cluster", "n_cluster").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(_._1).toSet === sizes.keySet, "cluster set mismatch")
+    val minN = rows.map(_._2).min
+    rows.foreach { case (c, n, rate, sampled, _) =>
+      assert(n === sizes(c))
+      // the operator's exact evaluation order (ULP-sensitive)
+      assert(rate === (1.0 / math.sqrt(n.toDouble)) / (1.0 / math.sqrt(minN.toDouble)))
+      assert(sampled <= n, s"cluster $c oversampled")
+    }
+    assert(rows.find(_._2 == minN).get._3 === 1.0, "smallest cluster downsampled")
+    assert(rows.map(_._4).sum < rows.map(_._2).sum, "nothing was downsampled")
+  }
+
   test("streamed kmeans assignment equals the batch assignment exactly") {
     val streamed = graft.streaming.EmbeddingStreams.streamedKmeansAssign(spark, sfDir)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
