@@ -99,6 +99,8 @@ object SparkEntry {
     "q_except_all"      -> (Relational.exceptAllParts _),
     "q_tfidf"           -> (TextAnalysis.tfidf _),
     "q_bigrams"         -> (TextAnalysis.wordBigrams _),
+    // PMI lift of count>=3 bigrams — phrase-vocabulary induction
+    "q_pmi"             -> (TextAnalysis.pmiCollocations _),
     "q_heavy_hitters"   -> (TextAnalysis.heavyHitters _),
     "q_token_count"     -> (TextAnalysis.tokenCount _),
     "q_text_quality"    -> (TextAnalysis.textQuality _),
@@ -152,6 +154,9 @@ object SparkEntry {
     // incremental ingest: near-dup pairs touching the NEW batch only
     // (delta-probed LSH join — existing-vs-existing never enumerated)
     "q_delta_dedup"     -> (Dedup.deltaDedup _),
+    // near-dup pairs straddling the train/val/test boundary — the
+    // eval-integrity audit (LSH pairs × hashSplit membership)
+    "q_split_leakage"   -> (Dedup.splitLeakage _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // rates FROM corpus stats: p(s) ∝ n^α flattening (α=1/2) as a
     // deterministic static downsample — the actual data-mixing math
@@ -224,6 +229,8 @@ object SparkEntry {
     "q_stream_tumbling" -> (graft.streaming.EventStreams.streamedTumbling _),
     "q_sliding"         -> (EventAnalytics.sliding _),
     "q_sessions"        -> (EventAnalytics.sessions _),
+    // SCD-2 dimension build: per-user event_type validity intervals
+    "q_scd2"            -> (EventAnalytics.scd2 _),
     "q_retention"       -> (EventAnalytics.retention _),
     "q_funnel"          -> (EventAnalytics.funnel _),
     "q_new_users"       -> (EventAnalytics.newUsers _),
@@ -842,6 +849,25 @@ object SparkEntry {
         |  x -> lower(x)) AS toks FROM documents))
         |GROUP BY bigram HAVING count(*) >= 3 ORDER BY bigram""".stripMargin,
 
+    // shares q_bigrams' tokenizer; all-long products + ONE division
+    // keep the lift double engine-portable (no log-PMI libm risk)
+    "q_pmi" ->
+      """WITH toks AS (
+        |SELECT list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''),
+        |  x -> lower(x)) AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS tok FROM toks),
+        |ucnt AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY 1),
+        |prs AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM (
+        |  SELECT toks, unnest(generate_series(1, greatest(len(toks)-1, 0))) AS i FROM toks)),
+        |pcnt AS (SELECT w1, w2, count(*) AS pair_cnt FROM prs GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT sum(cnt) FROM ucnt) AS n_uni,
+        |        (SELECT sum(pair_cnt) FROM pcnt) AS n_big)
+        |SELECT w1 || ' ' || w2 AS bigram, pair_cnt,
+        |  CAST(pair_cnt * n_uni * n_uni AS DOUBLE) /
+        |  CAST(n_big * u1.cnt * u2.cnt AS DOUBLE) AS lift
+        |FROM pcnt JOIN ucnt u1 ON w1 = u1.tok JOIN ucnt u2 ON w2 = u2.tok, tot
+        |WHERE pair_cnt >= 3 ORDER BY bigram""".stripMargin,
+
     // shares q_bigrams' tokenizer; integer sums + one exactly-rounded
     // division keep the score engine-portable
     "q_lm_typicality" ->
@@ -1266,6 +1292,20 @@ object SparkEntry {
          |WHERE ta.is_new OR tb.is_new
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // LSH pairs × hashSplit membership: the leaked flag marks pairs
+    // straddling the split boundary (near-dups hash apart, so the md5
+    // bucket cannot prevent them — this audit is the check)
+    "q_split_leakage" ->
+      s"""WITH pairs AS ($lshPairsSql),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${h32("text")} % 10 AS b FROM documents))
+         |SELECT id_a, id_b, est_jaccard, sa.split AS split_a, sb.split AS split_b,
+         |  sa.split <> sb.split AS leaked
+         |FROM pairs JOIN sp sa ON id_a = sa.doc_id
+         |JOIN sp sb ON id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // same recursive-CTE labeling as q_dup_clusters, then keep-longest
     // keeper per cluster (n_words desc, doc_id tie-break)
     "q_dedup_keep_best" ->
@@ -1372,6 +1412,26 @@ object SparkEntry {
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |count(*) AS n_events, round(sum(value),2) AS session_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    // gaps-and-islands closing on event_type CHANGE (not inactivity):
+    // (ts, event_id) ordering everywhere — ts ties would otherwise
+    // make lag() peer-order-dependent between engines
+    "q_scd2" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |       OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runs AS (SELECT user_id, event_type, ts,
+        |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM flagged),
+        |iv AS (SELECT user_id, version, min(event_type) AS event_type,
+        |  min(ts) AS t0, count(*) AS n_events FROM runs GROUP BY 1, 2)
+        |SELECT user_id, version, event_type,
+        |  strftime(t0, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(t0) OVER wv, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  n_events, lead(t0) OVER wv IS NULL AS is_current
+        |FROM iv WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
 
     "q_retention" ->
       """WITH hourly AS (SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS h, user_id FROM events)

@@ -798,6 +798,42 @@ object Dedup {
     } finally { sig.unpersist(); () }
   }
 
+  /** Cross-split contamination audit — the eval-integrity check every
+    * train/val/test split needs: a near-duplicate pair STRADDLING a
+    * split boundary leaks training content into evaluation, silently
+    * inflating benchmark scores even when the splits are
+    * exact-duplicate-clean (the [[hashSplit]] md5 bucket only
+    * guarantees that IDENTICAL text lands in one split; near-dups hash
+    * apart). Emits every verified near-dup pair tagged with both
+    * sides' splits and a `leaked` flag — the audit table a curation
+    * run reviews (or anti-joins against) before shipping a split.
+    *
+    * Composition, not new machinery: candidates come from the banded
+    * LSH pipeline ([[minhashLshPairsOn]] — bucket-bounded, never
+    * all-pairs) and split membership is the [[hashSplit]] arithmetic,
+    * so both inputs are individually gate-proven. Scale shape: the
+    * pair list is output-bounded and tiny relative to the corpus, so
+    * it BROADCASTS into both tag joins while the (doc_id, split)
+    * relation — corpus-sized but two narrow columns — streams past;
+    * the corpus text itself is read by the signature pass only.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOn(Tables.documents(spark, dir))
+
+  def splitLeakageOn(docs: DataFrame): DataFrame = {
+    val bucket = pmod(md5Hash32(col("text")), lit(10))
+    val splits = docs.select(col("doc_id"),
+      when(bucket < 8, "train").when(bucket === 8, "val")
+        .otherwise("test").as("split"))
+    broadcast(minhashLshPairsOn(docs))
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** The delta-probed band-bucket candidate join, factored out so the
     * plan audit can assert the probe side is is_new-filtered BELOW the
     * join on the pre-checkpoint dataflow (PlanAuditSpec).

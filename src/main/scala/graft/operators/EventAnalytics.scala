@@ -109,4 +109,50 @@ object EventAnalytics {
         col("active"), col("retained"))
       .orderBy(col("hour"))
   }
+
+  /** SCD Type-2 dimension build from the event log: per user, collapse
+    * consecutive same-`event_type` events into validity intervals with
+    * `valid_from` / `valid_to` / `is_current` — the warehouse shape
+    * ("what was this user's state at time T?") that point-in-time
+    * lookups range-join against (cf. q_asof_join / q_range_join).
+    * Gaps-and-islands with a DIFFERENT output contract than
+    * [[sessions]]: runs close on attribute CHANGE, not inactivity, and
+    * each emitted row is a versioned interval (`valid_to` = next run's
+    * start, NULL on the open current row) rather than an activity
+    * summary.
+    *
+    * Determinism: ts ties within a user would make lag() peer-order
+    * dependent, so every window orders by (ts, event_id) — both
+    * engines then see identical run boundaries. Timestamps format to
+    * seconds on OUTPUT only (ns parquet, same rule as [[sessions]]).
+    *
+    * Scale shape: one shuffle by user_id serves the change-flag
+    * window, the running version sum, AND the interval lead() — the
+    * groupBy(user_id, version) between them is partial-aggregated on
+    * already-user-partitioned rows. Users are many and independent, so
+    * the per-user window never concentrates (contrast a global-order
+    * window); at 100 TB the dimension build is embarrassingly parallel
+    * across users.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevType = lag(col("event_type"), 1).over(w)
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(prevType.isNull || prevType =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("t0"), count(lit(1)).as("n_events"))
+      .withColumn("t1", lead(col("t0"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("event_type"),
+        date_format(col("t0"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("t1"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("n_events"), col("t1").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
 }

@@ -210,6 +210,62 @@ object TextAnalysis {
       .orderBy(col("bigram"))
   }
 
+  /** PMI collocation mining — which bigrams are PHRASES rather than
+    * chance co-occurrences ("new york" vs "of the"): the pointwise
+    * mutual information of each bigram with count ≥ 3, in LIFT (ratio)
+    * form, lift = P(w1 w2) / (P(w1)·P(w2))
+    *      = c_12 · N_uni² / (N_big · c_1 · c_2).
+    * Lift > 1 marks genuine collocations; the flipped sort surfaces
+    * glue-word pairs. The standard phrase-vocabulary induction step
+    * (word2vec-phrases / tokenizer-merge mining) over a corpus.
+    *
+    * Gate-exact by the ratio form: counts multiply as exact longs on
+    * both sides (all products < 2⁵³ at gate scale) and the score is
+    * ONE correctly-rounded IEEE division — log-PMI would put libm's
+    * last ulp between the engines. At 100 TB the long products
+    * overflow (N_uni² alone): promote the two products to doubles
+    * first (each exact until counts pass 2⁵³) and keep the single
+    * division; the ordering this operator exists for is unaffected.
+    *
+    * Scale shape: tokenize once, feed BOTH count aggregations (narrow
+    * recompute — same measured trade as [[lmTypicalityOn]]'s unpersisted
+    * pipeline); unigram and bigram counts are map-side-combined
+    * shuffles on their keys; the scoring join keys the count-≥3
+    * survivors (vocabulary-sized, not corpus-sized) against the
+    * unigram table twice; the two grand totals broadcast as one row.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOn(Tables.documents(spark, dir))
+
+  def pmiCollocationsOn(docs: DataFrame): DataFrame = {
+    val positions = when(size(col("toks")) >= 2,
+      sequence(lit(1), size(col("toks")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairsArr = transform(positions,
+      i => struct(element_at(col("toks"), i).as("w1"),
+        element_at(col("toks"), i + 1).as("w2")))
+    val toksDf = docs
+      .select(transform(tokens(col("text")), t => lower(t)).as("toks"))
+    val uni = toksDf.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val pairs = toksDf.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_cnt"))
+    // both grand totals derive from the unigram/pair tables (tiny
+    // relative to the corpus), not from a third corpus scan
+    val totals = uni.agg(sum(col("cnt")).as("n_uni"))
+      .crossJoin(pairs.agg(sum(col("pair_cnt")).as("n_big")))
+    pairs.filter(col("pair_cnt") >= 3)
+      .join(uni.select(col("tok").as("w1"), col("cnt").as("cnt_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cnt").as("cnt_w2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("pair_cnt"),
+        ((col("pair_cnt") * col("n_uni") * col("n_uni")).cast("double") /
+          (col("n_big") * col("cnt_w1") * col("cnt_w2")).cast("double")).as("lift"))
+      .orderBy(col("bigram"))
+  }
+
   /** Corpus-statistics quality score — the STATISTICAL member of the
     * quality-filter family (q_text_quality is heuristic ratios, this is
     * a bigram language model fit to the corpus itself): for every

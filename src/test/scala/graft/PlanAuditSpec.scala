@@ -276,4 +276,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("partial_count"),
       "no partial aggregation in the segment count")
   }
+
+  test("q_scd2: ONE user_id shuffle serves windows, version agg, and interval lead") {
+    // the change-flag window, running version sum, groupBy(user_id,
+    // version), and the valid_to lead all cluster by user_id —
+    // HashPartitioning(user_id) satisfies every requirement, so the
+    // only other exchange is the output's range sort
+    val plan = planOf("q_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n${plan.take(1500)}")
+    assert(plan.contains("rangepartitioning"), "output sort not range-partitioned")
+  }
+
+  test("q_split_leakage: the pair list broadcasts into both split-tag joins") {
+    // pairs are output-bounded and tiny; the corpus-sized (doc_id,
+    // split) relation must stream past a broadcast build side, never
+    // shuffle for the tag joins
+    val plan = planOf("q_split_leakage")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected both tag joins broadcast, got $bhj")
+  }
 }

@@ -411,4 +411,77 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(trueLabel === e(qid))
     }
   }
+
+  test("scd2: intervals recompute from a sequential per-user reference") {
+    val got = graft.operators.EventAnalytics.scd2(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getLong(5), r.getBoolean(6)))
+    // formatting delegated to Spark (session-tz-safe); the reference
+    // reassembles only the run/interval logic
+    val ev = graft.tables.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS m", "event_id", "event_type",
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS fmt")
+      .as[(Long, Long, Long, String, String)].collect()
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toVector
+      val runs = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long, String, String)]]) {
+        case (acc, r) if acc.nonEmpty && acc.last.head._4 == r._4 =>
+          acc.init :+ (acc.last :+ r)
+        case (acc, r) => acc :+ Vector(r)
+      }
+      runs.zipWithIndex.map { case (run, i) =>
+        (uid, (i + 1).toLong, run.head._4, run.head._5,
+          if (i + 1 < runs.size) Some(runs(i + 1).head._5) else None,
+          run.size.toLong, i + 1 == runs.size)
+      }
+    }
+    assert(got.length === want.length)
+    assert(got.sortBy(t => (t._1, t._2)) === want.sortBy(t => (t._1, t._2)).toArray.toSeq)
+  }
+
+  test("split leakage: pairs = the gated LSH pairs; tags = the hashSplit arithmetic") {
+    val got = graft.operators.Dedup.splitLeakage(spark, sfDir)
+      .as[(Long, Long, Double, String, String, Boolean)].collect()
+    assert(got.nonEmpty, "no near-dup pairs at all — fixture changed?")
+    val pairs = graft.operators.Dedup.minhashLshPairs(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === pairs)
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    def split(t: String): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.take(8), 16) % 10
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    }
+    got.foreach { case (a, b, _, sa, sb, leaked) =>
+      assert(sa === split(text(a)), s"pair ($a,$b) split_a")
+      assert(sb === split(text(b)), s"pair ($a,$b) split_b")
+      assert(leaked === (sa != sb), s"pair ($a,$b) leaked flag")
+    }
+  }
+
+  test("pmi: lift recomputes from raw token counts; survivors = the bigram vocabulary") {
+    val got = graft.operators.TextAnalysis.pmiCollocations(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    val bigs = graft.operators.TextAnalysis.wordBigrams(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(got.map(_._1).toSet === bigs.keySet, "survivor vocabulary mismatch")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").as[String].collect()
+      .map(_.split("[^a-zA-Z]").filter(_.nonEmpty).map(_.toLowerCase))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = uni.values.sum
+    val pairCnt = toks.toSeq.flatMap(a => a.iterator.sliding(2).withPartial(false)
+        .map(p => (p(0), p(1)))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBig = pairCnt.values.sum
+    got.foreach { case (bg, c, lift) =>
+      val Array(w1, w2) = bg.split(" ")
+      assert(c === bigs(bg))
+      assert(c === pairCnt((w1, w2)), s"$bg pair count")
+      // the operator's exact arithmetic: long products, ONE division
+      assert(lift === (c * nUni * nUni).toDouble / (nBig * uni(w1) * uni(w2)).toDouble,
+        s"$bg lift")
+    }
+  }
 }
