@@ -157,6 +157,9 @@ object SparkEntry {
     // near-dup pairs straddling the train/val/test boundary — the
     // eval-integrity audit (LSH pairs × hashSplit membership)
     "q_split_leakage"   -> (Dedup.splitLeakage _),
+    // sparse lexical tf-cosine pairs via df-cut posting lists — the
+    // third similarity family (set / dense / SPARSE-LEXICAL)
+    "q_lexical_cosine"  -> (Dedup.lexicalCosine _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // rates FROM corpus stats: p(s) ∝ n^α flattening (α=1/2) as a
     // deterministic static downsample — the actual data-mixing math
@@ -1290,6 +1293,36 @@ object SparkEntry {
          |FROM pairs JOIN tag ta ON id_a = ta.doc_id
          |JOIN tag tb ON id_b = tb.doc_id
          |WHERE ta.is_new OR tb.is_new
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // rare-4-gram blocking + full unigram tf verification; integer
+    // products + one sqrt + one division make the cosine double (and
+    // so the threshold cut itself) bit-portable across engines
+    "q_lexical_cosine" ->
+      s"""WITH toks AS (SELECT doc_id, list_transform(list_filter(
+         |    string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |  SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
+         |norms AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS norm2 FROM tf GROUP BY 1),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3] AS shingle
+         |  FROM (SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks)-3, 0))) AS i FROM toks)),
+         |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |  WHERE df <= ${Dedup.LexMaxDf}),
+         |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |dots AS (SELECT id_a, id_b, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+         |  FROM cand JOIN tf ta ON ta.doc_id = id_a
+         |  JOIN tf tb ON tb.doc_id = id_b AND ta.tok = tb.tok
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot,
+         |  CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+         |FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE))
+         |  >= ${Dedup.LexCosineMin}
          |ORDER BY id_a, id_b""".stripMargin,
 
     // LSH pairs × hashSplit membership: the leaked flag marks pairs

@@ -834,6 +834,103 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** df-cut for [[lexicalCosineOn]]'s candidate generation: 4-gram
+    * shingles present in more than this many documents are too common
+    * to block on.
+    */
+  val LexMaxDf = 10
+
+  /** Cosine floor for [[lexicalCosineOn]] output. Unigram cosine
+    * SATURATES when a corpus shares one generator vocabulary (the
+    * fixture's 31 words put unrelated-pair cosine at ~0.7 median), so
+    * the floor sits where actual near-duplicates separate; on
+    * natural-vocabulary text a 0.5-0.8 floor is the usual choice.
+    */
+  val LexCosineMin = 0.95
+
+  /** Sparse LEXICAL cosine similarity join — the third similarity
+    * family next to MinHash (set overlap) and embeddings (dense
+    * vectors): document pairs scored by the cosine of their
+    * term-frequency vectors. The classic "find similar documents
+    * without a model" — bag-of-words cosine weighs REPEATED terms
+    * (Jaccard cannot) and needs no embedding pass.
+    *
+    * Candidates block on RARE PHRASES, not rare words: two documents
+    * are compared iff they share a word 4-gram appearing in ≤
+    * [[LexMaxDf]] documents. Single-word df-cuts die on small or
+    * shared vocabularies (every fixture word has df ≥ 25 — NO word is
+    * rare), but 4-grams are combinatorially sparse in exactly the way
+    * blocking needs — the same insight the decontamination span scan
+    * rides. Candidate work is bounded by Σ_rare df(g)² ≤ LexMaxDf ·
+    * |shingle postings| — linear in the corpus, never all-pairs; pairs
+    * sharing no rare phrase are missed (the standard recall trade —
+    * and a pair with high tf-cosine but zero shared 4-grams is
+    * distribution-similar, not near-duplicate). The VERIFIED dot
+    * product then runs over the FULL unigram tf vectors of candidate
+    * pairs only: the output-bounded pair list broadcasts into a
+    * per-pair term join, work ∝ pairs × doc length.
+    *
+    * Gate-exact end to end: tf products and norms are integer sums
+    * (order-independent), and cosine = dot / √(norm²_a · norm²_b) is
+    * one long→double conversion, one correctly-rounded sqrt, and one
+    * correctly-rounded division — both engines produce the identical
+    * double, so even the [[LexCosineMin]] threshold decision is
+    * portable. Shingles ride their strings here (the oracle's
+    * portability); at 100 TB hash them to longs first — the
+    * decontamination trick — and the blocking join keys 8-byte ints.
+    */
+  def lexicalCosine(spark: SparkSession, dir: String): DataFrame =
+    lexicalCosineOn(Tables.documents(spark, dir))
+
+  def lexicalCosineOn(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"),
+      transform(tokens(col("text")), t => lower(t)).as("toks"))
+    // (doc_id, tok, tf): three consumers (norms + both dot sides) —
+    // persist like the LSH signature table rather than re-tokenizing
+    val tf = toksDf.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct (doc_id, 4-gram) postings: two consumers (df + rare)
+    val positions = when(size(col("toks")) >= 4,
+      sequence(lit(1), size(col("toks")) - 3))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(positions, i => concat_ws(" ",
+      element_at(col("toks"), i), element_at(col("toks"), i + 1),
+      element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))
+    val sh = toksDf.select(col("doc_id"), explode(grams).as("shingle"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val norms = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("norm2"))
+      val rareKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= LexMaxDf)
+      val rare = sh.join(rareKeys.select("shingle"), "shingle")
+      val cand = rare.select(col("shingle"), col("doc_id").as("id_a"))
+        .join(rare.select(col("shingle"), col("doc_id").as("id_b")), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint()
+      val dots = broadcast(cand)
+        .join(tf.select(col("doc_id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
+        .join(tf.select(col("doc_id").as("id_b"), col("tok"), col("tf").as("tf_b")),
+          Seq("id_b", "tok"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      val cosine = col("dot").cast("double") /
+        sqrt((col("norm2_a") * col("norm2_b")).cast("double"))
+      // dots is output-bounded; norms is corpus-sized — broadcast the
+      // pair side and stream the norms past it (splitLeakage's shape)
+      broadcast(dots)
+        .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("norm2_a")), "id_a")
+        .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("norm2_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("dot"), cosine.as("cosine"))
+        .filter(col("cosine") >= LexCosineMin)
+        .localCheckpoint()
+        .orderBy(col("id_a"), col("id_b"))
+    } finally { tf.unpersist(); sh.unpersist(); () }
+  }
+
   /** The delta-probed band-bucket candidate join, factored out so the
     * plan audit can assert the probe side is is_new-filtered BELOW the
     * join on the pre-checkpoint dataflow (PlanAuditSpec).

@@ -484,4 +484,34 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"$bg lift")
     }
   }
+
+  test("lexical cosine: pairs and scores recompute from a full in-JVM reference") {
+    val got = graft.operators.Dedup.lexicalCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    val tf = docs.map { case (id, text) =>
+      id -> text.split("[^a-zA-Z]").filter(_.nonEmpty).map(_.toLowerCase)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val shingles = docs.map { case (id, text) =>
+      id -> text.split("[^a-zA-Z]").filter(_.nonEmpty).map(_.toLowerCase)
+        .sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    }.toMap
+    val dfCnt = shingles.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rare = shingles.view.mapValues(_.filter(g =>
+      dfCnt(g) <= graft.operators.Dedup.LexMaxDf)).toMap
+    val norms = tf.view.mapValues(_.values.map(c => c * c).sum).toMap
+    val ids = docs.map(_._1).sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      if rare(i).exists(rare(j)) // candidates share >= 1 rare 4-gram
+    } yield {
+      val dot = tf(i).keysIterator
+        .map(t => tf(i)(t) * tf(j).getOrElse(t, 0L)).sum
+      (i, j, dot, dot.toDouble / math.sqrt((norms(i) * norms(j)).toDouble))
+    }).filter(_._4 >= graft.operators.Dedup.LexCosineMin).sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty, "no lexical near-dup pairs — fixture changed?")
+    assert(got.toSeq === want.toSeq)
+  }
 }
