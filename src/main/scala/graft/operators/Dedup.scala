@@ -882,7 +882,10 @@ object Dedup {
   def lexicalCosine(spark: SparkSession, dir: String): DataFrame =
     lexicalCosineOn(Tables.documents(spark, dir))
 
-  def lexicalCosineOn(docs: DataFrame): DataFrame = {
+  /** checkpoint=false exists for plan audits only: the checkpointed
+    * plan is a bare RDD scan + sort that hides the joins under audit.
+    */
+  def lexicalCosineOn(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     val toksDf = docs.select(col("doc_id"),
       transform(tokens(col("text")), t => lower(t)).as("toks"))
     // (doc_id, tok, tf): three consumers (norms + both dot sides) —
@@ -906,11 +909,11 @@ object Dedup {
       val rareKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= LexMaxDf)
       val rare = sh.join(rareKeys.select("shingle"), "shingle")
-      val cand = rare.select(col("shingle"), col("doc_id").as("id_a"))
+      val cand0 = rare.select(col("shingle"), col("doc_id").as("id_a"))
         .join(rare.select(col("shingle"), col("doc_id").as("id_b")), "shingle")
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b")).distinct()
-        .localCheckpoint()
+      val cand = if (checkpoint) cand0.localCheckpoint() else cand0
       val dots = broadcast(cand)
         .join(tf.select(col("doc_id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
         .join(tf.select(col("doc_id").as("id_b"), col("tok"), col("tf").as("tf_b")),
@@ -921,12 +924,12 @@ object Dedup {
         sqrt((col("norm2_a") * col("norm2_b")).cast("double"))
       // dots is output-bounded; norms is corpus-sized — broadcast the
       // pair side and stream the norms past it (splitLeakage's shape)
-      broadcast(dots)
+      val out = broadcast(dots)
         .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("norm2_a")), "id_a")
         .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("norm2_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("dot"), cosine.as("cosine"))
         .filter(col("cosine") >= LexCosineMin)
-        .localCheckpoint()
+      (if (checkpoint) out.localCheckpoint() else out)
         .orderBy(col("id_a"), col("id_b"))
     } finally { tf.unpersist(); sh.unpersist(); () }
   }

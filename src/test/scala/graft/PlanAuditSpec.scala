@@ -296,4 +296,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
     assert(bhj >= 2, s"expected both tag joins broadcast, got $bhj")
   }
+
+  test("q_lexical_cosine: pair list broadcasts into dot and norm joins") {
+    // the candidate/dot side is output-bounded; the corpus-sized tf
+    // and norms relations must stream past broadcast build sides
+    // (cand → both tf joins, dots → both norm joins); audit the
+    // un-checkpointed plan — checkpoints hide the joins
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val plan = graft.operators.Dedup.lexicalCosineOn(docs, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected pair-side broadcasts on dot+norm joins, got $bhj")
+  }
 }
