@@ -161,6 +161,9 @@ object SparkEntry {
     // third similarity family (set / dense / SPARSE-LEXICAL)
     "q_lexical_cosine"  -> (Dedup.lexicalCosine _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
+    // K smallest content-hashes per language via the bounded typed
+    // top-K aggregator — the few-huge-strata group sample (no window)
+    "q_stratified_sample" -> (Dedup.stratifiedSample _),
     // rates FROM corpus stats: p(s) ∝ n^α flattening (α=1/2) as a
     // deterministic static downsample — the actual data-mixing math
     "q_temperature_mixture" -> (Dedup.temperatureMixture _),
@@ -1166,6 +1169,16 @@ object SparkEntry {
          |count(*) AS n_docs, min(doc_id) AS first_doc
          |FROM (SELECT doc_id, lang, ${h32("text")} % 10 AS b FROM documents)
          |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    // the window form is the oracle's job; the Spark side must produce
+    // the identical draw through the bounded aggregator
+    "q_stratified_sample" ->
+      s"""SELECT lang, rn, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h32("text || '#strat'")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= ${Dedup.StratK} ORDER BY lang, rn""".stripMargin,
 
     "q_decontamination" -> decontaminationSql,
     // the stream-static twin emits exactly the batch scan's rows

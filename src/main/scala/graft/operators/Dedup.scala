@@ -1283,6 +1283,49 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Docs kept per group by [[stratifiedSample]]. */
+  val StratK = 20
+
+  /** Per-group deterministic stratified sample: the K documents per
+    * language with the SMALLEST content-derived hash — "give me a
+    * fixed-size, re-run-stable audit sample from every stratum", the
+    * standard eyeball/QA draw a curation run ships next to its stats.
+    * Hash-rank sampling is uniform (the md5 bucket is equidistributed
+    * over content) yet fully deterministic: re-runs, re-shards, and
+    * incremental ingests agree on the sample as long as the content
+    * agrees, and its own salt keeps it independent of [[hashSplit]] /
+    * the mixture samplers.
+    *
+    * Scale shape — the reason this is NOT the q_group_topk window:
+    * strata are FEW and huge (languages over 100 TB), so a
+    * row_number() window partitioned by lang concentrates each
+    * language on one task. The typed bounded-top-K aggregator instead
+    * ships ≤ K rows per partition per group out of the map side
+    * (TakeOrderedAndProject's shape, but per group), making the
+    * group-sample one partial-agged shuffle of lang keys regardless of
+    * stratum size. The window stays the right call when groups are
+    * many and small; the aggregator when groups are few and huge.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators.TopK
+    // TopK keeps the LARGEST values (ties by tag asc): negate the hash
+    // — a 32-bit value, Double-exact — to keep the smallest
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        (-md5Hash32(concat(col("text"), lit("#strat"))).cast("double")).as("nh"),
+        col("doc_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nh, id) => (nh, id) }
+      .agg(new TopK(StratK).toColumn.name("top"))
+      .toDF("lang", "top")
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("col._2").as("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Temperature-flattened mixture: per-source keep-rates derived FROM
     * corpus statistics rather than a config table — the standard
     * multilingual/multi-source flattening where the mixture probability

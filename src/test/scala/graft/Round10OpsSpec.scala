@@ -514,4 +514,26 @@ class Round10OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.nonEmpty, "no lexical near-dup pairs — fixture changed?")
     assert(got.toSeq === want.toSeq)
   }
+
+  test("stratified sample: the aggregator draw equals the sorted-hash reference") {
+    val got = graft.operators.Dedup.stratifiedSample(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    def h(text: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((text + "#strat").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      rows.sortBy(r => (h(r._3), r._1)).take(graft.operators.Dedup.StratK)
+        .zipWithIndex.map { case (r, i) => (lang, (i + 1).toLong, r._1) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+    // every represented language fills its quota or exhausts its docs
+    val perLang = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length === math.min(graft.operators.Dedup.StratK, perLang(lang)))
+    }
+  }
 }
