@@ -118,6 +118,14 @@ object SparkEntry {
     // frequency of a doc's bigrams — integer-exact under the gate)
     "q_lm_typicality"   -> (TextAnalysis.lmTypicality _),
     "q_pack_sequences"  -> ((s: SparkSession, dir: String) => TextAnalysis.packSequences(s, dir)),
+    // — retrieval / data selection —
+    // BM25 ranked retrieval over the term-partitioned postings table
+    "q_bm25"            -> (Retrieval.bm25 _),
+    // hybrid search: RRF fusion of embedding-cosine + lexical-cosine
+    "q_rrf_fusion"      -> (Retrieval.rrfFusion _),
+    // DSIR importance resampling: unigram-LM log-likelihood-ratio
+    // selection of background docs that look like the target domain
+    "q_dsir"            -> (Retrieval.dsirWeights _),
     // the graded stages composed end-to-end, the way a training-data
     // pipeline runs them: quality filter → exact dedup → train-side
     // decontamination → sequence packing, one dataflow, one corpus scan
@@ -240,6 +248,10 @@ object SparkEntry {
     "q_retention"       -> (EventAnalytics.retention _),
     "q_funnel"          -> (EventAnalytics.funnel _),
     "q_new_users"       -> (EventAnalytics.newUsers _),
+    // α=1/2 EWMA smoother: power-of-two weights → exact long sums
+    "q_ewma"            -> (EventAnalytics.ewma _),
+    // median/MAD robust outliers (exact percentiles + broadcast flags)
+    "q_anomaly_mad"     -> (EventAnalytics.madAnomalies _),
     // — multimodal columns —
     // REAL codec round trips (JDK ImageIO PNG, RIFF/PCM WAV): payloads
     // synthesized deterministically, decoded by actual format code, and
@@ -269,6 +281,8 @@ object SparkEntry {
     "q_stream_distinct" -> (graft.streaming.EventStreams.streamedDistinct _),
     // APPEND-mode closed sessions (flatMapGroupsWithState) under the gate
     "q_stream_sessions" -> (graft.streaming.EventStreams.streamedSessions _),
+    // per-user running-moments 3σ outlier flags, all-long arithmetic
+    "q_stream_anomaly"  -> (graft.streaming.EventStreams.streamedAnomaly _),
     // incremental MinHash ingest: signatures computed as documents
     // arrive; shares the batch signature oracle (bit-identical result)
     "q_stream_minhash"  -> (graft.streaming.DocumentStreams.streamedMinhashSignatures _),
@@ -1156,6 +1170,107 @@ object SparkEntry {
         |  FROM documents))
         |GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
 
+    // per-term BM25 contributions quantize to 2^20 fixed-point longs
+    // BEFORE the per-(query,doc) sum (the q_kmeans pattern), so the
+    // gate compares exact integers; ln() ulp exposure is one rounding
+    // per (term,doc) — the q_tfidf-precedented class
+    "q_bm25" -> {
+      val vals = graft.operators.Retrieval.QueryTerms
+        .map { case (q, t) => s"($q,'$t')" }.mkString(",")
+      s"""WITH tok AS (SELECT doc_id, lower(w) AS word FROM
+         |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
+         |tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+         |  count(*) AS n_docs FROM dl),
+         |q AS (SELECT * FROM (VALUES $vals) AS t(query_id, word)),
+         |scored AS (SELECT query_id, tf.doc_id,
+         |  CAST(sum(CAST(round((ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) *
+         |    ((cnt::DOUBLE * 2.2) / (cnt::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1048576.0) AS BIGINT)) AS BIGINT) AS score_fp
+         |  FROM q JOIN tf USING(word) JOIN dfreq USING(word) JOIN dl ON tf.doc_id = dl.doc_id, stats
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_fp,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM scored)
+         |SELECT query_id, rank, doc_id, score_fp::DOUBLE / 1048576.0 AS score
+         |FROM r WHERE rank <= ${graft.operators.Retrieval.TopK}
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // both source rankings re-derived exactly (embedding side =
+    // q_knn_bruteforce's rounded cosine; lexical side = long-dot /
+    // sqrt(long·long), all ops on exact inputs); each 1/(60+rank)
+    // quantizes to 2^20 fixed-point so fused scores sum as longs
+    "q_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id < ${graft.operators.Similarity.NumQueries}),
+         |esims AS (SELECT q_id, e.vec_id AS doc_id,
+         |  round(${cosSql("q_emb", "e.embedding")}, 6) AS sim
+         |  FROM embeddings e, q WHERE q_id <> e.vec_id),
+         |embr AS (SELECT q_id, doc_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rank FROM esims),
+         |embtop AS (SELECT q_id, doc_id, rank FROM embr
+         |  WHERE rank <= ${graft.operators.Retrieval.FusionDepth}),
+         |tok AS (SELECT doc_id, lower(w) AS word FROM
+         |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
+         |tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |norms AS (SELECT doc_id, CAST(sum(cnt*cnt) AS BIGINT) AS norm2 FROM tf GROUP BY 1),
+         |ldots AS (SELECT qt.doc_id AS q_id, t.doc_id AS doc_id, CAST(sum(qt.cnt*t.cnt) AS BIGINT) AS dot
+         |  FROM tf qt JOIN tf t USING(word)
+         |  WHERE qt.doc_id < ${graft.operators.Similarity.NumQueries} AND qt.doc_id <> t.doc_id
+         |  GROUP BY 1, 2),
+         |lcos AS (SELECT ld.q_id, ld.doc_id,
+         |  dot::DOUBLE / sqrt((nq.norm2 * nd.norm2)::DOUBLE) AS cos
+         |  FROM ldots ld JOIN norms nq ON ld.q_id = nq.doc_id
+         |  JOIN norms nd ON ld.doc_id = nd.doc_id),
+         |lexr AS (SELECT q_id, doc_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank FROM lcos),
+         |lextop AS (SELECT q_id, doc_id, rank FROM lexr
+         |  WHERE rank <= ${graft.operators.Retrieval.FusionDepth}),
+         |fused AS (
+         |  SELECT q_id, doc_id, CAST(round(1048576.0 / (60.0 + rank::DOUBLE)) AS BIGINT) AS c FROM embtop
+         |  UNION ALL
+         |  SELECT q_id, doc_id, CAST(round(1048576.0 / (60.0 + rank::DOUBLE)) AS BIGINT) AS c FROM lextop),
+         |agg AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_fp, count(*) AS n_lists
+         |  FROM fused GROUP BY 1, 2),
+         |r AS (SELECT q_id, doc_id, rrf_fp, n_lists,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_fp DESC, doc_id) AS rank FROM agg)
+         |SELECT q_id, rank, doc_id, n_lists, rrf_fp::DOUBLE / 1048576.0 AS rrf
+         |FROM r WHERE rank <= ${graft.operators.Retrieval.TopK}
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // per-WORD log-likelihood ratios quantize once to 2^20 fixed-point
+    // (corpus-level model → one ln rounding per vocab word), then doc
+    // scores are exact long dot-products and ONE exact-input division
+    "q_dsir" -> {
+      val targets = graft.operators.Retrieval.DsirTargetSources
+        .map(s => s"'$s'").mkString(",")
+      s"""WITH tok AS (SELECT doc_id, lower(w) AS word FROM
+         |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
+         |tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |tagged AS (SELECT doc_id, source IN ($targets) AS is_target FROM documents),
+         |tft AS (SELECT t.doc_id, word, cnt, is_target FROM tf t JOIN tagged USING(doc_id)),
+         |counts AS (SELECT word,
+         |  CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS cnt_t,
+         |  CAST(sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS BIGINT) AS cnt_b
+         |  FROM tft GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS n_t, CAST(sum(cnt_b) AS BIGINT) AS n_b,
+         |  count(*) AS v FROM counts),
+         |model AS (SELECT word,
+         |  CAST(round((ln((cnt_t::DOUBLE + 1.0) / (n_t::DOUBLE + v::DOUBLE)) -
+         |              ln((cnt_b::DOUBLE + 1.0) / (n_b::DOUBLE + v::DOUBLE))) * 1048576.0) AS BIGINT) AS lr_fp
+         |  FROM counts, tot),
+         |scored AS (SELECT doc_id, CAST(sum(cnt * lr_fp) AS BIGINT) AS score_fp,
+         |  CAST(sum(cnt) AS BIGINT) AS dl
+         |  FROM tft JOIN model USING(word) WHERE NOT is_target GROUP BY 1),
+         |r AS (SELECT doc_id, dl, score_fp,
+         |  row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank FROM scored)
+         |SELECT rank, doc_id, dl, score_fp,
+         |  score_fp::DOUBLE / (dl::DOUBLE * 1048576.0) AS avg_lr
+         |FROM r WHERE rank <= ${graft.operators.Retrieval.DsirTopN}
+         |ORDER BY rank""".stripMargin
+    },
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
         |GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,
@@ -1506,6 +1621,41 @@ object SparkEntry {
         |CAST(sum(n_new) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         |FROM hourly ORDER BY hour""".stripMargin,
 
+    // α=1/2 EWMA: power-of-two weights make the numerator/denominator
+    // exact LONG sums; the reported ewma is one exact-input division
+    "q_ewma" -> {
+      val k = graft.operators.EventAnalytics.EwmaK
+      val lags = (1 until k).map(d =>
+        s"lag(cents, $d) OVER w AS c$d").mkString(", ")
+      val num = (s"cents * ${1L << (k - 1)}" +:
+        (1 until k).map(d => s"coalesce(c$d, 0) * ${1L << (k - 1 - d)}")).mkString(" + ")
+      val den = (s"${1L << (k - 1)}" +:
+        (1 until k).map(d => s"CASE WHEN c$d IS NULL THEN 0 ELSE ${1L << (k - 1 - d)} END")).mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         |l AS (SELECT user_id, event_id, cents,
+         |  row_number() OVER w AS rn, $lags
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, rn, event_id, cents,
+         |  CAST($num AS BIGINT)::DOUBLE / CAST($den AS BIGINT)::DOUBLE AS ewma_cents
+         |FROM l ORDER BY user_id, rn""".stripMargin
+    },
+
+    // exact interpolated percentiles of integer cents on both engines
+    // (the q_percentile precedent); flag and z share one IEEE tree
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type, quantile_cont(cents, 0.5) AS med FROM e GROUP BY 1),
+        |d AS (SELECT event_id, event_type, cents, med,
+        |  abs(cents::DOUBLE - med) AS dev FROM e JOIN med USING(event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT event_type, event_id, cents, med, mad,
+        |  dev / (1.4826 * mad) AS robust_z
+        |FROM d JOIN mad USING(event_type)
+        |WHERE mad > 0.0 AND dev > 3.0 * (1.4826 * mad)
+        |ORDER BY event_type, event_id""".stripMargin,
+
     "q_image_decode" ->
       """SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
         |CAST(sum((doc_id*31 + y*7 + x) % 256) AS BIGINT) AS luma_sum
@@ -1652,6 +1802,27 @@ object SparkEntry {
         |FROM agg2, wm
         |WHERE sess_last < user_last OR sess_last + INTERVAL 30 MINUTE < w
         |ORDER BY user_id, last_ts""".stripMargin,
+
+    // the streaming 3σ detector re-derived over cumulative windows:
+    // the division-free test (n·x − Σx)² > 9·(n·Σx² − (Σx)²) is exact
+    // long arithmetic on both engines, and the (ts, event_id) order is
+    // the same total order the state function sorts each batch by
+    "q_stream_anomaly" ->
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+         |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+         |c AS (SELECT user_id, event_id, cents,
+         |  count(*) OVER w AS n_prior,
+         |  sum(cents) OVER w AS sum_prior,
+         |  sum(cents*cents) OVER w AS sumsq_prior
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, cents,
+         |  CAST(n_prior AS BIGINT) AS n_prior, CAST(sum_prior AS BIGINT) AS sum_prior
+         |FROM c
+         |WHERE n_prior >= ${graft.streaming.EventStreams.AnomalyMinPrior}
+         |  AND (n_prior*cents - sum_prior)*(n_prior*cents - sum_prior)
+         |      > 9*(n_prior*sumsq_prior - sum_prior*sum_prior)
+         |ORDER BY user_id, event_id""".stripMargin,
 
     "q_merge_roundtrip" ->
       """WITH cur AS (SELECT o_custkey AS k, count(*) AS n,

@@ -155,4 +155,84 @@ object EventAnalytics {
         col("n_events"), col("t1").isNull.as("is_current"))
       .orderBy(col("user_id"), col("version"))
   }
+
+  /** EWMA half-life window length (α = 1/2, last [[EwmaK]] events). */
+  val EwmaK = 8
+
+  /** Per-user exponentially weighted moving average of event value,
+    * α = 1/2 truncated to the last [[EwmaK]] events — the streaming
+    * -friendly smoother every metrics pipeline keeps per key.
+    *
+    * Exactness: α = 1/2 makes every weight a power of two, so the
+    * weighted sum is computed in integer CENTS scaled by
+    * 2^(K−1−distance) — Σ is an exact long on both engines — and the
+    * reported ewma is ONE correctly-rounded division num/den (den =
+    * the matching Σ of weights, which self-adjusts for users with
+    * fewer than K prior events). No double ever accumulates.
+    *
+    * Implemented as [[EwmaK]] lag() taps over one (user_id)-keyed
+    * window — a single shuffle, no self-join; at 100 TB users are
+    * independent and the per-user frame is O(K).
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOn(Tables.events(spark, dir))
+
+  def ewmaOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val taps = (0 until EwmaK).map { d =>
+      val c = if (d == 0) col("cents") else lag(col("cents"), d).over(w)
+      val wt = lit(1L << (EwmaK - 1 - d))
+      (when(c.isNotNull, c * wt).otherwise(lit(0L)),
+        when(c.isNotNull, wt).otherwise(lit(0L)))
+    }
+    val num = taps.map(_._1).reduce(_ + _)
+    val den = taps.map(_._2).reduce(_ + _)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .select(col("user_id"), col("rn"), col("event_id"), col("cents"),
+        (col("num").cast("double") / col("den").cast("double")).as("ewma_cents"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Robust outlier detection by median/MAD (the data-quality screen
+    * that survives the skew that wrecks mean/stddev): per event type,
+    * flag events whose |cents − median| exceeds 3 robust standard
+    * deviations (MAD · 1.4826), reporting the robust z-score.
+    *
+    * Exactness: cents are exact longs; both medians are exact
+    * interpolated percentiles of integer inputs ((a+b)/2 — one
+    * deterministic double op, the q_percentile precedent); the
+    * deviation, threshold compare, and z division are the identical
+    * IEEE expression tree on both engines, so no rounding is needed.
+    *
+    * Scale shape: the per-type medians are two tiny aggregations
+    * (exact percentile sorts WITHIN each type partition — at 100 TB
+    * swap in percentile_approx, the graded q_approx_percentile twin);
+    * the type→median side table broadcasts back over the events scan,
+    * so flagging is a map-only pass.
+    */
+  def madAnomalies(spark: SparkSession, dir: String): DataFrame =
+    madAnomaliesOn(Tables.events(spark, dir))
+
+  def madAnomaliesOn(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > lit(0.0) && col("dev") > lit(3.0) * (lit(1.4826) * col("mad")))
+      .select(col("event_type"), col("event_id"), col("cents"), col("med"),
+        col("mad"), (col("dev") / (lit(1.4826) * col("mad"))).as("robust_z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
 }

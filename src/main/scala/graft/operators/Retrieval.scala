@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Retrieval and data-selection operators over the documents corpus:
+  * BM25 ranked retrieval, hybrid lexical+embedding rank fusion (RRF),
+  * and DSIR-style importance weighting for training-data selection.
+  *
+  * The reference engine's text surface is a word-count MapReduce
+  * (reference lib/map_reduce/word_count.ex:1-15); these are the
+  * retrieval-side generalizations of the same tokenize→shuffle-by-term
+  * dataflow: the inverted postings table (doc_id, term, tf) built here
+  * is exactly the reference's map output re-keyed by term.
+  *
+  * Determinism discipline (the repo's cross-engine gate rules):
+  * per-term double scores are quantized to 2^20 fixed-point LONGS
+  * (round-half-away on both engines — the q_kmeans precedent) and
+  * summed exactly; the only unquantized doubles that cross the gate
+  * are single correctly-rounded divisions of exact integers.
+  */
+object Retrieval {
+
+  /** BM25 parameters (the Robertson defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B  = 0.75
+  /** Results returned per query. */
+  val TopK = 10
+  /** Ranking depth of each source list entering the RRF fusion. */
+  val FusionDepth = 20
+  /** RRF rank-decay constant (Cormack et al.'s k=60). */
+  val RrfK = 60
+  /** 2^20 fixed-point scale for cross-engine-exact score sums. */
+  val Fp = 1048576.0
+
+  /** The benchmark query set: multi-term keyword queries phrased over
+    * the corpus vocabulary. Literal and tiny — at any scale this side
+    * is a broadcast.
+    */
+  val QueryTerms: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join", 1 -> "batch",
+    2 -> "window", 2 -> "agg", 2 -> "stream",
+    3 -> "vector", 3 -> "scan", 3 -> "filter",
+    4 -> "sort", 4 -> "merge", 4 -> "order")
+
+  /** The (doc_id, word, tf) postings table over lowercased reference
+    * tokens — the shared input of every operator here. One wide
+    * shuffle keyed by (doc_id, word) with map-side combine; at 100 TB
+    * this is the term-partitioned inverted index a search tier would
+    * materialize once and reuse.
+    */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(transform(tokens(col("text")), t => lower(t))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 ranked retrieval: score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * top-[[TopK]] docs per query.
+    *
+    * Scale shape: the postings build is the only corpus-wide shuffle
+    * (persisted — three consumers: doc lengths, doc frequencies, and
+    * the probe join); the 12-row query set is broadcast so the probe
+    * is shuffle-free on the query side; corpus stats (N, Σdl) reduce
+    * to one row and broadcast. Per-term scores quantize to 2^20
+    * fixed-point longs BEFORE the per-(query,doc) sum, so the gate
+    * compares exact integers; the ln() ulp risk is confined to one
+    * rounding per (term,doc), the q_tfidf-precedented exposure.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25On(Tables.documents(spark, dir))
+
+  /** checkpoint=false exists for plan audits only (the snapshot hides
+    * the joins under audit); the default path eagerly materializes the
+    * query-bounded result via localCheckpoint so the postings cache
+    * can be released before the frame is consumed.
+    */
+  def bm25On(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = postings(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // long total / long count: avgdl is ONE exact-input division
+      val stats = dl.agg(sum(col("dl")).as("tot_dl"), count(lit(1)).as("n_docs"))
+        .select((col("tot_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"),
+          col("n_docs"))
+      val q = QueryTerms.toDF("query_id", "word")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      // literals spelled as decimal constants (2.2 = k1+1, 0.25 = 1−b)
+      // so the oracle SQL parses the IDENTICAL doubles — no
+      // Scala-side constant arithmetic crosses the gate
+      val tfPart = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+      val termFp = round(idf * tfPart * lit(Fp)).cast("long")
+      val scored = broadcast(q)
+        .join(tf, "word")
+        .join(dfreq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(termFp).as("score_fp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      val out = scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          (col("score_fp").cast("double") / lit(Fp)).as("score"))
+      (if (checkpoint) out.localCheckpoint() else out)
+        .orderBy(col("query_id"), col("rank"))
+    } finally { if (checkpoint) { tf.unpersist(); () } }
+  }
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion: for each query doc
+    * (the [[Similarity.NumQueries]] fixture convention, vec_id =
+    * doc_id), fuse (a) the embedding-cosine ranking over the
+    * embeddings table with (b) the lexical tf-cosine ranking over the
+    * documents table, rrf = Σ_lists 1/(60+rank) over each list's
+    * top-[[FusionDepth]], re-ranked to top-[[TopK]].
+    *
+    * Exactness: the lexical cosine is long-dot/sqrt(long·long) — two
+    * correctly-rounded ops on exact inputs; the embedding sim rounds
+    * to 6 (the q_knn_bruteforce precedent); each 1/(60+rank) term
+    * quantizes to 2^20 fixed-point (exact-input division → identical
+    * double → identical round on both engines), so the fused score
+    * sums as exact longs.
+    *
+    * Scale shape: the query side (10 docs) broadcasts through both
+    * rankings — the corpus side streams past it with no corpus-wide
+    * pairwise stage; rank lists are query-bounded (≤ depth·|Q| rows).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nq = Similarity.NumQueries
+    // --- embedding ranking: q_knn_bruteforce's codegen'd cosine
+    //     (gate-proven arithmetic), ranked to fusion depth ---
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wEmb = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("doc_id"))
+    val embRank = e.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(broadcast(queries), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(graft.functions.VectorFunctions.cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wEmb).cast("long"))
+      .filter(col("rank") <= FusionDepth)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    // --- lexical ranking: tf-cosine of query docs vs the corpus ---
+    val tf = postings(Tables.documents(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2"))
+      val qtf = tf.filter(col("doc_id") < nq)
+        .select(col("doc_id").as("q_id"), col("word"), col("tf").as("tf_q"))
+      val dots = broadcast(qtf)
+        .join(tf, "word")
+        .filter(col("q_id") =!= col("doc_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("tf_q") * col("tf")).as("dot"))
+      val cosine = col("dot").cast("double") /
+        sqrt((col("norm2_q") * col("norm2")).cast("double"))
+      val wLex = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id"))
+      val lexRank = dots
+        .join(broadcast(norms.filter(col("doc_id") < nq)
+          .select(col("doc_id").as("q_id"), col("norm2").as("norm2_q"))), "q_id")
+        .join(norms, "doc_id")
+        .select(col("q_id"), col("doc_id"), cosine.as("cos"))
+        .withColumn("rank", row_number().over(wLex).cast("long"))
+        .filter(col("rank") <= FusionDepth)
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      // --- fuse: exact fixed-point 1/(60+rank) sums ---
+      val contrib = round(lit(Fp) / (lit(RrfK).cast("double") + col("rank").cast("double")))
+        .cast("long")
+      val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf_fp").desc, col("doc_id"))
+      val out = embRank.select(col("q_id"), col("doc_id"), contrib.as("c"))
+        .unionAll(lexRank.select(col("q_id"), col("doc_id"), contrib.as("c")))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("c")).as("rrf_fp"), count(lit(1)).as("n_lists"))
+        .withColumn("rank", row_number().over(wF).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("rank"), col("doc_id"), col("n_lists"),
+          (col("rrf_fp").cast("double") / lit(Fp)).as("rrf"))
+      out.localCheckpoint()
+        .orderBy(col("q_id"), col("rank"))
+    } finally { tf.unpersist(); () }
+  }
+
+  /** DSIR target domain: sources whose docs define the distribution to
+    * up-weight (10% of the uniform source mix in the fixtures).
+    */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1")
+  /** Docs kept by the importance resample. */
+  val DsirTopN = 100
+
+  /** DSIR-style importance weighting for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * 2023): build add-one-smoothed unigram models of a small TARGET
+    * domain and the BACKGROUND corpus, score every doc by its mean
+    * per-token log-likelihood ratio ln p_t(w) − ln p_b(w), and keep
+    * the top-[[DsirTopN]] — the docs that look most like the target.
+    * (The paper hashes n-grams into buckets; on the fixture vocab the
+    * unigram identity feature is the same estimator with V buckets.)
+    *
+    * Exactness: per-WORD log-ratios quantize once to 2^20 fixed-point
+    * (the word model is corpus-level, so the ln ulp exposure is one
+    * rounding per vocabulary word, not per token); per-doc scores are
+    * then exact long dot-products Σ tf·lr_fp, and the reported mean
+    * is one exact-input division.
+    *
+    * Scale shape: the unigram models reduce the postings table by
+    * word (map-side combined) into a vocabulary-sized side table that
+    * joins back to the postings — broadcast when the vocab fits, sort
+    * -merge otherwise; the doc score is a keyed re-aggregation of the
+    * SAME postings partitioning. No pairwise stage anywhere.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOn(Tables.documents(spark, dir))
+
+  /** checkpoint=false for plan audits, as in [[bm25On]]. */
+  def dsirWeightsOn(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isTarget = col("source").isInCollection(DsirTargetSources)
+    val tagged = docs.select(col("doc_id"), isTarget.as("is_target"))
+    val tfTagged = postings(docs).join(tagged, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = tfTagged.groupBy(col("word"))
+        .agg(sum(when(col("is_target"), col("tf")).otherwise(lit(0L))).as("cnt_t"),
+          sum(when(col("is_target"), lit(0L)).otherwise(col("tf"))).as("cnt_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val totals = counts.agg(sum(col("cnt_t")).as("n_t"), sum(col("cnt_b")).as("n_b"),
+          count(lit(1)).as("v"))
+        // ln of one exact-input division each; quantize HERE (per word)
+        val lr = log((col("cnt_t").cast("double") + lit(1.0)) /
+            (col("n_t").cast("double") + col("v").cast("double"))) -
+          log((col("cnt_b").cast("double") + lit(1.0)) /
+            (col("n_b").cast("double") + col("v").cast("double")))
+        val model = counts.crossJoin(broadcast(totals))
+          .select(col("word"), round(lr * lit(Fp)).cast("long").as("lr_fp"))
+        val scored = tfTagged.filter(!col("is_target"))
+          .join(model, "word")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tf") * col("lr_fp")).as("score_fp"),
+            sum(col("tf")).as("dl"))
+        // distributed top-N (TakeOrderedAndProject), NOT a global
+        // row_number window — a single-partition rank over every
+        // background doc would serialize the corpus through one task;
+        // the window only numbers the already-selected N rows
+        val top = scored.orderBy(col("score_fp").desc, col("doc_id")).limit(DsirTopN)
+        val w = Window.orderBy(col("score_fp").desc, col("doc_id"))
+        val out = top
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("rank"), col("doc_id"), col("dl"), col("score_fp"),
+            (col("score_fp").cast("double") / (col("dl").cast("double") * lit(Fp))).as("avg_lr"))
+        (if (checkpoint) out.localCheckpoint() else out)
+          .orderBy(col("rank"))
+      } finally { if (checkpoint) { counts.unpersist(); () } }
+    } finally { if (checkpoint) { tfTagged.unpersist(); () } }
+  }
+}

@@ -59,6 +59,21 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** The streaming file source over `$dir/events.parquet` with `ts`
+    * normalized across the fixture encodings the driver has shipped
+    * (TIMESTAMP(NANOS)-as-long vs TIMESTAMP(MICROS) NTZ — see
+    * [[graft.tables.Tables.normalizedTs]]). A streaming source needs
+    * its schema DECLARED, so it is sniffed from one batch footer read
+    * (metadata only, no data scan) and applied to the stream.
+    */
+  private def normalizedEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(fileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.tables.Tables.normalizedTs(spark, fileSchema))
+  }
+
   /** Tumbling-window counts per event type; watermark bounds state and
     * drops late data beyond `delay`.
     */
@@ -173,13 +188,8 @@ object EventStreams {
     */
   def streamedAttribution(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val nanosSchema = StructType(eventSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
     def side(eventType: String): DataFrame =
-      spark.readStream.schema(nanosSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      normalizedEventStream(spark, dir)
         .filter(col("event_type") === eventType)
     val joined = attributionJoin(side("click"), side("purchase"))
     // same state-partition sizing note as [[streamedTumbling]]
@@ -242,16 +252,10 @@ object EventStreams {
   def streamedTumbling(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // events.parquet is TIMESTAMP(NANOS): the streaming source reads it
-    // as raw longs (same session conf as batch) and converts exactly
-    // like Tables.events
-    val nanosSchema = StructType(eventSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    // the streaming file source wants a DIRECTORY (landing-zone shape);
-    // glob-filter it down to the events table
-    val events = spark.readStream.schema(nanosSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // with ts normalized exactly like Tables.events; the streaming
+    // file source wants a DIRECTORY (landing-zone shape), glob-filtered
+    // down to the events table
+    val events = normalizedEventStream(spark, dir)
     val agg = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
@@ -301,12 +305,7 @@ object EventStreams {
   def streamedSessions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
-    val nanosSchema = StructType(eventSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val events = spark.readStream.schema(nanosSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = normalizedEventStream(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[Event]
@@ -343,11 +342,7 @@ object EventStreams {
     */
   def streamedDistinct(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val nanosSchema = StructType(eventSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val events = spark.readStream.schema(nanosSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val events = normalizedEventStream(spark, dir)
     val distinctKeys = events
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -363,5 +358,90 @@ object EventStreams {
     }
     spark.table("graft_stream_distinct")
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Event keyed to integer cents for the anomaly detector. */
+  case class CentsEvent(event_id: Long, ts: Timestamp, user_id: Long,
+      cents: Long)
+
+  /** Per-user running moments as exact longs. */
+  case class MomentState(n: Long, sum: Long, sumSq: Long)
+
+  /** An event flagged as a per-user outlier, with the prior-window
+    * stats that convicted it.
+    */
+  case class Anomaly(user_id: Long, event_id: Long, cents: Long,
+      n_prior: Long, sum_prior: Long)
+
+  /** Minimum prior events before a user's baseline can flag. */
+  val AnomalyMinPrior = 10
+
+  /** Streaming per-key z-score anomaly detection under the driver
+    * gate: each user carries running moments (n, Σx, Σx²) in state;
+    * an arriving event is flagged when it sits more than 3 population
+    * standard deviations from the user's PRIOR mean. The alerting
+    * primitive of every metrics/fraud stream.
+    *
+    * Exactness: values are integer cents, and the 3σ test
+    * (x−μ)² > 9σ² is cleared of divisions —
+    *   (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
+    * — so state, test, and output are all exact long arithmetic; the
+    * DuckDB oracle is the identical test over cumulative window sums.
+    * (Long bounds: |cents| ≤ ~2^25 in the fixtures, so n·Σx² stays
+    * under 2^63 up to ~10⁵ events/user at max value; a production
+    * deploy at higher volume would hold moments in BigDecimal or
+    * re-center periodically.)
+    *
+    * Determinism: a finite AvailableNow replay delivers each user's
+    * events in one micro-batch in arbitrary order, so the state
+    * function sorts its batch by (ts, event_id) — the same total
+    * order the oracle's window uses; ties on ts cannot reorder the
+    * running stats.
+    *
+    * Scale shape: state is O(3 longs) per user, shuffled once by
+    * user_id into the state store exactly like a batch groupBy; no
+    * window buffering, no retraction. NoTimeout because moments never
+    * expire (a production stream would age users out with a
+    * ProcessingTimeTimeout sweep).
+    */
+  def streamedAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val events = normalizedEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+      .as[CentsEvent]
+    val flagged = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MomentState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[CentsEvent], state: GroupState[MomentState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = Seq.newBuilder[Anomaly]
+          sorted.foreach { e =>
+            val x = e.cents
+            if (s.n >= AnomalyMinPrior) {
+              val d = s.n * x - s.sum
+              if (d * d > 9L * (s.n * s.sumSq - s.sum * s.sum))
+                out += Anomaly(userId, e.event_id, x, s.n, s.sum)
+            }
+            s = MomentState(s.n + 1, s.sum + x, s.sumSq + x * x)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+    // same state-partition sizing note as [[streamedTumbling]]
+    StreamConf.withStatePartitions(spark, 4) {
+      val q = flagged.toDF().writeStream.format("memory")
+        .queryName("graft_stream_anomaly")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
+    spark.table("graft_stream_anomaly")
+      .orderBy(col("user_id"), col("event_id"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver-generated TPC-H-ish fixtures
@@ -39,11 +39,28 @@ object Tables {
     * every later nanos-timestamp parquet in the session reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true when building the session (events.parquet is TIMESTAMP(NANOS))")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.withColumn("ts", normalizedTs(spark, raw.schema))
   }
+
+  /** events.ts normalized to session-zone TIMESTAMP across the fixture
+    * encodings the driver has shipped: TIMESTAMP(NANOS) (read as raw
+    * longs under `spark.sql.legacy.parquet.nanosAsLong=true`, truncated
+    * ns→µs with integral `div` — double division would lose precision
+    * above 2^53 ns), TIMESTAMP(MICROS) NTZ (cast; the UTC session zone
+    * makes the wall-clock values identical to the nanos path), and
+    * plain TIMESTAMP. DuckDB performs the identical normalization on
+    * the same file, so oracle comparisons stay exact either way.
+    */
+  def normalizedTs(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "set spark.sql.legacy.parquet.nanosAsLong=true when building the session (events.parquet is TIMESTAMP(NANOS))")
+        timestamp_micros(expr("ts div 1000"))
+      case _: org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -308,4 +308,44 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
     assert(bhj >= 4, s"expected pair-side broadcasts on dot+norm joins, got $bhj")
   }
+
+  test("q_bm25: query terms broadcast into the postings probe; postings reused") {
+    // audit the un-checkpointed dataflow — the snapshot hides the joins
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val df = graft.operators.Retrieval.bm25On(docs, checkpoint = false)
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+      // the persisted postings table serves dl/df/probe without re-scan
+      assert(plan.contains("InMemoryTableScan"),
+        s"postings not reused from cache:\n${plan.take(1200)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q_dsir: top-N selection is TakeOrderedAndProject, not a global window") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val df = graft.operators.Retrieval.dsirWeightsOn(docs, checkpoint = false)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"corpus-wide rank should be a distributed top-N:\n${plan.take(1200)}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q_ewma: ONE user_id shuffle serves all eight lag taps") {
+    val plan = SparkEntry.queries("q_ewma")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected exactly one hash shuffle, got $hashEx:\n${plan.take(1500)}")
+    assert("Window".r.findAllIn(plan).size >= 1)
+  }
+
+  test("q_anomaly_mad: median/MAD side tables broadcast over the events scan") {
+    val plan = SparkEntry.queries("q_anomaly_mad")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected both stat joins broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), "stat join fell back to SMJ")
+  }
 }
