@@ -72,6 +72,10 @@ object ScalingProbe {
         graft.operators.Similarity.semanticDedupOn(spark, docs, 0.4,
           math.max(8, math.sqrt(n.toDouble).toInt))
       case "boilerplate"     => graft.operators.TextAnalysis.removeBoilerplateOn(docs)
+      case "bm25"            => graft.operators.Retrieval.bm25On(docs)
+      case "dsir"            => graft.operators.Retrieval.dsirWeightsOn(
+        docs.withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string"))))
+      case "quality"         => graft.operators.TextAnalysis.qualityModelOn(docs)
       case other             => sys.error(s"unknown op $other")
     }
 

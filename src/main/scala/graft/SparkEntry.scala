@@ -250,8 +250,13 @@ object SparkEntry {
     "q_new_users"       -> (EventAnalytics.newUsers _),
     // α=1/2 EWMA smoother: power-of-two weights → exact long sums
     "q_ewma"            -> (EventAnalytics.ewma _),
+    // fastText-style linear quality model (map-only scan; exact-long
+    // score via per-feature fixed-point quantization)
+    "q_quality_model"   -> (TextAnalysis.qualityModel _),
     // median/MAD robust outliers (exact percentiles + broadcast flags)
     "q_anomaly_mad"     -> (EventAnalytics.madAnomalies _),
+    // batch backfill twin of the streaming 3σ detector (shared oracle)
+    "q_anomaly_running" -> (EventAnalytics.runningAnomalies _),
     // — multimodal columns —
     // REAL codec round trips (JDK ImageIO PNG, RIFF/PCM WAV): payloads
     // synthesized deterministically, decoded by actual format code, and
@@ -283,6 +288,9 @@ object SparkEntry {
     "q_stream_sessions" -> (graft.streaming.EventStreams.streamedSessions _),
     // per-user running-moments 3σ outlier flags, all-long arithmetic
     "q_stream_anomaly"  -> (graft.streaming.EventStreams.streamedAnomaly _),
+    // the EWMA smoother as per-key O(K) stream state; finite replay
+    // reproduces the batch lag() window exactly → shares its oracle
+    "q_stream_ewma"     -> (graft.streaming.EventStreams.streamedEwma _),
     // incremental MinHash ingest: signatures computed as documents
     // arrive; shares the batch signature oracle (bit-identical result)
     "q_stream_minhash"  -> (graft.streaming.DocumentStreams.streamedMinhashSignatures _),
@@ -412,6 +420,50 @@ object SparkEntry {
     */
   private def cosSql(a: String, b: String) =
     s"(CASE WHEN ${dotSql(a, a)} * ${dotSql(b, b)} = 0 THEN 0.0 ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END)"
+
+  /** α=1/2 EWMA over the last K events per user, lag-tap form — shared
+    * by q_ewma (batch window) and q_stream_ewma (per-key state): both
+    * engines sum power-of-two-weighted integer cents exactly and
+    * divide once.
+    */
+  private val ewmaSql: String = {
+    val k = graft.operators.EventAnalytics.EwmaK
+    val lags = (1 until k).map(d =>
+      s"lag(cents, $d) OVER w AS c$d").mkString(", ")
+    val num = (s"cents * ${1L << (k - 1)}" +:
+      (1 until k).map(d => s"coalesce(c$d, 0) * ${1L << (k - 1 - d)}")).mkString(" + ")
+    val den = (s"${1L << (k - 1)}" +:
+      (1 until k).map(d => s"CASE WHEN c$d IS NULL THEN 0 ELSE ${1L << (k - 1 - d)} END")).mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, ts,
+       |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+       |l AS (SELECT user_id, event_id, cents,
+       |  row_number() OVER w AS rn, $lags
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, rn, event_id, cents,
+       |  CAST($num AS BIGINT)::DOUBLE / CAST($den AS BIGINT)::DOUBLE AS ewma_cents
+       |FROM l ORDER BY user_id, rn""".stripMargin
+  }
+
+  /** Per-user cumulative-moment 3σ outlier test — shared by
+    * q_stream_anomaly (state form) and q_anomaly_running (window
+    * form): all-long arithmetic, no division.
+    */
+  private val anomalySql: String =
+    s"""WITH e AS (SELECT event_id, user_id, ts,
+       |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+       |c AS (SELECT user_id, event_id, cents,
+       |  count(*) OVER w AS n_prior,
+       |  sum(cents) OVER w AS sum_prior,
+       |  sum(cents*cents) OVER w AS sumsq_prior
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, cents,
+       |  CAST(n_prior AS BIGINT) AS n_prior, CAST(sum_prior AS BIGINT) AS sum_prior
+       |FROM c
+       |WHERE n_prior >= ${graft.operators.EventAnalytics.AnomalyMinPrior}
+       |  AND (n_prior*cents - sum_prior)*(n_prior*cents - sum_prior)
+       |      > 9*(n_prior*sumsq_prior - sum_prior*sum_prior)
+       |ORDER BY user_id, event_id""".stripMargin
 
   /** Lloyd-round CTE chain shared by q_kmeans / q_semdedup — the DuckDB
     * twin of Similarity.kmeansAssignOn's three determinism rules:
@@ -1623,22 +1675,31 @@ object SparkEntry {
 
     // α=1/2 EWMA: power-of-two weights make the numerator/denominator
     // exact LONG sums; the reported ewma is one exact-input division
-    "q_ewma" -> {
-      val k = graft.operators.EventAnalytics.EwmaK
-      val lags = (1 until k).map(d =>
-        s"lag(cents, $d) OVER w AS c$d").mkString(", ")
-      val num = (s"cents * ${1L << (k - 1)}" +:
-        (1 until k).map(d => s"coalesce(c$d, 0) * ${1L << (k - 1 - d)}")).mkString(" + ")
-      val den = (s"${1L << (k - 1)}" +:
-        (1 until k).map(d => s"CASE WHEN c$d IS NULL THEN 0 ELSE ${1L << (k - 1 - d)} END")).mkString(" + ")
-      s"""WITH e AS (SELECT event_id, user_id, ts,
-         |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
-         |l AS (SELECT user_id, event_id, cents,
-         |  row_number() OVER w AS rn, $lags
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-         |SELECT user_id, rn, event_id, cents,
-         |  CAST($num AS BIGINT)::DOUBLE / CAST($den AS BIGINT)::DOUBLE AS ewma_cents
-         |FROM l ORDER BY user_id, rn""".stripMargin
+    "q_ewma" -> ewmaSql,
+    // the streaming state twin emits the identical exact rows
+    "q_stream_ewma" -> ewmaSql,
+
+    // per-FEATURE fixed-point quantization makes the linear quality
+    // model's weighted sum and threshold compare exact-integer
+    "q_quality_model" -> {
+      val th = graft.operators.TextAnalysis.QualityModelThresholdFp
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''),
+         |    x -> lower(x)) AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(round((len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+         |    / greatest(len(toks),1)) * 1048576.0) AS BIGINT) AS swr_fp,
+         |  CAST(round((length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE
+         |    / greatest(length(text),1)) * 1048576.0) AS BIGINT) AS alpha_fp,
+         |  CAST(round((len(list_distinct(toks))::DOUBLE
+         |    / greatest(len(toks),1)) * 1048576.0) AS BIGINT) AS uniq_fp,
+         |  CAST(round(((length(regexp_replace(text,'[^a-zA-Z]','','g'))::DOUBLE
+         |    / greatest(len(toks),1)) / 10) * 1048576.0) AS BIGINT) AS mwl_fp
+         | FROM t)
+         |SELECT doc_id, CAST(3*swr_fp + 2*alpha_fp + 2*uniq_fp + mwl_fp AS BIGINT) AS score_fp,
+         |  CAST(3*swr_fp + 2*alpha_fp + 2*uniq_fp + mwl_fp AS BIGINT)::DOUBLE / 1048576.0 AS score,
+         |  (3*swr_fp + 2*alpha_fp + 2*uniq_fp + mwl_fp) > $th AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
     },
 
     // exact interpolated percentiles of integer cents on both engines
@@ -1803,26 +1864,13 @@ object SparkEntry {
         |WHERE sess_last < user_last OR sess_last + INTERVAL 30 MINUTE < w
         |ORDER BY user_id, last_ts""".stripMargin,
 
-    // the streaming 3σ detector re-derived over cumulative windows:
-    // the division-free test (n·x − Σx)² > 9·(n·Σx² − (Σx)²) is exact
+    // the 3σ detector re-derived over cumulative windows: the
+    // division-free test (n·x − Σx)² > 9·(n·Σx² − (Σx)²) is exact
     // long arithmetic on both engines, and the (ts, event_id) order is
-    // the same total order the state function sorts each batch by
-    "q_stream_anomaly" ->
-      s"""WITH e AS (SELECT event_id, user_id, ts,
-         |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
-         |c AS (SELECT user_id, event_id, cents,
-         |  count(*) OVER w AS n_prior,
-         |  sum(cents) OVER w AS sum_prior,
-         |  sum(cents*cents) OVER w AS sumsq_prior
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         |SELECT user_id, event_id, cents,
-         |  CAST(n_prior AS BIGINT) AS n_prior, CAST(sum_prior AS BIGINT) AS sum_prior
-         |FROM c
-         |WHERE n_prior >= ${graft.streaming.EventStreams.AnomalyMinPrior}
-         |  AND (n_prior*cents - sum_prior)*(n_prior*cents - sum_prior)
-         |      > 9*(n_prior*sumsq_prior - sum_prior*sum_prior)
-         |ORDER BY user_id, event_id""".stripMargin,
+    // the same total order the state function sorts each batch by;
+    // shared by the stream and its batch backfill twin
+    "q_stream_anomaly" -> anomalySql,
+    "q_anomaly_running" -> anomalySql,
 
     "q_merge_roundtrip" ->
       """WITH cur AS (SELECT o_custkey AS k, count(*) AS n,

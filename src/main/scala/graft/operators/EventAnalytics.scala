@@ -159,6 +159,37 @@ object EventAnalytics {
   /** EWMA half-life window length (α = 1/2, last [[EwmaK]] events). */
   val EwmaK = 8
 
+  /** Minimum prior events before a user's anomaly baseline can flag. */
+  val AnomalyMinPrior = 10
+
+  /** The batch (backfill) twin of the streaming 3σ detector
+    * [[graft.streaming.EventStreams.streamedAnomaly]]: per-user
+    * cumulative moments over strictly-prior events via ONE
+    * (user_id)-keyed window, the division-free long test
+    * (n·x − Σx)² > 9·(n·Σx² − (Σx)²), identical rows to the stream's
+    * finite replay — both share one oracle.
+    */
+  def runningAnomalies(spark: SparkSession, dir: String): DataFrame =
+    runningAnomaliesOn(Tables.events(spark, dir))
+
+  def runningAnomaliesOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = col("n_prior") * col("cents") - col("sum_prior")
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("sum_prior", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("sumsq_prior", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .filter(col("n_prior") >= AnomalyMinPrior &&
+        d * d > lit(9L) * (col("n_prior") * col("sumsq_prior") - col("sum_prior") * col("sum_prior")))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n_prior"), col("sum_prior"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Per-user exponentially weighted moving average of event value,
     * α = 1/2 truncated to the last [[EwmaK]] events — the streaming
     * -friendly smoother every metrics pipeline keeps per key.

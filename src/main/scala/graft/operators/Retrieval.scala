@@ -81,7 +81,7 @@ object Retrieval {
     */
   def bm25On(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TypedAggregators.{TopK => TopKAgg}
     val tf = postings(docs).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -108,13 +108,22 @@ object Retrieval {
         .crossJoin(broadcast(stats))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(termFp).as("score_fp"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score_fp").desc, col("doc_id"))
+      // per-query rank through the bounded top-K AGGREGATOR, not a
+      // rank window: queries are few and their candidate sets can be
+      // corpus-sized, so a query_id-partitioned window serializes the
+      // corpus through |Q| tasks — the aggregator ships ≤K rows per
+      // partition per query map-side (score_fp < 2^53, Double-exact;
+      // largest-first with doc_id tie-break = the oracle's ordering)
       val out = scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          (col("score_fp").cast("double") / lit(Fp)).as("score"))
+        .select(col("query_id"), col("score_fp").cast("double").as("v"), col("doc_id"))
+        .as[(Int, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, v, id) => (v, id) }
+        .agg(new TopKAgg(TopK).toColumn.name("top"))
+        .toDF("query_id", "top")
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("doc_id"), (col("col._1") / lit(Fp)).as("score"))
       (if (checkpoint) out.localCheckpoint() else out)
         .orderBy(col("query_id"), col("rank"))
     } finally { if (checkpoint) { tf.unpersist(); () } }
@@ -139,21 +148,33 @@ object Retrieval {
     * pairwise stage; rank lists are query-bounded (≤ depth·|Q| rows).
     */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.TypedAggregators.{TopK => TopKAgg}
     val nq = Similarity.NumQueries
+    // rank-list builder: per-query top-[[FusionDepth]] through the
+    // bounded top-K aggregator (not a rank window — queries are few,
+    // candidate sets corpus-sized; see bm25On). Ordering = (value
+    // desc, doc_id asc), the oracle's row_number ordering.
+    def topList(scored: DataFrame): DataFrame = scored
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => (v, id) }
+      .agg(new TopKAgg(FusionDepth).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
     // --- embedding ranking: q_knn_bruteforce's codegen'd cosine
     //     (gate-proven arithmetic), ranked to fusion depth ---
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val wEmb = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("doc_id"))
-    val embRank = e.select(col("vec_id").as("doc_id"), col("embedding"))
+    val embRank = topList(e.select(col("vec_id").as("doc_id"), col("embedding"))
       .join(broadcast(queries), col("q_id") =!= col("doc_id"))
-      .select(col("q_id"), col("doc_id"),
-        round(graft.functions.VectorFunctions.cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-      .withColumn("rank", row_number().over(wEmb).cast("long"))
-      .filter(col("rank") <= FusionDepth)
-      .select(col("q_id"), col("doc_id"), col("rank"))
+      .select(col("q_id"),
+        round(graft.functions.VectorFunctions.cosine(col("q_emb"), col("embedding")), 6).as("sim"),
+        col("doc_id")))
     // --- lexical ranking: tf-cosine of query docs vs the corpus ---
     val tf = postings(Tables.documents(spark, dir)).persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -167,15 +188,11 @@ object Retrieval {
         .agg(sum(col("tf_q") * col("tf")).as("dot"))
       val cosine = col("dot").cast("double") /
         sqrt((col("norm2_q") * col("norm2")).cast("double"))
-      val wLex = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("doc_id"))
-      val lexRank = dots
+      val lexRank = topList(dots
         .join(broadcast(norms.filter(col("doc_id") < nq)
           .select(col("doc_id").as("q_id"), col("norm2").as("norm2_q"))), "q_id")
         .join(norms, "doc_id")
-        .select(col("q_id"), col("doc_id"), cosine.as("cos"))
-        .withColumn("rank", row_number().over(wLex).cast("long"))
-        .filter(col("rank") <= FusionDepth)
-        .select(col("q_id"), col("doc_id"), col("rank"))
+        .select(col("q_id"), cosine.as("cos"), col("doc_id")))
       // --- fuse: exact fixed-point 1/(60+rank) sums ---
       val contrib = round(lit(Fp) / (lit(RrfK).cast("double") + col("rank").cast("double")))
         .cast("long")

@@ -62,6 +62,52 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
 
+  /** Linear quality-classifier decision threshold: 3.2 in 2^20
+    * fixed-point (calibrated to the fixture median so the keep flag
+    * splits the corpus non-trivially).
+    */
+  val QualityModelThresholdFp = 3355443L
+
+  /** Model-BASED quality filtering — the fastText-classifier stage of
+    * a CCNet-style pipeline, distinct from [[textQuality]]'s raw
+    * features and [[corpusFilter]]'s rule cascade: a linear scorer
+    * with fixed interpretable weights
+    *   score = 3·stopword_ratio + 2·alpha_ratio + 2·unique_token_ratio
+    *           + mean_word_len/10,
+    * keep ⇔ score > 3.2. (A trained model would ship learned weights;
+    * the dataflow — per-doc featurize → dot with a broadcast-constant
+    * weight vector → threshold — is identical, map-only, no shuffle.)
+    *
+    * Exactness: each FEATURE quantizes to 2^20 fixed-point right after
+    * its division(s) (identical IEEE trees on both engines), then the
+    * weighted sum and the threshold compare are integer arithmetic —
+    * the linear model crosses the gate as exact longs.
+    */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityModelOn(Tables.documents(spark, dir))
+
+  def qualityModelOn(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val fp = (c: org.apache.spark.sql.Column) => round(c * lit(1048576.0)).cast("long")
+    val nToks = greatest(size(col("toks")), lit(1))
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val swr = size(filter(col("toks"), t => t.isInCollection(stop))).cast("double") / nToks
+    val alpha = alphaChars / greatest(length(col("text")), lit(1))
+    val uniq = size(array_distinct(col("toks"))).cast("double") / nToks
+    val mwl10 = (alphaChars / nToks) / lit(10)
+    val scoreFp = lit(3) * col("swr_fp") + lit(2) * col("alpha_fp") +
+      lit(2) * col("uniq_fp") + col("mwl_fp")
+    docs
+      .select(col("doc_id"), col("text"),
+        transform(tokens(col("text")), t => lower(t)).as("toks"))
+      .select(col("doc_id"), fp(swr).as("swr_fp"), fp(alpha).as("alpha_fp"),
+        fp(uniq).as("uniq_fp"), fp(mwl10).as("mwl_fp"))
+      .select(col("doc_id"), scoreFp.as("score_fp"),
+        (scoreFp.cast("double") / lit(1048576.0)).as("score"),
+        (scoreFp > lit(QualityModelThresholdFp)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality scoring: length, mean word length, stopword ratio,
     * alpha-character ratio — the standard cheap pre-filters of an LLM
     * data pipeline, one scan, no shuffle until the final sort.

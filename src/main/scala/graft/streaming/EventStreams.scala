@@ -373,8 +373,10 @@ object EventStreams {
   case class Anomaly(user_id: Long, event_id: Long, cents: Long,
       n_prior: Long, sum_prior: Long)
 
-  /** Minimum prior events before a user's baseline can flag. */
-  val AnomalyMinPrior = 10
+  /** Minimum prior events before a user's baseline can flag (shared
+    * with the batch twin [[graft.operators.EventAnalytics]]).
+    */
+  val AnomalyMinPrior: Int = graft.operators.EventAnalytics.AnomalyMinPrior
 
   /** Streaming per-key z-score anomaly detection under the driver
     * gate: each user carries running moments (n, Σx, Σx²) in state;
@@ -443,5 +445,66 @@ object EventStreams {
     }
     spark.table("graft_stream_anomaly")
       .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Per-user EWMA ring state: events seen so far and the most recent
+    * up-to-(K−1) cents, newest first.
+    */
+  case class EwmaState(n: Long, recent: Seq[Long])
+
+  /** One smoothed reading (same shape as the batch q_ewma rows). */
+  case class EwmaOut(user_id: Long, rn: Long, event_id: Long,
+      cents: Long, ewma_cents: Double)
+
+  /** The α=1/2 EWMA smoother AS A STREAM — the per-key O(K) state
+    * twin of [[graft.operators.EventAnalytics.ewmaOn]], graded against
+    * the SAME oracle: power-of-two weights over the last K cents make
+    * the numerator/denominator exact longs and the emitted ewma one
+    * exact-input division, so a finite replay reproduces the batch
+    * window byte-for-byte. This is the always-on form a metrics
+    * pipeline runs (state = K longs per user, no window buffering);
+    * the batch lag() form is its backfill twin.
+    */
+  def streamedEwma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val k = graft.operators.EventAnalytics.EwmaK
+    val events = normalizedEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        round(col("value") * lit(100)).cast("long").as("cents"))
+      .as[CentsEvent]
+    val smoothed = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[CentsEvent], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(EwmaState(0L, Nil))
+          val out = Seq.newBuilder[EwmaOut]
+          sorted.foreach { e =>
+            val window = (e.cents +: s.recent).take(k)
+            val taps = window.zipWithIndex.map { case (c, d) =>
+              (c * (1L << (k - 1 - d)), 1L << (k - 1 - d)) }
+            val num = taps.map(_._1).sum
+            val den = taps.map(_._2).sum
+            out += EwmaOut(userId, s.n + 1, e.event_id, e.cents,
+              num.toDouble / den.toDouble)
+            s = EwmaState(s.n + 1, (e.cents +: s.recent).take(k - 1))
+          }
+          state.update(s)
+          out.result().iterator
+      }
+    // same state-partition sizing note as [[streamedTumbling]]
+    StreamConf.withStatePartitions(spark, 4) {
+      val q = smoothed.toDF().writeStream.format("memory")
+        .queryName("graft_stream_ewma")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+    }
+    spark.table("graft_stream_ewma")
+      .orderBy(col("user_id"), col("rn"))
   }
 }

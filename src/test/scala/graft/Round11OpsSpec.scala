@@ -161,6 +161,48 @@ class Round11OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.head.getDouble(5) == 9900.0 / 1.4826)
   }
 
+  // ——— quality model ———
+
+  test("qualityModel: matches a sequential fixed-point reference") {
+    val docs = Seq(
+      // stopword-rich clean prose -> keep
+      (0L, "the cat sat on a mat and it is the best of all the mats in town", "en", "srcA", 64L),
+      // numeric/markup debris -> drop
+      (1L, "x1 7f 99 000 11 22 33 44 55 zz zz zz zz", "en", "srcA", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextAnalysis.qualityModelOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    def fp(x: Double) = math.round(x * 1048576.0)
+    def ref(text: String): Long = {
+      val toks = text.split("[^a-zA-Z]+").filter(_.nonEmpty).map(_.toLowerCase).toSeq
+      val stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+      val alphaChars = text.count(_.isLetter).toDouble
+      val n = math.max(toks.size, 1).toDouble
+      3 * fp(toks.count(stop).toDouble / n) +
+        2 * fp(alphaChars / math.max(text.length, 1).toDouble) +
+        2 * fp(toks.distinct.size.toDouble / n) +
+        fp((alphaChars / n) / 10.0)
+    }
+    val byDoc = out.map(r => r._1 -> r._2).toMap
+    assert(byDoc(0L) == ref("the cat sat on a mat and it is the best of all the mats in town"))
+    assert(byDoc(1L) == ref("x1 7f 99 000 11 22 33 44 55 zz zz zz zz"))
+    val keep = out.map(r => r._1 -> r._4).toMap
+    assert(keep(0L) && !keep(1L), s"threshold should separate the docs: $out")
+  }
+
+  // ——— streaming EWMA ———
+
+  test("streamedEwma equals the batch lag-window EWMA on the fixture") {
+    val got = graft.streaming.EventStreams.streamedEwma(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val exp = graft.operators.EventAnalytics
+      .ewmaOn(graft.tables.Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty && got.length == exp.length)
+    assert(got.toSet == exp.toSet,
+      s"stream/batch divergence: ${got.toSet.diff(exp.toSet).take(3)}")
+  }
+
   // ——— streaming anomaly ———
 
   test("streamedAnomaly equals the batch cumulative-moments recompute") {
