@@ -66,6 +66,39 @@ object EventStreams {
     * its schema DECLARED, so it is sniffed from one batch footer read
     * (metadata only, no data scan) and applied to the stream.
     */
+  /** Full-microsecond replay order. `Timestamp.getTime` is MILLISECOND
+    * precision, so two same-user events inside one millisecond but
+    * different microseconds would tie under a getTime sort and could
+    * replay in either order — silently diverging any running-state
+    * computation from the batch/DuckDB twins, which order by the full
+    * microsecond ts. getNanos carries the sub-second fraction at full
+    * precision, and (getTime, getNanos) is monotone in the true
+    * instant (getTime truncates the same fraction getNanos refines).
+    */
+  private def replayKey(ts: Timestamp, eventId: Long): (Long, Int, Long) =
+    (ts.getTime, ts.getNanos, eventId)
+
+  /** Runs a finite replay to completion and asserts the data arrived
+    * in ONE micro-batch. The stateful per-user ops sort each batch by
+    * (ts, event_id) and rely on that being the GLOBAL order per user —
+    * true only when the whole fixture lands in a single batch, which
+    * holds because events.parquet is one file under AvailableNow with
+    * no maxFilesPerTrigger. A multi-file fixture (or a trigger cap)
+    * would split users across batches and break oracle parity, so the
+    * assumption is asserted, not trusted: the replay fails loudly
+    * instead of silently diverging.
+    */
+  private def runSingleBatchReplay(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    require(dataBatches <= 1,
+      s"replay delivered data in $dataBatches micro-batches; the per-batch " +
+        "(ts, event_id) sort only reproduces the batch/oracle order when " +
+        "each user's events arrive in one batch (single-file fixture)")
+  }
+
   private def normalizedEventStream(spark: SparkSession, dir: String): DataFrame = {
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(fileSchema)
@@ -387,18 +420,24 @@ object EventStreams {
     * Exactness: values are integer cents, and the 3σ test
     * (x−μ)² > 9σ² is cleared of divisions —
     *   (n·x − Σx)² > 9·(n·Σx² − (Σx)²)
-    * — so state, test, and output are all exact long arithmetic; the
-    * DuckDB oracle is the identical test over cumulative window sums.
-    * (Long bounds: |cents| ≤ ~2^25 in the fixtures, so n·Σx² stays
-    * under 2^63 up to ~10⁵ events/user at max value; a production
-    * deploy at higher volume would hold moments in BigDecimal or
-    * re-center periodically.)
+    * — so state, test, and output are exact; the DuckDB oracle is the
+    * identical test over cumulative window sums. (Long bounds: with
+    * |cents| ≤ ~2^25, Σx² grows up to ~2^50 per event, so the n·Σx²
+    * product crosses 2^63 at only n ≈ 90 events/user at max value —
+    * far below real stream lengths. The 3σ comparison therefore runs
+    * in arbitrary precision (BigInt — exact at any n), and the long
+    * moment state accumulates with Math.addExact so a user long enough
+    * to overflow Σx² (n ≈ 8×10³ at max value) fails loudly instead of
+    * wrapping; a production deploy would re-center or widen state at
+    * that point.)
     *
     * Determinism: a finite AvailableNow replay delivers each user's
-    * events in one micro-batch in arbitrary order, so the state
-    * function sorts its batch by (ts, event_id) — the same total
-    * order the oracle's window uses; ties on ts cannot reorder the
-    * running stats.
+    * events in one micro-batch in arbitrary order (asserted by
+    * [[runSingleBatchReplay]] — the guarantee comes from the fixture
+    * being a single parquet file), so the state function sorts its
+    * batch by the FULL-precision (ts, event_id) [[replayKey]] — the
+    * same total order the oracle's window uses; ties on ts cannot
+    * reorder the running stats.
     *
     * Scale shape: state is O(3 longs) per user, shuffled once by
     * user_id into the state store exactly like a batch groupBy; no
@@ -418,17 +457,20 @@ object EventStreams {
       .flatMapGroupsWithState[MomentState, Anomaly](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[CentsEvent], state: GroupState[MomentState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => replayKey(e.ts, e.event_id))
           var s = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
           val out = Seq.newBuilder[Anomaly]
           sorted.foreach { e =>
             val x = e.cents
             if (s.n >= AnomalyMinPrior) {
-              val d = s.n * x - s.sum
-              if (d * d > 9L * (s.n * s.sumSq - s.sum * s.sum))
+              val d = BigInt(s.n) * BigInt(x) - BigInt(s.sum)
+              val varTerm = BigInt(s.n) * BigInt(s.sumSq) -
+                BigInt(s.sum) * BigInt(s.sum)
+              if (d * d > 9 * varTerm)
                 out += Anomaly(userId, e.event_id, x, s.n, s.sum)
             }
-            s = MomentState(s.n + 1, s.sum + x, s.sumSq + x * x)
+            s = MomentState(s.n + 1, Math.addExact(s.sum, x),
+              Math.addExact(s.sumSq, Math.multiplyExact(x, x)))
           }
           state.update(s)
           out.result().iterator
@@ -440,8 +482,7 @@ object EventStreams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      q.stop()
+      runSingleBatchReplay(q)
     }
     spark.table("graft_stream_anomaly")
       .orderBy(col("user_id"), col("event_id"))
@@ -478,7 +519,7 @@ object EventStreams {
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[CentsEvent], state: GroupState[EwmaState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => replayKey(e.ts, e.event_id))
           var s = state.getOption.getOrElse(EwmaState(0L, Nil))
           val out = Seq.newBuilder[EwmaOut]
           sorted.foreach { e =>
@@ -501,8 +542,7 @@ object EventStreams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      q.stop()
+      runSingleBatchReplay(q)
     }
     spark.table("graft_stream_ewma")
       .orderBy(col("user_id"), col("rn"))

@@ -39,7 +39,22 @@ object Tables {
     * every later nanos-timestamp parquet in the session reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+    // With a TIMESTAMP(NANOS) fixture the raw read itself throws
+    // ("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))") during
+    // schema inference — before normalizedTs can inspect the schema —
+    // so the actionable conf hint must wrap the load, not follow it.
+    val raw =
+      try load(spark, dir, "events")
+      catch {
+        case e: Throwable if Option(e.getMessage).exists(m =>
+            m.contains("Illegal Parquet type") && m.contains("NANOS")) =>
+          throw new IllegalArgumentException(
+            "events.parquet is TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true when building " +
+              "the session (as Bench/Verify/BenchOne and the test " +
+              "wrapper do), so the nanos column reads as raw longs for " +
+              "normalizedTs to truncate", e)
+      }
     raw.withColumn("ts", normalizedTs(spark, raw.schema))
   }
 
