@@ -195,6 +195,12 @@ object SparkEntry {
     // by fitted cell, probe = partition-pruned read-back (plan-asserted);
     // same model/search as q_knn_ivf → identical rows (SimilaritySpec)
     "q_knn_ivf_pruned"  -> ((s: SparkSession, dir: String) => Similarity.ivfKnnMaterialized(s, dir)),
+    // IVF over graft's OWN fixed-point Lloyd quantizer: the whole tier
+    // (normalize → quantize → Lloyd cells → multi-probe plan → cosine
+    // rerank) is a deterministic pure function, so this ANN tier is
+    // graded end-to-end by the DuckDB oracle — closing the rows-only
+    // gap of the fitted-model tiers
+    "q_knn_ivf_exact"   -> ((s: SparkSession, dir: String) => Similarity.ivfKnnExact(s, dir)),
     // NSW-style graph ANN: navigable neighbor graph (blocked proximity
     // links + hash-ring shortcuts) searched by batch beam expansion;
     // approximate -> rows-only, recall floors held by SimilaritySpec
@@ -472,15 +478,22 @@ object SparkEntry {
     * rounding per dimension), per-row distances as in-element-order
     * list_sum folds. Ends at CTE `kmf(vec_id, cluster, dist)`.
     */
-  private val kmeansChainSql: String = {
-    val k = graft.operators.Similarity.KmeansK
+  private def lloydDistSql(qv: String, cent: String) =
+    s"list_sum(list_transform(generate_series(1, len($qv)), i -> " +
+      s"($qv[i]::DOUBLE / 1048576.0 - $cent[i]) * ($qv[i]::DOUBLE / 1048576.0 - $cent[i])))"
+
+  /** The Lloyd CTE rounds over any `q(vec_id, qv)` quantized CTE —
+    * shared by [[kmeansChainSql]] (raw embeddings, k=KmeansK) and the
+    * q_knn_ivf_exact oracle (unit vectors, k=IvfExactCells). Ends at
+    * the final assignment CTE `a{iters}(vec_id, m{d,c})` scored against
+    * centroid table `c{iters-1}`.
+    */
+  private def lloydRoundsSql(qCtes: String, k: Int): String = {
     val iters = graft.operators.Similarity.KmeansIters
-    def dist(qv: String, cent: String) =
-      s"list_sum(list_transform(generate_series(1, len($qv)), i -> " +
-        s"($qv[i]::DOUBLE / 1048576.0 - $cent[i]) * ($qv[i]::DOUBLE / 1048576.0 - $cent[i])))"
+    def dist(qv: String, cent: String) = lloydDistSql(qv, cent)
     val sb = new StringBuilder
-    sb ++= s"""q AS (SELECT vec_id, list_transform(embedding,
-              |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
+    sb ++= qCtes
+    sb ++= s""",
               |c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE / 1048576.0) AS cent
               |  FROM q WHERE vec_id < $k)""".stripMargin
     for (t <- 1 to iters) {
@@ -494,9 +507,16 @@ object SparkEntry {
                 |c$t AS (SELECT cluster AS cid, array_agg(s::DOUBLE / (n * 1048576.0) ORDER BY pos) AS cent
                 |  FROM u$t GROUP BY cluster)""".stripMargin
     }
-    sb ++= s""",
-              |kmf AS (SELECT vec_id, m.c AS cluster, round(m.d, 6) AS dist FROM a$iters)""".stripMargin
     sb.toString
+  }
+
+  private val kmeansChainSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    val rawQ =
+      """q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings)""".stripMargin
+    lloydRoundsSql(rawQ, graft.operators.Similarity.KmeansK) + s""",
+      |kmf AS (SELECT vec_id, m.c AS cluster, round(m.d, 6) AS dist FROM a$iters)""".stripMargin
   }
 
   private val wordcountSql =
@@ -1579,6 +1599,36 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
          |ORDER BY q_id, rank""".stripMargin,
+
+    // the full exact-quantizer IVF pipeline re-derived: unit vectors →
+    // 2^20 fixed-point → the shared Lloyd CTE rounds (k=IvfExactCells)
+    // → per-query 3-probe cell plan → exact cosine rerank in probed
+    // cells. Every float op mirrors the Spark plan's order.
+    "q_knn_ivf_exact" -> {
+      val iters = graft.operators.Similarity.KmeansIters
+      val unitQ =
+        """un AS (SELECT vec_id, embedding,
+          |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
+          |q AS (SELECT vec_id, list_transform(embedding,
+          |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
+      s"""WITH ${lloydRoundsSql(unitQ, Similarity.IvfExactCells)},
+         |cells AS (SELECT vec_id, m.c AS cell FROM a$iters),
+         |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
+         |  FROM (SELECT * FROM q WHERE vec_id < ${Similarity.NumQueries}) qq, c${iters - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+         |    ORDER BY ${lloydDistSql("qq.qv", "c.cent")}, c.cid) <= 3),
+         |sims AS (SELECT p.q_id, s.vec_id AS n_id,
+         |  round(${cosSql("qe.embedding", "s.embedding")}, 6) AS sim
+         |  FROM probe p
+         |  JOIN cells cl ON cl.cell = p.cell
+         |  JOIN embeddings s ON s.vec_id = cl.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.q_id
+         |  WHERE s.vec_id <> p.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin
+    },
 
     "q_embedding_dedup" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings

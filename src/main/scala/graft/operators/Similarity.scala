@@ -214,6 +214,71 @@ object Similarity {
     ivfSearch(layout, probeCells)
   }
 
+  /** Cell count for [[ivfKnnExactOn]]. Fixed (not √N) so the DuckDB
+    * twin's seed filter is a plain literal; the √N-sized production
+    * path stays [[ivfKnn]]/[[ivfKnnMaterialized]]. 16 cells × 3 probes
+    * scans ~19% of the corpus — enough structure to be a real IVF while
+    * the whole pipeline stays a pure function of the data.
+    */
+  val IvfExactCells = 16
+
+  /** IVF over graft's OWN deterministic coarse quantizer — the
+    * ORACLE-GRADED ANN tier. Same composition as [[ivfKnn]] (angular
+    * cells over unit vectors, multi-probe cell plan, exact cosine
+    * rerank inside probed cells) but the quantizer is the fixed-point
+    * Lloyd of [[kmeansAssignOn]] ([[lloydRounds]]: seeds = first k
+    * vectors, [[KmeansIters]] rounds, long-sum centroid updates)
+    * instead of fitted `ml.KMeans` — every stage is a deterministic
+    * pure function of (data, constants) that DuckDB re-derives in SQL,
+    * so this tier gets a full rows+schema+hash oracle where the
+    * ml.KMeans tiers are graded rows-only (opaque k-means‖ init).
+    *
+    * Cosine ranks neighbors, so cells must partition the unit sphere:
+    * vectors are L2-normalized in double arithmetic BEFORE the 2^20
+    * fixed-point quantization (for unit vectors ‖x−y‖² = 2−2cosθ, so
+    * L2 Lloyd over units IS angular clustering — the [[ivfAssignments]]
+    * note), with the zero-vector guard keeping all-zero embeddings
+    * zero instead of NaN-poisoning the fit.
+    *
+    * Scale shape is [[ivfKnn]]'s: centroids are O(k·dim) collected
+    * model state broadcast to both the corpus assignment and the probe
+    * plan; the search joins corpus cells to a broadcast probe plan —
+    * at 100 TB the corpus would be written partitioned by cell
+    * ([[ivfKnnMaterialized]]) and a probe is partition pruning.
+    */
+  def ivfKnnExact(spark: SparkSession, dir: String, probes: Int = 3): DataFrame =
+    ivfKnnExactOn(spark, Tables.embeddings(spark, dir), probes)
+
+  def ivfKnnExactOn(spark: SparkSession, e: DataFrame, probes: Int = 3): DataFrame = {
+    // unit vectors in double arithmetic (sequential element-order fold,
+    // the cosine-parity convention); quantizedX then fixes them to
+    // 2^20 longs + exact xv doubles for the Lloyd chain
+    val unit = e
+      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .select(col("vec_id"),
+        when(col("nrm") === 0.0,
+          transform(col("embedding"), x => x.cast("double")))
+          .otherwise(transform(col("embedding"), x => x.cast("double") / col("nrm")))
+          .as("embedding"))
+    val q = quantizedX(unit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydRounds(spark, q, IvfExactCells)
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
+      .join(assignStep(q, cents)
+        .select(col("vec_id").as("n_id"), col("cluster").as("cell")), "n_id")
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    val probeCells = q.filter(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("cid"),
+        sqDistD(col("xv"), col("cent")).as("d"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= probes)
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .select(col("q_id"), col("q_emb"), col("cid").as("cell"))
+    ivfSearch(corpus, probeCells)
+  }
+
   // ——— graph ANN (NSW-style) ———
 
   val GraphM = 8        // proximity out-degree per node

@@ -77,6 +77,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(avg >= 0.35, f"avg recall $avg%.2f below scanned-fraction line")
   }
 
+  test("ivfKnnExact: recall@5 >= 0.8 on clustered data (deterministic quantizer quality)") {
+    // same planted-cluster corpus as the ivfKnn quality test: the
+    // fixed-point Lloyd quantizer must be a REAL coarse quantizer,
+    // not just an oracle-friendly one
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val points = (0 until 720).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val e = points.toDF("vec_id", "embedding")
+    val exact = byQuery(Similarity.bruteForceKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val ivf = byQuery(Similarity.ivfKnnExactOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, x) =>
+      (ivf.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, f"avg recall $avg%.2f below quantizer floor")
+  }
+
+  test("ivfKnnExact: deterministic across runs (pure function of data)") {
+    val a = Similarity.ivfKnnExact(spark, sfDir).collect().toSeq
+    val b = Similarity.ivfKnnExact(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
   test("ivfKnnMaterialized: identical to ivfKnn and partition-pruned scan") {
     // same fitted model (fixed seed, deterministic fit sample) + same
     // search ⇒ the materialized layout must reproduce the in-memory
