@@ -103,9 +103,7 @@ object DocumentStreams {
     * per arrival day.
     */
   def streamedDecontamination(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
     val docs = graft.tables.Tables.documents(spark, dir)
     val bucket = pmod(md5Hash32(col("text")), lit(10))
     val splitCol = when(bucket < 8, "train").when(bucket === 8, "val")
@@ -119,11 +117,26 @@ object DocumentStreams {
       .distinct().withColumn("hit", lit(1L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val rows = docs.select(col("doc_id"), splitCol.as("split"), col("text"))
+      // Replay via a temp-dir FILE source (the q_stream_tumbling
+      // pattern): the eval split is WRITTEN by executors — range-split
+      // into 3 files so AvailableNow + maxFilesPerTrigger=1 still
+      // exercises multi-batch Complete-mode updates — and never lands
+      // on the driver (the prior MemoryStream form collected the
+      // arriving side driver-side; bounded, but needlessly so).
+      val replayDir =
+        graft.sources.Scratch.dir(spark, "stream_decontamination_replay")
+      docs.select(col("doc_id"), splitCol.as("split"), col("text"))
         .filter(col("split") =!= "train")
-        .as[(Long, String, String)].collect().sortBy(_._1)
-      val input = MemoryStream[(Long, String, String)]
-      val stream = input.toDF().toDF("doc_id", "split", "text")
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(replayDir)
+      val streamSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("split", StringType),
+        StructField("text", StringType)))
+      val stream = spark.readStream.schema(streamSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(replayDir)
       val shingled = stream.select(col("doc_id"), col("split"),
           explode(array_distinct(
             charShingles(normalized(col("text")), Dedup.ShingleK))).as("sh"))
@@ -139,13 +152,10 @@ object DocumentStreams {
         val q = agg.writeStream.format("memory")
           .queryName("graft_stream_decontamination")
           .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
           .start()
-        try {
-          rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-            input.addData(chunk)
-            q.processAllAvailable()
-          }
-        } finally q.stop()
+        q.awaitTermination()
+        q.stop()
       }
       spark.table("graft_stream_decontamination").orderBy(col("doc_id"))
         .localCheckpoint()
@@ -288,36 +298,52 @@ object DocumentStreams {
     math.max(TtlChunk, (maxId + 5) / 5)
 
   def streamedNearDupPairsTtl(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
     implicit val sp: SparkSession = spark
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // Replay HARNESS, not operator: the gate corpus is collected and
-    // re-fed through a MemoryStream so batch boundaries (and therefore
-    // watermark advancement) are deterministic — the operator under
-    // the gate (nearDupPairStreamTtl) is source-agnostic and unchanged.
-    // Bounded by the gate corpus size; a production deployment feeds
+    // Replay HARNESS, not operator: batch boundaries (and therefore
+    // watermark advancement) must be deterministic, so the gate corpus
+    // is APPENDED to a temp-dir FILE source one doc_id-range chunk per
+    // processAllAvailable — each chunk written by executors, never
+    // collected to the driver (only the O(1) max(doc_id) scalar lands
+    // driver-side to size the chunk width). The operator under the
+    // gate (nearDupPairStreamTtl) is source-agnostic and unchanged;
+    // ts derives from doc_id IN the stream transform, so the replay
+    // files carry only (doc_id, text). A production deployment feeds
     // the same operator from a real source with real arrival times.
-    val rows = graft.tables.Tables.documents(spark, dir)
+    val docs0 = graft.tables.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
-    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val maxId = Option(docs0.agg(max(col("doc_id"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val chunkW = ttlChunkWidth(maxId)
+    val replayDir =
+      graft.sources.Scratch.dir(spark, "stream_neardup_ttl_replay")
+    // clean slate: the file source tracks files it has seen, and stale
+    // files from a prior run would all land in chunk 0's batch
+    val replayPath = new org.apache.hadoop.fs.Path(replayDir)
+    val fs = replayPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(replayPath)) fs.delete(replayPath, true)
+    fs.mkdirs(replayPath)
+    val streamSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(streamSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(replayDir)
+      .withColumn("ts", timestamp_millis(lit(TtlBaseMs) + col("doc_id") * lit(1000L)))
       .withWatermark("ts", "0 seconds")
-    val pairs = nearDupPairStreamTtl(docs, TtlHorizonMs)
+    val pairs = nearDupPairStreamTtl(stream, TtlHorizonMs)
     StreamConf.withStatePartitions(spark, 4) {
       val q = pairs.toDF().writeStream.format("memory")
         .queryName("graft_stream_neardup_ttl")
         .outputMode(OutputMode.Append())
         .start()
       try {
-        val chunkW = ttlChunkWidth(rows.lastOption.map(_._1).getOrElse(0L))
-        rows.groupBy(_._1 / chunkW).toSeq.sortBy(_._1).foreach {
-          case (_, chunk) =>
-            input.addData(chunk.toSeq.map { case (id, text) =>
-              (id, text, new java.sql.Timestamp(TtlBaseMs + id * 1000L))
-            })
-            q.processAllAvailable()
+        var c = 0L
+        while (c <= maxId / chunkW) {
+          docs0.filter(col("doc_id") >= c * chunkW &&
+              col("doc_id") < (c + 1) * chunkW)
+            .write.mode("append").parquet(replayDir)
+          q.processAllAvailable()
+          c += 1
         }
       } finally q.stop()
     }
