@@ -73,6 +73,7 @@ object ScalingProbe {
           math.max(8, math.sqrt(n.toDouble).toInt))
       case "boilerplate"     => graft.operators.TextAnalysis.removeBoilerplateOn(docs)
       case "bm25"            => graft.operators.Retrieval.bm25On(docs)
+      case "bm25_nopersist"  => graft.operators.Retrieval.bm25On(docs, persistPostings = false)
       case "dsir"            => graft.operators.Retrieval.dsirWeightsOn(
         docs.withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string"))))
       case "quality"         => graft.operators.TextAnalysis.qualityModelOn(docs)

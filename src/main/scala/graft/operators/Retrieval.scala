@@ -79,10 +79,15 @@ object Retrieval {
     * query-bounded result via localCheckpoint so the postings cache
     * can be released before the frame is consumed.
     */
-  def bm25On(docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
+  def bm25On(docs: DataFrame, checkpoint: Boolean = true,
+      persistPostings: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.TypedAggregators.{TopK => TopKAgg}
-    val tf = postings(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // persistPostings=false is the A/B arm (ScalingProbe bm25_nopersist):
+    // recompute the postings shuffle per consumer instead of caching it.
+    // Round-12 A/B kept the persist — see BASELINE.md round-12 notes.
+    val tf0 = postings(docs)
+    val tf = if (persistPostings) tf0.persist(StorageLevel.MEMORY_AND_DISK) else tf0
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -126,7 +131,7 @@ object Retrieval {
           col("col._2").as("doc_id"), (col("col._1") / lit(Fp)).as("score"))
       (if (checkpoint) out.localCheckpoint() else out)
         .orderBy(col("query_id"), col("rank"))
-    } finally { if (checkpoint) { tf.unpersist(); () } }
+    } finally { if (checkpoint && persistPostings) { tf.unpersist(); () } }
   }
 
   /** Hybrid retrieval by Reciprocal Rank Fusion: for each query doc
