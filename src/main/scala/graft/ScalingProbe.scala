@@ -62,6 +62,8 @@ object ScalingProbe {
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
       case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
+      case "ivf"             => graft.operators.Similarity.ivfKnnOn(spark, docs)
+      case "ivf_exact"       => graft.operators.Similarity.ivfKnnExactOn(spark, docs)
       case "lm"              => graft.operators.TextAnalysis.lmTypicalityOn(docs)
       case "pool"            => graft.operators.Similarity.embeddingPoolOn(docs)
       case "kmeans"          => graft.operators.Similarity.kmeansAssignOn(spark, docs)
@@ -80,7 +82,8 @@ object ScalingProbe {
       case other             => sys.error(s"unknown op $other")
     }
 
-    val embOps = Set("pool", "kmeans", "semdedup", "semdedup_sqrtk")
+    val embOps = Set("pool", "kmeans", "semdedup", "semdedup_sqrtk",
+      "ivf", "ivf_exact")
     val gen: Int => DataFrame =
       if (op.startsWith("graphann") || embOps(op)) embCorpus else corpus
 

@@ -1630,6 +1630,39 @@ object SparkEntry {
          |ORDER BY q_id, rank""".stripMargin
     },
 
+    // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,
+    // q_i = clamp(floor(x/scale + 0.5)) — floor(x+0.5) IS Java's
+    // Math.round (Int8PackExpr), NOT DuckDB round()'s half-away —
+    // integer coarse dot over every corpus vector, top-QuantRerank per
+    // query, exact cosine rerank of the shortlist. Deterministic
+    // end-to-end ("approximate" only vs brute force), so it grades.
+    "q_knn_quantized" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |s AS (SELECT vec_id, emb,
+         |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale,
+         |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+         |q AS (SELECT vec_id, scale, nrm,
+         |    CASE WHEN scale = 0.0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(emb, x -> greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) END AS qv
+         |  FROM s),
+         |qq AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id < ${Similarity.NumQueries}),
+         |coarse AS (SELECT qq.q_id, t.vec_id AS n_id,
+         |    (t.scale * CAST(list_sum(list_transform(generate_series(1, len(t.qv)),
+         |        i -> qq.q_qv[i] * t.qv[i])) AS DOUBLE))
+         |      / (CASE WHEN t.nrm = 0.0 THEN 1.0 ELSE t.nrm END) AS qsim
+         |  FROM q t, qq WHERE qq.q_id <> t.vec_id),
+         |short AS (SELECT q_id, n_id FROM coarse
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, n_id) <= ${Similarity.QuantRerank}),
+         |sims AS (SELECT sl.q_id, sl.n_id,
+         |    round(${cosSql("qe.embedding", "se.embedding")}, 6) AS sim
+         |  FROM short sl
+         |  JOIN embeddings se ON se.vec_id = sl.n_id
+         |  JOIN embeddings qe ON qe.vec_id = sl.q_id),
+         |ranked AS (SELECT q_id, n_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin,
+
     "q_embedding_dedup" ->
       s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
          |  WHERE vec_id < (SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)),

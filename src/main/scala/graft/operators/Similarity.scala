@@ -479,9 +479,22 @@ object Similarity {
       rounds: Int = NndRounds): DataFrame = {
     val n = denseCount(e, "NN-descent")
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
+    // Pair and corpus frames at production N must never be elected for
+    // broadcast: AQE's runtime size estimate sits below its threshold
+    // for compressed two-long pair rows (and mis-sizes checkpointed
+    // inputs), but the in-memory hash relation is GBs — the 1M-vector
+    // round-12 probe OOM'd an 8 GB driver twice this way (once on the
+    // visited-set anti-join, once inside scorePairs). Above the same
+    // gate as the convergence check, force the shuffle strategy on
+    // every join side that scales with N; below it the broadcasts are
+    // genuinely small and the gate/bench plans are untouched.
+    val bigCorpus = n >= ConvergenceCheckMinN
+    def pairSide(df: DataFrame): DataFrame =
+      if (bigCorpus) df.hint("merge") else df
     def scorePairs(cand: DataFrame): DataFrame =
-      cand.join(corpus.select(col("n_id").as("x"), col("embedding").as("ex")), "x")
-        .join(corpus.select(col("n_id").as("y"), col("embedding").as("ey")), "y")
+      pairSide(cand)
+        .join(pairSide(corpus.select(col("n_id").as("x"), col("embedding").as("ex"))), "x")
+        .join(pairSide(corpus.select(col("n_id").as("y"), col("embedding").as("ey"))), "y")
         .select(col("x"), col("y"), cosine(col("ex"), col("ey")).as("sim"))
     // deterministic pseudo-random init: GraphM hash-derived neighbors
     // per node, canonicalized x < y so each unordered pair scores once
@@ -518,13 +531,14 @@ object Similarity {
           topM.select(col("dst").as("src"), col("src").as("dst")))
         .dropDuplicates("src", "dst")
       val cand = und.as("t1")
-        .join(und.select(col("src").as("mid"), col("dst").as("c")).as("t2"),
-          col("t1.dst") === col("t2.mid"))
+        .join(pairSide(und.select(col("src").as("mid"), col("dst").as("c")))
+          .as("t2"), col("t1.dst") === col("t2.mid"))
         .filter(col("t1.src") =!= col("t2.c"))
         .select(least(col("t1.src"), col("t2.c")).as("x"),
           greatest(col("t1.src"), col("t2.c")).as("y"))
         .distinct()
-        .join(scored.select(col("x"), col("y")), Seq("x", "y"), "left_anti")
+        .join(pairSide(scored.select(col("x"), col("y"))), Seq("x", "y"),
+          "left_anti")
       scored = scored.unionByName(scorePairs(cand)).localCheckpoint()
       // NN-descent's standard termination: stop once a round proposes
       // almost nothing new (< n/100 fresh pairs). The delta comes from
@@ -576,11 +590,12 @@ object Similarity {
     * Ranking key: scale_n · int8dot / ‖n‖ — per-query factors (query
     * scale and norm) are constant within a query's ranking and drop;
     * corpus norms are full-precision (stored alongside the bytes, the
-    * standard layout). Approximate because int8 rounding can reorder
-    * near-ties below the rerank horizon → rows-only gate; recall vs
-    * exact brute force floored in SimilaritySpec (with the rerank,
-    * errors require a true neighbor to fall out of the quantized
-    * top-[[QuantRerank]]).
+    * standard layout). Approximate vs BRUTE FORCE (int8 rounding can
+    * reorder near-ties below the rerank horizon; recall floored in
+    * SimilaritySpec) but DETERMINISTIC end-to-end — every stage is
+    * exact arithmetic (Math.round = floor(x+0.5), integer dot, double
+    * divisions), so since round 12 the full pipeline sits under the
+    * DuckDB oracle gate like q_knn_ivf_exact.
     */
   val QuantRerank = 20
 

@@ -17,7 +17,10 @@ class RegistrySpec extends AnyFunSuite {
     "q_knn_ivf_pruned",        // same search over the materialized layout
     "q_knn_graph",             // approximate (NSW graph beam search)
     "q_knn_graph_nnd",         // approximate (NN-descent-built graph)
-    "q_knn_quantized",         // approximate (int8 coarse pass + rerank)
+    // q_knn_quantized graduated to the full oracle in round 12 (its
+    // int8 pipeline is deterministic — "approximate" only vs brute
+    // force); q_knn_ivf_exact was born graded. The ml.KMeans tiers
+    // below stay rows-only (opaque k-means|| init).
     "q_knn_quantized_ivf",     // approximate (int8 within probed cells)
     "q_minhash_signatures_xx", // xxhash64 not reproducible in DuckDB
     "q_minhash_lsh_pairs_xx")
