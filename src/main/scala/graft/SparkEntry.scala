@@ -201,6 +201,11 @@ object SparkEntry {
     // graded end-to-end by the DuckDB oracle — closing the rows-only
     // gap of the fitted-model tiers
     "q_knn_ivf_exact"   -> ((s: SparkSession, dir: String) => Similarity.ivfKnnExact(s, dir)),
+    // the graded tier's serving layout: corpus written partitioned by
+    // the deterministic Lloyd cell, probes partition-pruned — identical
+    // rows to q_knn_ivf_exact, so it shares the full oracle
+    "q_knn_ivf_exact_pruned" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfKnnExactMaterialized(s, dir)),
     // NSW-style graph ANN: navigable neighbor graph (blocked proximity
     // links + hash-ring shortcuts) searched by batch beam expansion;
     // approximate -> rows-only, recall floors held by SimilaritySpec
@@ -508,6 +513,35 @@ object SparkEntry {
                 |  FROM u$t GROUP BY cluster)""".stripMargin
     }
     sb.toString
+  }
+
+  /** The exact-quantizer IVF pipeline re-derived end-to-end — shared
+    * by q_knn_ivf_exact and its materialized (pruned) layout twin.
+    */
+  private lazy val ivfExactSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    val unitQ =
+      """un AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
+    s"""WITH ${lloydRoundsSql(unitQ, graft.operators.Similarity.IvfExactCells)},
+       |cells AS (SELECT vec_id, m.c AS cell FROM a$iters),
+       |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
+       |  FROM (SELECT * FROM q WHERE vec_id < ${graft.operators.Similarity.NumQueries}) qq, c${iters - 1} c
+       |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+       |    ORDER BY ${lloydDistSql("qq.qv", "c.cent")}, c.cid) <= 3),
+       |sims AS (SELECT p.q_id, s.vec_id AS n_id,
+       |  round(${cosSql("qe.embedding", "s.embedding")}, 6) AS sim
+       |  FROM probe p
+       |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN embeddings s ON s.vec_id = cl.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE s.vec_id <> p.q_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${graft.operators.Similarity.K}
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   private val kmeansChainSql: String = {
@@ -1604,31 +1638,10 @@ object SparkEntry {
     // 2^20 fixed-point → the shared Lloyd CTE rounds (k=IvfExactCells)
     // → per-query 3-probe cell plan → exact cosine rerank in probed
     // cells. Every float op mirrors the Spark plan's order.
-    "q_knn_ivf_exact" -> {
-      val iters = graft.operators.Similarity.KmeansIters
-      val unitQ =
-        """un AS (SELECT vec_id, embedding,
-          |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
-          |q AS (SELECT vec_id, list_transform(embedding,
-          |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
-      s"""WITH ${lloydRoundsSql(unitQ, Similarity.IvfExactCells)},
-         |cells AS (SELECT vec_id, m.c AS cell FROM a$iters),
-         |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
-         |  FROM (SELECT * FROM q WHERE vec_id < ${Similarity.NumQueries}) qq, c${iters - 1} c
-         |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
-         |    ORDER BY ${lloydDistSql("qq.qv", "c.cent")}, c.cid) <= 3),
-         |sims AS (SELECT p.q_id, s.vec_id AS n_id,
-         |  round(${cosSql("qe.embedding", "s.embedding")}, 6) AS sim
-         |  FROM probe p
-         |  JOIN cells cl ON cl.cell = p.cell
-         |  JOIN embeddings s ON s.vec_id = cl.vec_id
-         |  JOIN embeddings qe ON qe.vec_id = p.q_id
-         |  WHERE s.vec_id <> p.q_id),
-         |ranked AS (SELECT q_id, n_id, sim,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
-         |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
-         |ORDER BY q_id, rank""".stripMargin
-    },
+    "q_knn_ivf_exact" -> ivfExactSql,
+    // value-identical serving layout (write → pruned read-back of the
+    // same deterministic cells) ⇒ same oracle
+    "q_knn_ivf_exact_pruned" -> ivfExactSql,
 
     // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,
     // q_i = clamp(floor(x/scale + 0.5)) — floor(x+0.5) IS Java's

@@ -250,6 +250,16 @@ object Similarity {
     ivfKnnExactOn(spark, Tables.embeddings(spark, dir), probes)
 
   def ivfKnnExactOn(spark: SparkSession, e: DataFrame, probes: Int = 3): DataFrame = {
+    val (corpus, probeCells) = ivfExactAssignments(spark, e, probes)
+    ivfSearch(corpus, probeCells)
+  }
+
+  /** The deterministic quantizer's two products — tagged corpus and
+    * per-query probe plan — shared by the in-memory search and the
+    * materialized layout (the [[ivfAssignments]] split, Lloyd edition).
+    */
+  private def ivfExactAssignments(spark: SparkSession, e: DataFrame,
+      probes: Int): (DataFrame, DataFrame) = {
     // unit vectors in double arithmetic (sequential element-order fold,
     // the cosine-parity convention); quantizedX then fixes them to
     // 2^20 longs + exact xv doubles for the Lloyd chain
@@ -264,9 +274,13 @@ object Similarity {
     val q = quantizedX(unit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = lloydRounds(spark, q, IvfExactCells)
+    // cell as INT on both sides: the materialized layout re-infers the
+    // partition column as IntegerType, and a mismatched join/filter
+    // type would push the cast onto the attribute and defeat pruning
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
       .join(assignStep(q, cents)
-        .select(col("vec_id").as("n_id"), col("cluster").as("cell")), "n_id")
+        .select(col("vec_id").as("n_id"),
+          col("cluster").cast("int").as("cell")), "n_id")
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
     val probeCells = q.filter(col("vec_id") < NumQueries)
       .crossJoin(broadcast(cents))
@@ -275,8 +289,36 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= probes)
       .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
-      .select(col("q_id"), col("q_emb"), col("cid").as("cell"))
-    ivfSearch(corpus, probeCells)
+      .select(col("q_id"), col("q_emb"), col("cid").cast("int").as("cell"))
+    (corpus, probeCells)
+  }
+
+  /** The graded tier's 100 TB SERVING LAYOUT: [[ivfKnnExact]]'s corpus
+    * WRITTEN partitioned by its deterministic Lloyd cell, probes
+    * executed as partition-PRUNED read-back (the [[ivfKnnMaterialized]]
+    * pattern) — so the one ANN tier under the full hash gate is also
+    * the one whose scan shape survives a billion vectors. Identical
+    * rows to [[ivfKnnExact]] (same pure-function quantizer, same
+    * search; SimilaritySpec asserts equality, PlanAuditSpec-style
+    * PartitionFilters asserted in the same spec), hence it shares
+    * q_knn_ivf_exact's DuckDB oracle. The probed cell list collected
+    * to the driver is queries × probes ints — probe metadata, the
+    * materialized-IVF convention.
+    */
+  def ivfKnnExactMaterialized(spark: SparkSession, dir: String,
+      probes: Int = 3): DataFrame = {
+    val (corpus, probeCells0) =
+      ivfExactAssignments(spark, Tables.embeddings(spark, dir), probes)
+    // consumed twice (cell collect + search join) with the Lloyd
+    // normalization pass in its lineage — materialize the tiny frame
+    val probeCells = probeCells0.localCheckpoint()
+    val layoutDir = graft.sources.Scratch.dir(spark, "ivf_exact_layout")
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val layout = spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    ivfSearch(layout, probeCells)
   }
 
   // ——— graph ANN (NSW-style) ———

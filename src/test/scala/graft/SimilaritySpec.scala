@@ -106,6 +106,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a === b)
   }
 
+  test("ivfKnnExactMaterialized: identical to ivfKnnExact and partition-pruned scan") {
+    // same deterministic quantizer + same search ⇒ the cell layout
+    // must reproduce the in-memory result row for row, AND the probe
+    // must reach the parquet scan as a PARTITION filter
+    val inMem = Similarity.ivfKnnExact(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val layout = Similarity.ivfKnnExactMaterialized(spark, sfDir)
+    val mat = layout.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(mat === inMem)
+    val plan = layout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n${plan.take(1500)}")
+    val pf = plan.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("cell"), s"partition filter does not prune cell: $pf")
+  }
+
   test("ivfKnnMaterialized: identical to ivfKnn and partition-pruned scan") {
     // same fitted model (fixed seed, deterministic fit sample) + same
     // search ⇒ the materialized layout must reproduce the in-memory
