@@ -206,6 +206,11 @@ object SparkEntry {
     // rows to q_knn_ivf_exact, so it shares the full oracle
     "q_knn_ivf_exact_pruned" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfKnnExactMaterialized(s, dir)),
+    // the IVF-PQ composition under the gate: int8 coarse dot inside
+    // the deterministic Lloyd cells of a partition-pruned packed
+    // layout, exact rerank — fully oracle-graded
+    "q_knn_quantized_ivf_exact" -> ((s: SparkSession, dir: String) =>
+      Similarity.quantizedIvfKnnExact(s, dir)),
     // NSW-style graph ANN: navigable neighbor graph (blocked proximity
     // links + hash-ring shortcuts) searched by batch beam expansion;
     // approximate -> rows-only, recall floors held by SimilaritySpec
@@ -538,6 +543,56 @@ object SparkEntry {
        |  JOIN embeddings s ON s.vec_id = cl.vec_id
        |  JOIN embeddings qe ON qe.vec_id = p.q_id
        |  WHERE s.vec_id <> p.q_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${graft.operators.Similarity.K}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The IVF-PQ composition re-derived: the exact-quantizer Lloyd
+    * cells + probe plan (the ivfExactSql CTEs), int8 pack per vector
+    * (floor(x/scale + 0.5), clamped — Java Math.round), integer coarse
+    * dot INSIDE probed cells only, exact cosine rerank of the
+    * top-QuantRerank shortlist.
+    */
+  private lazy val quantizedIvfExactSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    val unitQ =
+      """un AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
+    s"""WITH ${lloydRoundsSql(unitQ, graft.operators.Similarity.IvfExactCells)},
+       |cells AS (SELECT vec_id, m.c AS cell FROM a$iters),
+       |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
+       |  FROM (SELECT * FROM q WHERE vec_id < ${graft.operators.Similarity.NumQueries}) qq, c${iters - 1} c
+       |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+       |    ORDER BY ${lloydDistSql("qq.qv", "c.cent")}, c.cid) <= 3),
+       |e8 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |s8 AS (SELECT vec_id, emb,
+       |    list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e8),
+       |z8 AS (SELECT vec_id, scale, nrm,
+       |    CASE WHEN scale = 0.0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+       |         ELSE list_transform(emb, x -> greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) END AS qv8
+       |  FROM s8),
+       |qq8 AS (SELECT vec_id AS q_id, qv8 AS q_qv8 FROM z8 WHERE vec_id < ${graft.operators.Similarity.NumQueries}),
+       |coarse AS (SELECT p.q_id, t.vec_id AS n_id,
+       |    (t.scale * CAST(list_sum(list_transform(generate_series(1, len(t.qv8)),
+       |        i -> qq8.q_qv8[i] * t.qv8[i])) AS DOUBLE))
+       |      / (CASE WHEN t.nrm = 0.0 THEN 1.0 ELSE t.nrm END) AS qsim
+       |  FROM probe p
+       |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN z8 t ON t.vec_id = cl.vec_id
+       |  JOIN qq8 ON qq8.q_id = p.q_id
+       |  WHERE t.vec_id <> p.q_id),
+       |short AS (SELECT q_id, n_id FROM coarse
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, n_id) <= ${graft.operators.Similarity.QuantRerank}),
+       |sims AS (SELECT sl.q_id, sl.n_id,
+       |    round(${cosSql("qe.embedding", "se.embedding")}, 6) AS sim
+       |  FROM short sl
+       |  JOIN embeddings se ON se.vec_id = sl.n_id
+       |  JOIN embeddings qe ON qe.vec_id = sl.q_id),
        |ranked AS (SELECT q_id, n_id, sim,
        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
        |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${graft.operators.Similarity.K}
@@ -1642,6 +1697,7 @@ object SparkEntry {
     // value-identical serving layout (write → pruned read-back of the
     // same deterministic cells) ⇒ same oracle
     "q_knn_ivf_exact_pruned" -> ivfExactSql,
+    "q_knn_quantized_ivf_exact" -> quantizedIvfExactSql,
 
     // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,
     // q_i = clamp(floor(x/scale + 0.5)) — floor(x+0.5) IS Java's

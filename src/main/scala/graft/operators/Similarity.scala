@@ -752,6 +752,67 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The IVF-PQ-style composition UNDER THE FULL ORACLE GATE: int8
+    * coarse scoring inside each query's probed cells of a materialized
+    * packed layout — [[quantizedIvfKnn]]'s exact shape — but with the
+    * coarse quantizer swapped from fitted `ml.KMeans` to the
+    * deterministic fixed-point Lloyd ([[ivfExactAssignments]]), making
+    * every stage (cells, probe plan, int8 pack via Math.round =
+    * floor(x+0.5), integer dot, exact rerank) a pure function DuckDB
+    * re-derives. The two 100 TB savings still compose: probes/cells of
+    * the data is opened (partition pruning, plan-asserted) and the
+    * coarse scorer moves 4×-compressed bytes. Recall floored vs
+    * [[ivfKnnExact]] in SimilaritySpec (identical candidate pool; they
+    * differ only where int8 rounding pushes a true pool-neighbor out
+    * of the quantized top-[[QuantRerank]]).
+    */
+  def quantizedIvfKnnExact(spark: SparkSession, dir: String,
+      probes: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
+    val e = Tables.embeddings(spark, dir)
+    val (corpus, probeCells0) = ivfExactAssignments(spark, e, probes)
+    val probeCells = probeCells0.localCheckpoint()
+    val scaleCol = aggregate(col("embedding"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    val normCol = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val packed = corpus
+      .withColumn("scale", scaleCol)
+      .select(col("n_id"), int8Pack(col("embedding"), col("scale")).as("qb"),
+        col("scale"), normCol.as("nrm"), col("cell"))
+    val layoutDir = graft.sources.Scratch.dir(spark, "ivf_exact_quant_layout")
+    packed.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val layout = spark.read.parquet(layoutDir)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val qScale = aggregate(col("q_emb"), lit(0.0),
+      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
+    val qq = probeCells.select(col("q_id"), col("cell"),
+      int8Pack(col("q_emb"), qScale).as("q_qb"))
+    val coarse = layout.join(broadcast(qq), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("scale") * int8Dot(col("q_qb"), col("qb")).cast("double") /
+          when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm"))).as("qsim"))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("n_id"))
+    val shortList = coarse.withColumn("r", row_number().over(cw))
+      .filter(col("r") <= QuantRerank)
+      .select(col("q_id"), col("n_id"))
+    val full = e.select(col("vec_id").as("n_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    shortList.join(full, "n_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the standard
     * 4× storage/serving compression for a 100 TB vector corpus: per
     * vector, scale = max|x|/127 and q_i = round(x_i/scale), stored as

@@ -121,6 +121,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pf.contains("cell"), s"partition filter does not prune cell: $pf")
   }
 
+  test("quantizedIvfKnnExact: recall vs exact-rerank IVF, pruned packed scan") {
+    // identical candidate pool to ivfKnnExact (same Lloyd cells +
+    // probes); int8 rounding may only push a true pool-neighbor out of
+    // the quantized shortlist, so recall vs the exact-rerank tier must
+    // stay high — and the packed layout must scan partition-pruned
+    val exact = byQuery(Similarity.ivfKnnExact(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val layout = Similarity.quantizedIvfKnnExact(spark, sfDir)
+    val quant = byQuery(layout.as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, x) =>
+      (quant.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, f"avg recall $avg%.2f below int8-within-cells floor")
+    val plan = layout.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n${plan.take(1500)}")
+    val pf = plan.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("cell"), s"partition filter does not prune cell: $pf")
+  }
+
   test("ivfKnnMaterialized: identical to ivfKnn and partition-pruned scan") {
     // same fitted model (fixed seed, deterministic fit sample) + same
     // search ⇒ the materialized layout must reproduce the in-memory
