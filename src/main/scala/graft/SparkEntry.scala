@@ -211,6 +211,9 @@ object SparkEntry {
     // layout, exact rerank — fully oracle-graded
     "q_knn_quantized_ivf_exact" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizedIvfKnnExact(s, dir)),
+    // product quantization: per-subspace gated-Lloyd codebooks, m-code
+    // encoding, ADC shortlist + exact rerank — fully oracle-graded
+    "q_knn_pq" -> ((s: SparkSession, dir: String) => Similarity.pqKnn(s, dir)),
     // NSW-style graph ANN: navigable neighbor graph (blocked proximity
     // links + hash-ring shortcuts) searched by batch beam expansion;
     // approximate -> rows-only, recall floors held by SimilaritySpec
@@ -498,24 +501,29 @@ object SparkEntry {
     * the final assignment CTE `a{iters}(vec_id, m{d,c})` scored against
     * centroid table `c{iters-1}`.
     */
-  private def lloydRoundsSql(qCtes: String, k: Int): String = {
+  /** `prefix` namespaces every generated CTE (q/c0/a1/...) so several
+    * independent Lloyd chains — e.g. one per PQ subspace — compose in
+    * one WITH clause without name collisions.
+    */
+  private def lloydRoundsSql(qCtes: String, k: Int, prefix: String = ""): String = {
     val iters = graft.operators.Similarity.KmeansIters
     def dist(qv: String, cent: String) = lloydDistSql(qv, cent)
+    val P = prefix
     val sb = new StringBuilder
     sb ++= qCtes
     sb ++= s""",
-              |c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE / 1048576.0) AS cent
-              |  FROM q WHERE vec_id < $k)""".stripMargin
+              |${P}c0 AS (SELECT vec_id AS cid, list_transform(qv, v -> v::DOUBLE / 1048576.0) AS cent
+              |  FROM ${P}q WHERE vec_id < $k)""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s""",
-                |a$t AS (SELECT t.vec_id, min({'d': ${dist("t.qv", "c.cent")}, 'c': c.cid}) AS m
-                |  FROM q t, c${t - 1} c GROUP BY t.vec_id)""".stripMargin
+                |${P}a$t AS (SELECT t.vec_id, min({'d': ${dist("t.qv", "c.cent")}, 'c': c.cid}) AS m
+                |  FROM ${P}q t, ${P}c${t - 1} c GROUP BY t.vec_id)""".stripMargin
       if (t < iters) sb ++= s""",
-                |s$t AS (SELECT a.m.c AS cluster, CAST(unnest(generate_series(1, len(t.qv))) AS BIGINT) AS pos,
-                |    unnest(t.qv) AS v FROM q t JOIN a$t a ON t.vec_id = a.vec_id),
-                |u$t AS (SELECT cluster, pos, sum(v) AS s, count(*) AS n FROM s$t GROUP BY 1, 2),
-                |c$t AS (SELECT cluster AS cid, array_agg(s::DOUBLE / (n * 1048576.0) ORDER BY pos) AS cent
-                |  FROM u$t GROUP BY cluster)""".stripMargin
+                |${P}s$t AS (SELECT a.m.c AS cluster, CAST(unnest(generate_series(1, len(t.qv))) AS BIGINT) AS pos,
+                |    unnest(t.qv) AS v FROM ${P}q t JOIN ${P}a$t a ON t.vec_id = a.vec_id),
+                |${P}u$t AS (SELECT cluster, pos, sum(v) AS s, count(*) AS n FROM ${P}s$t GROUP BY 1, 2),
+                |${P}c$t AS (SELECT cluster AS cid, array_agg(s::DOUBLE / (n * 1048576.0) ORDER BY pos) AS cent
+                |  FROM ${P}u$t GROUP BY cluster)""".stripMargin
     }
     sb.toString
   }
@@ -596,6 +604,60 @@ object SparkEntry {
        |ranked AS (SELECT q_id, n_id, sim,
        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
        |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${graft.operators.Similarity.K}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Product quantization re-derived: one prefixed Lloyd chain per
+    * subspace over the 2^20-quantized subvectors, codes = each chain's
+    * final assignment, ADC = per-subspace squared distances folded in
+    * subspace order, exact cosine rerank of the ADC shortlist.
+    */
+  private lazy val pqKnnSql: String = {
+    import graft.operators.Similarity
+    val iters = Similarity.KmeansIters
+    val m = Similarity.PqSubspaces
+    // fixture dim is 64; the Spark side derives it at runtime, the SQL
+    // derives it from len(embedding) via a scalar subquery per slice
+    val chains = (0 until m).map { j =>
+      val qCte =
+        s"""p${j}q AS (SELECT vec_id, list_transform(
+           |    embedding[${j} * (SELECT len(embedding) FROM embeddings LIMIT 1) / $m + 1 :
+           |              (${j} + 1) * (SELECT len(embedding) FROM embeddings LIMIT 1) / $m],
+           |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings)""".stripMargin
+      lloydRoundsSql(qCte, Similarity.PqCodebook, s"p$j")
+    }.mkString(",\n")
+    val codesU = (0 until m)
+      .map(j => s"SELECT vec_id, $j AS j, m.c AS code FROM p${j}a$iters")
+      .mkString(" UNION ALL ")
+    val centsU = (0 until m)
+      .map(j => s"SELECT $j AS j, cid AS code, cent FROM p${j}c${iters - 1}")
+      .mkString(" UNION ALL ")
+    val qxU = (0 until m)
+      .map(j => s"SELECT vec_id AS q_id, $j AS j, list_transform(qv, v -> v::DOUBLE / 1048576.0) AS qx FROM p${j}q WHERE vec_id < ${Similarity.NumQueries}")
+      .mkString(" UNION ALL ")
+    s"""WITH $chains,
+       |codes AS ($codesU),
+       |cents AS ($centsU),
+       |qx AS ($qxU),
+       |dj AS (SELECT qx.q_id, c.vec_id AS n_id, c.j,
+       |    list_sum(list_transform(generate_series(1, len(qx.qx)),
+       |      i -> (qx.qx[i] - ct.cent[i]) * (qx.qx[i] - ct.cent[i]))) AS d
+       |  FROM codes c
+       |  JOIN cents ct ON ct.j = c.j AND ct.code = c.code
+       |  JOIN qx ON qx.j = c.j
+       |  WHERE qx.q_id <> c.vec_id),
+       |adc AS (SELECT q_id, n_id, list_sum(array_agg(d ORDER BY j)) AS adc
+       |  FROM dj GROUP BY q_id, n_id),
+       |short AS (SELECT q_id, n_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) <= ${Similarity.PqRerank}),
+       |sims AS (SELECT sl.q_id, sl.n_id,
+       |    round(${cosSql("qe.embedding", "se.embedding")}, 6) AS sim
+       |  FROM short sl
+       |  JOIN embeddings se ON se.vec_id = sl.n_id
+       |  JOIN embeddings qe ON qe.vec_id = sl.q_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
        |ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1698,6 +1760,7 @@ object SparkEntry {
     // same deterministic cells) ⇒ same oracle
     "q_knn_ivf_exact_pruned" -> ivfExactSql,
     "q_knn_quantized_ivf_exact" -> quantizedIvfExactSql,
+    "q_knn_pq" -> pqKnnSql,
 
     // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,
     // q_i = clamp(floor(x/scale + 0.5)) — floor(x+0.5) IS Java's

@@ -121,6 +121,31 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pf.contains("cell"), s"partition filter does not prune cell: $pf")
   }
 
+  test("pqKnn: recall@5 on clustered data (codebook quality) and determinism") {
+    // the planted-cluster corpus of the other quantizer-quality tests:
+    // 8×16 codebooks + ADC + rerank must recover most true neighbors
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val points = (0 until 720).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val e = points.toDF("vec_id", "embedding")
+    val exact = byQuery(Similarity.bruteForceKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val pq = byQuery(Similarity.pqKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, x) =>
+      (pq.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, f"avg recall $avg%.2f below PQ floor")
+    val a = Similarity.pqKnn(spark, sfDir).collect().toSeq
+    val b = Similarity.pqKnn(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
   test("quantizedIvfKnnExact: recall vs exact-rerank IVF, pruned packed scan") {
     // identical candidate pool to ivfKnnExact (same Lloyd cells +
     // probes); int8 rounding may only push a true pool-neighbor out of
