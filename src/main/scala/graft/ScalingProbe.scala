@@ -64,6 +64,7 @@ object ScalingProbe {
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
       case "ivf"             => graft.operators.Similarity.ivfKnnOn(spark, docs)
       case "ivf_exact"       => graft.operators.Similarity.ivfKnnExactOn(spark, docs)
+      case "pq"              => graft.operators.Similarity.pqKnnOn(spark, docs)
       case "lm"              => graft.operators.TextAnalysis.lmTypicalityOn(docs)
       case "pool"            => graft.operators.Similarity.embeddingPoolOn(docs)
       case "kmeans"          => graft.operators.Similarity.kmeansAssignOn(spark, docs)
@@ -83,7 +84,7 @@ object ScalingProbe {
     }
 
     val embOps = Set("pool", "kmeans", "semdedup", "semdedup_sqrtk",
-      "ivf", "ivf_exact")
+      "ivf", "ivf_exact", "pq")
     val gen: Int => DataFrame =
       if (op.startsWith("graphann") || embOps(op)) embCorpus else corpus
 
