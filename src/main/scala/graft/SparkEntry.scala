@@ -99,6 +99,11 @@ object SparkEntry {
     "q_except_all"      -> (Relational.exceptAllParts _),
     "q_tfidf"           -> (TextAnalysis.tfidf _),
     "q_bigrams"         -> (TextAnalysis.wordBigrams _),
+    // distributed BPE tokenizer training: vocabulary-bounded merge
+    // rounds over exact word counts; rules are O(1) model state
+    "q_bpe_merges"      -> (Tokenizer.bpeMerges _),
+    // the learned merges applied corpus-wide (per-doc token counts)
+    "q_bpe_tokenize"    -> (Tokenizer.bpeTokenize _),
     // PMI lift of count>=3 bigrams — phrase-vocabulary induction
     "q_pmi"             -> (TextAnalysis.pmiCollocations _),
     "q_heavy_hitters"   -> (TextAnalysis.heavyHitters _),
@@ -190,6 +195,12 @@ object SparkEntry {
     "q_chunk_dedup"     -> (Dedup.chunkDedup _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
+    // contrastive hard-negative mining: per anchor, top-K most-similar
+    // vectors with a DIFFERENT label, via the bounded top-K aggregator
+    "q_hard_negatives"  -> (Similarity.hardNegatives _),
+    // greedy k-center (farthest-point) coreset selection: shuffle-free
+    // scan per round, selected set = O(k·dim) model state
+    "q_kcenter_select"  -> (Similarity.kCenterSelect _),
     "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
     // the IVF serving layout made executable: corpus WRITTEN partitioned
     // by fitted cell, probe = partition-pruned read-back (plan-asserted);
@@ -445,6 +456,85 @@ object SparkEntry {
     * engines sum power-of-two-weighted integer cents exactly and
     * divide once.
     */
+  /** The BPE trainer re-derived round by round (Tokenizer.scala): the
+    * reference-tokenizer vocabulary with exact counts, per-token-
+    * delimited symbol sequences (`hello` → `|h||e||l||l||o|` — each
+    * token carries its own delimiters, so `replace('|t1||t2|' →
+    * '|t1t2|')` is exactly the left-to-right non-overlapping BPE merge
+    * in both engines), then [[graft.operators.Tokenizer.BpeMerges]]
+    * chained CTE rounds of pair-count → (count DESC, t1, t2) argmax →
+    * merge. `bpeChain(r)` ends at the sequence table `s{r}`.
+    */
+  private def bpeChainSql(rounds: Int): String = {
+    val base =
+      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT lower(t.tok) AS word FROM (
+         |    SELECT unnest(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS tok
+         |    FROM documents) t) GROUP BY word),
+         |s0 AS (SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, cnt FROM w)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT toks[i] AS t1, toks[i+1] AS t2, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT toks, cnt, unnest(generate_series(1, len(toks)-1)) AS i FROM (
+         |      SELECT string_split(trim(seq, '|'), '||') AS toks, cnt FROM s${r - 1}))
+         |  GROUP BY t1, t2),
+         |b$r AS (SELECT t1, t2, pc FROM p$r ORDER BY pc DESC, t1, t2 LIMIT 1),
+         |s$r AS (SELECT word, replace(seq, '|'||b.t1||'||'||b.t2||'|', '|'||b.t1||b.t2||'|') AS seq, cnt
+         |  FROM s${r - 1}, b$r b)""".stripMargin
+    }
+    (base +: perRound).mkString(",\n")
+  }
+
+  private val bpeMergesSql: String = {
+    val r = graft.operators.Tokenizer.BpeMerges
+    val rows = (1 to r).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, t1, t2, t1||t2 AS merged, pc AS pair_count FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeChainSql(r)}
+       |SELECT merge_round, t1, t2, merged, pair_count FROM (
+       |  $rows
+       |) ORDER BY merge_round""".stripMargin
+  }
+
+  private val bpeTokenizeSql: String = {
+    val r = graft.operators.Tokenizer.BpeMerges
+    s"""${bpeChainSql(r)},
+       |vt AS (SELECT word, CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS n_tok FROM s$r),
+       |dw AS (SELECT doc_id, lower(t.tok) AS word FROM (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS tok
+       |  FROM documents) t)
+       |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(vt.n_tok) AS BIGINT) AS n_tokens
+       |FROM dw JOIN vt USING (word) GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+  }
+
+  /** Greedy k-center traversal re-derived (Similarity.kCenterSelect):
+    * seed = min vec_id; round r takes the argmin of max-round-6-cosine
+    * to the selected set, (maxsim ASC, vec_id ASC) total order.
+    */
+  private val kcenterSql: String = {
+    val r = graft.operators.Similarity.KCenterRounds
+    // AS MATERIALIZED is load-bearing: DuckDB 1.0 INLINES plain CTEs,
+    // and sel{i}/p{i} are each referenced 2-3 times per later round —
+    // un-materialized, the 8-round chain expands exponentially (the
+    // plain form ran minutes; materialized, 0.3 s)
+    val rounds = (1 to r).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT e.vec_id, max(round(${cosSql("e.embedding", "s.embedding")}, 6)) AS maxsim
+         |  FROM embeddings e, sel${i - 1} s
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}) GROUP BY e.vec_id),
+         |p$i AS MATERIALIZED (SELECT vec_id, maxsim FROM m$i ORDER BY maxsim ASC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL
+         |  SELECT e.vec_id, e.embedding FROM embeddings e JOIN p$i USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to r).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_round, vec_id, maxsim FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sel0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+       |$rounds
+       |SELECT sel_round, vec_id, maxsim FROM (
+       |  $unions
+       |) ORDER BY sel_round""".stripMargin
+  }
+
   private val ewmaSql: String = {
     val k = graft.operators.EventAnalytics.EwmaK
     val lags = (1 until k).map(d =>
@@ -1091,6 +1181,10 @@ object SparkEntry {
         |SELECT list_transform(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>''),
         |  x -> lower(x)) AS toks FROM documents))
         |GROUP BY bigram HAVING count(*) >= 3 ORDER BY bigram""".stripMargin,
+
+    "q_bpe_merges"   -> bpeMergesSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
+    "q_kcenter_select" -> kcenterSql,
 
     // shares q_bigrams' tokenizer; all-long products + ONE division
     // keep the lift double engine-portable (no log-PMI libm risk)
@@ -1749,6 +1843,18 @@ object SparkEntry {
          |ranked AS (SELECT q_id, n_id, sim,
          |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
          |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // hard negatives = brute-force kNN restricted to cross-label pairs;
+    // same round-6 + n_id tie-break ordering contract
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb FROM embeddings WHERE vec_id < ${Similarity.NumQueries}),
+         |sims AS (SELECT q_id, e.vec_id AS n_id, e.label AS n_label,
+         |  round(${cosSql("q_emb", "e.embedding")}, 6) AS sim
+         |  FROM embeddings e, q WHERE q_label <> e.label),
+         |ranked AS (SELECT q_id, n_id, n_label, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+         |SELECT q_id, rank, n_id, n_label, sim FROM ranked WHERE rank <= ${Similarity.K}
          |ORDER BY q_id, rank""".stripMargin,
 
     // the full exact-quantizer IVF pipeline re-derived: unit vectors →

@@ -65,6 +65,94 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Contrastive hard-negative mining: for each query (anchor) vector,
+    * the top-[[K]] most-similar corpus vectors carrying a DIFFERENT
+    * label — the "hard negatives" a contrastive embedding trainer
+    * pairs with each anchor (highest-loss negatives: close in the
+    * space, wrong by the labels). Same broadcast-the-anchors shape as
+    * [[bruteForceKnnOn]], but per-anchor selection runs through the
+    * bounded top-K AGGREGATOR rather than a rank window: anchors are
+    * few and each candidate set is corpus-sized, so an anchor-
+    * partitioned window would serialize the corpus through |Q| tasks
+    * while the aggregator ships ≤K rows per partition per anchor
+    * map-side (the BM25/stratified-sample lesson). Labels for the ≤
+    * Q·K selected ids come back via one broadcast join — never a
+    * second corpus shuffle.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators.{TopK => TopKAgg}
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    // round(sim, 6) BEFORE selection so ranking (and its n_id
+    // tie-break) is reproducible across engines, as in bruteForceKnn
+    val sims = e.select(col("vec_id").as("n_id"), col("label"), col("embedding"))
+      .join(broadcast(anchors), col("q_label") =!= col("label"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+    val top = sims
+      .select(col("q_id").cast("int"), col("sim"), col("n_id"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => (v, id) }
+      .agg(new TopKAgg(K).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id").cast("long"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("n_id"), col("col._1").as("sim"))
+    e.select(col("vec_id").as("n_id"), col("label").as("n_label"))
+      .join(broadcast(top), "n_id")
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Greedy k-center (Gonzalez farthest-point) selection rounds for
+    * [[kCenterSelect]]. Demo-scale; the per-round cost model is what
+    * matters (see scaladoc there).
+    */
+  val KCenterRounds = 8
+
+  /** Greedy k-center coreset selection over the embeddings — the
+    * classic diversity-maximizing data-selection pass (Gonzalez' 2-approx
+    * farthest-point traversal): seed with the smallest vec_id, then each
+    * round admit the point LEAST similar to its nearest already-selected
+    * point (argmin of max-cosine, vec_id tie-break).
+    *
+    * Scale shape: the selected set is O(k·dim) MODEL STATE (the k-means
+    * centroid precedent) — each round is one narrow corpus scan with the
+    * selected vectors inlined as literals (`greatest` over k codegen
+    * cosines, NO shuffle, no N×k join), and the argmin is a
+    * TakeOrderedAndProject (per-partition top-1 → driver merge), so a
+    * round moves k rows of model state and nothing else. k rounds = k
+    * scans; at 100 TB you batch rounds against a cached/columnar corpus.
+    * Determinism: round(sim, 6) before comparison and a total
+    * (maxsim ASC, vec_id ASC) order — the DuckDB oracle re-derives the
+    * identical traversal.
+    */
+  def kCenterSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val seed = e.orderBy(col("vec_id")).limit(1).head()
+      var selected = Seq(seed.getLong(0) -> seed.getSeq[Float](1))
+      val picks = (1 to KCenterRounds).map { r =>
+        val sims = selected.map { case (_, v) =>
+          round(cosine(col("embedding"), typedLit(v)), 6) }
+        val maxSim = sims.reduce((a, b) => greatest(a, b))
+        val pick = e.filter(!col("vec_id").isin(selected.map(_._1): _*))
+          .select(col("vec_id"), col("embedding"), maxSim.as("maxsim"))
+          .orderBy(col("maxsim").asc, col("vec_id"))
+          .limit(1).head() // O(1) model state per round
+        selected :+= (pick.getLong(0) -> pick.getSeq[Float](1))
+        (r.toLong, pick.getLong(0), pick.getDouble(2))
+      }
+      picks.toDF("sel_round", "vec_id", "maxsim").orderBy(col("sel_round"))
+    } finally { e.unpersist(); () }
+  }
+
   /** IVF approximate top-k with a REAL coarse quantizer: seeded
     * k-means (Lloyd via `ml.KMeans`, k-means|| init) over the corpus,
     * cell count scaling ~√N with the corpus (the standard IVF sizing:

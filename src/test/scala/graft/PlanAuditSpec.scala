@@ -341,6 +341,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert("Window".r.findAllIn(plan).size >= 1)
   }
 
+  test("q_hard_negatives: anchors broadcast, selection aggregated not windowed") {
+    val plan = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the cross-label condition is non-equi → broadcast nested loop of
+    // the tiny anchor set; the corpus must never shuffle for the join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // per-anchor top-K via the bounded aggregator (ObjectHashAggregate
+    // from the typed TopK), never an anchor-partitioned rank window
+    assert(!plan.contains("Window"),
+      s"anchor-partitioned window would serialize the corpus:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), "label join fell back to SMJ")
+  }
+
+  test("BPE round: pair count partial-aggregates map-side; argmax is top-1, not a sort") {
+    val seqs = graft.operators.Tokenizer.initialSeqs(spark, sfDir)
+    val round = graft.operators.Tokenizer.pairCounts(seqs)
+      .orderBy(org.apache.spark.sql.functions.col("pc").desc,
+        org.apache.spark.sql.functions.col("t1"),
+        org.apache.spark.sql.functions.col("t2"))
+      .limit(1)
+    val plan = round.queryExecution.executedPlan.toString
+    // ONE vocabulary-sized shuffle per round: partial HashAggregate
+    // before the exchange, final after
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"pair count should shuffle at most twice (vocab + pairs), got $hashEx:\n${plan.take(1500)}")
+    // the per-round argmax must be a distributed top-1, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("q_anomaly_mad: median/MAD side tables broadcast over the events scan") {
     val plan = SparkEntry.queries("q_anomaly_mad")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 late additions: contrastive hard-negative mining and the
+  * distributed BPE tokenizer trainer. Each operator's oracle twin is
+  * the primary gate; these specs pin the properties the oracle cannot
+  * see (cross-implementation agreement, BPE theorems, determinism).
+  */
+class Round12bOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("hard negatives: cross-label only, and agrees with a rank-window reference") {
+    import graft.functions.VectorFunctions.cosine
+    val out = operators.Similarity.hardNegatives(spark, sfDir).collect()
+    assert(out.length == operators.Similarity.NumQueries * operators.Similarity.K)
+    // no anchor is ever its own negative, and every negative crosses labels
+    val e = tables.Tables.embeddings(spark, sfDir)
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (q, n, nl) = (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Int]("n_label"))
+      assert(n != q)
+      assert(labels(n) == nl)
+      assert(nl != labels(q), s"anchor $q label ${labels(q)} matched negative $n")
+    }
+    // independent reference: the brute-force rank-window form (the
+    // shape hardNegatives deliberately avoids at scale)
+    val anchors = e.filter(col("vec_id") < operators.Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val ref = e.select(col("vec_id").as("n_id"), col("label").as("n_label"), col("embedding"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"), col("n_label"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= operators.Similarity.K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+      .collect()
+    assert(out.toSeq == ref.toSeq)
+  }
+
+  test("BPE: merged rule counts are non-increasing and round 1 is the true char-bigram argmax") {
+    val rules = operators.Tokenizer.bpeMerges(spark, sfDir).collect()
+    assert(rules.length == operators.Tokenizer.BpeMerges)
+    rules.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("t1") + r.getAs[String]("t2"))
+    }
+    // merging can only remove or split pair mass, never create more
+    // than the merged pair had — the argmax sequence is non-increasing
+    val counts = rules.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts == counts.sorted.reverse, s"pair counts not non-increasing: $counts")
+    // round 1 cross-checked against a direct adjacent-char count over
+    // the weighted vocabulary (no seq encoding involved)
+    import graft.functions.TextFunctions
+    val vocab = tables.Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // split-on-"" can emit a trailing empty element (Java split with
+      // limit -1) — drop empties so no phantom (c, "") pair appears
+      .withColumn("chars", filter(split(col("word"), ""), x => length(x) > 0))
+    val positions = when(size(col("chars")) >= 2,
+      sequence(lit(1), size(col("chars")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val best = vocab
+      .select(col("cnt"), explode(transform(positions, i => struct(
+        element_at(col("chars"), i).as("t1"),
+        element_at(col("chars"), i + 1).as("t2")))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(sum("cnt").as("pc"))
+      .orderBy(col("pc").desc, col("t1"), col("t2"))
+      .limit(1).head()
+    assert(rules.head.getAs[String]("t1") == best.getString(0))
+    assert(rules.head.getAs[String]("t2") == best.getString(1))
+    assert(rules.head.getAs[Long]("pair_count") == best.getLong(2))
+  }
+
+  test("k-center selection: coverage similarity non-decreasing, matches a join-form reference") {
+    import graft.functions.VectorFunctions.cosine
+    val out = operators.Similarity.kCenterSelect(spark, sfDir).collect()
+    assert(out.length == operators.Similarity.KCenterRounds)
+    val ids = out.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length, "a point was selected twice")
+    // farthest-point theorem: each admitted point's max-similarity to
+    // the selected set can only grow round over round (the coverage
+    // radius shrinks monotonically)
+    val sims = out.map(_.getAs[Double]("maxsim")).toSeq
+    assert(sims == sims.sorted, s"maxsim not non-decreasing: $sims")
+    // independent reference: the N×k join + groupBy form (the shuffle
+    // shape kCenterSelect deliberately avoids)
+    val e = tables.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val seedId = e.agg(min("vec_id")).head().getLong(0)
+    var sel = Seq(seedId)
+    val refPicks = (1 to operators.Similarity.KCenterRounds).map { _ =>
+      val selDf = e.filter(col("vec_id").isin(sel: _*))
+        .select(col("vec_id").as("s_id"), col("embedding").as("s_emb"))
+      val pick = e.filter(!col("vec_id").isin(sel: _*))
+        .crossJoin(broadcast(selDf))
+        .select(col("vec_id"), round(cosine(col("embedding"), col("s_emb")), 6).as("sim"))
+        .groupBy("vec_id").agg(max("sim").as("maxsim"))
+        .orderBy(col("maxsim").asc, col("vec_id"))
+        .limit(1).head()
+      sel :+= pick.getLong(0)
+      (pick.getLong(0), pick.getDouble(1))
+    }
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("maxsim"))).toSeq
+      == refPicks)
+  }
+
+  test("BPE tokenize: per-doc counts bracket correctly and merges strictly compress") {
+    val out = operators.Tokenizer.bpeTokenize(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    import graft.functions.TextFunctions
+    val charTotals = tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(length(col("tok"))).as("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var totalTokens = 0L; var totalChars = 0L
+    out.foreach { r =>
+      val (id, nw, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (refWords, refChars) = charTotals(id)
+      assert(nw == refWords, s"doc $id word count $nw != $refWords")
+      assert(nt >= nw, s"doc $id: tokens $nt below words $nw")
+      assert(nt <= refChars, s"doc $id: tokens $nt above chars $refChars")
+      totalTokens += nt; totalChars += refChars
+    }
+    // 8 merges on real text must compress the corpus somewhere
+    assert(totalTokens < totalChars, "BPE merges never fired")
+  }
+}
