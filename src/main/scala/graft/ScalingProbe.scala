@@ -80,11 +80,16 @@ object ScalingProbe {
       case "dsir"            => graft.operators.Retrieval.dsirWeightsOn(
         docs.withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string"))))
       case "quality"         => graft.operators.TextAnalysis.qualityModelOn(docs)
+      case "bpe"             => graft.operators.Tokenizer.bpeMergesOn(spark, docs)
+      case "bpe_tokenize"    => graft.operators.Tokenizer.bpeTokenizeOn(spark, docs)
+      case "kcenter"         => graft.operators.Similarity.kCenterSelectOn(spark, docs)
+      case "hardneg"         => graft.operators.Similarity.hardNegativesOn(spark,
+        docs.withColumn("label", (col("vec_id") % 16).cast("int")))
       case other             => sys.error(s"unknown op $other")
     }
 
     val embOps = Set("pool", "kmeans", "semdedup", "semdedup_sqrtk",
-      "ivf", "ivf_exact", "pq")
+      "ivf", "ivf_exact", "pq", "kcenter", "hardneg")
     val gen: Int => DataFrame =
       if (op.startsWith("graphann") || embOps(op)) embCorpus else corpus
 

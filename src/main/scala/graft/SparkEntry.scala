@@ -301,7 +301,11 @@ object SparkEntry {
     // — TPC-H-shaped multi-join analytics (join-order/broadcast bench) —
     "q_tpch_q3"         -> (Relational.tpchQ3 _),
     "q_tpch_q5"         -> (Relational.tpchQ5 _),
+    "q_tpch_q6"         -> (Relational.tpchQ6 _),
     "q_tpch_q10"        -> (Relational.tpchQ10 _),
+    "q_tpch_q12"        -> (Relational.tpchQ12 _),
+    "q_tpch_q14"        -> (Relational.tpchQ14 _),
+    "q_tpch_q19"        -> (Relational.tpchQ19 _),
     // SQL LATERAL correlated subquery (Catalyst decorrelates to a join)
     "q_lateral_join"    -> (Relational.lateralTopNations _),
     // MERGE-style incremental snapshot upsert (full-outer merge dataflow)
@@ -2095,6 +2099,37 @@ object SparkEntry {
         |AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE (p_brand='Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |OR (p_brand='Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |OR (p_brand='Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal, n_name,

@@ -602,6 +602,92 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-side
+    * query — no join at all, three range predicates ALL pushed to the
+    * parquet reader, one global agg. The plan-quality bar: the scan
+    * must read only the four referenced columns and the aggregation is
+    * a two-phase (partial → final) codegen HashAggregate with no
+    * shuffle wider than one row per partition.
+    */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** TPC-H Q12 shape (shipping-priority audit): fact-fact join with
+    * conditional aggregation — per lineitem status, how many of the
+    * joined orders are high-priority (URGENT/HIGH) vs low. The CASE
+    * counts fold into ONE pass over the join (no second join, no
+    * pivot); sums are exact longs. (The reference fixture carries no
+    * l_shipmode/receiptdate, so the status column stands in for the
+    * ship-mode grouping — the plan shape is Q12's.)
+    */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): broadcast dim join + a ratio
+    * of two conditional sums in one aggregation pass — the percent of
+    * month revenue from PROMO parts. One shuffle (the global agg);
+    * part is the broadcast side.
+    */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue): the disjunction-of-
+    * conjunctions predicate — three (brand, size-range, quantity-range)
+    * clauses OR'd across the part join. The bar: Catalyst pushes the
+    * part-only conjuncts into the broadcast side's scan and the
+    * quantity bounds into the lineitem scan (derived from the OR), and
+    * the residual join condition evaluates inside codegen — no fallback to a
+    * cartesian or a post-join filter-only plan.
+    */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val clause =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && clause)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   /** LATERAL correlated subquery (SQL surface): per-region top-2
     * nations by total customer account balance. The lateral derived
     * table re-executes per outer row DECLARATIVELY — Catalyst decorrelates

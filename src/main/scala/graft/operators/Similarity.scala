@@ -79,10 +79,12 @@ object Similarity {
     * Q·K selected ids come back via one broadcast join — never a
     * second corpus shuffle.
     */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOn(spark, Tables.embeddings(spark, dir))
+
+  def hardNegativesOn(spark: SparkSession, e: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.functions.TypedAggregators.{TopK => TopKAgg}
-    val e = Tables.embeddings(spark, dir)
     val anchors = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"))
@@ -131,10 +133,12 @@ object Similarity {
     * (maxsim ASC, vec_id ASC) order — the DuckDB oracle re-derives the
     * identical traversal.
     */
-  def kCenterSelect(spark: SparkSession, dir: String): DataFrame = {
+  def kCenterSelect(spark: SparkSession, dir: String): DataFrame =
+    kCenterSelectOn(spark, Tables.embeddings(spark, dir))
+
+  def kCenterSelectOn(spark: SparkSession, emb: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding")).persist()
+    val e = emb.select(col("vec_id"), col("embedding")).persist()
     try {
       val seed = e.orderBy(col("vec_id")).limit(1).head()
       var selected = Seq(seed.getLong(0) -> seed.getSeq[Float](1))

@@ -49,12 +49,15 @@ object Tokenizer {
   /** The corpus vocabulary: lowercased reference-tokenizer words with
     * exact counts — the single corpus-scale shuffle of the trainer.
     */
-  private[graft] def vocab(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private[graft] def vocabOn(docs: DataFrame): DataFrame =
+    docs
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .select(lower(col("tok")).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
+
+  private[graft] def vocab(spark: SparkSession, dir: String): DataFrame =
+    vocabOn(Tables.documents(spark, dir))
 
   /** One round's weighted adjacent-pair counts over a sequence table —
     * exposed for the plan audit (map-side partial aggregation is the
@@ -77,19 +80,22 @@ object Tokenizer {
   }
 
   /** A fresh round-0 sequence table (`word`, `seq`, `cnt`). */
-  private[graft] def initialSeqs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def initialSeqsOn(docs: DataFrame): DataFrame =
     // chars are [a-z] by the tokenizer, so '|' is free to delimit
-    vocab(spark, dir)
+    vocabOn(docs)
       .withColumn("seq", regexp_replace(col("word"), "(.)", "|$1|"))
+
+  private[graft] def initialSeqs(spark: SparkSession, dir: String): DataFrame =
+    initialSeqsOn(Tables.documents(spark, dir))
 
   /** Run [[BpeMerges]] rounds of pair-count → argmax → merge over the
     * vocabulary, returning the learned rules and the final
     * symbol-sequence table (`word`, `seq`, `cnt`).
     */
-  private def learn(spark: SparkSession, dir: String): (Seq[BpeRule], DataFrame) = {
+  private def learnOn(docs: DataFrame): (Seq[BpeRule], DataFrame) = {
     // reused by every round's pair count AND re-read by the merge —
     // without the persist each round would re-run the corpus scan
-    var seqs = initialSeqs(spark, dir).persist()
+    var seqs = initialSeqsOn(docs).persist()
     val rules = (1 to BpeMerges).map { r =>
       val best = pairCounts(seqs)
         .orderBy(col("pc").desc, col("t1"), col("t2"))
@@ -98,6 +104,10 @@ object Tokenizer {
       val (t1, t2, pc) = (best.getString(0), best.getString(1), best.getLong(2))
       val merged = seqs.withColumn("seq",
         replace(col("seq"), lit(s"|$t1||$t2|"), lit(s"|$t1$t2|"))).persist()
+      // materialize the child FROM the parent's cache before dropping
+      // it — unpersisting first re-derives every later round from the
+      // corpus scan (8 scans instead of 1; the 400k probe paid 4.7×)
+      merged.count()
       seqs.unpersist()
       seqs = merged
       BpeRule(r.toLong, t1, t2, pc)
@@ -108,9 +118,9 @@ object Tokenizer {
   /** The learned merge table: one row per round — the tokenizer's
     * model artifact (round, pair, merged symbol, corpus pair count).
     */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  def bpeMergesOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val (rules, seqs) = learn(spark, dir)
+    val (rules, seqs) = learnOn(docs)
     seqs.unpersist()
     rules.toDF()
       .select(col("merge_round"), col("t1"), col("t2"),
@@ -118,17 +128,20 @@ object Tokenizer {
       .orderBy(col("merge_round"))
   }
 
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOn(spark, Tables.documents(spark, dir))
+
   /** Apply the learned merges corpus-wide: per-document word and
     * BPE-token counts. The application is one corpus scan joined to
     * the vocabulary's final token counts — the word→n_tokens map is a
     * broadcast dimension (vocabulary-bounded; at real scale this is
     * the classic big-fact × dim-table shape).
     */
-  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
-    val (_, seqs) = learn(spark, dir)
+  def bpeTokenizeOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, seqs) = learnOn(docs)
     val tokCounts = seqs.select(col("word"),
       size(split(trim(col("seq"), "|"), "\\|\\|")).cast("long").as("n_tok"))
-    val docWords = Tables.documents(spark, dir)
+    val docWords = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("word"))
     val out = docWords.join(broadcast(tokCounts), "word")
@@ -141,4 +154,7 @@ object Tokenizer {
     seqs.unpersist()
     out
   }
+
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenizeOn(spark, Tables.documents(spark, dir))
 }

@@ -341,6 +341,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert("Window".r.findAllIn(plan).size >= 1)
   }
 
+  test("q_tpch_q6: all three range predicates pushed to the scan, no shuffle join") {
+    val plan = planOf("q_tpch_q6")
+    assert(plan.contains("PushedFilters: ["), plan.take(1200))
+    // the scan filter must carry the date range, not just the cheap ones
+    assert(plan.contains("l_shipdate"), "date range not pushed")
+    assert(plan.contains("l_discount"), "discount range not pushed")
+    val readSchema = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"),
+      s"unpruned scan: $readSchema")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "Q6 has no join")
+  }
+
+  test("q_tpch_q19: OR-of-conjunctions stays a broadcast equi-join, part conjuncts pushed") {
+    val plan = planOf("q_tpch_q19")
+    // the equi-key must anchor a hash join; the disjunction is residual
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"OR predicate degraded the join:\n${plan.take(1500)}")
+  }
+
   test("q_hard_negatives: anchors broadcast, selection aggregated not windowed") {
     val plan = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
       .queryExecution.executedPlan.toString
