@@ -277,6 +277,8 @@ object SparkEntry {
     "q_scd2"            -> (EventAnalytics.scd2 _),
     "q_retention"       -> (EventAnalytics.retention _),
     "q_funnel"          -> (EventAnalytics.funnel _),
+    // order-sensitive list aggregation: per-user first-10 event paths
+    "q_event_paths"     -> (EventAnalytics.eventPaths _),
     "q_new_users"       -> (EventAnalytics.newUsers _),
     // α=1/2 EWMA smoother: power-of-two weights → exact long sums
     "q_ewma"            -> (EventAnalytics.ewma _),
@@ -344,6 +346,10 @@ object SparkEntry {
     // static train vocabulary (stateless join + Complete-mode per-doc
     // agg, so finite replay = the batch decontamination scan)
     "q_stream_decontamination" -> (graft.streaming.DocumentStreams.streamedDecontamination _),
+    // deployed-tokenizer stream: rules trained batch-side, applied as a
+    // stateless per-doc projection (no state, no shuffle); shares
+    // q_bpe_tokenize's oracle
+    "q_stream_bpe_tokenize" -> (graft.streaming.DocumentStreams.streamedBpeTokenize _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -1188,6 +1194,9 @@ object SparkEntry {
 
     "q_bpe_merges"   -> bpeMergesSql,
     "q_bpe_tokenize" -> bpeTokenizeSql,
+    // stateless streaming application of the same trained rules —
+    // identical per-doc counts, same oracle
+    "q_stream_bpe_tokenize" -> bpeTokenizeSql,
     "q_kcenter_select" -> kcenterSql,
 
     // shares q_bigrams' tokenizer; all-long products + ONE division
@@ -1978,6 +1987,11 @@ object SparkEntry {
         |FROM hourly a LEFT JOIN hourly b
         |ON b.h = a.h - INTERVAL 1 HOUR AND b.user_id = a.user_id
         |GROUP BY a.h ORDER BY hour""".stripMargin,
+
+    "q_event_paths" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |array_to_string(list(event_type ORDER BY ts, event_id)[1:${EventAnalytics.PathLen}], '>') AS path
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_funnel" ->
       """WITH scored AS (SELECT user_id, ts, event_type,

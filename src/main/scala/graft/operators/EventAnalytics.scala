@@ -46,6 +46,28 @@ object EventAnalytics {
         col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Per-user journey paths — the ORDER-SENSITIVE list aggregation
+    * shape (path/sequence analysis): each user's first [[PathLen]]
+    * event types in (ts, event_id) order, joined into one string. The
+    * ordered collect is `sort_array(collect_list(struct(...)))` — the
+    * struct's leading fields carry the sort key, so ordering is total
+    * and engine-portable (DuckDB's `list(x ORDER BY ...)`), and the
+    * aggregation still runs partial→final (collect_list buffers merge
+    * per partition; ≤ the user's events each, bounded output after the
+    * slice). One user_id shuffle, nothing else.
+    */
+  val PathLen = 10
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+      .select(col("user_id"), col("n_events"),
+        concat_ws(">", transform(slice(col("evs"), 1, PathLen),
+          e => e.getField("event_type"))).as("path"))
+      .orderBy(col("user_id"))
+
   /** Funnel: per user, did a `click` lead to a `purchase` within 30
     * minutes? Implemented with a forward-looking window (min purchase
     * time at or after each click, per user) — one shuffle by user, no

@@ -157,4 +157,30 @@ object Tokenizer {
 
   def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
     bpeTokenizeOn(spark, Tables.documents(spark, dir))
+
+  /** Train on the batch corpus and hand back just the rules — the
+    * "deploy the tokenizer" entry point for streaming application.
+    */
+  def learnRules(spark: SparkSession, dir: String): Seq[BpeRule] = {
+    val (rules, seqs) = learnOn(Tables.documents(spark, dir))
+    seqs.unpersist()
+    rules
+  }
+
+  /** Column expression applying learned merges to ONE lowercased word:
+    * render the per-token-delimited sequence, then fold the rules in
+    * order as plain `replace`s — a pure scalar function of (word,
+    * rules), so it runs anywhere a projection runs (including a
+    * stateless streaming map with the rules inlined as literals).
+    */
+  def applyMergesExpr(word: org.apache.spark.sql.Column,
+                      rules: Seq[BpeRule]): org.apache.spark.sql.Column =
+    rules.foldLeft(regexp_replace(word, "(.)", "|$1|")) { (c, rule) =>
+      replace(c, lit(s"|${rule.t1}||${rule.t2}|"), lit(s"|${rule.t1}${rule.t2}|"))
+    }
+
+  /** Token count of one word under the learned merges (long). */
+  def tokenCountExpr(word: org.apache.spark.sql.Column,
+                     rules: Seq[BpeRule]): org.apache.spark.sql.Column =
+    size(split(trim(applyMergesExpr(word, rules), "|"), "\\|\\|")).cast("long")
 }

@@ -443,6 +443,43 @@ object DocumentStreams {
       }
   }
 
+  /** Streaming BPE tokenization — the DEPLOYED-TOKENIZER shape: rules
+    * are trained batch-side ([[graft.operators.Tokenizer.learnRules]],
+    * the model artifact) and inlined as literals into a STATELESS
+    * per-document projection over the arriving stream — token counting
+    * is a pure function of (text, rules), so there is no join, no
+    * state store, and no shuffle at all on the hot path (the per-doc
+    * word fold runs inside the projection via array HOFs, never an
+    * explode + re-aggregate). Append mode; a finite replay therefore
+    * equals the batch computation and the query shares
+    * q_bpe_tokenize's full DuckDB oracle. At 100 TB/day this is the
+    * tokenizer-service dataflow: O(rules) broadcast state, scan-bound
+    * throughput.
+    */
+  def streamedBpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.functions.TextFunctions
+    import graft.operators.Tokenizer
+    val rules = Tokenizer.learnRules(spark, dir)
+    val toks = TextFunctions.tokens(col("text"))
+    val out = streamedDocs(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L),
+          (acc, w) => acc + Tokenizer.tokenCountExpr(lower(w), rules))
+          .as("n_tokens"))
+      // the oracle's inner join drops token-free docs; match it
+      .filter(col("n_words") > 0)
+    val q = out.writeStream.format("memory")
+      .queryName("graft_stream_bpe")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_bpe").orderBy(col("doc_id"))
+  }
+
   /** Smallest band index on which two signatures fully agree (exists for
     * any two co-members of a bucket — they agree on that bucket's band
     * by construction).

@@ -114,6 +114,31 @@ class Round12bOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       == refPicks)
   }
 
+  test("streamed BPE tokenize replays to exactly the batch counts") {
+    val batch = operators.Tokenizer.bpeTokenize(spark, sfDir).collect().toSeq
+    val stream = streaming.DocumentStreams.streamedBpeTokenize(spark, sfDir).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("event paths: capped length, ordered by the earliest events") {
+    val out = operators.EventAnalytics.eventPaths(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.length <= operators.EventAnalytics.PathLen)
+      assert(steps.length ==
+        math.min(r.getAs[Long]("n_events"), operators.EventAnalytics.PathLen.toLong))
+    }
+    // spot-check one user against a direct sorted scan
+    val u = out.head.getAs[Long]("user_id")
+    val ref = tables.Tables.events(spark, sfDir)
+      .filter(col("user_id") === u)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_type")).collect()
+      .map(_.getString(0)).take(operators.EventAnalytics.PathLen).mkString(">")
+    assert(out.head.getAs[String]("path") == ref)
+  }
+
   test("BPE tokenize: per-doc counts bracket correctly and merges strictly compress") {
     val out = operators.Tokenizer.bpeTokenize(spark, sfDir).collect()
     assert(out.nonEmpty)
