@@ -53,6 +53,8 @@ object SparkEntry {
     "q_asof_join"       -> (Relational.asofJoin _),
     "q_pivot"           -> (Relational.pivotAgg _),
     "q_percentile"      -> (Relational.percentileAgg _),
+    // single-pass co-moment family: stddev/var/corr/covar/regr_slope
+    "q_stats_agg"       -> (Relational.statsAgg _),
     // the GK-sketch twin of q_percentile (mergeable, sort-free — the
     // 100 TB form; approximate -> rows-only, bounds pinned in spec)
     "q_approx_percentile" -> (Relational.approxPercentileAgg _),
@@ -67,6 +69,8 @@ object SparkEntry {
     "q_salted_join"      -> (Skew.saltedJoinBrand _),
     // — scalar function groups —
     "q_string_funcs"    -> (Scalars.stringFuncs _),
+    // Levenshtein top-3 fuzzy entity matching (integer distances)
+    "q_fuzzy_match"     -> (Scalars.fuzzyMatch _),
     "q_date_funcs"      -> (Scalars.dateFuncs _),
     "q_math_funcs"      -> (Scalars.mathFuncs _),
     "q_json"            -> (Scalars.jsonFuncs _),
@@ -294,6 +298,8 @@ object SparkEntry {
     // synthesized deterministically, decoded by actual format code, and
     // the features must match DuckDB's closed-form pixel/sample math
     "q_image_decode"    -> (Multimodal.imageDecode _),
+    // perceptual average-hash fingerprint over the real decoded raster
+    "q_image_ahash"     -> (Multimodal.imageAhash _),
     "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
     // stub-decoded plumbing (formats with no JVM codec):
@@ -1170,6 +1176,15 @@ object SparkEntry {
         |quantile_cont(l_quantity, 0.75) AS p75, quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |round(stddev_samp(l_quantity), 6) AS qty_sd,
+        |round(var_samp(l_quantity), 6) AS qty_var,
+        |round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov,
+        |round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_tfidf" ->
       """WITH tok AS (SELECT doc_id, lower(w) AS word FROM
         |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
@@ -1282,6 +1297,16 @@ object SparkEntry {
         |p_brand||'|'||p_type AS brand_type,
         |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH probes AS (SELECT p_partkey AS probe_id,
+        |  substr(p_name,1,1)||substr(p_name,3) AS probe FROM part WHERE p_partkey < 5),
+        |d AS (SELECT probe_id, p.p_partkey, p.p_name,
+        |  CAST(levenshtein(probe, p.p_name) AS BIGINT) AS dist FROM part p, probes),
+        |r AS (SELECT probe_id, p_partkey, p_name, dist,
+        |  row_number() OVER (PARTITION BY probe_id ORDER BY dist, p_partkey) AS rank FROM d)
+        |SELECT probe_id, rank, p_partkey, p_name, dist FROM r WHERE rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
@@ -2062,6 +2087,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
         |     (SELECT unnest(generate_series(0, 31)) AS x)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the 8x8-block average-hash bits re-derived arithmetically:
+    // block mean vs image mean as the scaled integer compare
+    // bs*64 > total (blocks are 4x2 px over 32x16), packed into two
+    // unsigned 32-bit halves (the simhash shift trick, twice)
+    "q_image_ahash" ->
+      """WITH px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
+        |       (SELECT unnest(generate_series(0, 31)) AS x)),
+        |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
+        |blk AS (SELECT doc_id, (y//2)*8 + (x//4) AS bit, sum(v) AS bs FROM px GROUP BY doc_id, (y//2)*8 + (x//4)),
+        |bits AS (SELECT b.doc_id, bit, CASE WHEN bs*64 > total THEN 1 ELSE 0 END AS s
+        |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id)
+        |SELECT doc_id,
+        |CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
     "q_image_resize" ->

@@ -144,6 +144,43 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Perceptual average-hash over the REAL decoded raster: 8×8 block
+      * grid, bit set where the block's mean luminance exceeds the
+      * image mean. All-integer (blockSum·64 vs totalSum — both sides
+      * scaled, no division), so the bits are exactly reproducible from
+      * the closed-form pixels. Returned as two unsigned 32-bit halves
+      * in longs (bit 63 in one BIGINT would flip the sign differently
+      * across engines; the simhash oracle's shift trick stops at 32).
+      */
+    def ahashPng(bytes: Array[Byte]): (Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      val bw = img.getWidth / 8
+      val bh = img.getHeight / 8
+      val raster = img.getRaster
+      val bs = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v = raster.getSample(x, y, 0).toLong
+          total += v
+          bs((y / bh) * 8 + (x / bw)) += v
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (bs(i) * 64 > total) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
+    }
+
     /** sample(i) = ((doc_id·13 + i·17) mod 65536) − 32768, 16-bit PCM
       * mono little-endian with a standard 44-byte RIFF/WAVE header.
       */
@@ -223,6 +260,26 @@ object Multimodal {
         (id, w.toLong, h.toLong, luma)
       })
       .toDF("doc_id", "width", "height", "luma_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Image fingerprinting for near-dup detection: the perceptual
+    * average-hash of every document's (REAL, ImageIO-decoded) image —
+    * the visual analogue of [[TextAnalysis]]'s rolling-hash document
+    * fingerprint. At scale the 64-bit hash is the blocking key: exact
+    * dedup groups on it directly, near-dup buckets on hash bands like
+    * MinHash-LSH. The oracle re-derives the bits arithmetically from
+    * the closed-form pixels while Spark really decodes the PNG.
+    */
+  def imageAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
+      .mapPartitions(_.map { case (id, png) =>
+        val (hi, lo) = RealCodecs.ahashPng(png)
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
       .orderBy(col("doc_id"))
   }
 

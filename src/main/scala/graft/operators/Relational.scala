@@ -473,6 +473,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Statistical aggregates — the moments family (stddev/variance/
+    * correlation/covariance/regression slope) in one grouped pass.
+    * All are single-pass co-moment aggregations (Welford-style partial
+    * merge), so they cost exactly one map-side partial + one merge at
+    * any scale — no second scan, no sort. Engines agree because the
+    * estimators are the same closed formulas; round(·, 6) absorbs the
+    * sub-ulp association differences of the double co-moment merges
+    * (both engines merge deterministically for a fixed fixture).
+    */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("qty_sd"),
+        round(var_samp(col("l_quantity")), 6).as("qty_var"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_cov"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("price_per_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact percentiles (sort-based within group). Computed over the
     * integer-valued l_quantity so the linear interpolation is exact
     * dyadic arithmetic — identical across engines regardless of

@@ -27,6 +27,43 @@ object Scalars {
         lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
       .orderBy(col("p_partkey"))
 
+  /** Fuzzy entity matching: for each typo'd probe name (derived
+    * deterministically from the data — second character dropped), the
+    * top-3 closest part names by Levenshtein distance. Integer edit
+    * distances → no float-portability risk; the per-probe selection
+    * runs through the bounded top-K aggregator (value = −dist, tag =
+    * p_partkey, matching the oracle's (dist ASC, key ASC) order), and
+    * names come back on one broadcast join — the same
+    * never-shuffle-the-corpus shape as hard-negative mining. At real
+    * scale the candidate set would be length-banded/prefix-blocked
+    * before scoring (the PPJoin idea applied to edit distance); the
+    * scoring and selection dataflow is unchanged.
+    */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators.{TopK => TopKAgg}
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val probes = p.filter(col("p_partkey") < 5)
+      .select(col("p_partkey").as("probe_id"),
+        concat(substring(col("p_name"), 1, 1),
+          expr("substring(p_name, 3)")).as("probe"))
+    val top = p.crossJoin(broadcast(probes))
+      .select(col("probe_id").cast("int"),
+        (-levenshtein(col("probe"), col("p_name"))).cast("double").as("v"),
+        col("p_partkey"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => (v, id) }
+      .agg(new TopKAgg(3).toColumn.name("top"))
+      .toDF("probe_id", "top")
+      .select(col("probe_id").cast("long"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("p_partkey"), (-col("col._1")).cast("long").as("dist"))
+    p.join(broadcast(top), "p_partkey")
+      .select(col("probe_id"), col("rank"), col("p_partkey"), col("p_name"), col("dist"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Date/time functions over orders: truncation to month, extraction,
     * day arithmetic.
     */
