@@ -48,25 +48,48 @@ object EventAnalytics {
 
   /** Per-user journey paths — the ORDER-SENSITIVE list aggregation
     * shape (path/sequence analysis): each user's first [[PathLen]]
-    * event types in (ts, event_id) order, joined into one string. The
-    * ordered collect is `sort_array(collect_list(struct(...)))` — the
-    * struct's leading fields carry the sort key, so ordering is total
-    * and engine-portable (DuckDB's `list(x ORDER BY ...)`), and the
-    * aggregation still runs partial→final (collect_list buffers merge
-    * per partition; ≤ the user's events each, bounded output after the
-    * slice). One user_id shuffle, nothing else.
+    * event types in (ts, event_id) order, joined into one string.
+    *
+    * The selection is the bounded top-K AGGREGATOR, not
+    * `slice(collect_list(...))`: collecting every event per user
+    * before slicing buffers an unbounded heavy user (a bot with 10⁸
+    * events) in one aggregation buffer — the exact failure mode the
+    * stratified-sample/BM25 lesson exists for. The aggregator keys on
+    * (−ts_µs, event_id) — largest-first over negated microseconds IS
+    * earliest-first, and epoch-µs ≈ 1.7·10¹⁵ < 2⁵³ stays Double-exact —
+    * and ships ≤[[PathLen]] rows per partition per user map-side.
+    * Event types for the ≤10·users selected ids come back on one
+    * broadcast join against the events scan (never a second shuffle of
+    * the fact table), and the final ordered assembly is
+    * `sort_array(collect_list(struct(rank, type)))` over the now
+    * provably-bounded per-user rows.
     */
   val PathLen = 10
-  def eventPaths(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sort_array(collect_list(struct(col("ts"), col("event_id"),
-          col("event_type")))).as("evs"))
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators.{TopK => TopKAgg}
+    val ev = Tables.events(spark, dir)
+    val top = ev
+      .select(col("user_id"),
+        (-unix_micros(col("ts"))).cast("double").as("v"), col("event_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => (v, id) }
+      .agg(new TopKAgg(PathLen).toColumn.name("top"),
+        count(lit(1)).as[Long].name("n_events"))
+      .toDF("user_id", "top", "n_events")
+      .select(col("user_id"), col("n_events"), posexplode(col("top")))
       .select(col("user_id"), col("n_events"),
-        concat_ws(">", transform(slice(col("evs"), 1, PathLen),
+        (col("pos") + 1).cast("long").as("rank"), col("col._2").as("event_id"))
+    ev.select(col("event_id"), col("event_type"))
+      .join(broadcast(top), "event_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("n_events")).as("n_events"),
+        concat_ws(">", transform(
+          sort_array(collect_list(struct(col("rank"), col("event_type")))),
           e => e.getField("event_type"))).as("path"))
       .orderBy(col("user_id"))
+  }
 
   /** Funnel: per user, did a `click` lead to a `purchase` within 30
     * minutes? Implemented with a forward-looking window (min purchase

@@ -392,6 +392,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q_event_paths: bounded aggregator selection, type fetch broadcast, no window") {
+    val plan = planOf("q_event_paths")
+    // per-user earliest-K through the typed bounded aggregator —
+    // an all-events collect_list would buffer unbounded heavy users
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("Window"), s"rank window over the fact table:\n${plan.take(1500)}")
+    // event types come back via broadcast into the events scan, never
+    // a second fact shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), "type fetch fell back to SMJ")
+  }
+
   test("q_anomaly_mad: median/MAD side tables broadcast over the events scan") {
     val plan = SparkEntry.queries("q_anomaly_mad")(spark, sfDir)
       .queryExecution.executedPlan.toString
