@@ -85,13 +85,32 @@ object ScalingProbe {
       case "kcenter"         => graft.operators.Similarity.kCenterSelectOn(spark, docs)
       case "hardneg"         => graft.operators.Similarity.hardNegativesOn(spark,
         docs.withColumn("label", (col("vec_id") % 16).cast("int")))
+      case "paths"           => graft.operators.EventAnalytics.eventPathsOn(spark, docs)
       case other             => sys.error(s"unknown op $other")
+    }
+
+    /** Skewed synthetic event stream: HALF of all events belong to one
+      * bot user (the heavy-key shape that breaks unbounded per-user
+      * collects), the rest spread over ~n/100 normal users.
+      */
+    def eventCorpus(n: Int): DataFrame = {
+      val types = Vector("view", "click", "scroll", "purchase", "login")
+      spark.range(n.toLong).map { id =>
+        val rnd = new scala.util.Random(id * 2654435761L + 53)
+        val user = if (id % 2 == 0) 0L
+                   else 1L + rnd.nextInt(math.max(1, n / 100)).toLong
+        (id, user,
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(86400000).toLong),
+          types(rnd.nextInt(types.size)))
+      }.toDF("event_id", "user_id", "ts", "event_type")
     }
 
     val embOps = Set("pool", "kmeans", "semdedup", "semdedup_sqrtk",
       "ivf", "ivf_exact", "pq", "kcenter", "hardneg")
     val gen: Int => DataFrame =
-      if (op.startsWith("graphann") || embOps(op)) embCorpus else corpus
+      if (op == "paths") eventCorpus
+      else if (op.startsWith("graphann") || embOps(op)) embCorpus
+      else corpus
 
     // warm-up (JIT of the shingle/hash codegen paths)
     run(gen(512)).write.format("noop").mode("overwrite").save()

@@ -65,10 +65,12 @@ object EventAnalytics {
     * provably-bounded per-user rows.
     */
   val PathLen = 10
-  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+  def eventPaths(spark: SparkSession, dir: String): DataFrame =
+    eventPathsOn(spark, Tables.events(spark, dir))
+
+  def eventPathsOn(spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
     import graft.functions.TypedAggregators.{TopK => TopKAgg}
-    val ev = Tables.events(spark, dir)
     val top = ev
       .select(col("user_id"),
         (-unix_micros(col("ts"))).cast("double").as("v"), col("event_id"))
