@@ -952,24 +952,30 @@ object Similarity {
     val sub = dim / PqSubspaces
     require(sub * PqSubspaces == dim,
       s"embedding dim $dim not divisible into $PqSubspaces subspaces")
-    val parts = (0 until PqSubspaces).map { j =>
-      val subj = e.select(col("vec_id"),
-        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
-      val qj = quantizedX(subj)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val centsJ = lloydRounds(spark, qj, PqCodebook)
-      val codesJ = assignStep(qj, centsJ)
-        .select(col("vec_id"), lit(j).as("j"), col("cluster").as("code"))
-      val qxJ = qj.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), lit(j).as("j"), col("xv").as("qx"))
-      (centsJ.select(lit(j).as("j"), col("cid").as("code"), col("cent")),
-        codesJ, qxJ)
-    }
-    val cents = parts.map(_._1).reduce(_ unionByName _)
-    val codes = parts.map(_._2).reduce(_ unionByName _)
-    val qx = parts.map(_._3).reduce(_ unionByName _)
+    // All 8 subspace working sets in ONE narrow pass keyed by j, and
+    // the 8 independent Lloyd chains FUSED into one keyed chain: each
+    // round's partial sums group by (j, cluster, pos), so no subspace
+    // mixes with another and every double is bit-identical to the
+    // per-subspace chains the oracle re-derives — but the driver runs
+    // (rounds) collect actions instead of 8×(rounds), and one persist
+    // instead of eight (the q_knn_pq latency was exactly this stage
+    // serialization: ~24 sequential fixture-scale jobs).
+    val qAll = e
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("j"), col("embedding"))
+      .select(col("vec_id"), col("j"),
+        transform(slice(col("embedding"), col("j") * lit(sub) + lit(1), lit(sub)),
+          v => round(v.cast("double") * KmeansScale, 0).cast("long")).as("qv"))
+      .withColumn("xv", transform(col("qv"), v => v.cast("double") / KmeansScale))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = lloydRoundsKeyed(spark, qAll, PqCodebook)
+    val codes = assignStepKeyed(qAll, cents)
+      .select(col("vec_id"), col("j"), col("cluster").as("code"))
+    val qx = qAll.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("j"), col("xv").as("qx"))
     val dj = codes
-      .join(broadcast(cents), Seq("j", "code"))
+      .join(broadcast(cents.select(col("j"), col("cid").as("code"), col("cent"))),
+        Seq("j", "code"))
       .join(broadcast(qx), "j")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"), col("j"),
@@ -1216,6 +1222,42 @@ object Similarity {
     }
     cents
   }
+
+  /** [[lloydRounds]] generalized over an independent-chains key `j`
+    * (PQ subspaces): per (j, cid) the arithmetic is identical to the
+    * unkeyed chain on that subspace alone — partial sums group by
+    * (j, cluster, pos), means divide per (j, cluster) — so fusing is a
+    * pure scheduling change (one collect per round for ALL chains).
+    */
+  private def lloydRoundsKeyed(spark: SparkSession, q: DataFrame, k: Int): DataFrame = {
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("j"), col("vec_id").as("cid"),
+        transform(col("qv"), v => v.cast("double") / KmeansScale).as("cent"))
+    for (_ <- 1 until KmeansIters) {
+      val assigned = assignStepKeyed(q, cents)
+      val sums = q.join(assigned, Seq("j", "vec_id"))
+        .select(col("j"), col("cluster"), posexplode(col("qv")))
+        .groupBy(col("j"), col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("j"), col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("s").cast("double") / (col("n").cast("double") * KmeansScale))
+            .as("m")))).as("pcs"))
+        .select(col("j"), col("cluster").as("cid"),
+          transform(col("pcs"), p => p.getField("m")).as("cent"))
+      val rows = sums.collect()
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), sums.schema)
+    }
+    cents
+  }
+
+  private def assignStepKeyed(q: DataFrame, cents: DataFrame): DataFrame =
+    q.join(broadcast(cents), "j")
+      .withColumn("d", sqDistD(col("xv"), col("cent")))
+      .groupBy(col("j"), col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("j"), col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
 
   /** One assignment pass: corpus × broadcast(centroids), codegen
     * distance, min(struct(d, cid)) tie-break.
