@@ -356,6 +356,9 @@ object SparkEntry {
     // stateless per-doc projection (no state, no shuffle); shares
     // q_bpe_tokenize's oracle
     "q_stream_bpe_tokenize" -> (graft.streaming.DocumentStreams.streamedBpeTokenize _),
+    // deployed-decoder stream: REAL ImageIO decode + perceptual hash as
+    // a stateless streaming projection; shares q_image_ahash's oracle
+    "q_stream_image_ahash" -> (graft.streaming.DocumentStreams.streamedImageAhash _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -550,6 +553,19 @@ object SparkEntry {
        |  $unions
        |) ORDER BY sel_round""".stripMargin
   }
+
+  private val imageAhashSql: String =
+    """WITH px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
+      |  FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
+      |       (SELECT unnest(generate_series(0, 31)) AS x)),
+      |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
+      |blk AS (SELECT doc_id, (y//2)*8 + (x//4) AS bit, sum(v) AS bs FROM px GROUP BY doc_id, (y//2)*8 + (x//4)),
+      |bits AS (SELECT b.doc_id, bit, CASE WHEN bs*64 > total THEN 1 ELSE 0 END AS s
+      |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id)
+      |SELECT doc_id,
+      |CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val ewmaSql: String = {
     val k = graft.operators.EventAnalytics.EwmaK
@@ -2092,18 +2108,10 @@ object SparkEntry {
     // block mean vs image mean as the scaled integer compare
     // bs*64 > total (blocks are 4x2 px over 32x16), packed into two
     // unsigned 32-bit halves (the simhash shift trick, twice)
-    "q_image_ahash" ->
-      """WITH px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
-        |  FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
-        |       (SELECT unnest(generate_series(0, 31)) AS x)),
-        |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
-        |blk AS (SELECT doc_id, (y//2)*8 + (x//4) AS bit, sum(v) AS bs FROM px GROUP BY doc_id, (y//2)*8 + (x//4)),
-        |bits AS (SELECT b.doc_id, bit, CASE WHEN bs*64 > total THEN 1 ELSE 0 END AS s
-        |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id)
-        |SELECT doc_id,
-        |CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_image_ahash" -> imageAhashSql,
+    // stateless streaming application of the same decode+hash — same
+    // per-doc rows, same oracle
+    "q_stream_image_ahash" -> imageAhashSql,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
     "q_image_resize" ->

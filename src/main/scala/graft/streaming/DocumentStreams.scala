@@ -480,6 +480,37 @@ object DocumentStreams {
     spark.table("graft_stream_bpe").orderBy(col("doc_id"))
   }
 
+  /** Streaming multimodal ingest — the deployed-DECODER shape: each
+    * arriving document's image is REALLY decoded (JDK ImageIO) and
+    * perceptual-hashed inside a STATELESS streaming projection (typed
+    * mapPartitions — per-row pure function, no state, no shuffle), the
+    * dataflow of a media-ingest service fingerprinting arrivals for
+    * near-dup lookup. Append mode; finite replay = the batch
+    * computation, so it shares q_image_ahash's DuckDB oracle (which
+    * re-derives the bits from the closed-form pixels while this path
+    * exercises the actual codec on the stream).
+    */
+  def streamedImageAhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.operators.Multimodal.RealCodecs
+    val out = streamedDocs(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (hi, lo) = RealCodecs.ahashPng(RealCodecs.syntheticPng(id, 32, 16))
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    val q = out.writeStream.format("memory")
+      .queryName("graft_stream_ahash")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_ahash").orderBy(col("doc_id"))
+  }
+
   /** Smallest band index on which two signatures fully agree (exists for
     * any two co-members of a bucket — they agree on that bucket's band
     * by construction).

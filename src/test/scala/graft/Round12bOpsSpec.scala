@@ -120,6 +120,12 @@ class Round12bOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(stream == batch)
   }
 
+  test("streamed image aHash replays to exactly the batch hashes") {
+    val batch = operators.Multimodal.imageAhash(spark, sfDir).collect().toSeq
+    val stream = streaming.DocumentStreams.streamedImageAhash(spark, sfDir).collect().toSeq
+    assert(stream == batch)
+  }
+
   test("event paths: capped length, ordered by the earliest events") {
     val out = operators.EventAnalytics.eventPaths(spark, sfDir).collect()
     assert(out.nonEmpty)
