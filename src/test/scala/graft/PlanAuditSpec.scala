@@ -362,6 +362,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"OR predicate degraded the join:\n${plan.take(1500)}")
   }
 
+  test("q_tpch_q14: part dim broadcast, ratio folded into one aggregation pass") {
+    val plan = planOf("q_tpch_q14")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), "part join fell back to SMJ")
+    // both conditional sums must ride one HashAggregate pair, not two scans
+    assert("HashAggregate".r.findAllIn(plan).size == 2,
+      s"expected exactly partial+final aggregate:\n${plan.take(1500)}")
+  }
+
   test("q_hard_negatives: anchors broadcast, selection aggregated not windowed") {
     val plan = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
       .queryExecution.executedPlan.toString
