@@ -36,6 +36,29 @@ class InvarianceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(shuffled === baseline)
   }
 
+  test("BPE merge rules are invariant under input partitioning") {
+    // the trainer collects an argmax per round — any hidden order
+    // dependence (a non-total tie-break, a float partial) would pick
+    // different rules under a different sharding
+    val baseline = operators.Tokenizer.bpeMergesOn(spark, docs).collect().toSeq
+    val shuffled = operators.Tokenizer.bpeMergesOn(spark, docs.repartition(13)).collect().toSeq
+    assert(shuffled === baseline)
+  }
+
+  test("k-center selection is invariant under input partitioning") {
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val baseline = operators.Similarity.kCenterSelectOn(spark, e).collect().toSeq
+    val shuffled = operators.Similarity.kCenterSelectOn(spark, e.repartition(7)).collect().toSeq
+    assert(shuffled === baseline)
+  }
+
+  test("event paths are invariant under input partitioning") {
+    val ev = Tables.events(spark, sfDir)
+    val baseline = operators.EventAnalytics.eventPathsOn(spark, ev).collect().toSeq
+    val shuffled = operators.EventAnalytics.eventPathsOn(spark, ev.repartition(11)).collect().toSeq
+    assert(shuffled === baseline)
+  }
+
   test("exact dedup is idempotent: deduping the survivors changes nothing") {
     val once = Dedup.exactDedup(spark, sfDir)
     val survivors = docs.join(once.select($"keep_id".as("doc_id")), "doc_id")
