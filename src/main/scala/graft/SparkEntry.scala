@@ -283,6 +283,8 @@ object SparkEntry {
     "q_funnel"          -> (EventAnalytics.funnel _),
     // order-sensitive list aggregation: per-user first-10 event paths
     "q_event_paths"     -> (EventAnalytics.eventPaths _),
+    // time-weighted average value (irregular time-series aggregation)
+    "q_twap"            -> (EventAnalytics.twap _),
     "q_new_users"       -> (EventAnalytics.newUsers _),
     // α=1/2 EWMA smoother: power-of-two weights → exact long sums
     "q_ewma"            -> (EventAnalytics.ewma _),
@@ -2028,6 +2030,16 @@ object SparkEntry {
         |FROM hourly a LEFT JOIN hourly b
         |ON b.h = a.h - INTERVAL 1 HOUR AND b.user_id = a.user_id
         |GROUP BY a.h ORDER BY hour""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, cents,
+        |  (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us) // 1000 AS dur_ms FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |CAST(sum(cents * dur_ms) AS BIGINT)::DOUBLE / CAST(sum(dur_ms) AS BIGINT)::DOUBLE / 100.0 AS twap
+        |FROM d WHERE dur_ms IS NOT NULL GROUP BY user_id
+        |HAVING CAST(sum(dur_ms) AS BIGINT) > 0 ORDER BY user_id""".stripMargin,
 
     "q_event_paths" ->
       s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,

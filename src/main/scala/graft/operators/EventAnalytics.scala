@@ -93,6 +93,41 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Time-weighted average value per user (TWAP) — the irregular-
+    * time-series aggregation shape: each event's value holds until the
+    * next event, so the mean weights by holding duration, not by event
+    * count (a metric a burst of cheap events cannot distort). Exact
+    * under the gate: cents = round(value·100) longs (the q_ewma
+    * convention), durations = integral millisecond gaps from exact
+    * epoch-microsecond differences, so numerator and denominator are
+    * overflow-safe long sums (cents ≲ 2²⁵ × gap-ms ≲ 2²⁷ × events ≲ 2¹⁴
+    * < 2⁶³ headroom) and the reported double is two correctly-rounded
+    * divisions on identical inputs in both engines. ONE user_id
+    * shuffle serves the lead window and the aggregation (the q_scd2
+    * partitioning-reuse lesson). The last event per user holds nothing
+    * and is excluded (n_intervals = events − 1); single-event and
+    * zero-span users drop via the HAVING guard on both sides.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+      // `div` (integral), not `/` (double division on longs in Spark)
+      .withColumn("dur_ms", expr("dur_us div 1000"))
+      .filter(col("dur_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("cents") * col("dur_ms")).as("num"),
+        sum(col("dur_ms")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        (col("num").cast("double") / col("den").cast("double") / lit(100.0)).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   /** Funnel: per user, did a `click` lead to a `purchase` within 30
     * minutes? Implemented with a forward-looking window (min purchase
     * time at or after each click, per user) — one shuffle by user, no

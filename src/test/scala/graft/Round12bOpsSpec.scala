@@ -145,6 +145,21 @@ class Round12bOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.head.getAs[String]("path") == ref)
   }
 
+  test("TWAP: a weighted mean stays inside each user's value range") {
+    val out = operators.EventAnalytics.twap(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ranges = tables.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (u, t) = (r.getAs[Long]("user_id"), r.getAs[Double]("twap"))
+      val (lo, hi) = ranges(u)
+      // cents rounding can nudge the bound by at most half a cent
+      assert(t >= lo - 0.005 && t <= hi + 0.005,
+        s"user $u twap $t outside [$lo, $hi]")
+    }
+  }
+
   test("BPE tokenize: per-doc counts bracket correctly and merges strictly compress") {
     val out = operators.Tokenizer.bpeTokenize(spark, sfDir).collect()
     assert(out.nonEmpty)
