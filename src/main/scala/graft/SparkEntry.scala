@@ -55,6 +55,8 @@ object SparkEntry {
     "q_percentile"      -> (Relational.percentileAgg _),
     // single-pass co-moment family: stddev/var/corr/covar/regr_slope
     "q_stats_agg"       -> (Relational.statsAgg _),
+    // Deequ-style constraint report: one scan pass + one FK anti-join
+    "q_data_quality"    -> (Relational.dataQuality _),
     // the GK-sketch twin of q_percentile (mergeable, sort-free — the
     // 100 TB form; approximate -> rows-only, bounds pinned in spec)
     "q_approx_percentile" -> (Relational.approxPercentileAgg _),
@@ -1193,6 +1195,22 @@ object SparkEntry {
         |quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
         |quantile_cont(l_quantity, 0.75) AS p75, quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_data_quality" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS row_count,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_totalprice
+        |  FROM orders),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS fk_orphans FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT chk, metric FROM (
+        |  SELECT 'row_count' AS chk, row_count AS metric FROM m
+        |  UNION ALL SELECT 'null_custkey', null_custkey FROM m
+        |  UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM m
+        |  UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice FROM m
+        |  UNION ALL SELECT 'fk_orphans', fk_orphans FROM f
+        |) ORDER BY chk""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,

@@ -473,6 +473,36 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Data-quality audit — the constraint-validation report shape
+    * (Deequ / dbt-test family): completeness, key uniqueness, value
+    * ranges, and referential integrity as ONE (check, metric) table.
+    * Cost model is the point at scale: every scan-side check folds
+    * into a single aggregation pass over the fact table (conditional
+    * sums + a distinct-count, one partial+merge), and the FK check is
+    * one broadcast anti-join against the dimension keys — two jobs
+    * total regardless of how many checks ride along.
+    */
+  def dataQuality(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val scan = o.agg(
+      count(lit(1)).as("row_count"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_totalprice"))
+    val fk = o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("fk_orphans"))
+    scan.crossJoin(fk)
+      .select(expr(
+        """stack(5,
+          |'row_count', row_count,
+          |'null_custkey', null_custkey,
+          |'dup_orderkey', dup_orderkey,
+          |'nonpositive_totalprice', nonpositive_totalprice,
+          |'fk_orphans', fk_orphans) AS (chk, metric)""".stripMargin))
+      .orderBy(col("chk"))
+  }
+
   /** Statistical aggregates — the moments family (stddev/variance/
     * correlation/covariance/regression slope) in one grouped pass.
     * All are single-pass co-moment aggregations (Welford-style partial

@@ -371,6 +371,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected exactly partial+final aggregate:\n${plan.take(1500)}")
   }
 
+  test("q_data_quality: scan checks fold into one pass, FK check broadcast anti") {
+    val plan = planOf("q_data_quality")
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), "FK anti-join fell back to SMJ")
+    // the fact table is scanned once per job family: one agg scan +
+    // one anti-join scan — more scans means a check escaped the fold
+    val scans = "FileScan parquet".r.findAllIn(plan).size +
+      "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 6, s"too many scans ($scans):\n${plan.take(1500)}")
+  }
+
   test("q_hard_negatives: anchors broadcast, selection aggregated not windowed") {
     val plan = SparkEntry.queries("q_hard_negatives")(spark, sfDir)
       .queryExecution.executedPlan.toString
