@@ -57,6 +57,8 @@ object SparkEntry {
     "q_stats_agg"       -> (Relational.statsAgg _),
     // Deequ-style constraint report: one scan pass + one FK anti-join
     "q_data_quality"    -> (Relational.dataQuality _),
+    // Z-order (Morton) clustering key for multi-column data skipping
+    "q_zorder"          -> (Relational.zorderKey _),
     // the GK-sketch twin of q_percentile (mergeable, sort-free — the
     // 100 TB form; approximate -> rows-only, bounds pinned in spec)
     "q_approx_percentile" -> (Relational.approxPercentileAgg _),
@@ -1195,6 +1197,13 @@ object SparkEntry {
         |quantile_cont(l_quantity, 0.25) AS p25, quantile_cont(l_quantity, 0.5) AS p50,
         |quantile_cont(l_quantity, 0.75) AS p75, quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |CAST(list_sum(list_transform(generate_series(0, 19), i ->
+        |  (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zkey
+        |FROM lineitem
+        |ORDER BY zkey, l_orderkey, l_linenumber LIMIT 2000""".stripMargin,
 
     "q_data_quality" ->
       """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS row_count,

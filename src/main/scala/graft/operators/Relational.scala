@@ -473,6 +473,29 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Z-order (Morton) clustering key — the space-filling-curve layout
+    * primitive behind multi-column data skipping (Delta/Iceberg
+    * OPTIMIZE ZORDER): interleaving the bits of two join/filter keys
+    * gives ONE sort key under which a contiguous file of rows spans a
+    * small rectangle in (partkey, suppkey) space, so per-file min/max
+    * stats prune reads on EITHER column — a plain sort clusters only
+    * its leading column. Pure integer bit arithmetic (20 bits per
+    * key), identical in both engines; the clustering-quality win is
+    * spec-asserted (per-bucket key ranges vs natural order), and at
+    * scale the zkey feeds `sortWithinPartitions`/write ordering rather
+    * than a global sort.
+    */
+  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .withColumn("zkey", expr(
+        """aggregate(sequence(0, 19), CAST(0 AS BIGINT), (acc, i) ->
+          |acc + shiftleft(CAST(shiftright(l_partkey, i) & 1 AS BIGINT), 2*i)
+          |    + shiftleft(CAST(shiftright(l_suppkey, i) & 1 AS BIGINT), 2*i + 1))""".stripMargin))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .limit(2000)
+
   /** Data-quality audit — the constraint-validation report shape
     * (Deequ / dbt-test family): completeness, key uniqueness, value
     * ranges, and referential integrity as ONE (check, metric) table.

