@@ -491,19 +491,24 @@ object SparkEntry {
     * merge. `bpeChain(r)` ends at the sequence table `s{r}`.
     */
   private def bpeChainSql(rounds: Int): String = {
+    // AS MATERIALIZED throughout: s{r-1} is referenced twice per round
+    // (pair count + merge), and DuckDB 1.0 INLINES plain CTEs — the
+    // un-materialized chain re-expands ~2^rounds times (the kcenterSql
+    // lesson applied before it bites; tolerable at 8 rounds only
+    // because the fixture vocabulary is tiny)
     val base =
-      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      s"""WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
          |  SELECT lower(t.tok) AS word FROM (
          |    SELECT unnest(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS tok
          |    FROM documents) t) GROUP BY word),
-         |s0 AS (SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, cnt FROM w)""".stripMargin
+         |s0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, cnt FROM w)""".stripMargin
     val perRound = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT toks[i] AS t1, toks[i+1] AS t2, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+      s"""p$r AS MATERIALIZED (SELECT toks[i] AS t1, toks[i+1] AS t2, CAST(sum(cnt) AS BIGINT) AS pc FROM (
          |    SELECT toks, cnt, unnest(generate_series(1, len(toks)-1)) AS i FROM (
          |      SELECT string_split(trim(seq, '|'), '||') AS toks, cnt FROM s${r - 1}))
          |  GROUP BY t1, t2),
-         |b$r AS (SELECT t1, t2, pc FROM p$r ORDER BY pc DESC, t1, t2 LIMIT 1),
-         |s$r AS (SELECT word, replace(seq, '|'||b.t1||'||'||b.t2||'|', '|'||b.t1||b.t2||'|') AS seq, cnt
+         |b$r AS MATERIALIZED (SELECT t1, t2, pc FROM p$r ORDER BY pc DESC, t1, t2 LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT word, replace(seq, '|'||b.t1||'||'||b.t2||'|', '|'||b.t1||b.t2||'|') AS seq, cnt
          |  FROM s${r - 1}, b$r b)""".stripMargin
     }
     (base +: perRound).mkString(",\n")

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
@@ -34,6 +35,34 @@ object TypedAggregators {
       ExpressionEncoder[Seq[(Double, Long)]]()
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** The bounded per-group top-K selection dataflow in ONE home —
+    * group by `key`, keep the k largest `v` (ties to the smaller
+    * `tag`) through [[TopK]], explode to (key, rank, tag, v). This is
+    * the scale-safe alternative to a key-partitioned rank window:
+    * groups can be corpus-sized while the aggregator ships ≤k rows per
+    * partition per key map-side. Encoding contract (stated once, here,
+    * instead of per call site): `v` must be Double-EXACT for the
+    * intended ordering — negate it for smallest-first (−dist, −µs; any
+    * long magnitude < 2⁵³ survives the cast), and ties break ascending
+    * on `tag`, matching a `row_number() OVER (ORDER BY v DESC, tag)`
+    * oracle. Input columns: key, v, tag.
+    */
+  def topKSelect(spark: SparkSession, rows: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    rows.select(col("key").cast("long"), col("v").cast("double"), col("tag").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, t) => (v, t) }
+      // the group size rides the same single pass — callers needing
+      // per-key totals (event paths) must not pay a second shuffle
+      .agg(new TopK(k).toColumn.name("top"),
+        count(lit(1)).as[Long].name("n_rows"))
+      .toDF("key", "top", "n_rows")
+      .select(col("key"), col("n_rows"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("tag"), col("col._1").as("v"), col("n_rows"))
   }
 
   /** Misra-Gries frequent-items summary with k counters: any item with

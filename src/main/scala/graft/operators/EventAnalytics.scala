@@ -69,20 +69,13 @@ object EventAnalytics {
     eventPathsOn(spark, Tables.events(spark, dir))
 
   def eventPathsOn(spark: SparkSession, ev: DataFrame): DataFrame = {
-    import spark.implicits._
-    import graft.functions.TypedAggregators.{TopK => TopKAgg}
-    val top = ev
-      .select(col("user_id"),
-        (-unix_micros(col("ts"))).cast("double").as("v"), col("event_id"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, v, id) => (v, id) }
-      .agg(new TopKAgg(PathLen).toColumn.name("top"),
-        count(lit(1)).as[Long].name("n_events"))
-      .toDF("user_id", "top", "n_events")
-      .select(col("user_id"), col("n_events"), posexplode(col("top")))
-      .select(col("user_id"), col("n_events"),
-        (col("pos") + 1).cast("long").as("rank"), col("col._2").as("event_id"))
+    import graft.functions.TypedAggregators.topKSelect
+    val top = topKSelect(spark,
+        ev.select(col("user_id").as("key"),
+          (-unix_micros(col("ts"))).as("v"), col("event_id").as("tag")),
+        PathLen)
+      .select(col("key").as("user_id"), col("rank"),
+        col("tag").as("event_id"), col("n_rows").as("n_events"))
     ev.select(col("event_id"), col("event_type"))
       .join(broadcast(top), "event_id")
       .groupBy(col("user_id"))

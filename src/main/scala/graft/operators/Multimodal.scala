@@ -154,6 +154,11 @@ object Multimodal {
       */
     def ahashPng(bytes: Array[Byte]): (Long, Long) = {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      // the 8x8 grid needs whole blocks: a 33-px width would index
+      // block 64 (AIOOBE) and a <8-px dimension divides by zero
+      require(img.getWidth % 8 == 0 && img.getHeight % 8 == 0 &&
+        img.getWidth >= 8 && img.getHeight >= 8,
+        s"ahashPng needs dimensions divisible by 8, got ${img.getWidth}x${img.getHeight}")
       val bw = img.getWidth / 8
       val bh = img.getHeight / 8
       val raster = img.getRaster

@@ -710,8 +710,12 @@ object Relational {
       .agg(
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L)).as("high_line_count"),
-        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-          .otherwise(0L)).as("low_line_count"))
+        // phrased as the oracle's CASE WHEN high THEN 0 ELSE 1 — the
+        // negated-isin form maps a NULL priority to 0 on this side but
+        // 1 in SQL's ELSE branch (the one NULL-inequivalent twin the
+        // round-12 review found); this form sends NULL to 1 in both
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
       .orderBy(col("l_linestatus"))
   }
 

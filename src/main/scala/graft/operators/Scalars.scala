@@ -40,25 +40,19 @@ object Scalars {
     * scoring and selection dataflow is unchanged.
     */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.functions.TypedAggregators.{TopK => TopKAgg}
+    import graft.functions.TypedAggregators.topKSelect
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
     val probes = p.filter(col("p_partkey") < 5)
       .select(col("p_partkey").as("probe_id"),
         concat(substring(col("p_name"), 1, 1),
           expr("substring(p_name, 3)")).as("probe"))
-    val top = p.crossJoin(broadcast(probes))
-      .select(col("probe_id").cast("int"),
-        (-levenshtein(col("probe"), col("p_name"))).cast("double").as("v"),
-        col("p_partkey"))
-      .as[(Int, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, v, id) => (v, id) }
-      .agg(new TopKAgg(3).toColumn.name("top"))
-      .toDF("probe_id", "top")
-      .select(col("probe_id").cast("long"), posexplode(col("top")))
-      .select(col("probe_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col._2").as("p_partkey"), (-col("col._1")).cast("long").as("dist"))
+    val scored = p.crossJoin(broadcast(probes))
+      .select(col("probe_id").as("key"),
+        (-levenshtein(col("probe"), col("p_name"))).as("v"),
+        col("p_partkey").as("tag"))
+    val top = topKSelect(spark, scored, 3)
+      .select(col("key").as("probe_id"), col("rank"),
+        col("tag").as("p_partkey"), (-col("v")).cast("long").as("dist"))
     p.join(broadcast(top), "p_partkey")
       .select(col("probe_id"), col("rank"), col("p_partkey"), col("p_name"), col("dist"))
       .orderBy(col("probe_id"), col("rank"))

@@ -83,8 +83,7 @@ object Similarity {
     hardNegativesOn(spark, Tables.embeddings(spark, dir))
 
   def hardNegativesOn(spark: SparkSession, e: DataFrame): DataFrame = {
-    import spark.implicits._
-    import graft.functions.TypedAggregators.{TopK => TopKAgg}
+    import graft.functions.TypedAggregators.topKSelect
     val anchors = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"))
@@ -92,18 +91,12 @@ object Similarity {
     // tie-break) is reproducible across engines, as in bruteForceKnn
     val sims = e.select(col("vec_id").as("n_id"), col("label"), col("embedding"))
       .join(broadcast(anchors), col("q_label") =!= col("label"))
-      .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-    val top = sims
-      .select(col("q_id").cast("int"), col("sim"), col("n_id"))
-      .as[(Int, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, v, id) => (v, id) }
-      .agg(new TopKAgg(K).toColumn.name("top"))
-      .toDF("q_id", "top")
-      .select(col("q_id").cast("long"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("col._2").as("n_id"), col("col._1").as("sim"))
+      .select(col("q_id").as("key"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("v"),
+        col("n_id").as("tag"))
+    val top = topKSelect(spark, sims, K)
+      .select(col("key").as("q_id"), col("rank"),
+        col("tag").as("n_id"), col("v").as("sim"))
     e.select(col("vec_id").as("n_id"), col("label").as("n_label"))
       .join(broadcast(top), "n_id")
       .select(col("q_id"), col("rank"), col("n_id"), col("n_label"), col("sim"))
@@ -1200,28 +1193,13 @@ object Similarity {
     * convention) so each round's plan is shallow instead of
     * lineage-stacked.
     */
-  private def lloydRounds(spark: SparkSession, q: DataFrame, k: Int): DataFrame = {
-    var cents = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"),
-        transform(col("qv"), v => v.cast("double") / KmeansScale).as("cent"))
-    for (_ <- 1 until KmeansIters) {
-      val assigned = assignStep(q, cents)
-      val sums = q.join(assigned, "vec_id")
-        .select(col("cluster"), posexplode(col("qv")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .groupBy(col("cluster"))
-        .agg(sort_array(collect_list(struct(col("pos"),
-          (col("s").cast("double") / (col("n").cast("double") * KmeansScale))
-            .as("m")))).as("pcs"))
-        .select(col("cluster").as("cid"),
-          transform(col("pcs"), p => p.getField("m")).as("cent"))
-      val rows = sums.collect()
-      cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), sums.schema)
-    }
-    cents
-  }
+  /** The single-chain Lloyd is the keyed chain over one constant key —
+    * one implementation holds the gated fixed-point arithmetic (the
+    * round-12 review flagged the two copies as a divergence hazard).
+    * A constant group key changes no partial sum, mean, or tie-break.
+    */
+  private def lloydRounds(spark: SparkSession, q: DataFrame, k: Int): DataFrame =
+    lloydRoundsKeyed(spark, q.withColumn("j", lit(0)), k).drop("j")
 
   /** [[lloydRounds]] generalized over an independent-chains key `j`
     * (PQ subspaces): per (j, cid) the arithmetic is identical to the
@@ -1260,14 +1238,12 @@ object Similarity {
       .select(col("j"), col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
 
   /** One assignment pass: corpus × broadcast(centroids), codegen
-    * distance, min(struct(d, cid)) tie-break.
+    * distance, min(struct(d, cid)) tie-break — the keyed pass over one
+    * constant key (see [[lloydRounds]]).
     */
   private def assignStep(q: DataFrame, cents: DataFrame): DataFrame =
-    q.crossJoin(broadcast(cents))
-      .withColumn("d", sqDistD(col("xv"), col("cent")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d").as("dist"))
+    assignStepKeyed(q.withColumn("j", lit(0)),
+      cents.withColumn("j", lit(0))).drop("j")
 
   /** The quantized working set every round reads (persisted by
     * callers): fixed-point longs `qv` plus `xv` = qv/2^20 — EXACT

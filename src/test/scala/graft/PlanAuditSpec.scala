@@ -376,10 +376,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("LeftAnti"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin"), "FK anti-join fell back to SMJ")
     // the fact table is scanned once per job family: one agg scan +
-    // one anti-join scan — more scans means a check escaped the fold
-    val scans = "FileScan parquet".r.findAllIn(plan).size +
-      "Scan parquet".r.findAllIn(plan).size
-    assert(scans <= 6, s"too many scans ($scans):\n${plan.take(1500)}")
+    // one anti-join scan (+ the dim side) — more scans means a check
+    // escaped the fold. One non-overlapping pattern: "Scan parquet"
+    // alone would double-count inside "FileScan parquet"
+    val scans = "(File|Batch)Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 3, s"too many scans ($scans):\n${plan.take(1500)}")
   }
 
   test("q_hard_negatives: anchors broadcast, selection aggregated not windowed") {
