@@ -155,21 +155,15 @@ object Retrieval {
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.TypedAggregators.{TopK => TopKAgg}
+    import graft.functions.TypedAggregators.topKSelect
     val nq = Similarity.NumQueries
     // rank-list builder: per-query top-[[FusionDepth]] through the
-    // bounded top-K aggregator (not a rank window — queries are few,
-    // candidate sets corpus-sized; see bm25On). Ordering = (value
+    // shared bounded top-K selection (not a rank window — queries are
+    // few, candidate sets corpus-sized; see bm25On). Ordering = (value
     // desc, doc_id asc), the oracle's row_number ordering.
-    def topList(scored: DataFrame): DataFrame = scored
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, v, id) => (v, id) }
-      .agg(new TopKAgg(FusionDepth).toColumn.name("top"))
-      .toDF("q_id", "top")
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col._2").as("doc_id"),
-        (col("pos") + 1).cast("long").as("rank"))
+    def topList(scored: DataFrame): DataFrame =
+      topKSelect(spark, scored.toDF("key", "v", "tag"), FusionDepth)
+        .select(col("key").as("q_id"), col("tag").as("doc_id"), col("rank"))
     // --- embedding ranking: q_knn_bruteforce's codegen'd cosine
     //     (gate-proven arithmetic), ranked to fusion depth ---
     val e = Tables.embeddings(spark, dir)
