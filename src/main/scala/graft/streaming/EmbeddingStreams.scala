@@ -31,21 +31,30 @@ object EmbeddingStreams {
     * a streaming count per cluster would need Complete-mode state).
     */
   def streamedKmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
 
     val e = graft.tables.Tables.embeddings(spark, dir)
+    // k·dim Lloyd centroids: bounded MODEL state (the one legitimate
+    // driver-side materialization — O(k·dim) doubles, never the corpus).
     val model = Similarity.kmeansCentroids(spark, e).collect()
     val centArr = array(model.map { r =>
       struct(lit(r.getLong(0)).as("cid"),
         array(r.getSeq[Double](1).map(lit(_)): _*).as("cent"))
     }: _*)
 
-    val rows = e.select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    val input = MemoryStream[(Long, Seq[Float])]
-    val stream = input.toDF().toDF("vec_id", "embedding")
+    // Corpus replay through the streaming FILE source — the same
+    // executor-side ingest as [[DocumentStreams.streamedDocs]]; the
+    // driver never holds a row, so the gate harness survives a 100×
+    // embeddings table unchanged.
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val stream = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .select(col("vec_id"), col("embedding"))
 
     // the batch quantization verbatim: longs at 2^20, exact doubles back
     val assigned = stream
@@ -62,13 +71,10 @@ object EmbeddingStreams {
       val q = assigned.writeStream.format("memory")
         .queryName("graft_stream_kmeans")
         .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
         .start()
-      try {
-        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-          input.addData(chunk)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      q.awaitTermination()
+      q.stop()
     }
     spark.table("graft_stream_kmeans").orderBy(col("vec_id"))
       .localCheckpoint()
