@@ -209,10 +209,12 @@ object SparkEntry {
     // greedy k-center (farthest-point) coreset selection: shuffle-free
     // scan per round, selected set = O(k·dim) model state
     "q_kcenter_select"  -> (Similarity.kCenterSelect _),
+    // production IVF: the gated fixed-point Lloyd quantizer at the √N
+    // cell sizing — deterministic end-to-end, fully oracle-graded
     "q_knn_ivf"         -> ((s: SparkSession, dir: String) => Similarity.ivfKnn(s, dir)),
     // the IVF serving layout made executable: corpus WRITTEN partitioned
-    // by fitted cell, probe = partition-pruned read-back (plan-asserted);
-    // same model/search as q_knn_ivf → identical rows (SimilaritySpec)
+    // by its Lloyd cell, probe = partition-pruned read-back (plan-
+    // asserted); same quantizer/search as q_knn_ivf → identical rows
     "q_knn_ivf_pruned"  -> ((s: SparkSession, dir: String) => Similarity.ivfKnnMaterialized(s, dir)),
     // IVF over graft's OWN fixed-point Lloyd quantizer: the whole tier
     // (normalize → quantize → Lloyd cells → multi-probe plan → cosine
@@ -246,7 +248,7 @@ object SparkEntry {
     "q_embedding_pool"  -> (Similarity.embeddingPool _),
     // declarative Lloyd's k-means (fixed seeds, 3 rounds, fixed-point
     // centroid sums) — deterministic, so the full clustering sits
-    // under the DuckDB gate, unlike the fitted ml.KMeans inside IVF
+    // under the DuckDB gate; the same chain is the IVF coarse quantizer
     "q_kmeans"          -> (Similarity.kmeansAssign _),
     // the SAME assignment executed by the streaming engine: batch-fitted
     // centroid model as plan literals, stateless per-row argmin, APPEND
@@ -271,8 +273,8 @@ object SparkEntry {
     // the corpus (approximate -> rows-only)
     "q_knn_graph_nnd"   -> ((s: SparkSession, dir: String) => Similarity.graphKnnNnd(s, dir)),
     // IVF-PQ-style composition: the int8 coarse pass confined to the
-    // probed k-means cells of a partition-pruned packed layout — the
-    // sublinear form of q_knn_quantized (approximate -> rows-only)
+    // probed √N Lloyd cells of a partition-pruned packed layout — the
+    // sublinear form of q_knn_quantized, fully oracle-graded
     "q_knn_quantized_ivf" -> ((s: SparkSession, dir: String) => Similarity.quantizedIvfKnn(s, dir)),
     // — time-windowed event analytics (streaming-shaped, batch oracle) —
     "q_tumbling"        -> (EventAnalytics.tumbling _),
@@ -638,7 +640,11 @@ object SparkEntry {
     * independent Lloyd chains — e.g. one per PQ subspace — compose in
     * one WITH clause without name collisions.
     */
-  private def lloydRoundsSql(qCtes: String, k: Int, prefix: String = ""): String = {
+  /** `k` is spliced as SQL text, so a caller may pass a literal
+    * (`"16"`) or a scalar subquery re-deriving a data-dependent count
+    * (the √N IVF sizing — [[sqrtCellsSql]]).
+    */
+  private def lloydRoundsSql(qCtes: String, k: String, prefix: String = ""): String = {
     val iters = graft.operators.Similarity.KmeansIters
     def dist(qv: String, cent: String) = lloydDistSql(qv, cent)
     val P = prefix
@@ -661,17 +667,30 @@ object SparkEntry {
     sb.toString
   }
 
-  /** The exact-quantizer IVF pipeline re-derived end-to-end — shared
-    * by q_knn_ivf_exact and its materialized (pruned) layout twin.
+  /** DuckDB twin of [[graft.operators.Similarity.dedupCells]] — the √N
+    * IVF cell sizing re-derived from `count(*)` (floor matches the
+    * JVM's Double→Int truncation for positive values).
     */
-  private lazy val ivfExactSql: String = {
+  private val sqrtCellsSql: String =
+    "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
+  /** The unit-normalize + 2^20 fixed-point CTE pair every IVF oracle
+    * chain starts from (the Spark side's ivfExactAssignments quantize).
+    */
+  private val ivfUnitQSql: String =
+    """un AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
+
+  /** The deterministic-quantizer IVF pipeline re-derived end-to-end,
+    * parameterized by the cell-count expression: `IvfExactCells` for
+    * q_knn_ivf_exact (+ its pruned twin), [[sqrtCellsSql]] for the
+    * √N-sized production tier q_knn_ivf (+ its pruned twin).
+    */
+  private def ivfSqlFor(cells: String): String = {
     val iters = graft.operators.Similarity.KmeansIters
-    val unitQ =
-      """un AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
-        |q AS (SELECT vec_id, list_transform(embedding,
-        |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
-    s"""WITH ${lloydRoundsSql(unitQ, graft.operators.Similarity.IvfExactCells)},
+    s"""WITH ${lloydRoundsSql(ivfUnitQSql, cells)},
        |cells AS (SELECT vec_id, m.c AS cell FROM a$iters),
        |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
        |  FROM (SELECT * FROM q WHERE vec_id < ${graft.operators.Similarity.NumQueries}) qq, c${iters - 1} c
@@ -690,20 +709,19 @@ object SparkEntry {
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  /** The IVF-PQ composition re-derived: the exact-quantizer Lloyd
-    * cells + probe plan (the ivfExactSql CTEs), int8 pack per vector
-    * (floor(x/scale + 0.5), clamped — Java Math.round), integer coarse
-    * dot INSIDE probed cells only, exact cosine rerank of the
-    * top-QuantRerank shortlist.
+  private lazy val ivfExactSql: String =
+    ivfSqlFor(graft.operators.Similarity.IvfExactCells.toString)
+  private lazy val ivfSqrtSql: String = ivfSqlFor(sqrtCellsSql)
+
+  /** The IVF-PQ composition re-derived: the deterministic Lloyd cells
+    * + probe plan (the [[ivfSqlFor]] CTEs at the given cell count),
+    * int8 pack per vector (floor(x/scale + 0.5), clamped — Java
+    * Math.round), integer coarse dot INSIDE probed cells only, exact
+    * cosine rerank of the top-QuantRerank shortlist.
     */
-  private lazy val quantizedIvfExactSql: String = {
+  private def quantizedIvfSqlFor(cells: String): String = {
     val iters = graft.operators.Similarity.KmeansIters
-    val unitQ =
-      """un AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
-        |q AS (SELECT vec_id, list_transform(embedding,
-        |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un)""".stripMargin
-    s"""WITH ${lloydRoundsSql(unitQ, graft.operators.Similarity.IvfExactCells)},
+    s"""WITH ${lloydRoundsSql(ivfUnitQSql, cells)},
        |cells AS (SELECT vec_id, m.c AS cell FROM a$iters),
        |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
        |  FROM (SELECT * FROM q WHERE vec_id < ${graft.operators.Similarity.NumQueries}) qq, c${iters - 1} c
@@ -740,6 +758,11 @@ object SparkEntry {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  private lazy val quantizedIvfExactSql: String =
+    quantizedIvfSqlFor(graft.operators.Similarity.IvfExactCells.toString)
+  private lazy val quantizedIvfSqrtSql: String =
+    quantizedIvfSqlFor(sqrtCellsSql)
+
   /** Product quantization re-derived: one prefixed Lloyd chain per
     * subspace over the 2^20-quantized subvectors, codes = each chain's
     * final assignment, ADC = per-subspace squared distances folded in
@@ -757,7 +780,7 @@ object SparkEntry {
            |    embedding[${j} * (SELECT len(embedding) FROM embeddings LIMIT 1) / $m + 1 :
            |              (${j} + 1) * (SELECT len(embedding) FROM embeddings LIMIT 1) / $m],
            |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings)""".stripMargin
-      lloydRoundsSql(qCte, Similarity.PqCodebook, s"p$j")
+      lloydRoundsSql(qCte, Similarity.PqCodebook.toString, s"p$j")
     }.mkString(",\n")
     val codesU = (0 until m)
       .map(j => s"SELECT vec_id, $j AS j, m.c AS code FROM p${j}a$iters")
@@ -799,7 +822,7 @@ object SparkEntry {
     val rawQ =
       """q AS (SELECT vec_id, list_transform(embedding,
         |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings)""".stripMargin
-    lloydRoundsSql(rawQ, graft.operators.Similarity.KmeansK) + s""",
+    lloydRoundsSql(rawQ, graft.operators.Similarity.KmeansK.toString) + s""",
       |kmf AS (SELECT vec_id, m.c AS cluster, round(m.d, 6) AS dist FROM a$iters)""".stripMargin
   }
 
@@ -1954,6 +1977,11 @@ object SparkEntry {
     // same deterministic cells) ⇒ same oracle
     "q_knn_ivf_exact_pruned" -> ivfExactSql,
     "q_knn_quantized_ivf_exact" -> quantizedIvfExactSql,
+    // the production √N-sized tiers under the same gate: identical
+    // pipeline with cells re-derived from count(*) (sqrtCellsSql)
+    "q_knn_ivf" -> ivfSqrtSql,
+    "q_knn_ivf_pruned" -> ivfSqrtSql,
+    "q_knn_quantized_ivf" -> quantizedIvfSqrtSql,
     "q_knn_pq" -> pqKnnSql,
 
     // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *  - [[bruteForceKnn]]: exact cosine top-k — broadcast the (small)
   *    query set against the full corpus, rank per query. The baseline
   *    and the correctness oracle for the approximate path.
-  *  - [[ivfKnn]]: IVF two-stage search — seeded k-means coarse
-  *    quantizer (cells ~√N), multi-probe within the nearest cells. At
+  *  - [[ivfKnn]]: IVF two-stage search — deterministic fixed-point
+  *    Lloyd coarse quantizer (cells ~√N), multi-probe within the
+  *    nearest cells. At
   *    100 TB this turns an O(N·Q) scan into O(probes·N/cells · Q) with
   *    the corpus partitioned BY cell, which is the standard
   *    billion-scale layout (cell = partition key → partition pruning
@@ -150,12 +151,19 @@ object Similarity {
     } finally { e.unpersist(); () }
   }
 
-  /** IVF approximate top-k with a REAL coarse quantizer: seeded
-    * k-means (Lloyd via `ml.KMeans`, k-means|| init) over the corpus,
-    * cell count scaling ~√N with the corpus (the standard IVF sizing:
+  /** IVF approximate top-k with a REAL coarse quantizer: the gated
+    * fixed-point Lloyd ([[ivfExactAssignments]]) over the corpus, cell
+    * count scaling ~√N with the corpus (the standard IVF sizing:
     * balances cells scanned per probe against vectors per cell), and
     * MULTI-PROBE search — each query scans its `probes` nearest cells,
     * which recovers the boundary neighbors single-probe loses.
+    *
+    * The quantizer is a pure function of the data (deterministic init =
+    * first-k vectors, fixed-point centroid sums), so the whole tier
+    * sits under the DuckDB oracle gate — same pipeline as
+    * [[ivfKnnExact]], with the production √N cell sizing instead of the
+    * fixed [[IvfExactCells]] (the oracle re-derives √N from
+    * `count(*)`, the [[dedupCells]] convention).
     *
     * Scale shape: the fitted centroids are model state (k·dim floats —
     * broadcast, never shuffled with the data); corpus vectors get their
@@ -179,62 +187,16 @@ object Similarity {
     ivfSearch(corpus, probeCells)
   }
 
-  /** The fitted quantizer's two products: the corpus tagged with its
+  /** The √N-sized quantizer's two products: the corpus tagged with its
     * coarse cell (`n_id`, `embedding`, `cell`) and the per-query probe
     * plan (`q_id`, `q_emb`, `cell` — one row per probed cell). Shared
-    * by the in-memory search and the materialized layout.
+    * by the in-memory search and the materialized layout. The one
+    * sizing job (count → [[dedupCells]]) is the only work before the
+    * shared Lloyd chain.
     */
   private def ivfAssignments(spark: SparkSession, e: DataFrame,
-                             probes: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val nCells = math.max(4, math.sqrt(e.count().toDouble).toInt)
-    // Neighbors are ranked by COSINE, so the quantizer must cluster on
-    // the unit sphere: L2 k-means over NORMALIZED vectors is angular
-    // clustering (for unit vectors ||x-y||² = 2-2cos) — clustering the
-    // raw vectors scatters angular neighbors across magnitude-driven
-    // cells and recall collapses. One narrow pass; the norm is bound to
-    // a column first so the HOF lambda does not re-reduce per element.
-    // zero-norm guard: an all-zero embedding must stay zero, not become
-    // NaN and silently poison the k-means fit — same convention as the
-    // cosine expression's zero-vector guard
-    val normed = e
-      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
-      .withColumn("unit", when(col("nrm") === 0.0, col("embedding"))
-        .otherwise(transform(col("embedding"),
-          x => (x.cast("double") / col("nrm")).cast("float"))))
-    val fv = normed.withColumn("fv", array_to_vector(col("unit")))
-    // fit on a deterministic quarter sample (centroid estimation needs
-    // far fewer points than assignment; at corpus scale fitting on the
-    // full table would iterate Lloyd over 100 TB), assign everything
-    // a quarter sample estimates centroids well once it holds ~8 points
-    // per cell; below that (tiny corpora) fit on everything
-    val fitSample = fv.filter(pmod(col("vec_id"), lit(4L)) === 0)
-    val fitOn = if (fitSample.count() >= nCells * 8L) fitSample else fv
-    val model = new KMeans().setK(nCells).setSeed(7).setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitOn)
-    val corpus = model.transform(fv)
-      .select(col("vec_id").as("n_id"), col("embedding"), col("cell"))
-
-    // centroid table (tiny, broadcast) for multi-probe assignment
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-    import spark.implicits._
-    val centDf = cents.toDF("c_id", "c_emb")
-
-    val q = normed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("unit").as("q_unit"))
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
-    val probeCells = q.crossJoin(broadcast(centDf))
-      .select(col("q_id"), col("q_emb"), col("c_id"),
-        sqDist(col("q_unit"), col("c_emb")).as("d"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= probes)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
-    (corpus, probeCells)
-  }
+                             probes: Int): (DataFrame, DataFrame) =
+    ivfExactAssignments(spark, e, probes, dedupCells(e.count()))
 
   /** Probe scan + exact rerank: only vectors in each query's probed
     * cells are scored.
@@ -263,25 +225,21 @@ object Similarity {
     * only the probed cells' files are ever opened, which is the
     * billion-scale ANN serving layout SURVEY §8 describes (at 100 TB
     * the write runs once at ingest; every query after that touches
-    * probes/cells of the data). Same fitted model (fixed seed,
-    * deterministic sample) and same search as [[ivfKnnOn]], so the
-    * result is identical to q_knn_ivf — SimilaritySpec asserts the
-    * equality, and PlanAuditSpec asserts the scan carries the cell
-    * PartitionFilters.
+    * probes/cells of the data). Same deterministic Lloyd quantizer and
+    * same search as [[ivfKnnOn]], so the result is identical to
+    * q_knn_ivf — SimilaritySpec asserts the equality, and PlanAuditSpec
+    * asserts the scan carries the cell PartitionFilters.
     *
     * The probed cell list is collected to the driver to become plan-time
     * literals — that is what makes pruning static — and is bounded by
     * queries × probes rows of one int each, probe METADATA in the same
     * class as the density probe's scalar, never corpus data.
     *
-    * Equality with [[ivfKnn]] rests on the quantizer being a pure
-    * function of (data, seed): this method fits its OWN k-means (the
-    * two queries are independent library calls), and k-means|| init is
-    * deterministic only for identical data layout — same source files,
-    * same partitioning, fixed seed, which both paths share by reading
-    * the same table the same way. SimilaritySpec guards the equality
-    * on the fixture; callers re-partitioning the corpus between the
-    * two calls should share one fitted assignment instead.
+    * Equality with [[ivfKnn]] is unconditional: the fixed-point Lloyd
+    * quantizer is a pure function of the DATA alone (first-k init,
+    * associative long sums — no layout or seed sensitivity), so two
+    * independent library calls over the same table always agree, and
+    * both match the DuckDB re-derivation (shared q_knn_ivf oracle).
     */
   def ivfKnnMaterialized(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
     val (corpus, probeCells0) = ivfAssignments(spark, Tables.embeddings(spark, dir), probes)
@@ -307,16 +265,16 @@ object Similarity {
     */
   val IvfExactCells = 16
 
-  /** IVF over graft's OWN deterministic coarse quantizer — the
-    * ORACLE-GRADED ANN tier. Same composition as [[ivfKnn]] (angular
-    * cells over unit vectors, multi-probe cell plan, exact cosine
-    * rerank inside probed cells) but the quantizer is the fixed-point
-    * Lloyd of [[kmeansAssignOn]] ([[lloydRounds]]: seeds = first k
-    * vectors, [[KmeansIters]] rounds, long-sum centroid updates)
-    * instead of fitted `ml.KMeans` — every stage is a deterministic
-    * pure function of (data, constants) that DuckDB re-derives in SQL,
-    * so this tier gets a full rows+schema+hash oracle where the
-    * ml.KMeans tiers are graded rows-only (opaque k-means‖ init).
+  /** IVF at the FIXED [[IvfExactCells]] cell count — the first
+    * oracle-graded ANN tier, kept alongside the √N-sized [[ivfKnn]] as
+    * the literal-k variant (its DuckDB seed filter is a plain literal,
+    * no count(*) subquery). Both run the same composition: angular
+    * cells over unit vectors via the fixed-point Lloyd of
+    * [[kmeansAssignOn]] ([[lloydRounds]]: seeds = first k vectors,
+    * [[KmeansIters]] rounds, long-sum centroid updates), multi-probe
+    * cell plan, exact cosine rerank inside probed cells — every stage
+    * a deterministic pure function of (data, constants) that DuckDB
+    * re-derives in SQL for the full rows+schema+hash gate.
     *
     * Cosine ranks neighbors, so cells must partition the unit sphere:
     * vectors are L2-normalized in double arithmetic BEFORE the 2^20
@@ -344,7 +302,7 @@ object Similarity {
     * materialized layout (the [[ivfAssignments]] split, Lloyd edition).
     */
   private def ivfExactAssignments(spark: SparkSession, e: DataFrame,
-      probes: Int): (DataFrame, DataFrame) = {
+      probes: Int, cells: Int = IvfExactCells): (DataFrame, DataFrame) = {
     // unit vectors in double arithmetic (sequential element-order fold,
     // the cosine-parity convention); quantizedX then fixes them to
     // 2^20 longs + exact xv doubles for the Lloyd chain
@@ -358,7 +316,7 @@ object Similarity {
           .as("embedding"))
     val q = quantizedX(unit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = lloydRounds(spark, q, IvfExactCells)
+    val cents = lloydRounds(spark, q, cells)
     // cell as INT on both sides: the materialized layout re-infers the
     // partition column as IntegerType, and a mismatched join/filter
     // type would push the cast onto the attribute and defeat pruning
@@ -776,16 +734,30 @@ object Similarity {
     * once at ingest; a query batch touches probes/cells of the data
     * AND moves 4×-compressed bytes through the coarse scorer — the
     * two savings compose. Candidate pool is identical to [[ivfKnnOn]]
-    * (same fitted quantizer — fixed seed, deterministic fit sample),
-    * so result quality differs from q_knn_ivf only when int8 rounding
-    * pushes a true pool-neighbor out of the quantized shortlist
-    * (SimilaritySpec floors recall vs the exact-rerank IVF at 0.9).
-    * Approximate → rows-only gate, like the rest of the ANN family.
+    * (same deterministic √N-cell Lloyd quantizer), so result quality
+    * differs from q_knn_ivf only when int8 rounding pushes a true
+    * pool-neighbor out of the quantized shortlist (SimilaritySpec
+    * floors recall vs the exact-rerank IVF at 0.9). Every stage is a
+    * pure function of the data, so the tier sits under the full DuckDB
+    * oracle gate — the [[quantizedIvfKnnExact]] pipeline at production
+    * cell sizing.
     */
   def quantizedIvfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
     val e = Tables.embeddings(spark, dir)
     val (corpus, probeCells0) = ivfAssignments(spark, e, probes)
+    quantizedIvfSearch(spark, e, corpus, probeCells0, "ivf_quant_layout")
+  }
+
+  /** The shared IVF-int8 serving pipeline behind [[quantizedIvfKnn]]
+    * (√N Lloyd cells) and [[quantizedIvfKnnExact]] (fixed
+    * [[IvfExactCells]]): pack the tagged corpus to int8, write
+    * partitioned by cell, coarse int8-dot inside the partition-pruned
+    * probed cells only, exact full-precision rerank of the
+    * top-[[QuantRerank]] shortlist.
+    */
+  private def quantizedIvfSearch(spark: SparkSession, e: DataFrame,
+      corpus: DataFrame, probeCells0: DataFrame, scratch: String): DataFrame = {
+    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
     // tiny (queries × probes rows), consumed thrice (cell collect,
     // query pack, coarse join) with the corpus pass in its lineage
     val probeCells = probeCells0.localCheckpoint()
@@ -797,7 +769,7 @@ object Similarity {
       .withColumn("scale", scaleCol)
       .select(col("n_id"), int8Pack(col("embedding"), col("scale")).as("qb"),
         col("scale"), normCol.as("nrm"), col("cell"))
-    val layoutDir = graft.sources.Scratch.dir(spark, "ivf_quant_layout")
+    val layoutDir = graft.sources.Scratch.dir(spark, scratch)
     packed.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
     // probed cells as plan-time pruning literals — queries × probes
     // ints, probe METADATA (the ivfKnnMaterialized convention)
@@ -837,14 +809,13 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** The IVF-PQ-style composition UNDER THE FULL ORACLE GATE: int8
-    * coarse scoring inside each query's probed cells of a materialized
-    * packed layout — [[quantizedIvfKnn]]'s exact shape — but with the
-    * coarse quantizer swapped from fitted `ml.KMeans` to the
-    * deterministic fixed-point Lloyd ([[ivfExactAssignments]]), making
-    * every stage (cells, probe plan, int8 pack via Math.round =
-    * floor(x+0.5), integer dot, exact rerank) a pure function DuckDB
-    * re-derives. The two 100 TB savings still compose: probes/cells of
+  /** The IVF-PQ-style composition at the fixed [[IvfExactCells]] cell
+    * count: int8 coarse scoring inside each query's probed cells of a
+    * materialized packed layout — [[quantizedIvfKnn]]'s exact shape
+    * and quantizer ([[ivfExactAssignments]]), differing only in the
+    * literal-k sizing; every stage (cells, probe plan, int8 pack via
+    * Math.round = floor(x+0.5), integer dot, exact rerank) is a pure
+    * function DuckDB re-derives. The two 100 TB savings still compose: probes/cells of
     * the data is opened (partition pruning, plan-asserted) and the
     * coarse scorer moves 4×-compressed bytes. Recall floored vs
     * [[ivfKnnExact]] in SimilaritySpec (identical candidate pool; they
@@ -853,49 +824,9 @@ object Similarity {
     */
   def quantizedIvfKnnExact(spark: SparkSession, dir: String,
       probes: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.{int8Dot, int8Pack}
     val e = Tables.embeddings(spark, dir)
     val (corpus, probeCells0) = ivfExactAssignments(spark, e, probes)
-    val probeCells = probeCells0.localCheckpoint()
-    val scaleCol = aggregate(col("embedding"), lit(0.0),
-      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
-    val normCol = sqrt(aggregate(col("embedding"), lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val packed = corpus
-      .withColumn("scale", scaleCol)
-      .select(col("n_id"), int8Pack(col("embedding"), col("scale")).as("qb"),
-        col("scale"), normCol.as("nrm"), col("cell"))
-    val layoutDir = graft.sources.Scratch.dir(spark, "ivf_exact_quant_layout")
-    packed.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
-    val cells = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val layout = spark.read.parquet(layoutDir)
-      .filter(col("cell").isin(cells.map(Int.box): _*))
-    val qScale = aggregate(col("q_emb"), lit(0.0),
-      (acc, v) => greatest(acc, abs(v.cast("double")))) / 127.0
-    val qq = probeCells.select(col("q_id"), col("cell"),
-      int8Pack(col("q_emb"), qScale).as("q_qb"))
-    val coarse = layout.join(broadcast(qq), "cell")
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        (col("scale") * int8Dot(col("q_qb"), col("qb")).cast("double") /
-          when(col("nrm") === 0.0, lit(1.0)).otherwise(col("nrm"))).as("qsim"))
-    val cw = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, col("n_id"))
-    val shortList = coarse.withColumn("r", row_number().over(cw))
-      .filter(col("r") <= QuantRerank)
-      .select(col("q_id"), col("n_id"))
-    val full = e.select(col("vec_id").as("n_id"), col("embedding"))
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val rw = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    shortList.join(full, "n_id")
-      .join(broadcast(queries), "q_id")
-      .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
-      .withColumn("rank", row_number().over(rw).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
-      .orderBy(col("q_id"), col("rank"))
+    quantizedIvfSearch(spark, e, corpus, probeCells0, "ivf_exact_quant_layout")
   }
 
   // ——— product quantization (PQ) ———
@@ -1107,15 +1038,15 @@ object Similarity {
     * sizing scan — keeping the within-cell self-join ~N^1.5 total at
     * any corpus size. The centroid table stays a broadcast-safe k·dim
     * floats (√N rows even at 10^12 vectors is ~10^6 · 256 B ≈ 256 MB;
-    * for corpora that large, route to [[ivfKnn]]'s fitted quantizer
-    * whose cells are model state, not data rows).
+    * for corpora that large, cap the cell count and deepen cells — the
+    * centroid table must stay model-state-sized).
     */
   /** Declarative Lloyd's k-means over the embedding column — the
     * semantic-clustering stage a curation pipeline runs before
     * cluster-local work (SemDeDup-style pruning, cluster-balanced
-    * sampling, per-topic mixture weights). Unlike the fitted
-    * `ml.KMeans` inside [[ivfKnn]] (model quality, opaque init), this
-    * form is fully DETERMINISTIC and oracle-replicable: seeds are the
+    * sampling, per-topic mixture weights). Fully DETERMINISTIC and
+    * oracle-replicable — the same chain [[ivfKnn]]'s coarse quantizer
+    * runs: seeds are the
     * first [[KmeansK]] vectors, [[KmeansIters]] fixed Lloyd rounds, and
     * every float that crosses rows is carried as a FIXED-POINT long so
     * the result is independent of partitioning and summation order.

@@ -13,15 +13,14 @@ class RegistrySpec extends AnyFunSuite {
     "q_approx_distinct",       // HLL estimate — no DuckDB twin
     "q_approx_percentile",     // GK quantile sketch — no DuckDB twin
     "q_hll_sketch",            // mergeable sketch values
-    "q_knn_ivf",               // approximate (k-means cells + probes)
-    "q_knn_ivf_pruned",        // same search over the materialized layout
     "q_knn_graph",             // approximate (NSW graph beam search)
     "q_knn_graph_nnd",         // approximate (NN-descent-built graph)
     // q_knn_quantized graduated to the full oracle in round 12 (its
     // int8 pipeline is deterministic — "approximate" only vs brute
-    // force); q_knn_ivf_exact was born graded. The ml.KMeans tiers
-    // below stay rows-only (opaque k-means|| init).
-    "q_knn_quantized_ivf",     // approximate (int8 within probed cells)
+    // force); q_knn_ivf_exact was born graded; the former ml.KMeans
+    // tiers (q_knn_ivf, q_knn_ivf_pruned, q_knn_quantized_ivf)
+    // graduated in round 14 when their coarse quantizer switched to
+    // the gated fixed-point Lloyd at √N cells.
     "q_minhash_signatures_xx", // xxhash64 not reproducible in DuckDB
     "q_minhash_lsh_pairs_xx")
 
