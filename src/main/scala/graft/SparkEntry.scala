@@ -336,6 +336,12 @@ object SparkEntry {
     "q_stream_distinct" -> (graft.streaming.EventStreams.streamedDistinct _),
     // APPEND-mode closed sessions (flatMapGroupsWithState) under the gate
     "q_stream_sessions" -> (graft.streaming.EventStreams.streamedSessions _),
+    // the same sessionizer under the replay clock (no timeout, whole
+    // history in the single AvailableNow batch): every session closes
+    // inline, so the stream shares q_sessions' batch oracle exactly
+    "q_stream_sessions_gated" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.EventStreams.streamedSessionsGated(s, dir)),
     // per-user running-moments 3σ outlier flags, all-long arithmetic
     "q_stream_anomaly"  -> (graft.streaming.EventStreams.streamedAnomaly _),
     // the EWMA smoother as per-key O(K) stream state; finite replay
@@ -888,6 +894,22 @@ object SparkEntry {
        |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
        |WHERE est_jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Gaps-and-islands sessionization — shared by the batch q_sessions
+    * and its replay-clock streaming twin q_stream_sessions_gated
+    * (which closes every session inline, reproducing the batch rows).
+    */
+  private val sessionsSql: String =
+    """WITH flagged AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (SELECT user_id, ts, value,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |count(*) AS n_events, round(sum(value),2) AS session_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -2051,17 +2073,10 @@ object SparkEntry {
         |SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS s FROM events)
         |GROUP BY 1 ORDER BY win_start""".stripMargin,
 
-    "q_sessions" ->
-      """WITH flagged AS (SELECT user_id, ts, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |sess AS (SELECT user_id, ts, value,
-        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |count(*) AS n_events, round(sum(value),2) AS session_value
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q_sessions" -> sessionsSql,
+    // the replay-clock streaming twin closes every session inline, so
+    // it reproduces the batch sessionization row-for-row
+    "q_stream_sessions_gated" -> sessionsSql,
 
     // gaps-and-islands closing on event_type CHANGE (not inactivity):
     // (ts, event_id) ordering everywhere — ts ties would otherwise

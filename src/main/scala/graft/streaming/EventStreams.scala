@@ -361,6 +361,84 @@ object EventStreams {
       .orderBy(col("user_id"), col("last_ts"))
   }
 
+  /** One completed session, batch-shaped (q_sessions' row). */
+  case class GatedSession(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Sessionization under the FULL batch gate: unlike
+    * [[streamedSessions]] (whose finite replay can only emit sessions
+    * the terminal watermark has closed, so it carries its own
+    * emission-rule oracle), this twin shares q_sessions' batch oracle
+    * row-for-row. The trick is the deterministic replay clock of
+    * [[streamedEwma]]: flatMapGroupsWithState with NO timeout, each
+    * user's events sorted by the full-microsecond [[replayKey]] inside
+    * the single AvailableNow data batch (asserted by
+    * [[runSingleBatchReplay]]) — with the whole history in hand, the
+    * state function closes EVERY session including each user's final
+    * one, which is exactly the batch `session_window` result.
+    *
+    * An unbounded production stream keeps the same state function but
+    * an event-time timeout instead of the replay clock — that form IS
+    * [[streamedSessions]]; the pair are the backfill/always-on twins
+    * of one sessionizer. session_value reproduces the batch
+    * round(sum(value), 2): the in-order double sum agrees with the
+    * engines' unordered sums because the gate fixture's 2-decimal
+    * values round away sub-ULP order effects (the same property the
+    * batch q_sessions gate already rests on), and the final rounding
+    * is BigDecimal HALF_UP — bit-identical to Spark's `round`.
+    */
+  def streamedSessionsGated(spark: SparkSession, dir: String,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val events = normalizedEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, GatedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => replayKey(e.ts, e.event_id))
+          val out = Seq.newBuilder[GatedSession]
+          // (start, lastMs, n, sum) of the open session
+          var cur: Option[(Timestamp, Long, Long, Double)] = None
+          def close(s: (Timestamp, Long, Long, Double)): Unit =
+            out += GatedSession(userId, s._1, s._3,
+              java.math.BigDecimal.valueOf(s._4)
+                .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s._2 < gapMs =>
+                cur = Some((s._1, math.max(s._2, e.ts.getTime),
+                  s._3 + 1, s._4 + e.value))
+              case other =>
+                other.foreach(close)
+                cur = Some((e.ts, e.ts.getTime, 1L, e.value))
+            }
+          }
+          // replay clock: the whole history is in this batch, so every
+          // session closes inline and no state survives the replay
+          cur.foreach(close)
+          if (state.exists) state.remove()
+          out.result().iterator
+      }
+    StreamConf.withStatePartitions(spark, 4) {
+      val q = sessions.toDF().writeStream.format("memory")
+        .queryName("graft_stream_sessions_gated")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      runSingleBatchReplay(q)
+    }
+    spark.table("graft_stream_sessions_gated")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Streaming DISTINCT under the driver gate: the dedup operator run
     * by the real engine in APPEND mode — unlike the windowed agg,
     * dropDuplicates emits each first-seen key as it arrives, so a
