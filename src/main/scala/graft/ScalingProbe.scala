@@ -59,6 +59,7 @@ object ScalingProbe {
       case "jaccard"         => graft.operators.Dedup.ngramJaccardPairsOn(docs)
       case "lsh"             => graft.operators.Dedup.minhashLshPairsOn(docs, prodHash = true)
       case "exact"           => graft.operators.Dedup.exactDedupOn(docs)
+      case "substring"       => graft.operators.Dedup.substringDedupOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
       case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)

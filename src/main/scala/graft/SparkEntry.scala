@@ -201,6 +201,10 @@ object SparkEntry {
     "q_chunk_documents" -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
     // chunking -> exact dedup over chunk hashes (cross-doc repeated spans)
     "q_chunk_dedup"     -> (Dedup.chunkDedup _),
+    // suffix-array-family exact substring dedup (Lee et al. 2022):
+    // stride-1 Rabin-Karp window keys + per-doc interval merge emit the
+    // exact >=L repeated-substring character ranges, no suffix sort
+    "q_substring_dedup" -> (Dedup.substringDedup _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     // contrastive hard-negative mining: per anchor, top-K most-similar
@@ -1771,6 +1775,32 @@ object SparkEntry {
          |    min(doc_id * 1000000 + chunk_idx) AS k
          |  FROM ($chunkSql) GROUP BY 1, 2 HAVING count(*) > 1)
          |ORDER BY chunk_hash, chunk_hash2""".stripMargin,
+
+    // stride-1 window hashes re-derived with the O(n·L) per-substring
+    // fold (the Spark side slides in O(n) — same values), then the
+    // identical count-over-key and gaps-and-islands merge
+    "q_substring_dedup" -> {
+      val L = graft.operators.Dedup.SubstringL
+      s"""WITH p AS (SELECT doc_id, text,
+         |    CAST(unnest(generate_series(1, length(text) - ${L - 1})) AS BIGINT) AS pos
+         |  FROM documents WHERE length(text) >= $L),
+         |g AS (SELECT doc_id, pos,
+         |    ${rollSql(s"substr(text, pos, $L)")} AS h1,
+         |    ${rollSql2(s"substr(text, pos, $L)")} AS h2 FROM p),
+         |rep AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h1, h2) AS n FROM g) t
+         |  WHERE n >= 2),
+         |re AS (SELECT doc_id, pos,
+         |    max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end FROM rep),
+         |mk AS (SELECT doc_id, pos,
+         |    CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS new_s FROM re),
+         |sid AS (SELECT doc_id, pos,
+         |    sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM mk)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + $L AS span_end,
+         |  max(pos) + $L - min(pos) AS span_len, count(*) AS n_windows
+         |FROM sid GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin
+    },
 
     "q_mixture_sample" ->
       s"""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc

@@ -265,6 +265,37 @@ object ArrayMathExpressions {
       copy(child = newChild)
   }
 
+  /** Every length-`win` window's rolling hash in ONE pass — the
+    * Rabin-Karp slide over [[RollingHashExpr]]'s polynomial (same
+    * base/mod, same code-point alphabet), so element i equals
+    * `rolling_hash(substr(s, i+1, win))` exactly while costing O(n)
+    * instead of the O(n·win) of hashing each window from scratch. This
+    * is what makes stride-1 substring-dedup keys affordable at corpus
+    * scale: the per-document cost is one pass, and only (pos, hash)
+    * longs enter the shuffle, never the window text. The DuckDB twin
+    * re-derives each window with the O(n·win) per-substring fold
+    * (rollSql over substr) — same values, oracle-checkable.
+    */
+  case class RollingWindowHashExpr(child: Expression, win: Int,
+                                   base: Long = 31L, mod: Long = 1000000007L)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(win >= 1, s"window must be positive, got $win")
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "rolling_window_hash"
+
+    override protected def nullSafeEval(input: Any): Any =
+      ArrayMathExpressions.rollingWindowHash(
+        input.asInstanceOf[UTF8String], win, base, mod)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graft.ArrayMathExpressions.rollingWindowHash($c, $win, ${base}L, ${mod}L)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column builders — ExpressionUtils is private[sql], which is why this
   // file lives under org.apache.spark.sql (the standard seam for native
   // Catalyst extensions).
@@ -296,6 +327,40 @@ object ArrayMathExpressions {
 
   def rollingHashCol(c: Column, base: Long, mod: Long): Column =
     ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c), base, mod))
+
+  def rollingWindowHashCol(c: Column, win: Int): Column =
+    ExpressionUtils.column(RollingWindowHashExpr(ExpressionUtils.expression(c), win))
+
+  def rollingWindowHashCol(c: Column, win: Int, base: Long, mod: Long): Column =
+    ExpressionUtils.column(
+      RollingWindowHashExpr(ExpressionUtils.expression(c), win, base, mod))
+
+  /** Codegen entry point for [[RollingWindowHashExpr]]: one Rabin-Karp
+    * pass over the CODE POINTS (the [[rollingHash]] alphabet — DuckDB's
+    * `ord`), windows of `win` code points, 1 output per start position.
+    * Arithmetic bound: acc < mod ≤ 2^30, base ≤ 131, code point ≤
+    * 0x10FFFF, pow < mod — every intermediate stays far below 2^63.
+    */
+  def rollingWindowHash(s: UTF8String, win: Int, base: Long, mod: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < win) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - win + 1)
+    var pow = 1L
+    var i = 0
+    while (i < win - 1) { pow = pow * base % mod; i += 1 }
+    var acc = 0L
+    i = 0
+    while (i < win) { acc = (acc * base + cps(i)) % mod; i += 1 }
+    out(0) = acc
+    i = 1
+    while (i <= n - win) {
+      acc = ((acc + mod - cps(i - 1) * pow % mod) % mod * base + cps(i + win - 1)) % mod
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Codegen entry point for [[RollingHashExpr]]. */
   def rollingHash(s: UTF8String, base: Long, mod: Long): Long = {

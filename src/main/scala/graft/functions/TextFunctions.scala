@@ -73,4 +73,19 @@ object TextFunctions {
     */
   def rollingFingerprint2(text: Column): Column =
     org.apache.spark.sql.graft.ArrayMathExpressions.rollingHashCol(text, 131L, 999999937L)
+
+  /** Every length-`win` window's [[rollingFingerprint]] in one
+    * Rabin-Karp pass (array of n−win+1 longs) — the stride-1 key maker
+    * for exact-substring dedup; element i equals
+    * rollingFingerprint(substr(text, i+1, win)).
+    */
+  def rollingWindowFingerprint(text: Column, win: Int): Column =
+    org.apache.spark.sql.graft.ArrayMathExpressions.rollingWindowHashCol(text, win)
+
+  /** [[rollingWindowFingerprint]] on [[rollingFingerprint2]]'s
+    * independent polynomial, for composite window identity.
+    */
+  def rollingWindowFingerprint2(text: Column, win: Int): Column =
+    org.apache.spark.sql.graft.ArrayMathExpressions.rollingWindowHashCol(
+      text, win, 131L, 999999937L)
 }

@@ -1178,6 +1178,81 @@ object Dedup {
         expr("CAST(k % 1000000 AS BIGINT)").as("keep_idx"))
       .orderBy(col("chunk_hash"), col("chunk_hash2"))
 
+  /** Minimum duplicated-substring length for [[substringDedup]] —
+    * character-level, the class of Lee et al. 2022's 50-token
+    * suffix-array threshold scaled to the fixture's short documents.
+    */
+  val SubstringL = 40
+
+  /** EXACT substring dedup — the suffix-array family of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed as a shuffle-by-key dataflow. A span is
+    * part of a repeated substring of length ≥ L iff it is covered by
+    * some length-L window that occurs elsewhere in the corpus
+    * (any document, any offset — including elsewhere in its own), so
+    * stride-1 length-L window keys + per-document interval merge
+    * compute EXACTLY the character ranges a suffix-array scan flags,
+    * with no suffix sort:
+    *
+    *  1. one Rabin-Karp pass per document emits every window's
+    *     composite rolling hash ([[graft.functions.TextFunctions
+    *     .rollingWindowFingerprint]] ×2 — O(chars), and only
+    *     (doc_id, pos, h1, h2) longs ever enter the shuffle, never
+    *     window text);
+    *  2. a count-over-key window marks positions whose window occurs
+    *     ≥ 2 times — ONE shuffle by (h1, h2), partial-agg-friendly;
+    *  3. gaps-and-islands per document merges overlapping covered
+    *     windows into maximal spans (`pos > running max end` starts a
+    *     new island), one per-doc-keyed window pass.
+    *
+    * Output: (doc_id, span_start, span_end, span_len, n_windows) —
+    * 1-based [start, end) character ranges to clip. The whole pipeline
+    * is a pure function of the corpus; the DuckDB oracle re-derives
+    * each window hash with the O(n·L) per-substring fold.
+    *
+    * 100 TB shape: stride-1 keys cost ~4 longs per character through
+    * one shuffle — the same order as the suffix-array's
+    * sort-all-suffixes pass, but as a plain keyed aggregation (no
+    * global sort, partial counts map-side). Skew is bounded: a
+    * pathological repeated window (boilerplate everywhere) makes one
+    * hot key, and the count-only window over it is a partial-agg
+    * count, not a pair enumeration.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(Tables.documents(spark, dir))
+
+  def substringDedupOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), posexplode(zip_with(
+        rollingWindowFingerprint(col("text"), L),
+        rollingWindowFingerprint2(col("text"), L),
+        (a, b) => struct(a.as("h1"), b.as("h2")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+    val repeated = grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runEnd = max(col("pos") + L)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    repeated
+      .withColumn("new_s",
+        when(runEnd.isNull.or(col("pos") > runEnd), 1).otherwise(0))
+      .withColumn("sid", sum(col("new_s"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("sid"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Recursive CTE (WITH RECURSIVE, new engine surface in Spark 4.x):
     * bounded BFS over the near-dup graph — every document within 3
     * hops of a seed (doc_id ≡ 0 mod 10 among pair endpoints), with its

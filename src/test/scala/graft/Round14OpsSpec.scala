@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.EventAnalytics
+import graft.operators.{Dedup, EventAnalytics}
 import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-14 surface: the replay-clock gated session stream (shares the
@@ -31,5 +32,87 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(gated >= watermarked)
     val batch = EventAnalytics.sessions(spark, sfDir).count()
     assert(gated === batch)
+  }
+
+  test("rollingWindowFingerprint slides to the same values as per-substring folds") {
+    import graft.functions.TextFunctions
+    val L = 7
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), (3L, "exactly" ), (4L, "αβγδεζη ascii and ünïcode mix αβγδεζη"))
+      .toDF("doc_id", "text")
+    val slid = docs.select($"doc_id",
+        TextFunctions.rollingWindowFingerprint($"text", L).as("hs"),
+        TextFunctions.rollingWindowFingerprint2($"text", L).as("hs2"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+    // independent reimplementation: per-window left-to-right fold over
+    // code points (the rollSql form), no Rabin-Karp slide
+    def fold(cps: Array[Int], base: Long, mod: Long): Long =
+      cps.foldLeft(0L)((acc, c) => (acc * base + c) % mod)
+    val texts = docs.as[(Long, String)].collect().toMap
+    slid.foreach { case (id, hs, hs2) =>
+      val cps = texts(id).codePoints().toArray
+      val n = math.max(0, cps.length - L + 1)
+      assert(hs.length === n, s"doc $id window count")
+      (0 until n).foreach { i =>
+        val w = cps.slice(i, i + L)
+        assert(hs(i) === fold(w, 31L, 1000000007L), s"doc $id window $i")
+        assert(hs2(i) === fold(w, 131L, 999999937L), s"doc $id window $i (poly2)")
+      }
+    }
+  }
+
+  test("substringDedup flags exactly the planted repeated spans, merged maximally") {
+    // a 60-char boilerplate block planted in docs 1 and 2 at different
+    // offsets; doc 3 is clean; doc 4 repeats a block within itself
+    val boiler = "All rights reserved worldwide under all applicable statutes." // 60 chars
+    assert(boiler.length === 60)
+    val inner = "x" * 45
+    // boundary characters DIFFER between the two plants (:…! vs .…,)
+    // so the maximal repeat is exactly the 60-char block — same-side
+    // neighbors would legitimately extend the span (the operator finds
+    // maximal repeats, not planted intent)
+    val docs = Seq(
+      (1L, s"Unique preamble one:$boiler! And a unique tail here."),
+      (2L, s"Different lead-in text before the block.$boiler, plus other words."),
+      (3L, "Entirely novel content with no repetition of any long span at all, nothing shared."),
+      (4L, s"Self repeat:$inner middle filler words#$inner! end."))
+      .toDF("doc_id", "text")
+    val L = Dedup.SubstringL
+    val spans = Dedup.substringDedupOn(docs, L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byDoc = spans.groupBy(_._1)
+    assert(!byDoc.contains(3L), "clean doc flagged")
+    // docs 1 and 2: exactly the planted 60-char block (21 windows of 40)
+    val texts = docs.as[(Long, String)].collect().toMap
+    Seq(1L, 2L).foreach { d =>
+      val start = texts(d).indexOf(boiler) + 1L
+      val ds = byDoc(d)
+      assert(ds.length === 1, s"doc $d spans: $ds")
+      val (_, s, e, len, nw) = ds.head
+      assert(s === start && len === 60L && e === s + 60 && nw === 21L, s"doc $d: ${ds.head}")
+    }
+    // doc 4: both copies of the 45-char run flagged (6 windows each)
+    val d4 = byDoc(4L)
+    assert(d4.length === 2, s"doc 4 spans: $d4")
+    assert(d4.forall { case (_, _, _, len, nw) => len === 45L && nw === 6L })
+  }
+
+  test("substringDedup span text is genuinely repeated in the corpus") {
+    // every flagged span on the fixture must occur at least twice as a
+    // substring somewhere (the defining property of the operator)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val spans = Dedup.substringDedupOn(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    val all = texts.values.toSeq
+    spans.take(40).foreach { case (d, s, e, _, _) =>
+      val cps = texts(d).codePoints().toArray
+      val frag = new String(cps.slice((s - 1).toInt, (e - 1).toInt),
+        0, (e - s).toInt)
+      val occ = all.map(t => t.sliding(frag.length).count(_ == frag)).sum
+      assert(occ >= 2, s"span ($d,$s,$e) not repeated: '$frag'")
+    }
   }
 }
