@@ -58,13 +58,27 @@ object EventAnalytics {
     * (−ts_µs, event_id) — largest-first over negated microseconds IS
     * earliest-first, and epoch-µs ≈ 1.7·10¹⁵ < 2⁵³ stays Double-exact —
     * and ships ≤[[PathLen]] rows per partition per user map-side.
-    * Event types for the ≤10·users selected ids come back on one
-    * broadcast join against the events scan (never a second shuffle of
-    * the fact table), and the final ordered assembly is
+    * Event types for the selected ids come back on one join against
+    * the events scan. The selection table is ≤[[PathLen]]·|users| rows
+    * — it scales with USER CARDINALITY, so the broadcast is GATED, not
+    * unconditional: the selection is materialized (localCheckpoint —
+    * bounded by construction, and consumed twice anyway), its row
+    * count checked against [[BroadcastSelectRows]], and only a
+    * fitting table is broadcast — a billion-user corpus falls back to
+    * a plain shuffle join instead of OOMing every executor on a forced
+    * hint. The final ordered assembly is
     * `sort_array(collect_list(struct(rank, type)))` over the now
     * provably-bounded per-user rows.
     */
   val PathLen = 10
+
+  /** Broadcast budget for [[eventPathsOn]]'s selection table: 2M rows
+    * of four numeric fields ≈ tens of MB packed — the classic
+    * autoBroadcastJoinThreshold class. Above it the fallback shuffle
+    * join is the correct plan, not a bigger broadcast.
+    */
+  val BroadcastSelectRows: Long = 1L << 21
+
   def eventPaths(spark: SparkSession, dir: String): DataFrame =
     eventPathsOn(spark, Tables.events(spark, dir))
 
@@ -76,8 +90,10 @@ object EventAnalytics {
         PathLen)
       .select(col("key").as("user_id"), col("rank"),
         col("tag").as("event_id"), col("n_rows").as("n_events"))
+      .localCheckpoint()
+    val sel = if (top.count() <= BroadcastSelectRows) broadcast(top) else top
     ev.select(col("event_id"), col("event_type"))
-      .join(broadcast(top), "event_id")
+      .join(sel, "event_id")
       .groupBy(col("user_id"))
       .agg(first(col("n_events")).as("n_events"),
         concat_ws(">", transform(

@@ -484,17 +484,34 @@ object Relational {
     * spec-asserted (per-bucket key ranges vs natural order), and at
     * scale the zkey feeds `sortWithinPartitions`/write ordering rather
     * than a global sort.
+    *
+    * KEY DOMAIN: the interleave reads the LOW 20 bits of each key — a
+    * key ≥ 2^20 would silently alias onto a far-away curve position
+    * and quietly destroy the clustering, so the expression RAISES on
+    * the first out-of-domain row instead (a per-row comparison against
+    * a constant, free in codegen). 20 bits covers part/supp keys to
+    * ~1M; for a wider id space raise `ZorderBits` — two keys interleave
+    * safely to 31 bits each (62-bit zkey) before signed-long overflow.
     */
-  def zorderKey(spark: SparkSession, dir: String): DataFrame =
+  val ZorderBits = 20
+
+  def zorderKey(spark: SparkSession, dir: String): DataFrame = {
+    val lim = 1L << ZorderBits
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-      .withColumn("zkey", expr(
-        """aggregate(sequence(0, 19), CAST(0 AS BIGINT), (acc, i) ->
-          |acc + shiftleft(CAST(shiftright(l_partkey, i) & 1 AS BIGINT), 2*i)
-          |    + shiftleft(CAST(shiftright(l_suppkey, i) & 1 AS BIGINT), 2*i + 1))""".stripMargin))
+      .withColumn("zkey",
+        when(col("l_partkey") >= lim or col("l_suppkey") >= lim or
+             col("l_partkey") < 0 or col("l_suppkey") < 0,
+          raise_error(lit(s"zorderKey: key outside the $ZorderBits-bit " +
+            "interleave domain; raise ZorderBits")).cast("bigint"))
+        .otherwise(expr(
+          s"""aggregate(sequence(0, ${ZorderBits - 1}), CAST(0 AS BIGINT), (acc, i) ->
+             |acc + shiftleft(CAST(shiftright(l_partkey, i) & 1 AS BIGINT), 2*i)
+             |    + shiftleft(CAST(shiftright(l_suppkey, i) & 1 AS BIGINT), 2*i + 1))""".stripMargin)))
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       .limit(2000)
+  }
 
   /** Data-quality audit — the constraint-validation report shape
     * (Deequ / dbt-test family): completeness, key uniqueness, value
@@ -532,11 +549,16 @@ object Relational {
     * merge), so they cost exactly one map-side partial + one merge at
     * any scale — no second scan, no sort. Engines agree because the
     * estimators are the same closed formulas; round(·, 6) absorbs the
-    * sub-ulp association differences of the double co-moment merges
-    * (both engines merge deterministically for a fixed fixture).
+    * sub-ulp association differences of the double co-moment merges —
+    * including across PARTITIONINGS (the merge tree changes with the
+    * partition count, each association shift is sub-ulp; Round14OpsSpec
+    * asserts the rounded output is repartition-invariant).
     */
   def statsAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    statsAggOn(Tables.lineitem(spark, dir))
+
+  def statsAggOn(li: DataFrame): DataFrame =
+    li
       .groupBy(col("l_returnflag"))
       .agg(
         round(stddev_samp(col("l_quantity")), 6).as("qty_sd"),

@@ -97,6 +97,40 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d4.forall { case (_, _, _, len, nw) => len === 45L && nw === 6L })
   }
 
+  test("statsAgg is repartition-invariant after the round(6) contract") {
+    // the co-moment merge tree changes with the partitioning; the
+    // operator's claim is that round(., 6) absorbs every association
+    // difference — assert it across partition counts and a hash
+    // re-distribution
+    val li = graft.tables.Tables.lineitem(spark, sfDir)
+    val base = graft.operators.Relational.statsAggOn(li).collect().toSeq
+    Seq(li.repartition(1), li.repartition(7),
+        li.repartition(32, col("l_orderkey"))).foreach { shuffled =>
+      val got = graft.operators.Relational.statsAggOn(shuffled).collect().toSeq
+      assert(got === base)
+    }
+  }
+
+  test("zorderKey raises on keys outside the interleave domain") {
+    val lim = 1L << graft.operators.Relational.ZorderBits
+    // fixture keys are in-domain: the graded query must evaluate clean
+    assert(graft.operators.Relational.zorderKey(spark, sfDir).count() > 0)
+    // an out-of-domain key must fail LOUDLY, not alias silently: the
+    // guard is the whole point (a key >= 2^20 would fold onto a
+    // far-away curve position and quietly destroy clustering)
+    val bad = Seq((1L, 1, lim + 5L, 3L)).toDF(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    bad.createOrReplaceTempView("graft_zorder_bad")
+    val dir = java.nio.file.Files.createTempDirectory("zorder_bad").toString
+    bad.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ex = intercept[Exception] {
+      graft.operators.Relational.zorderKey(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("interleave domain")), s"wrong error: $ex")
+  }
+
   test("substringDedup span text is genuinely repeated in the corpus") {
     // every flagged span on the fixture must occur at least twice as a
     // substring somewhere (the defining property of the operator)
