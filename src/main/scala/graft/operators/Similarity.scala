@@ -503,8 +503,9 @@ object Similarity {
   def graphKnnNnd(spark: SparkSession, dir: String): DataFrame =
     graphKnnNndOn(spark, Tables.embeddings(spark, dir))
 
-  def graphKnnNndOn(spark: SparkSession, e: DataFrame): DataFrame =
-    graphSearch(e, nnDescentEdges(spark, e))
+  def graphKnnNndOn(spark: SparkSession, e: DataFrame,
+      rho: Option[Int] = None): DataFrame =
+    graphSearch(e, nnDescentEdges(spark, e, rho = rho))
 
   /** Batch beam search over an arbitrary prebuilt edge table — the
     * shared serving half of both graph-ANN variants.
@@ -536,6 +537,7 @@ object Similarity {
 
   val NndRounds = 4 // neighbor-of-neighbor refinement rounds
   val ConvergenceCheckMinN = 100000L // engage NN-descent early-exit above this
+  val NndRhoPct = 50 // ρ-sample percentage per proposal side above the gate
 
   /** NN-descent neighbor-graph build (Dong et al., WWW'11): start from
     * [[GraphM]] deterministic pseudo-random out-neighbors per node,
@@ -555,13 +557,30 @@ object Similarity {
     * clustered fixture as the blocked build. Long-range ring families
     * are unioned exactly as in [[graphAnnEdges]] — NN-descent
     * converges toward pure proximity, which beam search cannot cross
-    * alone on clustered data. Lineage per round is truncated with
+    * alone on clustered data.
+    *
+    * ρ-SAMPLING (Dong et al. §2.3, the incremental-search trick): above
+    * the same [[ConvergenceCheckMinN]] gate, each round joins only a
+    * deterministic ρ = [[NndRhoPct]]% hash-sample of each side's
+    * neighbor lists — per-round candidate volume drops from M² to
+    * (ρM)² per node (4× at ρ=0.5) while successive rounds sample
+    * DIFFERENT subsets (the hash is salted by round), so coverage
+    * accumulates across rounds instead of being lost. This bounds the
+    * super-linear tail the accumulated visited-set anti-join and
+    * candidate dedup put on large corpora (the 1M probe measured
+    * ~N^1.27 unsampled). Below the gate nothing is sampled — the
+    * fixture gate results and plan are untouched; `rho` forces a
+    * percentage explicitly (SimilaritySpec floors the SAMPLED build's
+    * recall on the clustered fixture this way). Deterministic either
+    * way — the sample is a pure hash of (src, dst, round).
+    *
+    * Lineage per round is truncated with
     * localCheckpoint (the [[graft.operators.Dedup.clusterLabels]]
     * iteration pattern); the scored-pair accumulator is the standard
     * NN-descent "visited" set, carried as data, never on the driver.
     */
   private[graft] def nnDescentEdges(spark: SparkSession, e: DataFrame,
-      rounds: Int = NndRounds): DataFrame = {
+      rounds: Int = NndRounds, rho: Option[Int] = None): DataFrame = {
     val n = denseCount(e, "NN-descent")
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
     // Pair and corpus frames at production N must never be elected for
@@ -608,6 +627,15 @@ object Similarity {
     // engages only where a skipped O(N·M²) round repays it
     val checkConvergence = n >= ConvergenceCheckMinN
     var prevTotal = if (checkConvergence) scored.count() else 0L
+    // ρ-sample: keep an edge for THIS round's proposal join iff its
+    // (src, dst, round)-salted hash lands under the percentage —
+    // different rounds sample different subsets, so missed proposals
+    // get another chance next round (Dong et al.'s trade)
+    val rhoPct = rho.getOrElse(if (bigCorpus) NndRhoPct else 100)
+    def sampleEdges(df: DataFrame, r: Int, salt: Int): DataFrame =
+      if (rhoPct >= 100) df
+      else df.filter(pmod(
+        xxhash64(col("src"), col("dst"), lit(r * 131 + salt)), lit(100)) < rhoPct)
     while (round < rounds && !converged) {
       // undirected current-neighbor view → neighbor-of-neighbor
       // proposals; anti-join drops pairs already scored (the visited
@@ -615,8 +643,9 @@ object Similarity {
       val und = topM.unionByName(
           topM.select(col("dst").as("src"), col("src").as("dst")))
         .dropDuplicates("src", "dst")
-      val cand = und.as("t1")
-        .join(pairSide(und.select(col("src").as("mid"), col("dst").as("c")))
+      val cand = sampleEdges(und, round, 1).as("t1")
+        .join(pairSide(sampleEdges(und, round, 2)
+            .select(col("src").as("mid"), col("dst").as("c")))
           .as("t2"), col("t1.dst") === col("t2.mid"))
         .filter(col("t1.src") =!= col("t2.c"))
         .select(least(col("t1.src"), col("t2.c")).as("x"),

@@ -246,6 +246,32 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(avg >= 0.8, f"avg recall $avg%.2f below NN-descent floor")
   }
 
+  test("graphKnnNnd: rho-sampled build holds the same recall floor") {
+    // the ρ-sampling path large corpora take (per-round proposal
+    // volume cut to (ρM)², different sample each round) must stay
+    // navigable to the SAME floor — forced on here at fixture scale
+    // with the production NndRhoPct
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val points = (0 until 720).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }
+    val e = points.toDF("vec_id", "embedding")
+    val exact = byQuery(Similarity.bruteForceKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val graph = byQuery(
+        Similarity.graphKnnNndOn(spark, e, rho = Some(Similarity.NndRhoPct))
+      .as[(Long, Long, Long, Double)].collect())
+      .map { case (q, r) => q -> r.map(_._3).toSet }
+    val recalls = exact.map { case (q, x) =>
+      (graph.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+    val avg = recalls.sum / recalls.size
+    info(f"graphKnnNnd rho-sampled clustered recall@5 = $avg%.3f")
+    assert(avg >= 0.8, f"avg recall $avg%.2f below sampled NN-descent floor")
+  }
+
   test("graphKnn: recall on the (structureless) fixture stays above the plumbing floor") {
     val exact = byQuery(Similarity.bruteForceKnn(spark, sfDir)
       .as[(Long, Long, Long, Double)].collect())
