@@ -205,6 +205,9 @@ object SparkEntry {
     // stride-1 Rabin-Karp window keys + per-doc interval merge emit the
     // exact >=L repeated-substring character ranges, no suffix sort
     "q_substring_dedup" -> (Dedup.substringDedup _),
+    // the spans applied: flagged docs re-emitted with repeated spans
+    // excised (ordered segment reassembly, one corpus scan)
+    "q_substring_clip"  -> (Dedup.substringClip _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     // contrastive hard-negative mining: per anchor, top-K most-similar
@@ -897,6 +900,35 @@ object SparkEntry {
        |  SELECT id_a, id_b, ($matches)::DOUBLE/${Dedup.NumHashes} AS est_jaccard
        |  FROM cand JOIN sig sa ON id_a=sa.doc_id JOIN sig sb ON id_b=sb.doc_id)
        |WHERE est_jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The exact-substring span table re-derived (Dedup.substringDedupOn
+    * twin): stride-1 window hashes via the per-substring rolling fold,
+    * count-over-key repeats, gaps-and-islands merge — ends at CTE
+    * `spans(doc_id, span_start, span_end, span_len, n_windows)`.
+    * Shared by q_substring_dedup and q_substring_clip.
+    */
+  private lazy val substringSpanCtes: String = {
+    val L = graft.operators.Dedup.SubstringL
+    s"""p AS (SELECT doc_id, text,
+       |    CAST(unnest(generate_series(1, length(text) - ${L - 1})) AS BIGINT) AS pos
+       |  FROM documents WHERE length(text) >= $L),
+       |g AS (SELECT doc_id, pos,
+       |    ${rollSql(s"substr(text, pos, $L)")} AS h1,
+       |    ${rollSql2(s"substr(text, pos, $L)")} AS h2 FROM p),
+       |rep AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h1, h2) AS n FROM g) t
+       |  WHERE n >= 2),
+       |re AS (SELECT doc_id, pos,
+       |    max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end FROM rep),
+       |mk AS (SELECT doc_id, pos,
+       |    CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS new_s FROM re),
+       |sid AS (SELECT doc_id, pos,
+       |    sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM mk),
+       |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + $L AS span_end,
+       |    max(pos) + $L - min(pos) AS span_len, count(*) AS n_windows
+       |  FROM sid GROUP BY doc_id, sid)""".stripMargin
   }
 
   /** Gaps-and-islands sessionization — shared by the batch q_sessions
@@ -1779,28 +1811,33 @@ object SparkEntry {
     // stride-1 window hashes re-derived with the O(n·L) per-substring
     // fold (the Spark side slides in O(n) — same values), then the
     // identical count-over-key and gaps-and-islands merge
-    "q_substring_dedup" -> {
-      val L = graft.operators.Dedup.SubstringL
-      s"""WITH p AS (SELECT doc_id, text,
-         |    CAST(unnest(generate_series(1, length(text) - ${L - 1})) AS BIGINT) AS pos
-         |  FROM documents WHERE length(text) >= $L),
-         |g AS (SELECT doc_id, pos,
-         |    ${rollSql(s"substr(text, pos, $L)")} AS h1,
-         |    ${rollSql2(s"substr(text, pos, $L)")} AS h2 FROM p),
-         |rep AS (SELECT doc_id, pos FROM (
-         |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h1, h2) AS n FROM g) t
-         |  WHERE n >= 2),
-         |re AS (SELECT doc_id, pos,
-         |    max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end FROM rep),
-         |mk AS (SELECT doc_id, pos,
-         |    CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS new_s FROM re),
-         |sid AS (SELECT doc_id, pos,
-         |    sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM mk)
-         |SELECT doc_id, min(pos) AS span_start, max(pos) + $L AS span_end,
-         |  max(pos) + $L - min(pos) AS span_len, count(*) AS n_windows
-         |FROM sid GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin
-    },
+    "q_substring_dedup" ->
+      s"""WITH $substringSpanCtes
+         |SELECT doc_id, span_start, span_end, span_len, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // the spans re-assembled into clipped text: kept segments from a
+    // lag window over the spans (+ the tail), pieces cut from the
+    // corpus once, position-ordered string_agg — mirroring the Spark
+    // sort_array(collect_list(...)) reassembly
+    "q_substring_clip" ->
+      s"""WITH $substringSpanCtes,
+         |mids AS (SELECT doc_id,
+         |    lag(span_end, 1, 1) OVER (PARTITION BY doc_id ORDER BY span_start) AS seg_start,
+         |    span_start AS seg_end FROM spans),
+         |tails AS (SELECT doc_id, max(span_end) AS seg_start, count(*) AS n_spans,
+         |    sum(span_end - span_start) AS removed_chars FROM spans GROUP BY doc_id),
+         |segs AS (SELECT doc_id, seg_start, seg_end FROM mids
+         |  UNION ALL SELECT doc_id, seg_start, NULL FROM tails),
+         |pieces AS (SELECT s.doc_id, s.seg_start,
+         |    substr(d.text, s.seg_start,
+         |      coalesce(s.seg_end, length(d.text) + 1) - s.seg_start) AS piece
+         |  FROM segs s JOIN documents d ON d.doc_id = s.doc_id),
+         |clip AS (SELECT doc_id, string_agg(piece, '' ORDER BY seg_start) AS clipped_text
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+         |  CAST(t.removed_chars AS BIGINT) AS removed_chars, c.clipped_text
+         |FROM clip c JOIN tails t USING (doc_id) ORDER BY c.doc_id""".stripMargin,
 
     "q_mixture_sample" ->
       s"""SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc

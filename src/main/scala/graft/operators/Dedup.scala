@@ -1253,6 +1253,54 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** The CLIP that [[substringDedup]]'s span table exists for: each
+    * flagged document re-emitted with every repeated span EXCISED —
+    * the aggressive variant of Lee et al.'s removal (drop ALL
+    * occurrences; keeping one representative per duplicate cluster
+    * composes the span table with the keeper machinery of
+    * [[dedupKeepBest]] instead). Dataflow: spans → kept segments via a
+    * lag window (segment = [prev span end, next span start), plus the
+    * tail), one join against the corpus for the segment text, ordered
+    * reassembly with `sort_array(collect_list(struct(...)))` — per-doc
+    * piece count is n_spans+1, bounded by the span table, and the
+    * corpus is scanned once. Unflagged documents pass through
+    * unchanged and are omitted (identity rows at corpus scale would
+    * dominate the output for no information).
+    */
+  def substringClip(spark: SparkSession, dir: String): DataFrame =
+    substringClipOn(Tables.documents(spark, dir))
+
+  def substringClipOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringDedupOn(docs, L)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val mids = spans
+      .select(col("doc_id"),
+        lag(col("span_end"), 1, 1L).over(w).as("seg_start"),
+        col("span_start").as("seg_end"))
+    val tails = spans.groupBy(col("doc_id"))
+      .agg(max(col("span_end")).as("seg_start"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("removed_chars"))
+    val segs = mids.select(col("doc_id"), col("seg_start"), col("seg_end"))
+      .unionByName(tails.select(col("doc_id"), col("seg_start"),
+        lit(null).cast("long").as("seg_end"))) // null = to end of doc
+    segs.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("seg_start"),
+        col("text").substr(col("seg_start"),
+          coalesce(col("seg_end"), length(col("text")) + 1) - col("seg_start"))
+          .as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        sort_array(collect_list(struct(col("seg_start"), col("piece")))),
+        p => p.getField("piece"))).as("clipped_text"))
+      .join(tails.select(col("doc_id"), col("n_spans"), col("removed_chars")), "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("removed_chars"),
+        col("clipped_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Recursive CTE (WITH RECURSIVE, new engine surface in Spark 4.x):
     * bounded BFS over the near-dup graph — every document within 3
     * hops of a seed (doc_id ≡ 0 mod 10 among pair endpoints), with its

@@ -131,6 +131,34 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(msgs(ex).exists(_.contains("interleave domain")), s"wrong error: $ex")
   }
 
+  test("substringClip excises exactly the flagged spans, in order") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val spans = Dedup.substringDedupOn(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val clipped = Dedup.substringClipOn(docs)
+      .as[(Long, Long, Long, String)].collect()
+    assert(clipped.nonEmpty)
+    assert(clipped.map(_._1).toSet === spans.keySet, "clip rows != flagged docs")
+    clipped.foreach { case (d, nSpans, removed, text) =>
+      val ds = spans(d).sortBy(_._2)
+      assert(nSpans === ds.length.toLong)
+      assert(removed === ds.map(s => s._3 - s._2).sum)
+      // independent reassembly over code points
+      val cps = texts(d).codePoints().toArray
+      val kept = new StringBuilder
+      var p = 1L
+      ds.foreach { case (_, s, e, _, _) =>
+        kept ++= new String(cps.slice((p - 1).toInt, (s - 1).toInt), 0, (s - p).toInt)
+        p = e
+      }
+      kept ++= new String(cps.slice((p - 1).toInt, cps.length), 0, (cps.length - p + 1).toInt)
+      assert(text === kept.toString, s"doc $d clip mismatch")
+    }
+  }
+
   test("substringDedup span text is genuinely repeated in the corpus") {
     // every flagged span on the fixture must occur at least twice as a
     // substring somewhere (the defining property of the operator)
