@@ -680,12 +680,13 @@ object SparkEntry {
     sb.toString
   }
 
-  /** DuckDB twin of [[graft.operators.Similarity.dedupCells]] — the √N
-    * IVF cell sizing re-derived from `count(*)` (floor matches the
-    * JVM's Double→Int truncation for positive values).
+  /** DuckDB twin of the √N IVF cell sizing (dedupCells capped at
+    * Similarity.IvfMaxCells) re-derived from `count(*)` — floor
+    * matches the JVM's Double→Int truncation for positive values.
     */
   private val sqrtCellsSql: String =
-    "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+    "(SELECT least(" + graft.operators.Similarity.IvfMaxCells +
+      ", greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT))) FROM embeddings)"
 
   /** The unit-normalize + 2^20 fixed-point CTE pair every IVF oracle
     * chain starts from (the Spark side's ivfExactAssignments quantize).

@@ -187,16 +187,27 @@ object Similarity {
     ivfSearch(corpus, probeCells)
   }
 
+  /** Ceiling on the √N IVF cell count: centroids are collected,
+    * broadcast model state (cells · dim · 8 B — 64 MB at this cap for
+    * 64-dim embeddings), and √N outgrows a broadcast around 10^10
+    * vectors; past the cap cells deepen instead of multiplying, which
+    * trades probe selectivity, never correctness. Mirrored in the
+    * oracle's `least(...)` so the sizing rule itself is under the
+    * gate.
+    */
+  val IvfMaxCells = 131072
+
   /** The √N-sized quantizer's two products: the corpus tagged with its
     * coarse cell (`n_id`, `embedding`, `cell`) and the per-query probe
     * plan (`q_id`, `q_emb`, `cell` — one row per probed cell). Shared
     * by the in-memory search and the materialized layout. The one
-    * sizing job (count → [[dedupCells]]) is the only work before the
-    * shared Lloyd chain.
+    * sizing job (count → [[dedupCells]] capped at [[IvfMaxCells]]) is
+    * the only work before the shared Lloyd chain.
     */
   private def ivfAssignments(spark: SparkSession, e: DataFrame,
                              probes: Int): (DataFrame, DataFrame) =
-    ivfExactAssignments(spark, e, probes, dedupCells(e.count()))
+    ivfExactAssignments(spark, e, probes,
+      math.min(IvfMaxCells, dedupCells(e.count())))
 
   /** Probe scan + exact rerank: only vectors in each query's probed
     * cells are scored.

@@ -268,6 +268,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { spark.catalog.clearCache(); () }
   }
 
+  test("q_substring_dedup: pruned scan, O(n) window-hash pass, exactly 3 exchanges") {
+    val plan = planOf("q_substring_dedup")
+    // the corpus scan reads only (doc_id, text)
+    val readSchema = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang"), s"unpruned scan: $readSchema")
+    // window hashes come from the single-pass codegen expression, not
+    // per-substring re-hashing
+    assert(plan.contains("rolling_window_hash"), "O(n*L) fallback in the plan")
+    // the shuffles are exactly: (h1,h2) repeat-count, doc_id islands,
+    // range partitioning for the output sort — nothing else moves
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n${plan.take(2000)}")
+    // shuffle rows are (doc_id, pos, h1, h2) longs: text is projected
+    // away before the first exchange (the Generate output project)
+    val firstExchange = plan.split("Exchange hashpartitioning\\(h1")(0)
+    assert(!firstExchange.split("\n").exists(l =>
+        l.contains("Project") && l.contains("text#")),
+      "window text survives into the shuffle")
+    // span assembly partial-aggregates map-side
+    assert(plan.contains("partial_min"), "no partial aggregation phase")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "quadratic join shape")
+  }
+
   test("q_boilerplate: segment count has a map-side partial phase before its shuffle") {
     // the corpus-wide segment count must partially aggregate before
     // shuffling (the wordCount discipline) — a raw segment shuffle is
