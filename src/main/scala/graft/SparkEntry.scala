@@ -329,6 +329,11 @@ object SparkEntry {
     "q_tpch_q12"        -> (Relational.tpchQ12 _),
     "q_tpch_q14"        -> (Relational.tpchQ14 _),
     "q_tpch_q19"        -> (Relational.tpchQ19 _),
+    // aggregate-HAVING subquery drives the join (big-order selection
+    // broadcast by AQE), top-100 via TakeOrderedAndProject
+    "q_tpch_q18"        -> (Relational.tpchQ18 _),
+    // scalar-agg-max equality filter (the decorrelated Q15 view)
+    "q_tpch_q15"        -> (Relational.tpchQ15 _),
     // SQL LATERAL correlated subquery (Catalyst decorrelates to a join)
     "q_lateral_join"    -> (Relational.lateralTopNations _),
     // MERGE-style incremental snapshot upsert (full-outer merge dataflow)
@@ -2349,6 +2354,28 @@ object SparkEntry {
         |WHERE (p_brand='Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |OR (p_brand='Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |OR (p_brand='Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity),2) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    round(sum(l_extendedprice*(1-l_discount)),2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal, n_name,

@@ -787,6 +787,63 @@ object Relational {
         .as("revenue"))
   }
 
+  /** TPC-H Q18 shape (large-volume customers): an aggregate-HAVING
+    * subquery drives the join — orders whose lineitem quantity sum
+    * clears a threshold, joined back to orders and customers, top-100
+    * by order value. Plan shape at scale: ONE lineitem shuffle
+    * (map-side partial sums) produces the big-order table, which the
+    * HAVING collapses to an output-bounded selection — AQE broadcasts
+    * it into the orders join at runtime (no forced hint: the pre-HAVING
+    * size scales with order cardinality, the [[graft.operators
+    * .EventAnalytics.eventPathsOn]] lesson); customer is a broadcast
+    * dim; the top-100 is TakeOrderedAndProject, never a global sort.
+    */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q15 shape (top supplier): a scalar-aggregate subquery as an
+    * equality filter — per-supplier revenue over a ship-date window,
+    * keep the supplier(s) achieving the corpus MAX. The max is one
+    * row of model state (broadcast into the equality join, the
+    * decorrelated form of Q15's correlated view); equality compares
+    * the ROUNDED revenue on both sides so the tie set is bit-portable
+    * across engines. One fact shuffle total, date filter pushed to the
+    * scan.
+    */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    rev
+      .join(broadcast(rev.agg(max(col("total_revenue")).as("mr"))),
+        col("total_revenue") === col("mr"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** LATERAL correlated subquery (SQL surface): per-region top-2
     * nations by total customer account balance. The lateral derived
     * table re-executes per outer row DECLARATIVELY — Catalyst decorrelates
