@@ -1199,8 +1199,15 @@ object Dedup {
     *     .rollingWindowFingerprint]] ×2 — O(chars), and only
     *     (doc_id, pos, h1, h2) longs ever enter the shuffle, never
     *     window text);
-    *  2. a count-over-key window marks positions whose window occurs
-    *     ≥ 2 times — ONE shuffle by (h1, h2), partial-agg-friendly;
+    *  2. repeated keys via groupBy-count (map-side PARTIAL sums — a
+    *     boilerplate window occurring 10^9 times collapses to one row
+    *     per partition before the shuffle) + a semi join of the
+    *     positions against the n ≥ 2 key set. NOT a count-over-key
+    *     window: a window buffers each key group in one task, which is
+    *     exactly where corpus-scale boilerplate skew lands; the semi
+    *     join's probe side is skew-splittable by AQE, and when the
+    *     repeated set is small (the pathological-boilerplate case) it
+    *     broadcasts outright;
     *  3. gaps-and-islands per document merges overlapping covered
     *     windows into maximal spans (`pos > running max end` starts a
     *     new island), one per-doc-keyed window pass.
@@ -1215,8 +1222,9 @@ object Dedup {
     * sort-all-suffixes pass, but as a plain keyed aggregation (no
     * global sort, partial counts map-side). Skew is bounded: a
     * pathological repeated window (boilerplate everywhere) makes one
-    * hot key, and the count-only window over it is a partial-agg
-    * count, not a pair enumeration.
+    * hot key whose count collapses map-side, and the position semi
+    * join against it splits under AQE — never a pair enumeration,
+    * never a single-task key buffer.
     */
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedupOn(Tables.documents(spark, dir))
@@ -1231,9 +1239,12 @@ object Dedup {
         (a, b) => struct(a.as("h1"), b.as("h2")))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col.h1").as("h1"), col("col.h2").as("h2"))
-    val repeated = grams
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h1"), col("h2"))))
+    val repeatedKeys = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
+      .select(col("h1"), col("h2"))
+    val repeated = grams
+      .join(repeatedKeys, Seq("h1", "h2"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runEnd = max(col("pos") + L)

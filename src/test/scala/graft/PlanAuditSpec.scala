@@ -268,7 +268,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally { spark.catalog.clearCache(); () }
   }
 
-  test("q_substring_dedup: pruned scan, O(n) window-hash pass, exactly 3 exchanges") {
+  test("q_substring_dedup: pruned scan, O(n) hash pass, skew-proof repeat filter") {
     val plan = planOf("q_substring_dedup")
     // the corpus scan reads only (doc_id, text)
     val readSchema = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
@@ -277,10 +277,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // window hashes come from the single-pass codegen expression, not
     // per-substring re-hashing
     assert(plan.contains("rolling_window_hash"), "O(n*L) fallback in the plan")
-    // the shuffles are exactly: (h1,h2) repeat-count, doc_id islands,
+    // repeat detection is groupBy-count with a MAP-SIDE partial (a
+    // boilerplate hot key collapses before the shuffle) + a semi join
+    // of the positions — never a count-over-key window, which would
+    // buffer the hot key's whole group in one task
+    assert(plan.contains("partial_count"), "repeat count has no partial phase")
+    assert(plan.contains("LeftSemi"), "position filter is not a semi join")
+    assert(!plan.contains("windowspecdefinition(h1"),
+      "count-over-key window back in the repeat filter")
+    // the shuffles: gram groupBy, semi-join probe, doc_id islands,
     // range partitioning for the output sort — nothing else moves
     val exchanges = "Exchange ".r.findAllIn(plan).length
-    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n${plan.take(2000)}")
+    assert(exchanges == 4, s"expected 4 exchanges, got $exchanges:\n${plan.take(2000)}")
     // shuffle rows are (doc_id, pos, h1, h2) longs: text is projected
     // away before the first exchange (the Generate output project)
     val firstExchange = plan.split("Exchange hashpartitioning\\(h1")(0)
