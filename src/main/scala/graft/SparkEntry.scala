@@ -208,6 +208,9 @@ object SparkEntry {
     // the spans applied: flagged docs re-emitted with repeated spans
     // excised (ordered segment reassembly, one corpus scan)
     "q_substring_clip"  -> (Dedup.substringClip _),
+    // position-exact eval-vs-train contamination: eval windows semi-
+    // joined against the train key set, merged into contaminated spans
+    "q_substring_decontamination" -> (Dedup.substringDecontamination _),
     // — similarity search over embeddings —
     "q_knn_bruteforce"  -> (Similarity.bruteForceKnn _),
     // contrastive hard-negative mining: per anchor, top-K most-similar
@@ -1821,6 +1824,45 @@ object SparkEntry {
       s"""WITH $substringSpanCtes
          |SELECT doc_id, span_start, span_end, span_len, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // the same window-hash chain with a split tag: eval windows left-
+    // joined against the DISTINCT train key set, per-doc totals plus
+    // the islands-merged contaminated spans (count + longest)
+    "q_substring_decontamination" -> {
+      val L = graft.operators.Dedup.SubstringL
+      s"""WITH p AS (SELECT doc_id, text,
+         |    CASE WHEN ${h32("text")} % 10 < 8 THEN 'train'
+         |         WHEN ${h32("text")} % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         |    CAST(unnest(generate_series(1, length(text) - ${L - 1})) AS BIGINT) AS pos
+         |  FROM documents WHERE length(text) >= $L),
+         |g AS (SELECT doc_id, split, pos,
+         |    ${rollSql(s"substr(text, pos, $L)")} AS h1,
+         |    ${rollSql2(s"substr(text, pos, $L)")} AS h2 FROM p),
+         |tr AS (SELECT DISTINCT h1 AS t1, h2 AS t2 FROM g WHERE split = 'train'),
+         |ev AS (SELECT g.doc_id, g.split, g.pos,
+         |    CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM g LEFT JOIN tr ON g.h1 = t1 AND g.h2 = t2
+         |  WHERE g.split <> 'train'),
+         |summ AS (SELECT doc_id, split, count(*) AS n_windows, sum(hit) AS n_cont
+         |  FROM ev GROUP BY 1, 2),
+         |hits AS (SELECT doc_id, pos FROM ev WHERE hit = 1),
+         |re AS (SELECT doc_id, pos,
+         |    max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end FROM hits),
+         |mk AS (SELECT doc_id, pos,
+         |    CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END AS new_s FROM re),
+         |sid AS (SELECT doc_id, pos,
+         |    sum(new_s) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid FROM mk),
+         |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + $L AS e
+         |  FROM sid GROUP BY doc_id, sid),
+         |sp AS (SELECT doc_id, count(*) AS n_spans, max(e - s) AS longest FROM spans GROUP BY 1)
+         |SELECT m.doc_id, m.split, CAST(n_windows AS BIGINT) AS n_windows,
+         |  CAST(n_cont AS BIGINT) AS n_contaminated,
+         |  CAST(n_cont AS DOUBLE) / n_windows AS contamination,
+         |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(longest, 0) AS BIGINT) AS longest_span
+         |FROM summ m LEFT JOIN sp USING (doc_id) ORDER BY m.doc_id""".stripMargin
+    },
 
     // the spans re-assembled into clipped text: kept segments from a
     // lag window over the spans (+ the tail), pieces cut from the

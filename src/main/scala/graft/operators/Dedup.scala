@@ -1246,10 +1246,25 @@ object Dedup {
     val repeated = grams
       .join(repeatedKeys, Seq("h1", "h2"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    coveredSpans(repeated, L)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Gaps-and-islands merge of length-`L` windows into maximal covered
+    * spans: (doc_id, pos) → (doc_id, span_start, span_end, n_windows),
+    * one per-doc window pass. Shared by [[substringDedupOn]] (repeated
+    * windows) and [[substringDecontaminationOn]] (train-overlapping
+    * windows).
+    */
+  private def coveredSpans(positions: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runEnd = max(col("pos") + L)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    repeated
+    positions
       .withColumn("new_s",
         when(runEnd.isNull.or(col("pos") > runEnd), 1).otherwise(0))
       .withColumn("sid", sum(col("new_s"))
@@ -1258,10 +1273,67 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + L).as("span_end"),
         count(lit(1)).as("n_windows"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_len"),
-        col("n_windows"))
-      .orderBy(col("doc_id"), col("span_start"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** EXACT-SUBSTRING decontamination — the eval-integrity audit the
+    * frontier-model reports run (GPT-3 App. C / Llama style): an eval
+    * document is contaminated where it shares a ≥L-character EXACT
+    * substring with any train document. Same reduction as
+    * [[substringDedupOn]]: a position is covered by a shared ≥L
+    * substring iff its length-L window's key appears in the train
+    * split, so stride-1 window keys + a semi join against the DISTINCT
+    * train key set + the [[coveredSpans]] merge compute exactly the
+    * contaminated ranges — the substring-level complement of the
+    * shingle-set [[decontaminationOn]] (which scores SET overlap and
+    * misses a single long verbatim quote inside an otherwise-novel
+    * document; this operator is position-exact and catches it).
+    *
+    * Split membership is the [[hashSplit]] md5-bucket arithmetic
+    * (content-derived, oracle-reproducible). Output per eval doc:
+    * window totals, contaminated-window count and fraction, merged
+    * span count and the longest contaminated span. Scale shape is
+    * [[substringDedupOn]]'s: O(chars) hashing, only key/position longs
+    * shuffle, the train key set distinct-aggregates map-side, and the
+    * eval probe is AQE-splittable.
+    */
+  def substringDecontamination(spark: SparkSession, dir: String): DataFrame =
+    substringDecontaminationOn(Tables.documents(spark, dir))
+
+  def substringDecontaminationOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
+    val bucket = pmod(md5Hash32(col("text")), lit(10))
+    val grams = docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"),
+        posexplode(zip_with(
+          rollingWindowFingerprint(col("text"), L),
+          rollingWindowFingerprint2(col("text"), L),
+          (a, b) => struct(a.as("h1"), b.as("h2")))))
+      .select(col("doc_id"), col("split"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+    val trainKeys = grams.filter(col("split") === "train")
+      .select(col("h1"), col("h2")).distinct()
+      .withColumn("hit", lit(1L))
+    val ev = grams.filter(col("split") =!= "train")
+      .join(trainKeys, Seq("h1", "h2"), "left")
+      .select(col("doc_id"), col("split"), col("pos"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+    val summary = ev.groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("hit")).as("n_contaminated"))
+    val spanAgg = coveredSpans(
+        ev.filter(col("hit") === 1L).select(col("doc_id"), col("pos")), L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("span_end") - col("span_start")).as("longest_span"))
+    summary.join(spanAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_windows"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_windows"))
+          .as("contamination"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .orderBy(col("doc_id"))
   }
 
   /** The CLIP that [[substringDedup]]'s span table exists for: each

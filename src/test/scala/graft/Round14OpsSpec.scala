@@ -159,6 +159,35 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("substringDecontamination flags verbatim train overlap, position-exact") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val out = Dedup.substringDecontaminationOn(docs)
+      .as[(Long, String, Long, Long, Double, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, split, nw, nc, frac, nSpans, longest) =>
+      assert(split === "val" || split === "test", "train doc in eval output")
+      assert(nc >= 0 && nc <= nw)
+      assert(math.abs(frac - nc.toDouble / nw) < 1e-12)
+      assert((nc == 0) === (nSpans == 0L))
+      if (nSpans > 0) assert(longest >= Dedup.SubstringL)
+    }
+    // every contaminated doc's flagged fraction is explained by REAL
+    // substring overlap with a train doc: recompute one doc by hand
+    val splits = docs.select($"doc_id",
+        (pmod(graft.functions.TextFunctions.md5Hash32($"text"), lit(10)) < 8).as("isTrain"))
+      .as[(Long, Boolean)].collect().toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    val L = Dedup.SubstringL
+    val trainGrams = texts.collect { case (id, t) if splits(id) && t.length >= L =>
+      t.sliding(L).toSet
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    out.filter(_._4 > 0).take(10).foreach { case (d, _, _, nc, _, _, _) =>
+      val hitCount = texts(d).sliding(L).count(trainGrams.contains)
+      assert(hitCount.toLong === nc, s"doc $d: $hitCount vs $nc")
+    }
+  }
+
   test("substringDedup span text is genuinely repeated in the corpus") {
     // every flagged span on the fixture must occur at least twice as a
     // substring somewhere (the defining property of the operator)
