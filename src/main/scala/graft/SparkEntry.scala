@@ -123,6 +123,9 @@ object SparkEntry {
     // sides, so the hash match grades the redaction regexes themselves
     "q_redact_pii"      -> (TextAnalysis.redactPii _),
     "q_fingerprint"     -> (TextAnalysis.fingerprint _),
+    // robust winnowing (MOSS): rightmost-min fingerprint per hash
+    // window — the sublinear near-dup index (density ~2/(W+1))
+    "q_winnow"          -> (TextAnalysis.winnowFingerprints _),
     "q_repetition"      -> (TextAnalysis.repetitionScore _),
     // C4-style corpus-wide boilerplate strip + document REASSEMBLY
     // (the cleaned corpus as output, not a flag report)
@@ -1619,6 +1622,26 @@ object SparkEntry {
          |  list_transform(generate_series(1, length(text)), i -> CAST(ord(substr(text,i,1)) AS BIGINT))),
          |  (acc,c) -> (acc*31+c)%1000000007) AS fp_rolling
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // robust winnowing re-derived: per-position k-gram fold, rightmost
+    // window minimum via min over {'h', 'np': -pos} structs, full
+    // windows only, distinct selections
+    "q_winnow" -> {
+      val k = graft.operators.TextAnalysis.WinnowK
+      val w = graft.operators.TextAnalysis.WinnowW
+      s"""WITH p AS (SELECT doc_id, text,
+         |    CAST(unnest(generate_series(1, length(text) - ${k - 1})) AS BIGINT) AS pos
+         |  FROM documents WHERE length(text) >= ${k + w - 1}),
+         |h AS (SELECT doc_id, pos, ${rollSql(s"substr(text, pos, $k)")} AS h FROM p),
+         |sel AS (SELECT doc_id, pos,
+         |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
+         |    max(pos) OVER (PARTITION BY doc_id) AS n_pos
+         |  FROM h)
+         |SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS fp
+         |FROM sel WHERE pos <= n_pos - ${w - 1}
+         |ORDER BY doc_id, pos""".stripMargin
+    },
 
     "q_repetition" ->
       """SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,

@@ -595,6 +595,56 @@ object TextAnalysis {
         rollingFingerprint(col("text")).as("fp_rolling"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing parameters (Schleimer et al. 2003, the MOSS selection):
+    * k-gram size [[WinnowK]] and window [[WinnowW]] guarantee that any
+    * shared substring of ≥ WinnowW + WinnowK − 1 characters between
+    * two documents shares at least one selected fingerprint, while the
+    * expected density is 2/(WinnowW+1) of positions — the sublinear
+    * fingerprint index the stride-1 substring machinery trades
+    * completeness for.
+    */
+  val WinnowK = 8
+  val WinnowW = 8
+
+  /** Robust-winnowing fingerprint selection: per position the k-gram
+    * rolling hash (ONE Rabin-Karp pass —
+    * [[graft.functions.TextFunctions.rollingWindowFingerprint]]), then
+    * each length-[[WinnowW]] window of consecutive hashes selects its
+    * minimum, RIGHTMOST on ties (min over struct(h, −pos), the robust
+    * rule that keeps the expected density at 2/(W+1) instead of
+    * re-selecting on every slide), deduplicated. Output
+    * (doc_id, pos, fp) is the standard sublinear near-dup index: at
+    * corpus scale only the winnowed ~2n/(W+1) keys enter the
+    * dedup/index shuffles instead of every position, and the selection
+    * itself is one per-doc window pass over codegen-hashed longs.
+    * Fully deterministic → full oracle gate.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintsOn(Tables.documents(spark, dir))
+
+  def winnowFingerprintsOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = WinnowK
+    val w = WinnowW
+    val hashes = docs
+      .filter(length(col("text")) >= k + w - 1) // at least one full window
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.rollingWindowFingerprint(col("text"), k)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hashes
+      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(byDoc.rowsBetween(Window.currentRow, w - 1)))
+      // only FULL windows select (the guarantee is stated over them);
+      // n_positions per doc = length - k + 1, window starts end W-1 early
+      .withColumn("n_pos", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n_pos") - (w - 1))
+      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** C4/CCNet-style boilerplate removal: the corpus-wide "most common
     * lines" cleanup, reshaped for the fixture's unlined prose as
     * non-overlapping [[BoilerplateWindow]]-word segments. Any segment

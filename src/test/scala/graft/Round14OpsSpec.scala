@@ -188,6 +188,41 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("winnowing: guarantee threshold and expected density hold") {
+    import graft.operators.TextAnalysis
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowW
+    // planted: docs 1 and 2 share exactly a (w + k - 1)-char substring —
+    // the guarantee threshold — inside otherwise-distinct text
+    val shared = "ABCDEFGHIJKLMNO".take(w + k - 1)
+    assert(shared.length === w + k - 1)
+    val docs = Seq(
+      (1L, s"first document unique prefix $shared and a distinct one tail"),
+      (2L, s"second doc other start here $shared totally different ending"),
+      // alphabet-disjoint from docs 1-2: sharing ANY 8-gram (even one
+      // common word like "document") is true sharing, not false
+      (3L, "33333 4444444 55555555 666666 77777777 8888888 9999999 000000"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintsOn(docs)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // Schleimer et al.'s theorem: a shared substring of length >= w+k-1
+    // must contribute at least one common fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "guarantee violated")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "false sharing")
+    // density on the fixture: expected 2/(w+1) of positions, loose band
+    val corpus = graft.tables.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val nPositions = corpus.as[(Long, String)].collect()
+      .map { case (_, t) => math.max(0, t.codePoints().count().toInt - k + 1) }
+      .map(_.toLong).sum
+    val nFps = TextAnalysis.winnowFingerprintsOn(corpus).count()
+    val density = nFps.toDouble / nPositions
+    info(f"winnow density = $density%.3f (theoretical ${2.0 / (w + 1)}%.3f)")
+    assert(density > 1.0 / (w + 1) && density < 4.0 / (w + 1),
+      f"density $density%.3f outside the 2/(w+1) band")
+  }
+
   test("substringDedup span text is genuinely repeated in the corpus") {
     // every flagged span on the fixture must occur at least twice as a
     // substring somewhere (the defining property of the operator)
