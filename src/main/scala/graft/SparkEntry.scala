@@ -126,6 +126,9 @@ object SparkEntry {
     // robust winnowing (MOSS): rightmost-min fingerprint per hash
     // window — the sublinear near-dup index (density ~2/(W+1))
     "q_winnow"          -> (TextAnalysis.winnowFingerprints _),
+    // the MOSS decision layer: df-capped posting-list pair join over
+    // the winnowed index, >= 3 distinct shared fingerprints = match
+    "q_winnow_pairs"    -> (TextAnalysis.winnowPairs _),
     "q_repetition"      -> (TextAnalysis.repetitionScore _),
     // C4-style corpus-wide boilerplate strip + document REASSEMBLY
     // (the cleaned corpus as output, not a flag report)
@@ -914,6 +917,25 @@ object SparkEntry {
        |WHERE est_jaccard >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Robust winnowing re-derived — ends at CTE `wfp(doc_id, pos, fp)`;
+    * shared by q_winnow and the q_winnow_pairs decision layer.
+    */
+  private lazy val winnowCtes: String = {
+    val k = graft.operators.TextAnalysis.WinnowK
+    val w = graft.operators.TextAnalysis.WinnowW
+    s"""p AS (SELECT doc_id, text,
+       |    CAST(unnest(generate_series(1, length(text) - ${k - 1})) AS BIGINT) AS pos
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |h AS (SELECT doc_id, pos, ${rollSql(s"substr(text, pos, $k)")} AS h FROM p),
+       |sel AS (SELECT doc_id, pos,
+       |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
+       |    max(pos) OVER (PARTITION BY doc_id) AS n_pos
+       |  FROM h),
+       |wfp AS (SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS fp
+       |  FROM sel WHERE pos <= n_pos - ${w - 1})""".stripMargin
+  }
+
   /** The exact-substring span table re-derived (Dedup.substringDedupOn
     * twin): stride-1 window hashes via the per-substring rolling fold,
     * count-over-key repeats, gaps-and-islands merge — ends at CTE
@@ -1626,21 +1648,31 @@ object SparkEntry {
     // robust winnowing re-derived: per-position k-gram fold, rightmost
     // window minimum via min over {'h', 'np': -pos} structs, full
     // windows only, distinct selections
-    "q_winnow" -> {
-      val k = graft.operators.TextAnalysis.WinnowK
-      val w = graft.operators.TextAnalysis.WinnowW
-      s"""WITH p AS (SELECT doc_id, text,
-         |    CAST(unnest(generate_series(1, length(text) - ${k - 1})) AS BIGINT) AS pos
-         |  FROM documents WHERE length(text) >= ${k + w - 1}),
-         |h AS (SELECT doc_id, pos, ${rollSql(s"substr(text, pos, $k)")} AS h FROM p),
-         |sel AS (SELECT doc_id, pos,
-         |    min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m,
-         |    max(pos) OVER (PARTITION BY doc_id) AS n_pos
-         |  FROM h)
-         |SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS fp
-         |FROM sel WHERE pos <= n_pos - ${w - 1}
-         |ORDER BY doc_id, pos""".stripMargin
+    "q_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos""".stripMargin,
+
+    // the MOSS decision layer: df-capped posting lists, within-key
+    // pair enumeration, containment vs the smaller fingerprint set
+    "q_winnow_pairs" -> {
+      val maxDf = graft.operators.TextAnalysis.WinnowMaxDf
+      val minShared = graft.operators.TextAnalysis.WinnowMinShared
+      val pct = graft.operators.TextAnalysis.WinnowOverlapPct
+      s"""WITH $winnowCtes,
+         |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+         |keep AS (SELECT fp FROM dfp GROUP BY fp
+         |  HAVING count(*) >= 2 AND count(*) <= $maxDf),
+         |kept AS (SELECT doc_id, dfp.fp FROM dfp JOIN keep ON dfp.fp = keep.fp),
+         |sz AS (SELECT doc_id, count(*) AS n_fps FROM dfp GROUP BY 1),
+         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+         |SELECT id_a, id_b, n_shared,
+         |  n_shared::DOUBLE / least(sa.n_fps, sb.n_fps)::DOUBLE AS containment
+         |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+         |WHERE n_shared * 100 >= least(sa.n_fps, sb.n_fps) * $pct
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_repetition" ->

@@ -645,6 +645,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** [[winnowPairsOn]]'s bounds: fingerprints appearing in more than
+    * [[WinnowMaxDf]] documents are dropped before pairing (MOSS's
+    * common-code elimination — corpus-wide boilerplate grams would
+    * otherwise fan into df² pairs per key); a pair reports when its
+    * distinct shared fingerprints cover ≥ [[WinnowOverlapPct]]% of the
+    * SMALLER document's fingerprint set (containment — scale-free
+    * where a raw shared count is corpus-density-dependent: on this
+    * fixture background pairs sit at ~6% containment, planted
+    * near-dups above 50%), with [[WinnowMinShared]] as the tiny-doc
+    * floor.
+    */
+  val WinnowMaxDf = 50
+  val WinnowMinShared = 3
+  val WinnowOverlapPct = 50
+
+  /** MOSS-style match detection over the winnowed index: document
+    * pairs whose distinct shared fingerprints contain ≥ half of the
+    * smaller side's fingerprint set — the decision layer over
+    * [[winnowFingerprintsOn]], and the fourth near-dup family next to
+    * MinHash set-resemblance, embedding cosine, and lexical tf-cosine
+    * (winnowing matches LOCALIZED verbatim runs ≥ W+k−1 chars, which
+    * set-level resemblance dilutes away on long documents). Scale
+    * shape: pair enumeration happens only inside a fingerprint's
+    * posting list, df-capped at [[WinnowMaxDf]] — ≤ C(df,2) pairs per
+    * key, the bounded inverted-index join every plagiarism/near-dup
+    * service runs — over an index that is already only ~2/(W+1) of
+    * corpus positions; the per-doc size table joins the (already
+    * aggregated) pair counts, never the postings.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOn(Tables.documents(spark, dir))
+
+  def winnowPairsOn(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprintsOn(docs)
+      .select(col("doc_id"), col("fp")).distinct()
+    val keepKeys = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
+      .select(col("fp"))
+    val kept = fps.join(keepKeys, Seq("fp"), "left_semi")
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val shared = kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    // exact long arithmetic for the threshold (100·shared ≥ pct·min);
+    // the reported containment double is one correctly-rounded
+    // division on identical inputs in both engines
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("nb")), "id_b")
+      .filter(col("n_shared") * 100 >= least(col("na"), col("nb")) * WinnowOverlapPct)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** C4/CCNet-style boilerplate removal: the corpus-wide "most common
     * lines" cleanup, reshaped for the fixture's unlined prose as
     * non-overlapping [[BoilerplateWindow]]-word segments. Any segment

@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-14 surface: the replay-clock gated session stream (shares the
-  * batch q_sessions oracle) and the file-source k-means replay.
+  * batch q_sessions oracle), the exact-substring family (Rabin-Karp
+  * window hashes, span dedup, clip, position-exact decontamination),
+  * robust winnowing + its MOSS match layer, and the scale-bound fixes
+  * (statsAgg repartition invariance, zorderKey domain guard).
   */
 class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   import spark.implicits._
@@ -221,6 +224,28 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     info(f"winnow density = $density%.3f (theoretical ${2.0 / (w + 1)}%.3f)")
     assert(density > 1.0 / (w + 1) && density < 4.0 / (w + 1),
       f"density $density%.3f outside the 2/(w+1) band")
+  }
+
+  test("winnowPairs: near-identical docs match, a single short shared run does not") {
+    import graft.operators.TextAnalysis
+    val base = "the winnowed index selects one fingerprint per window of " +
+      "consecutive hashes and guarantees detection of long verbatim runs " +
+      "across documents in the corpus with bounded density"
+    val shared15 = "XYZQWRTPLMKNBVC" // w + k - 1 chars, alphabet-disjoint
+    val docs = Seq(
+      (1L, base),
+      // near-dup of 1: one word substituted mid-text
+      (2L, base.replace("bounded", "limited")),
+      // shares ONLY the 15-char run with doc 4 — one fingerprint class,
+      // far below half of either side's fingerprint set
+      (3L, s"completely different material here $shared15 nothing else aligns with anything"),
+      (4L, s"some other unrelated sentence body $shared15 trailing words diverge too"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairsOn(docs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"unexpected match set: ${pairs.toSeq}")
+    assert(pairs.head._4 >= 0.5)
   }
 
   test("substringDedup span text is genuinely repeated in the corpus") {
