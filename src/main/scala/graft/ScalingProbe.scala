@@ -60,6 +60,8 @@ object ScalingProbe {
       case "lsh"             => graft.operators.Dedup.minhashLshPairsOn(docs, prodHash = true)
       case "exact"           => graft.operators.Dedup.exactDedupOn(docs)
       case "substring"       => graft.operators.Dedup.substringDedupOn(docs)
+      case "substring_decon" => graft.operators.Dedup.substringDecontaminationOn(docs)
+      case "winnow_pairs"    => graft.operators.TextAnalysis.winnowPairsOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
       case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
