@@ -96,8 +96,12 @@ object Bench {
       try Some(new java.io.PrintWriter(new java.io.FileWriter(p, false)))
       catch { case _: Throwable => None }
     }
+    // malformed values fall back to 1 run — the bench must always
+    // complete (the sidecar writer swallows Throwable for the same
+    // reason)
     val benchRuns = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1")
+        .trim.toInt).getOrElse(1))
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val runs = (1 to benchRuns).map { _ =>
         val t0 = System.nanoTime()

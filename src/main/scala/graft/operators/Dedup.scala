@@ -1229,8 +1229,17 @@ object Dedup {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     substringDedupOn(Tables.documents(spark, dir))
 
-  def substringDedupOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def substringDedupOn(docs: DataFrame, L: Int = SubstringL): DataFrame =
+    substringSpans(docs, L)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** The span table without the presentation sort — [[substringClipOn]]
+    * consumes it into windows/joins where a sort is wasted work.
+    */
+  private def substringSpans(docs: DataFrame, L: Int): DataFrame = {
     val grams = docs
       .filter(length(col("text")) >= L)
       .select(col("doc_id"), posexplode(zip_with(
@@ -1247,10 +1256,6 @@ object Dedup {
       .join(repeatedKeys, Seq("h1", "h2"), "left_semi")
       .select(col("doc_id"), col("pos"))
     coveredSpans(repeated, L)
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start")).as("span_len"),
-        col("n_windows"))
-      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Gaps-and-islands merge of length-`L` windows into maximal covered
@@ -1301,6 +1306,15 @@ object Dedup {
     substringDecontaminationOn(Tables.documents(spark, dir))
 
   def substringDecontaminationOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
+    // `grams` (and the ev join over it) is deliberately NOT persisted:
+    // it is a corpus-sized exploded intermediate, the exact shape the
+    // [[decontaminationWith]] A/B measured as cheaper to recompute
+    // fused into each branch's first shuffle than to materialize (a
+    // persist spills an exploded copy of the corpus); the branches'
+    // common join subtree additionally canonicalizes equal, so
+    // ReuseExchange serves the second consumer from the first's
+    // shuffle files. Everything is deterministic — per-branch
+    // recompute cannot diverge.
     val bucket = pmod(md5Hash32(col("text")), lit(10))
     val grams = docs
       .filter(length(col("text")) >= L)
@@ -1355,8 +1369,12 @@ object Dedup {
 
   def substringClipOn(docs: DataFrame, L: Int = SubstringL): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = substringDedupOn(docs, L)
+    // two consumers (segment window + tail agg) with the corpus-wide
+    // window-hash pass in the lineage — materialize the small span
+    // table once (output-bounded: one row per merged span)
+    val spans = substringSpans(docs, L)
       .select(col("doc_id"), col("span_start"), col("span_end"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val mids = spans
       .select(col("doc_id"),

@@ -622,7 +622,14 @@ object TextAnalysis {
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintsOn(Tables.documents(spark, dir))
 
-  def winnowFingerprintsOn(docs: DataFrame): DataFrame = {
+  def winnowFingerprintsOn(docs: DataFrame): DataFrame =
+    winnowSelect(docs).orderBy(col("doc_id"), col("pos"))
+
+  /** The selection without the presentation sort — [[winnowPairsOn]]
+    * consumes this (a sort feeding straight into distinct/joins is
+    * wasted work).
+    */
+  private def winnowSelect(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = WinnowK
     val w = WinnowW
@@ -642,7 +649,6 @@ object TextAnalysis {
       .filter(col("pos") <= col("n_pos") - (w - 1))
       .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
       .distinct()
-      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** [[winnowPairsOn]]'s bounds: fingerprints appearing in more than
@@ -678,8 +684,13 @@ object TextAnalysis {
     winnowPairsOn(Tables.documents(spark, dir))
 
   def winnowPairsOn(docs: DataFrame): DataFrame = {
-    val fps = winnowFingerprintsOn(docs)
+    // four consumers (df filter, both self-join sides, sizes) — the
+    // winnowed index is the ~2/(W+1)-density artifact a service
+    // materializes anyway, so checkpoint it once instead of replaying
+    // the explode + window selection per branch
+    val fps = winnowSelect(docs)
       .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint()
     val keepKeys = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)

@@ -38,8 +38,10 @@ object EventStreams {
     * on accumulation order (and Spark-vs-DuckDB round() diverges on .5
     * boundaries), while integer addition is exact and order-independent
     * in every engine — the only gate-stable way to sum money.
+    * `lastMicros` is the FULL-MICROSECOND last-event instant (see
+    * [[tsMicros]]) so gap decisions match the batch/oracle precision.
     */
-  case class SessionState(nEvents: Long, totalCents: Long, lastTs: Long)
+  case class SessionState(nEvents: Long, totalCents: Long, lastMicros: Long)
 
   /** Emitted when a session closes (watermark passes gap timeout). */
   case class ClosedSession(user_id: Long, n_events: Long,
@@ -77,6 +79,16 @@ object EventStreams {
     */
   private def replayKey(ts: Timestamp, eventId: Long): (Long, Int, Long) =
     (ts.getTime, ts.getNanos, eventId)
+
+  /** Full-microsecond instant of a Timestamp. Session GAP decisions
+    * must compare at this precision: the batch `session_window` and
+    * the DuckDB oracles subtract full-microsecond timestamps, while
+    * `getTime` truncates to milliseconds — two events whose true gap
+    * is 1,799,999,2xx µs (< 30 min) can truncate to exactly
+    * 1,800,000 ms and split a session the batch twin merges.
+    */
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
   /** Runs a finite replay to completion and asserts the data arrived
     * in ONE micro-batch. The stateful per-user ops sort each batch by
@@ -154,9 +166,9 @@ object EventStreams {
             val s = state.get
             state.remove()
             Iterator.single(ClosedSession(userId, s.nEvents, s.totalCents,
-              new Timestamp(s.lastTs)))
+              new Timestamp(math.floorDiv(s.lastMicros, 1000L))))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => replayKey(e.ts, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
@@ -165,21 +177,23 @@ object EventStreams {
               // negative values landing exactly on a half-cent
               val c0 = e.value * 100
               val cents = if (c0 >= 0) math.round(c0) else -math.round(-c0)
+              val em = tsMicros(e.ts)
               cur match {
-                case Some(s) if e.ts.getTime - s.lastTs < gapMs =>
+                case Some(s) if em - s.lastMicros < gapMs * 1000L =>
                   cur = Some(SessionState(s.nEvents + 1, s.totalCents + cents,
-                    math.max(s.lastTs, e.ts.getTime)))
+                    math.max(s.lastMicros, em)))
                 case Some(s) =>
                   closed += ClosedSession(userId, s.nEvents, s.totalCents,
-                    new Timestamp(s.lastTs))
-                  cur = Some(SessionState(1L, cents, e.ts.getTime))
+                    new Timestamp(math.floorDiv(s.lastMicros, 1000L)))
+                  cur = Some(SessionState(1L, cents, em))
                 case None =>
-                  cur = Some(SessionState(1L, cents, e.ts.getTime))
+                  cur = Some(SessionState(1L, cents, em))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // the event-time timeout clock is millisecond-grained
+              state.setTimeoutTimestamp(math.floorDiv(s.lastMicros, 1000L) + gapMs)
             }
             closed.result().iterator
           }
@@ -402,26 +416,28 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           val sorted = rows.toSeq.sortBy(e => replayKey(e.ts, e.event_id))
           val out = Seq.newBuilder[GatedSession]
-          // (start, lastMs, n, sum) of the open session
+          // (start, lastMicros, n, sum) of the open session; the gap
+          // compares FULL microseconds ([[tsMicros]]) — the batch
+          // session_window precision the row-for-row contract demands
           var cur: Option[(Timestamp, Long, Long, Double)] = None
           def close(s: (Timestamp, Long, Long, Double)): Unit =
             out += GatedSession(userId, s._1, s._3,
               java.math.BigDecimal.valueOf(s._4)
                 .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
           sorted.foreach { e =>
+            val em = tsMicros(e.ts)
             cur match {
-              case Some(s) if e.ts.getTime - s._2 < gapMs =>
-                cur = Some((s._1, math.max(s._2, e.ts.getTime),
-                  s._3 + 1, s._4 + e.value))
+              case Some(s) if em - s._2 < gapMs * 1000L =>
+                cur = Some((s._1, math.max(s._2, em), s._3 + 1, s._4 + e.value))
               case other =>
                 other.foreach(close)
-                cur = Some((e.ts, e.ts.getTime, 1L, e.value))
+                cur = Some((e.ts, em, 1L, e.value))
             }
           }
           // replay clock: the whole history is in this batch, so every
-          // session closes inline and no state survives the replay
+          // session closes inline; `state` is deliberately never
+          // written — NoTimeout + single-batch replay needs none
           cur.foreach(close)
-          if (state.exists) state.remove()
           out.result().iterator
       }
     StreamConf.withStatePartitions(spark, 4) {

@@ -56,12 +56,16 @@ class Round7OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .as[(Long, java.sql.Timestamp, Double)].collect()
     val maxTs = events.map(_._2.getTime).max
     val watermark = maxTs - gapMs // 30 min delay
+    // gap decisions at FULL microseconds — the operator's precision
+    // (the engine's timeout/watermark clock stays millisecond-grained)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     // batch sessionization per user (gap >= 30 min starts a new session)
     val expected = events.groupBy(_._1).flatMap { case (user, evs) =>
-      val sorted = evs.sortBy(_._2.getTime)
+      val sorted = evs.sortBy(e => micros(e._2))
       val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, java.sql.Timestamp, Double)]]) {
         case (acc, e) =>
-          if (acc.nonEmpty && e._2.getTime - acc.last.last._2.getTime < gapMs)
+          if (acc.nonEmpty && micros(e._2) - micros(acc.last.last._2) < gapMs * 1000L)
             acc.init :+ (acc.last :+ e)
           else acc :+ Vector(e)
       }
