@@ -301,6 +301,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       !plan.contains("BroadcastNestedLoopJoin"), "quadratic join shape")
   }
 
+  test("q_winnow_pairs: checkpointed index, df-capped key join, no cartesian") {
+    val df = SparkEntry.queries("q_winnow_pairs")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the winnowed index is materialized once (checkpoint scan), so
+    // the explode + window selection never re-plans per branch
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD"),
+      "winnow selection not checkpointed")
+    // pair enumeration is an equi-join on fp (posting lists), with the
+    // pair counts partial-aggregated map-side — never a cross product
+    assert(plan.contains("partial_count"), "pair counts have no partial phase")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "quadratic join shape")
+  }
+
   test("q_boilerplate: segment count has a map-side partial phase before its shuffle") {
     // the corpus-wide segment count must partially aggregate before
     // shuffling (the wordCount discipline) — a raw segment shuffle is
