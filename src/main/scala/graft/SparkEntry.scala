@@ -968,11 +968,16 @@ object SparkEntry {
   /** Gaps-and-islands sessionization — shared by the batch q_sessions
     * and its replay-clock streaming twin q_stream_sessions_gated
     * (which closes every session inline, reproducing the batch rows).
+    * The split is STRICTLY-greater-than-gap: Spark's `session_window`
+    * merges an event landing exactly at the previous session's end
+    * (adjacent per-event windows coalesce), so `>=` here would split
+    * a session the engine merges whenever a gap hits 30:00.000000
+    * exactly — the round-14 boundary spec pins this.
     */
   private val sessionsSql: String =
     """WITH flagged AS (SELECT user_id, ts, value,
       |  CASE WHEN lag(ts) OVER w IS NULL
-      |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |sess AS (SELECT user_id, ts, value,
       |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
@@ -2547,7 +2552,7 @@ object SparkEntry {
     "q_stream_sessions" ->
       """WITH flagged AS (SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (SELECT user_id, ts, value,
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid

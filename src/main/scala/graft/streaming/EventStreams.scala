@@ -83,9 +83,10 @@ object EventStreams {
   /** Full-microsecond instant of a Timestamp. Session GAP decisions
     * must compare at this precision: the batch `session_window` and
     * the DuckDB oracles subtract full-microsecond timestamps, while
-    * `getTime` truncates to milliseconds — two events whose true gap
-    * is 1,799,999,2xx µs (< 30 min) can truncate to exactly
-    * 1,800,000 ms and split a session the batch twin merges.
+    * `getTime` truncates to milliseconds — a true gap of
+    * 1,800,000,8xx µs (> 30 min, a new session in the batch twin)
+    * truncates to exactly 1,800,000 ms and a getTime-based rule would
+    * merge it. The round-14 boundary spec pins both directions.
     */
   private def tsMicros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
@@ -179,7 +180,7 @@ object EventStreams {
               val cents = if (c0 >= 0) math.round(c0) else -math.round(-c0)
               val em = tsMicros(e.ts)
               cur match {
-                case Some(s) if em - s.lastMicros < gapMs * 1000L =>
+                case Some(s) if em - s.lastMicros <= gapMs * 1000L =>
                   cur = Some(SessionState(s.nEvents + 1, s.totalCents + cents,
                     math.max(s.lastMicros, em)))
                 case Some(s) =>
@@ -417,8 +418,10 @@ object EventStreams {
           val sorted = rows.toSeq.sortBy(e => replayKey(e.ts, e.event_id))
           val out = Seq.newBuilder[GatedSession]
           // (start, lastMicros, n, sum) of the open session; the gap
-          // compares FULL microseconds ([[tsMicros]]) — the batch
-          // session_window precision the row-for-row contract demands
+          // compares FULL microseconds ([[tsMicros]]) and continues
+          // the session at EXACTLY the gap (session_window merges
+          // adjacent per-event windows) — the batch semantics the
+          // row-for-row contract demands
           var cur: Option[(Timestamp, Long, Long, Double)] = None
           def close(s: (Timestamp, Long, Long, Double)): Unit =
             out += GatedSession(userId, s._1, s._3,
@@ -427,7 +430,7 @@ object EventStreams {
           sorted.foreach { e =>
             val em = tsMicros(e.ts)
             cur match {
-              case Some(s) if em - s._2 < gapMs * 1000L =>
+              case Some(s) if em - s._2 <= gapMs * 1000L =>
                 cur = Some((s._1, math.max(s._2, em), s._3 + 1, s._4 + e.value))
               case other =>
                 other.foreach(close)

@@ -37,6 +37,47 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(gated === batch)
   }
 
+  test("session gap decisions hold at the microsecond boundary") {
+    // two events whose true gap is 1,799,999,800 us (< 30 min) but
+    // whose millisecond truncations sit exactly 1,800,000 ms apart —
+    // a getTime-based gap would split the session the batch
+    // session_window merges (the round-14 review finding)
+    val base = 1700000000000000L // epoch micros
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = Seq(
+      (1L, ts(base + 900L), 7L, "view", 1.0, "{}"),
+      (2L, ts(base + 1800000100L), 7L, "view", 2.0, "{}"),
+      // exactly 30 min apart: session_window MERGES the adjacent
+      // per-event windows (end == start coalesces) — the `<=` rule
+      (3L, ts(base + 5000000000L), 8L, "view", 1.0, "{}"),
+      (4L, ts(base + 6800000000L), 8L, "view", 1.0, "{}"),
+      // 30 min + 800 us: a true new session whose gap TRUNCATES to
+      // exactly 1,800,000 ms — a getTime-based rule would merge it
+      (5L, ts(base + 100L), 9L, "view", 1.0, "{}"),
+      (6L, ts(base + 1800000900L), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the streaming source globs for a single FILE named
+    // events.parquet (the fixture layout) — stage one part file
+    val dir = java.nio.file.Files.createTempDirectory("micro_gap").toString
+    rows.repartition(1).write.mode("overwrite").parquet(s"$dir/_stage")
+    val part = new java.io.File(s"$dir/_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val batch = EventAnalytics.sessions(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val streamed = EventStreams.streamedSessionsGated(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(batch.count(_._1 == 7L) === 1, s"batch split the sub-30min pair: $batch")
+    assert(batch.count(_._1 == 8L) === 1, s"batch split the exactly-30min pair: $batch")
+    assert(batch.count(_._1 == 9L) === 2, s"batch merged the 30min+800us pair: $batch")
+    assert(streamed === batch)
+  }
+
   test("rollingWindowFingerprint slides to the same values as per-substring folds") {
     import graft.functions.TextFunctions
     val L = 7

@@ -60,12 +60,13 @@ class Round7OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // (the engine's timeout/watermark clock stays millisecond-grained)
     def micros(t: java.sql.Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
-    // batch sessionization per user (gap >= 30 min starts a new session)
+    // batch sessionization per user (gap > 30 min starts a new session;
+    // session_window merges an event landing exactly at the gap)
     val expected = events.groupBy(_._1).flatMap { case (user, evs) =>
       val sorted = evs.sortBy(e => micros(e._2))
       val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, java.sql.Timestamp, Double)]]) {
         case (acc, e) =>
-          if (acc.nonEmpty && micros(e._2) - micros(acc.last.last._2) < gapMs * 1000L)
+          if (acc.nonEmpty && micros(e._2) - micros(acc.last.last._2) <= gapMs * 1000L)
             acc.init :+ (acc.last :+ e)
           else acc :+ Vector(e)
       }
