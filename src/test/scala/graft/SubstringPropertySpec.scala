@@ -96,6 +96,38 @@ class SubstringPropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: winnowing guarantee and density hold on generated corpora") {
+    import graft.operators.TextAnalysis
+    val k = TextAnalysis.WinnowK
+    val w = TextAnalysis.WinnowW
+    // two docs over DISJOINT alphabets except a planted shared run of
+    // exactly the guarantee length w+k-1
+    val gen = for {
+      run <- Gen.listOfN(w + k - 1, Gen.oneOf('0' to '9')).map(_.mkString)
+      a <- Gen.listOfN(60, Gen.oneOf('a' to 'm')).map(_.mkString)
+      b <- Gen.listOfN(60, Gen.oneOf('n' to 'z')).map(_.mkString)
+    } yield (run, a, b)
+    samples(gen, 12).foreach { case (run, a, b) =>
+      val docs = Seq((0L, s"$a$run${a.reverse}"), (1L, s"$b$run${b.reverse}"))
+        .toDF("doc_id", "text")
+      val fps = TextAnalysis.winnowFingerprintsOn(docs)
+        .as[(Long, Long, Long)].collect()
+      val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+      // guarantee: the shared >= w+k-1 run forces a common fingerprint
+      assert((byDoc(0L) & byDoc(1L)).nonEmpty,
+        s"guarantee violated for run '$run'")
+      // density: distinct selected positions stay within the winnowing
+      // band (1/w .. 4/(w+1)) of window positions per doc
+      Seq(0L, 1L).foreach { d =>
+        val nPos = (if (d == 0L) s"$a$run${a.reverse}" else s"$b$run${b.reverse}")
+          .length - k + 1
+        val sel = fps.count(_._1 == d).toDouble
+        assert(sel / nPos > 1.0 / (w + 1) && sel / nPos < 4.0 / (w + 1),
+          s"doc $d density ${sel / nPos} outside band")
+      }
+    }
+  }
+
   test("property: clip output equals manual excision on generated corpora") {
     val corpusGen: Gen[Seq[(Long, String)]] = for {
       block <- Gen.listOfN(50, Gen.alphaChar).map(_.mkString)
