@@ -127,8 +127,11 @@ object SparkEntry {
     // window — the sublinear near-dup index (density ~2/(W+1))
     "q_winnow"          -> (TextAnalysis.winnowFingerprints _),
     // the MOSS decision layer: df-capped posting-list pair join over
-    // the winnowed index, >= 3 distinct shared fingerprints = match
+    // the winnowed index, containment >= half the smaller side
     "q_winnow_pairs"    -> (TextAnalysis.winnowPairs _),
+    // the same selection as a STATELESS streaming projection (per-doc
+    // pure function -> no state, no shuffle); shares q_winnow's oracle
+    "q_stream_winnow"   -> (graft.streaming.DocumentStreams.streamedWinnow _),
     "q_repetition"      -> (TextAnalysis.repetitionScore _),
     // C4-style corpus-wide boilerplate strip + document REASSEMBLY
     // (the cleaned corpus as output, not a flag report)
@@ -1654,6 +1657,11 @@ object SparkEntry {
     // window minimum via min over {'h', 'np': -pos} structs, full
     // windows only, distinct selections
     "q_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos""".stripMargin,
+    // the stateless streaming projection reproduces the selection
+    // bit-for-bit on finite replay -> same oracle
+    "q_stream_winnow" ->
       s"""WITH $winnowCtes
          |SELECT doc_id, pos, fp FROM wfp ORDER BY doc_id, pos""".stripMargin,
 

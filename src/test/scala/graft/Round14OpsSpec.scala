@@ -267,6 +267,16 @@ class Round14OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       f"density $density%.3f outside the 2/(w+1) band")
   }
 
+  test("streamed winnow ingest equals the batch selection exactly") {
+    import graft.operators.TextAnalysis
+    val streamed = graft.streaming.DocumentStreams.streamedWinnow(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = TextAnalysis.winnowFingerprints(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("winnowPairs: near-identical docs match, a single short shared run does not") {
     import graft.operators.TextAnalysis
     val base = "the winnowed index selects one fingerprint per window of " +
