@@ -296,6 +296,35 @@ object ArrayMathExpressions {
       copy(child = newChild)
   }
 
+  /** Robust-winnowing position selection over an array of window
+    * hashes: for every full window of `win` consecutive hashes, the
+    * RIGHTMOST index of the minimum hash — exactly
+    * `min(struct(h, −pos))` per window (the DuckDB oracle's form, the
+    * tie rule of Schleimer et al.'s robust winnowing) — deduplicated,
+    * ascending, 1-based. One monotonic-deque pass: O(n) total versus
+    * the O(n·win) per-window scan, and a single codegen call versus
+    * the boxed higher-order transform/array_min chain (which measured
+    * ~6× slower as the streaming ingest's hot path). Selections never
+    * move left as the window slides, so consecutive-dedup IS distinct.
+    */
+  case class WinnowSelectExpr(child: Expression, win: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(win >= 1, s"window must be positive, got $win")
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_select"
+
+    override protected def nullSafeEval(input: Any): Any =
+      ArrayMathExpressions.winnowSelectPositions(input.asInstanceOf[ArrayData], win)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.sql.graft.ArrayMathExpressions.winnowSelectPositions($c, $win)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // Column builders — ExpressionUtils is private[sql], which is why this
   // file lives under org.apache.spark.sql (the standard seam for native
   // Catalyst extensions).
@@ -327,6 +356,47 @@ object ArrayMathExpressions {
 
   def rollingHashCol(c: Column, base: Long, mod: Long): Column =
     ExpressionUtils.column(RollingHashExpr(ExpressionUtils.expression(c), base, mod))
+
+  def winnowSelectCol(c: Column, win: Int): Column =
+    ExpressionUtils.column(WinnowSelectExpr(ExpressionUtils.expression(c), win))
+
+  /** Codegen entry point for [[WinnowSelectExpr]]: sliding-window
+    * minimum via a monotonic deque. Popping `>=` at push keeps the
+    * RIGHTMOST index among equal minima (the (h, −pos) struct-min tie
+    * rule); the deque holds strictly increasing hash values, front =
+    * the window's selection.
+    */
+  def winnowSelectPositions(hs: ArrayData, win: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n < win)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val dq = new Array[Int](n)
+    val out = new Array[Long](n - win + 1)
+    var head = 0
+    var tail = 0
+    var nOut = 0
+    var last = -1
+    var j = 0
+    while (j < n) {
+      val hj = hs.getLong(j)
+      while (tail > head && hs.getLong(dq(tail - 1)) >= hj) tail -= 1
+      dq(tail) = j
+      tail += 1
+      val start = j - win + 1
+      if (start >= 0) {
+        while (dq(head) < start) head += 1
+        val sel = dq(head)
+        if (sel != last) {
+          out(nOut) = sel + 1L // 1-based, the oracle's substr convention
+          nOut += 1
+          last = sel
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
+  }
 
   def rollingWindowHashCol(c: Column, win: Int): Column =
     ExpressionUtils.column(RollingWindowHashExpr(ExpressionUtils.expression(c), win))

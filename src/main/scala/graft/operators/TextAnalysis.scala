@@ -627,28 +627,26 @@ object TextAnalysis {
 
   /** The selection without the presentation sort — [[winnowPairsOn]]
     * consumes this (a sort feeding straight into distinct/joins is
-    * wasted work).
+    * wasted work). Winnowing is a pure PER-DOCUMENT function, so the
+    * whole selection runs as a stateless map: one Rabin-Karp pass for
+    * the hashes, one monotonic-deque pass for the rightmost-window-min
+    * positions ([[org.apache.spark.sql.graft.ArrayMathExpressions
+    * .WinnowSelectExpr]] — O(n), codegen, already-distinct output) —
+    * no shuffle at all before the consumer; the DuckDB oracle proves
+    * the deque against the per-window struct-min re-derivation.
     */
   private def winnowSelect(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val k = WinnowK
     val w = WinnowW
-    val hashes = docs
+    docs
       .filter(length(col("text")) >= k + w - 1) // at least one full window
-      .select(col("doc_id"), posexplode(
-        graft.functions.TextFunctions.rollingWindowFingerprint(col("text"), k)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    hashes
-      .withColumn("m", min(struct(col("h"), (-col("pos")).as("np")))
-        .over(byDoc.rowsBetween(Window.currentRow, w - 1)))
-      // only FULL windows select (the guarantee is stated over them);
-      // n_positions per doc = length - k + 1, window starts end W-1 early
-      .withColumn("n_pos", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("n_pos") - (w - 1))
-      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
-      .distinct()
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.rollingWindowFingerprint(col("text"), k).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        explode(org.apache.spark.sql.graft.ArrayMathExpressions
+          .winnowSelectCol(col("hs"), w)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("hs"), col("pos").cast("int")).as("fp"))
   }
 
   /** [[winnowPairsOn]]'s bounds: fingerprints appearing in more than

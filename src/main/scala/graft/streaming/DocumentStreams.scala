@@ -483,12 +483,11 @@ object DocumentStreams {
   /** Streaming winnowed-fingerprint ingest — the MOSS index fed by
     * arrivals: robust winnowing is a pure PER-DOCUMENT function
     * (hash positions, rightmost-min per window, distinct), so the
-    * stream computes it as a STATELESS projection — the batch
-    * operator's per-doc window functions become higher-order array
-    * expressions over the one-pass [[graft.functions.TextFunctions
-    * .rollingWindowFingerprint]] hashes (array_min over (h, −pos)
-    * structs = the same rightmost-min tie rule), no state store, no
-    * shuffle. Each arrival emits its ~2/(W+1)-density fingerprint rows
+    * stream computes it as a STATELESS projection — the same two
+    * codegen kernels as the batch operator (one Rabin-Karp pass for
+    * the hashes, one monotonic-deque pass for the selections), no
+    * state store, no shuffle. Each arrival emits its
+    * ~2/(W+1)-density fingerprint rows
     * for the downstream near-dup index ([[streamedNearDupPairs]]' seam
     * at sublinear key volume); finite replay equals the batch
     * selection bit-for-bit, so the query shares q_winnow's oracle.
@@ -498,16 +497,15 @@ object DocumentStreams {
     import graft.operators.TextAnalysis.{WinnowK, WinnowW}
     val k = WinnowK
     val w = WinnowW
-    val sel = transform(sequence(lit(1), size(col("hs")) - (w - 1)),
-      i => array_min(transform(sequence(i, i + lit(w - 1)),
-        j => struct(element_at(col("hs"), j).as("h"),
-          (-j).cast("long").as("np")))))
     val out = streamedDocs(spark, dir)
       .filter(length(col("text")) >= k + w - 1)
       .withColumn("hs",
         graft.functions.TextFunctions.rollingWindowFingerprint(col("text"), k))
-      .select(col("doc_id"), explode(array_distinct(sel)).as("m"))
-      .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("fp"))
+      .select(col("doc_id"), col("hs"),
+        explode(org.apache.spark.sql.graft.ArrayMathExpressions
+          .winnowSelectCol(col("hs"), w)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("hs"), col("pos").cast("int")).as("fp"))
     val q = out.writeStream.format("memory")
       .queryName("graft_stream_winnow")
       .outputMode(OutputMode.Append())
