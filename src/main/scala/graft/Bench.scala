@@ -141,6 +141,17 @@ object Bench {
     // carries a distinct metric name so a consumer grepping for
     // "total" can never double-count or pick the truncation-prone line.
     println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // Compact per-query vector, printed SECOND-TO-LAST so the driver's
+    // ~2000-char stdout tail (which keeps the END) always carries every
+    // per-query number: values only, 2 decimals, in sorted-query-name
+    // order (the same order as "queries" above and the sidecar lines —
+    // names are reconstructible from SparkEntry.queries.keys.sorted).
+    // 186 queries ≈ 1.1 KB, inside the tail window alongside the total
+    // line; the named detail line keeps full precision for larger
+    // captures and the sidecar remains the canonical durable record.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val vec = results.map { case (_, v, _) => f2(v) }.mkString("[", ",", "]")
+    println(s"""{"metric":"qvec","unit":"sec","order":"sorted_query_names","n":${results.size},"v":$vec}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":$ok,"n_queries":${results.size},"sf":"$sfDir"}""")
     sidecar.foreach { w =>
       w.println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":$ok,"n_queries":${results.size},"errors":$errs,"sf":"$sfDir"}""")

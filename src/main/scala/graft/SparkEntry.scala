@@ -256,7 +256,8 @@ object SparkEntry {
     "q_knn_pq" -> ((s: SparkSession, dir: String) => Similarity.pqKnn(s, dir)),
     // NSW-style graph ANN: navigable neighbor graph (blocked proximity
     // links + hash-ring shortcuts) searched by batch beam expansion;
-    // approximate -> rows-only, recall floors held by SimilaritySpec
+    // recall floors in SimilaritySpec, and since round 15 the whole
+    // build+search is mix31-deterministic -> full DuckDB oracle
     "q_knn_graph"       -> (Similarity.graphKnn _),
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
     // int8 scalar quantization: 4x vector compression with measured
@@ -289,7 +290,7 @@ object SparkEntry {
     "q_knn_quantized"   -> (Similarity.quantizedKnn _),
     // the same beam search over an NN-descent-built graph — the
     // O(N·M²)-per-round build whose round cost scales linearly with
-    // the corpus (approximate -> rows-only)
+    // the corpus; mix31-deterministic since round 15 -> full oracle
     "q_knn_graph_nnd"   -> ((s: SparkSession, dir: String) => Similarity.graphKnnNnd(s, dir)),
     // IVF-PQ-style composition: the int8 coarse pass confined to the
     // probed √N Lloyd cells of a partition-pruned packed layout — the
@@ -846,6 +847,180 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
        |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${Similarity.K}
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ——— graph-ANN oracles (round 15) ———
+  //
+  // The whole NSW-family pipeline — neighbor-graph BUILD (blocked
+  // proximity or NN-descent) + ring shortcuts + 5-hop batch beam
+  // SEARCH — re-derived in DuckDB. Feasible because round 15 swapped
+  // xxhash64 (no DuckDB analog) for the overflow-free 31-bit mixer
+  // [[graft.operators.Similarity.mix31]] everywhere the builders draw
+  // pseudo-randomness, making the full graph a deterministic pure
+  // function of the corpus (the q_knn_ivf_exact precedent). At the
+  // sf0.01 gate (n=500) neither chain is expensive; sampling and
+  // convergence checks only engage above 100k vectors, so the
+  // unrolled-4-round SQL is EXACTLY the plan the Spark side runs at
+  // gate scale.
+
+  /** DuckDB twin of [[graft.operators.Similarity.mix31]]: xor-shift →
+    * ×73244475 mod 2^31, twice. Inlined textually (h0 appears 8× in
+    * the expansion — ~400 chars, cheaper than staged CTEs per salt).
+    */
+  private def mixSql(x: String, salt: String): String = {
+    val h0 = s"(($x + $salt) % 2147483648)"
+    val h1 = s"((xor($h0, $h0 >> 16) * 73244475) % 2147483648)"
+    val h2 = s"((xor($h1, $h1 >> 16) * 73244475) % 2147483648)"
+    s"xor($h2, $h2 >> 16)"
+  }
+
+  /** Shared scoring CTEs: `nn(n)` and `ev(vec_id, emb, n2)` — emb as
+    * DOUBLE list, n2 = Σxᵢ² folded in element order (bit-identical to
+    * CosineSimilarityExpr's interleaved accumulator: each of dot/na/nb
+    * is its own sequential sum).
+    */
+  private val graphEvSql =
+    """nn AS (SELECT count(*) AS n FROM embeddings),
+      |ev AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb,
+      |  list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS n2 FROM embeddings)""".stripMargin
+
+  private def gDotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  /** Cosine over ev rows with precomputed squared norms — same guard
+    * and same double ops as cosSql/CosineSimilarityExpr, minus the 4
+    * redundant norm recomputations per pair.
+    */
+  private def gSimSql(ae: String, an2: String, be: String, bn2: String) =
+    s"(CASE WHEN $an2 * $bn2 = 0 THEN 0.0 ELSE ${gDotSql(ae, be)} / (sqrt($an2) * sqrt($bn2)) END)"
+
+  private def gSqdSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** The two hash-ring shortcut families (Similarity.ringEdges): group
+    * by mix31(vec_id, salt) mod max(1, n/32), chain in (mix31(vec_id,
+    * salt+100), vec_id) order with wrap-around, drop self-loops. Both
+    * salts in one pass via a (salt) cross join, partitioned by
+    * (salt, grp). Ends at CTE `ring(src, dst)`.
+    */
+  private val ringSql =
+    s"""rg AS (SELECT vec_id, s.salt,
+       |    ${mixSql("vec_id", "s.salt")} % greatest(1, (SELECT n FROM nn) // 32) AS grp,
+       |    ${mixSql("vec_id", "(s.salt + 100)")} AS ord
+       |  FROM embeddings CROSS JOIN (SELECT unnest([1, 2]) AS salt) s),
+       |ring AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT vec_id AS src,
+       |    coalesce(lead(vec_id) OVER (PARTITION BY salt, grp ORDER BY ord, vec_id),
+       |      first_value(vec_id) OVER (PARTITION BY salt, grp ORDER BY ord, vec_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS dst
+       |  FROM rg) WHERE src <> dst)""".stripMargin
+
+  /** The batch beam search (Similarity.graphSearch) over a prebuilt
+    * `edges(src, dst)` CTE: entries = vec_id < GraphEntries crossed
+    * with the query set, then GraphHops rounds of expand-score-prune
+    * (dedup on (q_id, n_id) is DISTINCT over the full row — sim is a
+    * pure function of the pair, so both engines' arbitrary-keeper
+    * dedups agree). Final: drop self, rank ≤ K, round(sim, 6).
+    */
+  private def graphBeamSql(edges: String): String = {
+    import graft.operators.Similarity
+    val sb = new StringBuilder
+    sb ++= s""",
+      |qset AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb, n2 AS q_n2 FROM ev WHERE vec_id < ${Similarity.NumQueries}),
+      |beam0 AS MATERIALIZED (SELECT q_id, c.vec_id AS n_id, ${gSimSql("q_emb", "q_n2", "c.emb", "c.n2")} AS sim
+      |  FROM ev c CROSS JOIN qset WHERE c.vec_id < ${Similarity.GraphEntries})""".stripMargin
+    for (h <- 1 to Similarity.GraphHops) {
+      sb ++= s""",
+        |bn$h AS MATERIALIZED (SELECT DISTINCT b.q_id, ed.dst AS n_id FROM beam${h - 1} b JOIN $edges ed ON ed.src = b.n_id),
+        |bs$h AS MATERIALIZED (SELECT nb.q_id, nb.n_id, ${gSimSql("q.q_emb", "q.q_n2", "c.emb", "c.n2")} AS sim
+        |  FROM bn$h nb JOIN ev c ON c.vec_id = nb.n_id JOIN qset q ON q.q_id = nb.q_id),
+        |beam$h AS MATERIALIZED (SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+        |  FROM (SELECT DISTINCT q_id, n_id, sim FROM
+        |    (SELECT * FROM beam${h - 1} UNION ALL SELECT * FROM bs$h))) WHERE r <= ${Similarity.GraphBeam})""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM (
+      |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM beam${Similarity.GraphHops} WHERE q_id <> n_id)
+      |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
+    sb.toString
+  }
+
+  /** q_knn_graph_nnd re-derived: deterministic mix31 init (GraphM
+    * pseudo-neighbors per node), NndRounds unrolled rounds of
+    * neighbor-of-neighbor proposals (top-M per src → undirected view →
+    * mid-join → anti-join vs the scored accumulator → score only the
+    * fresh pairs), final top-M ∪ ring, then the shared beam search.
+    * No ρ-sampling and no convergence exit below 100k vectors, so the
+    * unroll is exactly the gate-scale Spark plan.
+    */
+  private lazy val nndGraphSql: String = {
+    import graft.operators.Similarity
+    val m = Similarity.GraphM
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphEvSql,
+      |$ringSql,
+      |ini AS MATERIALIZED (SELECT DISTINCT least(vec_id, nbr) AS x, greatest(vec_id, nbr) AS y FROM (
+      |  SELECT vec_id, ${mixSql("vec_id", "(j * 31 + 7)")} % (SELECT n FROM nn) AS nbr
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range($m)) AS j) jj) WHERE vec_id <> nbr),
+      |sc0 AS MATERIALIZED (SELECT i.x, i.y, ${gSimSql("ex.emb", "ex.n2", "ey.emb", "ey.n2")} AS sim
+      |  FROM ini i JOIN ev ex ON ex.vec_id = i.x JOIN ev ey ON ey.vec_id = i.y)""".stripMargin
+    for (r <- 0 until Similarity.NndRounds) {
+      sb ++= s""",
+        |tm$r AS MATERIALIZED (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS r FROM (
+        |    SELECT x AS src, y AS dst, sim FROM sc$r
+        |    UNION ALL SELECT y AS src, x AS dst, sim FROM sc$r)) WHERE r <= $m),
+        |un$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM tm$r UNION ALL SELECT dst AS src, src AS dst FROM tm$r)),
+        |cd$r AS MATERIALIZED (SELECT DISTINCT least(t1.src, t2.c) AS x, greatest(t1.src, t2.c) AS y
+        |  FROM un$r t1 JOIN (SELECT src AS mid, dst AS c FROM un$r) t2 ON t1.dst = t2.mid
+        |  WHERE t1.src <> t2.c),
+        |fr$r AS MATERIALIZED (SELECT c.x, c.y FROM cd$r c ANTI JOIN sc$r s ON s.x = c.x AND s.y = c.y),
+        |nsc$r AS MATERIALIZED (SELECT f.x, f.y, ${gSimSql("ex.emb", "ex.n2", "ey.emb", "ey.n2")} AS sim
+        |  FROM fr$r f JOIN ev ex ON ex.vec_id = f.x JOIN ev ey ON ey.vec_id = f.y),
+        |sc${r + 1} AS MATERIALIZED (SELECT * FROM sc$r UNION ALL SELECT * FROM nsc$r)""".stripMargin
+    }
+    val rr = Similarity.NndRounds
+    sb ++= s""",
+      |tm$rr AS MATERIALIZED (SELECT src, dst FROM (
+      |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS r FROM (
+      |    SELECT x AS src, y AS dst, sim FROM sc$rr
+      |    UNION ALL SELECT y AS src, x AS dst, sim FROM sc$rr)) WHERE r <= $m),
+      |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+      |  (SELECT src, dst FROM tm$rr UNION ALL SELECT src, dst FROM ring))""".stripMargin
+    sb ++= graphBeamSql("edges")
+    sb.toString
+  }
+
+  /** q_knn_graph re-derived: ~√N centroid blocks (first nCells
+    * vectors), each node to its TWO nearest blocks by sqDist (c_id
+    * tie-break), within-block cosine pairs (x < y once, DISTINCT over
+    * the pair+sim for the shared-both-blocks case), per-src top-M ∪
+    * ring, shared beam search.
+    */
+  private lazy val blockedGraphSql: String = {
+    import graft.operators.Similarity
+    val cellsSql = "(SELECT greatest(4, CAST(floor(sqrt(n)) AS BIGINT)) FROM nn)"
+    s"""WITH $graphEvSql,
+       |$ringSql,
+       |bk AS MATERIALIZED (SELECT vec_id, blk FROM (
+       |  SELECT e.vec_id, c.c_id AS blk,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${gSqdSql("e.emb", "c.c_emb")}, c.c_id) AS r
+       |  FROM ev e CROSS JOIN (SELECT vec_id AS c_id, emb AS c_emb FROM ev
+       |    WHERE vec_id < $cellsSql) c) WHERE r <= 2),
+       |hf AS MATERIALIZED (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y,
+       |    ${gSimSql("ex.emb", "ex.n2", "ey.emb", "ey.n2")} AS sim
+       |  FROM bk a JOIN bk b ON a.blk = b.blk AND a.vec_id < b.vec_id
+       |  JOIN ev ex ON ex.vec_id = a.vec_id JOIN ev ey ON ey.vec_id = b.vec_id),
+       |px AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS r FROM (
+       |    SELECT x AS src, y AS dst, sim FROM hf
+       |    UNION ALL SELECT y AS src, x AS dst, sim FROM hf)) WHERE r <= ${Similarity.GraphM}),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM px UNION ALL SELECT src, dst FROM ring))""".stripMargin +
+      graphBeamSql("edges")
   }
 
   private val kmeansChainSql: String = {
@@ -2188,6 +2363,12 @@ object SparkEntry {
     "q_knn_ivf_pruned" -> ivfSqrtSql,
     "q_knn_quantized_ivf" -> quantizedIvfSqrtSql,
     "q_knn_pq" -> pqKnnSql,
+    // the graph-ANN family, fully re-derived since round 15 (build +
+    // beam search): deterministic mix31 pseudo-randomness replaced
+    // xxhash64, so both the blocked and the NN-descent graphs are pure
+    // functions of the corpus DuckDB can recompute
+    "q_knn_graph" -> blockedGraphSql,
+    "q_knn_graph_nnd" -> nndGraphSql,
 
     // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,
     // q_i = clamp(floor(x/scale + 0.5)) — floor(x+0.5) IS Java's

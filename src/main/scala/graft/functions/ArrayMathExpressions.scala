@@ -378,6 +378,13 @@ object ArrayMathExpressions {
     var last = -1
     var j = 0
     while (j < n) {
+      // fail loudly on null elements: ArrayData.getLong would silently
+      // read a null as 0 and corrupt the selection (internal producers
+      // are containsNull=false, so this guards misuse only)
+      if (hs.isNullAt(j))
+        throw new IllegalArgumentException(
+          s"winnow_select: null element at index $j — input must be a " +
+            "non-null array of window hashes")
       val hj = hs.getLong(j)
       while (tail > head && hs.getLong(dq(tail - 1)) >= hj) tail -= 1
       dq(tail) = j

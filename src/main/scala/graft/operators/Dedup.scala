@@ -1217,6 +1217,19 @@ object Dedup {
     * is a pure function of the corpus; the DuckDB oracle re-derives
     * each window hash with the O(n·L) per-substring fold.
     *
+    * Exactness bound: "repeated" is keyed on the COMPOSITE of two
+    * independent ~30-bit Rabin-Karp polynomials (~9.2e17 key space),
+    * not on window text, so the suffix-array equivalence holds up to
+    * hash collisions — expected spurious repeats ≈ n²/(2·9.2e17)
+    * window pairs, negligible below ~1e8 windows and material past
+    * ~1e9 (a few false clips per 10^9 windows). A corpus at that
+    * scale should add a third polynomial (3×30 bits pushes the
+    * birthday point past 10^13 windows) or a text-equality
+    * verification join before excising spans; both engines computing
+    * the same composite means the differential oracle cannot surface
+    * a collision, which is why the bound is documented here rather
+    * than assumed away.
+    *
     * 100 TB shape: stride-1 keys cost ~4 longs per character through
     * one shuffle — the same order as the suffix-array's
     * sort-all-suffixes pass, but as a plain keyed aggregation (no

@@ -403,7 +403,7 @@ object Similarity {
     *    pair — same blocking arithmetic as [[embeddingDedup]], ~N^1.5
     *    total pair work at any corpus size, never N²).
     *  - LONG-RANGE links: two hash-ordered ring families — nodes are
-    *    grouped by pmod(xxhash64(vec_id, salt), N/32) and chained in
+    *    grouped by pmod(mix31(vec_id, salt), N/32) and chained in
     *    hash order within each group (wrapping). A pure-proximity k-NN
     *    graph over clustered data is a disconnected archipelago no
     *    beam search can cross; two independent pseudo-random rings
@@ -429,6 +429,29 @@ object Similarity {
     n
   }
 
+  /** Oracle-portable 31-bit integer mixer (xor-shift → multiply ×2,
+    * the lowbias32 finalizer shape): every intermediate stays below
+    * 2^62, so the SAME arithmetic runs in DuckDB — whose BIGINT
+    * multiplication ERRORS on overflow — and in Spark's wrapping
+    * longs without divergence. This replaced xxhash64 throughout the
+    * graph-ANN builders (init neighbors, ring groups/order, ρ-sample)
+    * in round 15 so the ENTIRE NN-descent build + beam search became
+    * a DuckDB-re-derivable pure function of the corpus (the
+    * q_knn_ivf_exact precedent applied to q_knn_graph_nnd); xxhash64
+    * has no DuckDB twin, which is what kept the graph family
+    * rows-only through round 14. Nonlinear (unlike an LCG chain,
+    * which stays affine in x under composition and would give
+    * structured neighbor sets); inputs must be non-negative.
+    */
+  private[graft] def mix31(x: Column, salt: Long): Column = {
+    val M = 2147483648L // 2^31
+    val C = 73244475L   // lowbias-style multiplier, < 2^27
+    val h0 = pmod(x + lit(salt), lit(M))
+    val h1 = pmod(h0.bitwiseXOR(shiftrightunsigned(h0, 16)) * lit(C), lit(M))
+    val h2 = pmod(h1.bitwiseXOR(shiftrightunsigned(h1, 16)) * lit(C), lit(M))
+    h2.bitwiseXOR(shiftrightunsigned(h2, 16))
+  }
+
   /** The two hash-ordered ring families (NSW's long-range shortcut
     * property without a global sort) — shared by both graph builders;
     * see [[graphAnnEdges]] for why a pure-proximity graph needs them.
@@ -437,8 +460,8 @@ object Similarity {
     val nGroups = math.max(1L, n / LongLinkGroup)
     (1 to 2).map { salt =>
       val grouped = e.select(col("vec_id"),
-        pmod(xxhash64(col("vec_id"), lit(salt)), lit(nGroups)).as("grp"),
-        xxhash64(col("vec_id"), lit(salt + 100)).as("ord"))
+        pmod(mix31(col("vec_id"), salt), lit(nGroups)).as("grp"),
+        mix31(col("vec_id"), salt + 100).as("ord"))
       val rw = Window.partitionBy(col("grp")).orderBy(col("ord"), col("vec_id"))
       grouped
         .withColumn("nxt", lead(col("vec_id"), 1).over(rw))
@@ -450,8 +473,24 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
-  private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame): DataFrame = {
+  /** Viability ceiling for the BLOCKED proximity build: within-block
+    * pair volume is ~N^1.5 and the round-12 probe DNF'd it at 1M
+    * vectors (OOM at 8 GB driver; ~80 GB shuffle spill at 24 GB).
+    * [[graphKnnOn]] auto-routes to [[nnDescentEdges]] above this (the
+    * q_neardup_auto density-routing pattern), and [[graphAnnEdges]]
+    * itself REFUSES to run past it — the fixture-scale tier must not
+    * be pointable at a production corpus by accident.
+    */
+  val BlockedBuildMaxN = 200000L
+
+  private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame,
+      maxN: Long = BlockedBuildMaxN): DataFrame = {
     val n = denseCount(e, "graph ANN")
+    require(n <= maxN,
+      s"blocked graph-ANN build is quadratic within blocks and DNFs " +
+        s"past ~1M vectors (measured); n=$n exceeds the viability " +
+        s"ceiling $maxN — use nnDescentEdges/graphKnnNnd (the " +
+        s"linear-per-round NN-descent build) for corpora this size")
     val nCells = dedupCells(n)
     val centroids = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
@@ -510,8 +549,18 @@ object Similarity {
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     graphKnnOn(spark, Tables.embeddings(spark, dir))
 
-  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame =
-    graphSearch(e, graphAnnEdges(spark, e))
+  /** Auto-routed: the block-guaranteed proximity build up to
+    * [[BlockedBuildMaxN]] vectors, NN-descent beyond it — one entry
+    * point that is safe at any corpus size (the blocked build alone
+    * DNF'd the 1M probe; see [[BlockedBuildMaxN]]).
+    */
+  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    val n = denseCount(e, "graph ANN routing")
+    val edges =
+      if (n <= BlockedBuildMaxN) graphAnnEdges(spark, e)
+      else nnDescentEdges(spark, e)
+    graphSearch(e, edges)
+  }
 
   /** NN-descent variant: same beam search over edges built by
     * iterative neighbor-of-neighbor refinement ([[nnDescentEdges]])
@@ -621,7 +670,7 @@ object Similarity {
     // per node, canonicalized x < y so each unordered pair scores once
     val init = e.select(col("vec_id"),
         explode(array((0 until GraphM).map(j =>
-          pmod(xxhash64(col("vec_id"), lit(j * 31 + 7)), lit(n))): _*)).as("nbr"))
+          pmod(mix31(col("vec_id"), j * 31 + 7), lit(n))): _*)).as("nbr"))
       .filter(col("vec_id") =!= col("nbr"))
       .select(least(col("vec_id"), col("nbr")).as("x"),
         greatest(col("vec_id"), col("nbr")).as("y"))
@@ -652,7 +701,7 @@ object Similarity {
     def sampleEdges(df: DataFrame, r: Int, salt: Int): DataFrame =
       if (rhoPct >= 100) df
       else df.filter(pmod(
-        xxhash64(col("src"), col("dst"), lit(r * 131 + salt)), lit(100)) < rhoPct)
+        mix31(mix31(col("src"), r * 131 + salt) + col("dst"), 97), lit(100)) < rhoPct)
     while (round < rounds && !converged) {
       // undirected current-neighbor view → neighbor-of-neighbor
       // proposals; anti-join drops pairs already scored (the visited

@@ -193,8 +193,13 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              // the event-time timeout clock is millisecond-grained
-              state.setTimeoutTimestamp(math.floorDiv(s.lastMicros, 1000L) + gapMs)
+              // the event-time timeout clock is millisecond-grained;
+              // CEIL the microsecond session end so the timeout can
+              // never fire before the microsecond-precise merge
+              // boundary (a floor would make it up to 999µs early and
+              // split a gap-boundary event that batch merges)
+              state.setTimeoutTimestamp(
+                math.floorDiv(s.lastMicros + 999L, 1000L) + gapMs)
             }
             closed.result().iterator
           }

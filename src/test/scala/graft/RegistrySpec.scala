@@ -13,14 +13,15 @@ class RegistrySpec extends AnyFunSuite {
     "q_approx_distinct",       // HLL estimate — no DuckDB twin
     "q_approx_percentile",     // GK quantile sketch — no DuckDB twin
     "q_hll_sketch",            // mergeable sketch values
-    "q_knn_graph",             // approximate (NSW graph beam search)
-    "q_knn_graph_nnd",         // approximate (NN-descent-built graph)
     // q_knn_quantized graduated to the full oracle in round 12 (its
     // int8 pipeline is deterministic — "approximate" only vs brute
     // force); q_knn_ivf_exact was born graded; the former ml.KMeans
     // tiers (q_knn_ivf, q_knn_ivf_pruned, q_knn_quantized_ivf)
     // graduated in round 14 when their coarse quantizer switched to
-    // the gated fixed-point Lloyd at √N cells.
+    // the gated fixed-point Lloyd at √N cells; q_knn_graph and
+    // q_knn_graph_nnd graduated in round 15 when mix31 replaced
+    // xxhash64 in the builders and the whole build+search chain was
+    // re-derived in SQL (the last approximate family under the gate).
     "q_minhash_signatures_xx", // xxhash64 not reproducible in DuckDB
     "q_minhash_lsh_pairs_xx")
 

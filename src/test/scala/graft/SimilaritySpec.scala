@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Similarity
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
@@ -364,5 +365,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(a < b)
       assert(sim >= 0.4)
     }
+  }
+
+  test("blocked graph build refuses to run above its viability ceiling") {
+    // The blocked ~N^1.5 build DNF'd the 1M-vector probe (BASELINE.md
+    // r12); the require must stop it BEFORE any quadratic work. The
+    // ceiling is exercised via the maxN parameter so the spec doesn't
+    // need a 200k-row fixture to prove the wiring.
+    val rnd = new scala.util.Random(7)
+    val e = (0 until 100)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.graphAnnEdges(spark, e, maxN = 50L)
+    }
+    assert(ex.getMessage.contains("nnDescentEdges"),
+      "gate message must point at the scale-safe alternative")
+    assert(Similarity.BlockedBuildMaxN == 200000L)
+    // below the ceiling the build still runs
+    assert(Similarity.graphAnnEdges(spark, e).count() > 0)
+  }
+
+  test("mix31 matches the reference xor-mult mixer (DuckDB-portable arithmetic)") {
+    // reference implementation of the oracle-portable 31-bit mixer —
+    // any drift here silently breaks the q_knn_graph/_nnd hash gate
+    def ref(x: Long, salt: Long): Long = {
+      val M = 2147483648L; val C = 73244475L
+      val h0 = (x + salt) % M
+      val h1 = ((h0 ^ (h0 >>> 16)) * C) % M
+      val h2 = ((h1 ^ (h1 >>> 16)) * C) % M
+      h2 ^ (h2 >>> 16)
+    }
+    val xs = Seq(0L, 1L, 42L, 499L, 719L, 1999L)
+    val df = xs.toDF("x")
+    for (salt <- Seq(1L, 2L, 101L, 102L, 7L, 38L)) {
+      val got = df.select(Similarity.mix31(col("x"), salt)).as[Long].collect()
+      assert(got.toSeq === xs.map(ref(_, salt)),
+        s"mix31 diverged from reference at salt=$salt")
+    }
+    // spot-pin one absolute value so BOTH implementations can't drift
+    // together unnoticed (verified against the DuckDB SQL twin)
+    assert(ref(42L, 7L) == 753431816L)
   }
 }
