@@ -328,6 +328,10 @@ object SparkEntry {
     "q_image_decode"    -> (Multimodal.imageDecode _),
     // perceptual average-hash fingerprint over the real decoded raster
     "q_image_ahash"     -> (Multimodal.imageAhash _),
+    // visual near-dup DECISION pairs: 4×16-bit aHash bands bucket the
+    // candidates (Manku banding — complete recall at Hamming ≤ 3),
+    // integer popcount verifies; joins the multimodal + dedup families
+    "q_image_neardup"   -> (Multimodal.imageNeardup _),
     "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
     // stub-decoded plumbing (formats with no JVM codec):
@@ -347,10 +351,19 @@ object SparkEntry {
     "q_tpch_q18"        -> (Relational.tpchQ18 _),
     // scalar-agg-max equality filter (the decorrelated Q15 view)
     "q_tpch_q15"        -> (Relational.tpchQ15 _),
+    // correlated scalar-AVG subquery (per-part average gates the fact)
+    "q_tpch_q17"        -> (Relational.tpchQ17 _),
+    // nested semi-join chain + correlated availability scalar
+    "q_tpch_q20"        -> (Relational.tpchQ20 _),
+    // multi-EXISTS/NOT-EXISTS lineitem self-joins (semi + anti)
+    "q_tpch_q21"        -> (Relational.tpchQ21 _),
     // SQL LATERAL correlated subquery (Catalyst decorrelates to a join)
     "q_lateral_join"    -> (Relational.lateralTopNations _),
     // MERGE-style incremental snapshot upsert (full-outer merge dataflow)
     "q_merge_upsert"    -> (Relational.mergeUpsert _),
+    // materialized-view maintenance: monthly pre-agg + batch delta
+    // merged by the same full-outer dataflow; == full recompute (spec)
+    "q_incremental_agg" -> (Relational.incrementalAgg _),
     // degree-oriented triangle counting over the near-dup graph
     "q_triangles"       -> (Dedup.triangleCounts _),
     // asymmetric containment join (sub-document duplication)
@@ -598,18 +611,45 @@ object SparkEntry {
        |) ORDER BY sel_round""".stripMargin
   }
 
-  private val imageAhashSql: String =
-    """WITH px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
+  /** The aHash CTE chain (closed-form pixels → block sums → bits →
+    * two 32-bit halves), shared by q_image_ahash (+ streaming twin)
+    * and q_image_neardup. Ends at `ahv(doc_id, ahash_hi, ahash_lo)`.
+    */
+  private val ahashCtesSql: String =
+    """px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
       |  FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
       |       (SELECT unnest(generate_series(0, 31)) AS x)),
       |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
       |blk AS (SELECT doc_id, (y//2)*8 + (x//4) AS bit, sum(v) AS bs FROM px GROUP BY doc_id, (y//2)*8 + (x//4)),
       |bits AS (SELECT b.doc_id, bit, CASE WHEN bs*64 > total THEN 1 ELSE 0 END AS s
-      |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id)
-      |SELECT doc_id,
-      |CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-      |CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
-      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id),
+      |ahv AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |  CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private val imageAhashSql: String =
+    s"""WITH $ahashCtesSql
+       |SELECT doc_id, ahash_hi, ahash_lo FROM ahv ORDER BY doc_id""".stripMargin
+
+  /** Visual near-dup pairs: 4×16-bit banding of the aHash (complete
+    * recall at Hamming ≤ 3 by pigeonhole), popcount verify — the same
+    * arithmetic the Spark band join runs.
+    */
+  private val imageNeardupSql: String =
+    s"""WITH $ahashCtesSql,
+       |bands AS (SELECT doc_id, b,
+       |    CASE WHEN b < 2 THEN (ahash_lo >> (b*16)) & 65535
+       |         ELSE (ahash_hi >> ((b-2)*16)) & 65535 END AS bv
+       |  FROM ahv, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, dist FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(xor(x.ahash_hi, y.ahash_hi)) + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS BIGINT) AS dist
+       |  FROM cand JOIN ahv x ON x.doc_id = id_a JOIN ahv y ON y.doc_id = id_b)
+       |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val ewmaSql: String = {
     val k = graft.operators.EventAnalytics.EwmaK
@@ -2563,6 +2603,8 @@ object SparkEntry {
     // stateless streaming application of the same decode+hash — same
     // per-doc rows, same oracle
     "q_stream_image_ahash" -> imageAhashSql,
+    // banded Hamming-ball pairs over the same hash (exact at ≤ 3)
+    "q_image_neardup" -> imageNeardupSql,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
     "q_image_resize" ->
@@ -2668,6 +2710,45 @@ object SparkEntry {
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
 
+    "q_tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12' AND p_size < 15
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT ps.l_suppkey FROM
+        |      (SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail
+        |       FROM lineitem GROUP BY 1, 2) ps
+        |    WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps.avail > (SELECT 0.5 * sum(l2.l_quantity) FROM lineitem l2
+        |                      WHERE l2.l_partkey = ps.l_partkey
+        |                        AND l2.l_suppkey = ps.l_suppkey
+        |                        AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |                        AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 360 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 360 DAY)
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal, n_name,
         |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
@@ -2704,6 +2785,25 @@ object SparkEntry {
         |coalesce(inc.d, cur.d) AS last_order
         |FROM cur FULL OUTER JOIN inc ON cur.k = inc.k
         |ORDER BY custkey""".stripMargin,
+
+    // the MV delta-apply re-derived: base + delta monthly aggregates,
+    // full-outer merge, avg derived from the maintained sum/count
+    "q_incremental_agg" ->
+      """WITH base AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS v
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00' GROUP BY 1, 2),
+        |delta AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderstatus AS status,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS v
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' GROUP BY 1, 2),
+        |merged AS (SELECT coalesce(delta.month, base.month) AS month,
+        |    coalesce(delta.status, base.status) AS status,
+        |    CAST(coalesce(base.n, 0) + coalesce(delta.n, 0) AS BIGINT) AS n_orders,
+        |    round(coalesce(base.v, 0) + coalesce(delta.v, 0), 2) AS total_value
+        |  FROM base FULL OUTER JOIN delta
+        |    ON base.month = delta.month AND base.status = delta.status)
+        |SELECT month, status, n_orders, total_value,
+        |  round(total_value / n_orders, 6) AS avg_value
+        |FROM merged ORDER BY month, status""".stripMargin,
 
     "q_triangles" ->
       s"""WITH e AS ($lshPairsSql),

@@ -288,6 +288,66 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Hamming-ball threshold for [[imageNeardup]]. With the hash split
+    * into 4 bands, the pigeonhole guarantees any pair within distance
+    * 3 shares at least one exact band — so the banded candidate set
+    * has COMPLETE recall at this threshold and the operator is EXACT
+    * (identical to the all-pairs scan), not approximate.
+    */
+  val ImageNeardupMaxDist = 3
+
+  /** Visual near-duplicate pairs over the perceptual hash — the
+    * operator that CONSUMES [[imageAhash]]'s blocking key the way
+    * MinHash bands feed q_minhash_lsh_pairs (Manku et al.'s
+    * SimHash-dedup banding, WWW'07): split the 64-bit aHash into
+    * 4×16-bit bands, bucket-join on (band index, band value) — never
+    * an all-pairs product — then verify candidates with the integer
+    * popcount distance and keep pairs within
+    * [[ImageNeardupMaxDist]]. 4 bands ⇒ every pair at distance ≤ 3
+    * collides on some band (pigeonhole), so banding loses nothing and
+    * the DuckDB oracle re-derives the identical pair list from the
+    * closed-form pixels. At 100 TB the hash table (3 longs/image) is
+    * the only shuffled data; decode stays a narrow map stage, and the
+    * band join's fan-out is bounded by bucket population like every
+    * LSH tier here.
+    */
+  def imageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // hash table persisted: it feeds both sides of the band join and
+    // both ends of the verify join — without the pin each consumer
+    // would re-decode the corpus (4 extra decode passes)
+    val ah = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
+      .mapPartitions(_.map { case (id, png) =>
+        val (hi, lo) = RealCodecs.ahashPng(png)
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bv", expr(
+        "CASE WHEN b < 2 THEN (ahash_lo >> (b*16)) & 65535 " +
+          "ELSE (ahash_hi >> ((b-2)*16)) & 65535 END"))
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(ah.select(col("doc_id").as("id_a"), col("ahash_hi").as("hi_a"),
+        col("ahash_lo").as("lo_a")), "id_a")
+      .join(ah.select(col("doc_id").as("id_b"), col("ahash_hi").as("hi_b"),
+        col("ahash_lo").as("lo_b")), "id_b")
+      .withColumn("dist", expr(
+        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+      .filter(col("dist") <= ImageNeardupMaxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Encode → REAL resize (nearest-neighbor on rasters, re-encoded) →
     * REAL decode. Three narrow payload stages; the oracle computes the
     * resized luminance from the closed-form source pixels at the

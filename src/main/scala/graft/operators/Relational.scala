@@ -844,6 +844,101 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    * SCALAR-AVG subquery gates the fact rows — lineitems whose
+    * quantity is under 20% of their part's corpus-wide average
+    * quantity, for one brand/size slice. The canonical decorrelation
+    * stress: Catalyst must rewrite the per-part correlated average
+    * into ONE grouped aggregate joined back on partkey (an O(n) plan)
+    * instead of re-running the subquery per outer row (O(n·m));
+    * PlanAuditSpec asserts no nested-loop artifact survives. Fixture
+    * adaptation: the fixture part table has no p_container, so the
+    * slice is brand + size — same selectivity role, identical plan
+    * shape. The quantity comparison is exact across engines
+    * (quantities are whole numbers, so the per-part average's integer
+    * sum is exact in a double regardless of accumulation order).
+    */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t17")
+    Tables.part(spark, dir).createOrReplaceTempView("part_t17")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem_t17, part_t17
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12' AND p_size < 15
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem_t17 l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): the nested semi-join
+    * chain — suppliers (IN) whose part-supply pairs (IN a name-sliced
+    * part set) cleared a correlated availability test, restricted to
+    * two nations. Fixture adaptation: no partsupp table exists, so the
+    * pair inventory is DERIVED — avail(part, supp) := all-time shipped
+    * quantity from lineitem — and the correlated scalar compares it to
+    * half the pair's 1997 shipments, preserving Q20's exact plan
+    * stress: IN → left-semi, nested IN → second semi, correlated
+    * scalar agg → grouped-aggregate join, no nested loop anywhere.
+    * All quantity sums are whole-number-exact in doubles, so the
+    * comparison is engine-portable without rounding.
+    */
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t20")
+    Tables.part(spark, dir).createOrReplaceTempView("part_t20")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_t20")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_t20")
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM supplier_t20, nation_t20
+        |WHERE s_suppkey IN (
+        |    SELECT ps.l_suppkey FROM
+        |      (SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail
+        |       FROM lineitem_t20 GROUP BY 1, 2) ps
+        |    WHERE ps.l_partkey IN (SELECT p_partkey FROM part_t20 WHERE p_name LIKE 'red%')
+        |      AND ps.avail > (SELECT 0.5 * sum(l2.l_quantity) FROM lineitem_t20 l2
+        |                      WHERE l2.l_partkey = ps.l_partkey
+        |                        AND l2.l_suppkey = ps.l_suppkey
+        |                        AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+        |                        AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+        |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept waiting): the multi-EXISTS
+    * self-join stress — for finished orders, count per supplier the
+    * late lineitems in MULTI-supplier orders where that supplier was
+    * the ONLY late one: EXISTS (another supplier in the order) AND
+    * NOT EXISTS (another supplier also late). Catalyst must plan the
+    * EXISTS as a left-semi and the NOT EXISTS as a left-anti self-join
+    * of lineitem, both shuffled on l_orderkey (never per-row
+    * re-execution). Fixture adaptation: no l_receiptdate/l_commitdate,
+    * so "late" := shipped more than 360 days after the order date —
+    * which correlates the anti-join on BOTH outer tables (lineitem and
+    * orders), a strictly harder decorrelation than stock Q21's
+    * self-contained predicate. Ties at the limit boundary are broken
+    * by (numwait DESC, s_name), so the top-100 is deterministic.
+    */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t21")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_t21")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_t21")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_t21")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier_t21, lineitem_t21 l1, orders_t21, nation_t21
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 360 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem_t21 l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem_t21 l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 360 DAY)
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+
   /** LATERAL correlated subquery (SQL surface): per-region top-2
     * nations by total customer account balance. The lateral derived
     * table re-executes per outer row DECLARATIVELY — Catalyst decorrelates
@@ -900,5 +995,51 @@ object Relational {
           .as("total_value"),
         coalesce(col("inc_d"), col("cur_d")).as("last_order"))
       .orderBy(col("custkey"))
+  }
+
+  /** Incremental aggregate maintenance (materialized-view delta-apply):
+    * the daily-ingest shape a warehouse runs — a pre-aggregated table
+    * at (month, order-status) grain is maintained by merging in the
+    * new batch's aggregate instead of recomputing from all history.
+    * Counts and sums are self-maintainable (add the delta); avg is
+    * DERIVED from the maintained sum/count (the classic reason MVs
+    * store sum+count, never avg). The merge is [[mergeUpsert]]'s
+    * full-outer dataflow on the MV key; Round15OpsSpec pins the
+    * maintained table equal to a from-scratch recompute over all
+    * orders — the correctness contract of any incremental view.
+    *
+    * 100 TB shape: the delta aggregate only carries the batch's
+    * touched keys, so the merge join is |touched keys|-sized, not
+    * history-sized — the base table is only read at its aggregated
+    * grain (months × statuses), never the raw fact history. Cent
+    * exactness makes the delta-apply bit-identical to recompute:
+    * each side's rounded sum is exact cents, their double sum is
+    * exact cents, and the final round restores the canonical form.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderdate"), col("o_orderstatus"), col("o_totalprice"))
+    def agg(cond: Column, nOut: String, vOut: String) =
+      o.filter(cond)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as(nOut), round(sum(col("o_totalprice")), 2).as(vOut))
+    val base = agg(col("o_orderdate") < cutoff, "b_n", "b_v")
+      .withColumnsRenamed(Map("month" -> "b_month", "status" -> "b_status"))
+    val delta = agg(col("o_orderdate") >= cutoff, "d_n", "d_v")
+    base.join(delta,
+        col("b_month") === col("month") && col("b_status") === col("status"),
+        "full_outer")
+      .select(
+        coalesce(col("month"), col("b_month")).as("month"),
+        coalesce(col("status"), col("b_status")).as("status"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_orders"),
+        round(coalesce(col("b_v"), lit(0.0)) + coalesce(col("d_v"), lit(0.0)), 2)
+          .as("total_value"))
+      .withColumn("avg_value",
+        round(col("total_value") / col("n_orders"), 6))
+      .orderBy(col("month"), col("status"))
   }
 }

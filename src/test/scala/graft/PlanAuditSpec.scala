@@ -96,6 +96,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n${plan.take(800)}")
   }
 
+  test("TPC-H Q17/Q20/Q21: correlated subqueries decorrelated to joins, no cartesian") {
+    // the three canonical decorrelation stress shapes (round 15):
+    // Q17 scalar-avg per part, Q20 nested-IN + correlated scalar,
+    // Q21 EXISTS + NOT EXISTS self-joins — each must plan as
+    // aggregate/semi/anti JOINS, never nested re-execution or a
+    // cartesian/nested-loop artifact
+    for (q <- Seq("q_tpch_q17", "q_tpch_q20", "q_tpch_q21")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop (undecorrelated subquery):\n${plan.take(1200)}")
+    }
+    // the semi/anti shapes must actually appear where they're the point
+    assert(planOf("q_tpch_q20").contains("LeftSemi"),
+      "Q20's IN chain not decorrelated to semi joins")
+    val q21 = planOf("q_tpch_q21")
+    assert(q21.contains("LeftSemi") || q21.contains("ExistenceJoin"),
+      "Q21's EXISTS not a semi join")
+    assert(q21.contains("LeftAnti"), "Q21's NOT EXISTS not an anti join")
+  }
+
   test("fact-fact joins never plan a cartesian product") {
     for (q <- Seq("q_join_agg", "q_semi_join", "q_anti_join", "q_asof_join",
         "q_range_join", "q_outer_join", "q_full_outer")) {
