@@ -38,6 +38,60 @@ object ScalingProbe {
       }.toDF("doc_id", "text")
     }
 
+    /** Duplicate-heavy corpus: 30% of documents are verbatim copies
+      * drawn from a 50-template pool (boilerplate/mirror pages — the
+      * shape that breaks posting-list pair enumeration: each
+      * template's winnow fingerprints reach df ≈ 0.3·n/50, thousands
+      * of documents per key at 1M, where un-capped pairing would emit
+      * df² pairs per key). The remaining 70% are diverse as in
+      * [[corpus]]. Probes with this generator PROVE the df-cap /
+      * repeat-filter skew bounds rather than assuming them.
+      */
+    def dupCorpus(n: Int): DataFrame = {
+      val words = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+        "window", "stream", "group", "vector", "filter", "join", "query",
+        "order", "data", "column", "small", "big", "the", "customer", "a")
+      val templates = (0 until 50).map { t =>
+        val rnd = new scala.util.Random(t * 7900001L + 3)
+        Vector.fill(40 + rnd.nextInt(120))(words(rnd.nextInt(words.size)))
+          .mkString(" ")
+      }.toVector
+      spark.range(n.toLong).map { id =>
+        val rnd = new scala.util.Random(id * 2654435761L + 17)
+        if (id % 10 < 3) (id, templates(rnd.nextInt(templates.size)))
+        else if (id % 10 == 3) {
+          // SMALL duplicate clusters (df ≈ 10, under the df-cap): the
+          // ten docs with id%10==3 inside each 100-id block share one
+          // fresh text — these MUST still pair while the mega-classes
+          // above are df-capped away; proves cap ≠ lobotomy. The text
+          // mixes in block-UNIQUE tokens: with only the 30-word base
+          // vocabulary every 15-char window is corpus-ubiquitous and
+          // the df-cap (correctly) drops it, so cluster-rare
+          // fingerprints need cluster-rare vocabulary — as real
+          // near-dup documents have
+          val block = id / 100
+          val brnd = new scala.util.Random(block * 48271L + 11)
+          val len = 40 + brnd.nextInt(120)
+          // two-thirds of the vocabulary block-unique so well over
+          // half of each cluster doc's selected fingerprints survive
+          // the df-cap — at 50/50 the ≥50% containment cut sits ON the
+          // decision boundary and only ~0.5% of clusters pair (the cut
+          // correctly reads half-boilerplate overlap as noise)
+          // base-36 mixed-alphabet tokens: a shared literal prefix
+          // (e.g. "uniq<block>") leaks cross-block 8-grams whose df
+          // then exceeds the cap at 1M docs
+          val vocab = words ++ (0 until 60).map(j =>
+            java.lang.Long.toString(
+              (block + 7) * 1000003L + j * 7919L + 12345L, 36))
+          (id, Vector.fill(len)(vocab(brnd.nextInt(vocab.size))).mkString(" "))
+        } else {
+          val len = 40 + rnd.nextInt(120)
+          (id, Vector.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+    }
+
     /** Clustered synthetic embeddings (~√n clusters of 64-dim gaussians —
       * the shape a topic-clustered 100 TB embedding table has) for the
       * graph-ANN probes.
@@ -62,6 +116,9 @@ object ScalingProbe {
       case "substring"       => graft.operators.Dedup.substringDedupOn(docs)
       case "substring_decon" => graft.operators.Dedup.substringDecontaminationOn(docs)
       case "winnow_pairs"    => graft.operators.TextAnalysis.winnowPairsOn(docs)
+      // duplicate-heavy variants (30% template copies): skew-bound proofs
+      case "substring_dup"   => graft.operators.Dedup.substringDedupOn(docs)
+      case "winnow_pairs_dup" => graft.operators.TextAnalysis.winnowPairsOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
       case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
@@ -113,6 +170,7 @@ object ScalingProbe {
     val gen: Int => DataFrame =
       if (op == "paths") eventCorpus
       else if (op.startsWith("graphann") || embOps(op)) embCorpus
+      else if (op.endsWith("_dup")) dupCorpus
       else corpus
 
     // warm-up (JIT of the shingle/hash codegen paths)
