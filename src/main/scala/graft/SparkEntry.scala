@@ -214,6 +214,9 @@ object SparkEntry {
     // stride-1 Rabin-Karp window keys + per-doc interval merge emit the
     // exact >=L repeated-substring character ranges, no suffix sort
     "q_substring_dedup" -> (Dedup.substringDedup _),
+    // the >=1e9-window escalation: identical plan keyed on THREE
+    // polynomials (~2^89 composite space; +1 long per window row)
+    "q_substring_dedup_p3" -> (Dedup.substringDedupP3 _),
     // the spans applied: flagged docs re-emitted with repeated spans
     // excised (ordered segment reassembly, one corpus scan)
     "q_substring_clip"  -> (Dedup.substringClip _),
@@ -471,6 +474,13 @@ object SparkEntry {
     */
   private def rollSql2(e: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ord(substr($e,i,1)) AS BIGINT))), (acc,c) -> (acc*131+c)%999999937)"
+
+  /** Third independent polynomial (base 257 mod 999999893) — mirrors
+    * TextFunctions.rollingWindowFingerprint3, the ≥10^9-window
+    * paranoid substring-dedup tier's extra key factor.
+    */
+  private def rollSql3(e: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(1, length($e)), i -> CAST(ord(substr($e,i,1)) AS BIGINT))), (acc,c) -> (acc*257+c)%999999893)"
 
   /** Fixed-window chunking body (no ORDER BY) — mirrors
     * TextAnalysis.chunkDocuments (size 32, stride 24); shared by
@@ -1160,16 +1170,22 @@ object SparkEntry {
     * `spans(doc_id, span_start, span_end, span_len, n_windows)`.
     * Shared by q_substring_dedup and q_substring_clip.
     */
-  private lazy val substringSpanCtes: String = {
+  private lazy val substringSpanCtes: String = substringSpanCtesFor(paranoid = false)
+
+  private def substringSpanCtesFor(paranoid: Boolean): String = {
     val L = graft.operators.Dedup.SubstringL
+    val h3sel =
+      if (paranoid) s",\n    ${rollSql3(s"substr(text, pos, $L)")} AS h3"
+      else ""
+    val keys = if (paranoid) "h1, h2, h3" else "h1, h2"
     s"""p AS (SELECT doc_id, text,
        |    CAST(unnest(generate_series(1, length(text) - ${L - 1})) AS BIGINT) AS pos
        |  FROM documents WHERE length(text) >= $L),
        |g AS (SELECT doc_id, pos,
        |    ${rollSql(s"substr(text, pos, $L)")} AS h1,
-       |    ${rollSql2(s"substr(text, pos, $L)")} AS h2 FROM p),
+       |    ${rollSql2(s"substr(text, pos, $L)")} AS h2$h3sel FROM p),
        |rep AS (SELECT doc_id, pos FROM (
-       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h1, h2) AS n FROM g) t
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY $keys) AS n FROM g) t
        |  WHERE n >= 2),
        |re AS (SELECT doc_id, pos,
        |    max(pos + $L) OVER (PARTITION BY doc_id ORDER BY pos
@@ -2105,6 +2121,12 @@ object SparkEntry {
     // identical count-over-key and gaps-and-islands merge
     "q_substring_dedup" ->
       s"""WITH $substringSpanCtes
+         |SELECT doc_id, span_start, span_end, span_len, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // the paranoid tier: the same chain keyed on three polynomials
+    "q_substring_dedup_p3" ->
+      s"""WITH ${substringSpanCtesFor(paranoid = true)}
          |SELECT doc_id, span_start, span_end, span_len, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 

@@ -88,4 +88,14 @@ object TextFunctions {
   def rollingWindowFingerprint2(text: Column, win: Int): Column =
     org.apache.spark.sql.graft.ArrayMathExpressions.rollingWindowHashCol(
       text, win, 131L, 999999937L)
+
+  /** Third independent polynomial (base 257 mod 999999893, prime) —
+    * the ≥10^9-window escalation for composite window identity: the
+    * two-polynomial key space (~9.2e17) hits birthday collisions
+    * around 1e9 windows; a third factor pushes the birthday point
+    * past 10^13 (see Dedup.substringDedup's exactness bound).
+    */
+  def rollingWindowFingerprint3(text: Column, win: Int): Column =
+    org.apache.spark.sql.graft.ArrayMathExpressions.rollingWindowHashCol(
+      text, win, 257L, 999999893L)
 }

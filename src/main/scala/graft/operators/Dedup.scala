@@ -1243,30 +1243,55 @@ object Dedup {
     substringDedupOn(Tables.documents(spark, dir))
 
   def substringDedupOn(docs: DataFrame, L: Int = SubstringL): DataFrame =
-    substringSpans(docs, L)
+    substringDedupOn(docs, L, paranoid = false)
+
+  def substringDedupOn(docs: DataFrame, L: Int, paranoid: Boolean): DataFrame =
+    substringSpans(docs, L, paranoid)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"),
         col("n_windows"))
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** The ≥10^9-window escalation documented in [[substringDedup]]'s
+    * exactness bound, made executable: window identity keyed on THREE
+    * independent rolling polynomials (~2^89 composite space — the
+    * birthday point moves past 10^13 windows, comfortably clear of a
+    * 100 TB corpus's ~10^14 characters at practical false-clip rates).
+    * One extra O(chars) codegen pass and one extra long per shuffled
+    * window row — the plan is otherwise identical, so the tier prices
+    * the paranoia at exactly +1/3 of the key traffic.
+    */
+  def substringDedupP3(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOn(Tables.documents(spark, dir), SubstringL, paranoid = true)
+
   /** The span table without the presentation sort — [[substringClipOn]]
     * consumes it into windows/joins where a sort is wasted work.
     */
-  private def substringSpans(docs: DataFrame, L: Int): DataFrame = {
-    val grams = docs
-      .filter(length(col("text")) >= L)
-      .select(col("doc_id"), posexplode(zip_with(
-        rollingWindowFingerprint(col("text"), L),
-        rollingWindowFingerprint2(col("text"), L),
-        (a, b) => struct(a.as("h1"), b.as("h2")))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col.h1").as("h1"), col("col.h2").as("h2"))
-    val repeatedKeys = grams.groupBy(col("h1"), col("h2"))
+  private def substringSpans(docs: DataFrame, L: Int,
+      paranoid: Boolean = false): DataFrame = {
+    val keyCols = if (paranoid) Seq("h1", "h2", "h3") else Seq("h1", "h2")
+    val exploded =
+      if (paranoid)
+        docs.filter(length(col("text")) >= L)
+          .select(col("doc_id"), posexplode(arrays_zip(
+            rollingWindowFingerprint(col("text"), L).as("h1"),
+            rollingWindowFingerprint2(col("text"), L).as("h2"),
+            rollingWindowFingerprint3(col("text"), L).as("h3"))))
+      else
+        docs.filter(length(col("text")) >= L)
+          .select(col("doc_id"), posexplode(zip_with(
+            rollingWindowFingerprint(col("text"), L),
+            rollingWindowFingerprint2(col("text"), L),
+            (a, b) => struct(a.as("h1"), b.as("h2")))))
+    val grams = exploded
+      .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
+        keyCols.map(k => col(s"col.$k").as(k)): _*)
+    val repeatedKeys = grams.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-      .select(col("h1"), col("h2"))
+      .select(keyCols.map(col): _*)
     val repeated = grams
-      .join(repeatedKeys, Seq("h1", "h2"), "left_semi")
+      .join(repeatedKeys, keyCols, "left_semi")
       .select(col("doc_id"), col("pos"))
     coveredSpans(repeated, L)
   }

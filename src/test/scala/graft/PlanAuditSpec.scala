@@ -117,6 +117,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q21.contains("LeftAnti"), "Q21's NOT EXISTS not an anti join")
   }
 
+  test("q_image_neardup: band join is an equi-join on (band, value), never all-pairs") {
+    val plan = planOf("q_image_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate join degenerated to all-pairs:\n${plan.take(1200)}")
+    // the persisted hash table must actually be reused (InMemoryRelation
+    // appears for the band/verify consumers instead of 4 re-decodes)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"aHash table not persisted across its consumers:\n${plan.take(1200)}")
+  }
+
+  test("q_incremental_agg: merge is a hash/merge join of pre-aggregated sides") {
+    val plan = planOf("q_incremental_agg")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // both sides aggregate BEFORE the merge join — the fact volume
+    // must be absorbed by partial aggregation, never joined raw
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"sides not pre-aggregated before the merge:\n${plan.take(1200)}")
+  }
+
   test("fact-fact joins never plan a cartesian product") {
     for (q <- Seq("q_join_agg", "q_semi_join", "q_anti_join", "q_asof_join",
         "q_range_join", "q_outer_join", "q_full_outer")) {

@@ -58,6 +58,18 @@ class Round15OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("substringDedup paranoid (3-polynomial) tier: identical spans at fixture scale") {
+    // the escalation must change only the collision bound, never the
+    // result below it — at fixture scale (zero collisions either way)
+    // the two tiers are row-identical
+    val base = graft.operators.Dedup.substringDedup(spark, sfDir)
+      .collect().map(_.toSeq)
+    val p3 = graft.operators.Dedup.substringDedupP3(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(base.nonEmpty)
+    assert(base.toSeq == p3.toSeq)
+  }
+
   test("tpch Q17/Q20/Q21: non-trivial results with the contract shapes") {
     // sf0.01: the brand/size slice is empty at the sf0.001 micro
     // fixture (72 qualifying lineitems exist at the gate scale)
