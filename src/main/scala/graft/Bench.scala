@@ -146,9 +146,10 @@ object Bench {
     // per-query number: values only, 2 decimals, in sorted-query-name
     // order (the same order as "queries" above and the sidecar lines —
     // names are reconstructible from SparkEntry.queries.keys.sorted).
-    // 186 queries ≈ 1.1 KB, inside the tail window alongside the total
-    // line; the named detail line keeps full precision for larger
-    // captures and the sidecar remains the canonical durable record.
+    // ~190 queries ≈ 1.2 KB, inside the tail window alongside the
+    // total line (headroom to ~300 queries); the named detail line
+    // keeps full precision for larger captures and the sidecar remains
+    // the canonical durable record.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val vec = results.map { case (_, v, _) => f2(v) }.mkString("[", ",", "]")
     println(s"""{"metric":"qvec","unit":"sec","order":"sorted_query_names","n":${results.size},"v":$vec}""")

@@ -120,7 +120,13 @@ object ScalingProbe {
       case "substring_dup"   => graft.operators.Dedup.substringDedupOn(docs)
       case "winnow_pairs_dup" => graft.operators.TextAnalysis.winnowPairsOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
-      case "graphann"        => graft.operators.Similarity.graphKnnOn(spark, docs)
+      // deliberate probe of the BLOCKED build at any size (the library
+      // refusal is bypassed here on purpose — measuring its DNF point
+      // is how BlockedBuildMaxN was established); graphann_auto probes
+      // the routed production entry instead
+      case "graphann"        => graft.operators.Similarity.graphSearch(docs,
+        graft.operators.Similarity.graphAnnEdges(spark, docs, maxN = Long.MaxValue))
+      case "graphann_auto"   => graft.operators.Similarity.graphKnnAutoOn(spark, docs)
       case "graphann_nnd"    => graft.operators.Similarity.graphKnnNndOn(spark, docs)
       case "ivf"             => graft.operators.Similarity.ivfKnnOn(spark, docs)
       case "ivf_exact"       => graft.operators.Similarity.ivfKnnExactOn(spark, docs)

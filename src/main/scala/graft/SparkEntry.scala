@@ -262,6 +262,10 @@ object SparkEntry {
     // recall floors in SimilaritySpec, and since round 15 the whole
     // build+search is mix31-deterministic -> full DuckDB oracle
     "q_knn_graph"       -> (Similarity.graphKnn _),
+    // the routed production entry (blocked <=200k, NN-descent above):
+    // at gate scale the router picks the blocked build, so this shares
+    // q_knn_graph's oracle — the gate certifies the routing decision
+    "q_knn_graph_auto"  -> (Similarity.graphKnnAuto _),
     "q_embedding_dedup" -> ((s: SparkSession, dir: String) => Similarity.embeddingDedup(s, dir)),
     // int8 scalar quantization: 4x vector compression with measured
     // reconstruction error (per-row codegen arithmetic, gate-exact)
@@ -2430,6 +2434,8 @@ object SparkEntry {
     // xxhash64, so both the blocked and the NN-descent graphs are pure
     // functions of the corpus DuckDB can recompute
     "q_knn_graph" -> blockedGraphSql,
+    // the router picks the blocked build at gate scale (n=500 <= 200k)
+    "q_knn_graph_auto" -> blockedGraphSql,
     "q_knn_graph_nnd" -> nndGraphSql,
 
     // the int8 two-stage kNN re-derived: per-vector scale = max|x|/127,

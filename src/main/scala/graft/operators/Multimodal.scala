@@ -276,7 +276,14 @@ object Multimodal {
     * MinHash-LSH. The oracle re-derives the bits arithmetically from
     * the closed-form pixels while Spark really decodes the PNG.
     */
-  def imageAhash(spark: SparkSession, dir: String): DataFrame = {
+  def imageAhash(spark: SparkSession, dir: String): DataFrame =
+    ahashTable(spark, dir).orderBy(col("doc_id"))
+
+  /** The unsorted (doc_id, ahash_hi, ahash_lo) hash table — the ONE
+    * decode+hash pipeline both [[imageAhash]] and [[imageNeardup]]
+    * consume, so the hash derivation can never fork between them.
+    */
+  private def ahashTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
@@ -285,7 +292,6 @@ object Multimodal {
         (id, hi, lo)
       })
       .toDF("doc_id", "ahash_hi", "ahash_lo")
-      .orderBy(col("doc_id"))
   }
 
   /** Hamming-ball threshold for [[imageNeardup]]. With the hash split
@@ -312,19 +318,14 @@ object Multimodal {
     * LSH tier here.
     */
   def imageNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.storage.StorageLevel
-    // hash table persisted: it feeds both sides of the band join and
-    // both ends of the verify join — without the pin each consumer
-    // would re-decode the corpus (4 extra decode passes)
-    val ah = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions(_.map(id => (id, RealCodecs.syntheticPng(id, 32, 16))))
-      .mapPartitions(_.map { case (id, png) =>
-        val (hi, lo) = RealCodecs.ahashPng(png)
-        (id, hi, lo)
-      })
-      .toDF("doc_id", "ahash_hi", "ahash_lo")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hash table localCheckpoint'd (eager): it feeds both sides of the
+    // band join and both ends of the verify join — without the pin
+    // each consumer would re-decode the corpus (4 extra decode
+    // passes). Checkpoint over persist so the blocks are released with
+    // the RDD when the result is dropped, instead of pinning the
+    // session's cache until a catalog-wide clear (the returned frame
+    // is lazy, so an inline unpersist is not an option here).
+    val ah = ahashTable(spark, dir).localCheckpoint()
     val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bv", expr(

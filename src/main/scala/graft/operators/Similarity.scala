@@ -476,16 +476,24 @@ object Similarity {
   /** Viability ceiling for the BLOCKED proximity build: within-block
     * pair volume is ~N^1.5 and the round-12 probe DNF'd it at 1M
     * vectors (OOM at 8 GB driver; ~80 GB shuffle spill at 24 GB).
-    * [[graphKnnOn]] auto-routes to [[nnDescentEdges]] above this (the
+    * [[graphKnnAuto]] routes to [[nnDescentEdges]] above this (the
     * q_neardup_auto density-routing pattern), and [[graphAnnEdges]]
     * itself REFUSES to run past it — the fixture-scale tier must not
-    * be pointable at a production corpus by accident.
+    * be pointable at a production corpus by accident. [[graphKnnOn]]
+    * (q_knn_graph) stays blocked-only at every size so the query's
+    * algorithm — and therefore its DuckDB oracle — is never
+    * scale-dependent; the refusal is its guard rail.
     */
   val BlockedBuildMaxN = 200000L
 
   private[graft] def graphAnnEdges(spark: SparkSession, e: DataFrame,
-      maxN: Long = BlockedBuildMaxN): DataFrame = {
-    val n = denseCount(e, "graph ANN")
+      maxN: Long = BlockedBuildMaxN): DataFrame =
+    graphAnnEdgesFor(e, denseCount(e, "graph ANN"), maxN)
+
+  /** [[graphAnnEdges]] with the corpus size already counted — the
+    * routed entry computes n once for the decision and the build.
+    */
+  private def graphAnnEdgesFor(e: DataFrame, n: Long, maxN: Long): DataFrame = {
     require(n <= maxN,
       s"blocked graph-ANN build is quadratic within blocks and DNFs " +
         s"past ~1M vectors (measured); n=$n exceeds the viability " +
@@ -549,16 +557,31 @@ object Similarity {
   def graphKnn(spark: SparkSession, dir: String): DataFrame =
     graphKnnOn(spark, Tables.embeddings(spark, dir))
 
-  /** Auto-routed: the block-guaranteed proximity build up to
-    * [[BlockedBuildMaxN]] vectors, NN-descent beyond it — one entry
-    * point that is safe at any corpus size (the blocked build alone
-    * DNF'd the 1M probe; see [[BlockedBuildMaxN]]).
+  /** The blocked build at EVERY size (the require is its guard rail) —
+    * q_knn_graph's algorithm must not depend on corpus size, or the
+    * query would silently diverge from its DuckDB oracle above the
+    * routing threshold. Use [[graphKnnAuto]] for the any-size entry.
     */
-  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
+  def graphKnnOn(spark: SparkSession, e: DataFrame): DataFrame =
+    graphSearch(e, graphAnnEdges(spark, e))
+
+  def graphKnnAuto(spark: SparkSession, dir: String): DataFrame =
+    graphKnnAutoOn(spark, Tables.embeddings(spark, dir))
+
+  /** Auto-routed production entry (the q_neardup_auto pattern): the
+    * block-guaranteed proximity build up to [[BlockedBuildMaxN]]
+    * vectors, NN-descent beyond it — safe at any corpus size (the
+    * blocked build alone DNF'd the 1M probe). The corpus is counted
+    * ONCE here and the n flows into whichever builder runs. At gate
+    * scale the router picks the blocked build, so the registered
+    * q_knn_graph_auto shares q_knn_graph's oracle row-for-row — the
+    * routing decision itself is what the gate then certifies.
+    */
+  def graphKnnAutoOn(spark: SparkSession, e: DataFrame): DataFrame = {
     val n = denseCount(e, "graph ANN routing")
     val edges =
-      if (n <= BlockedBuildMaxN) graphAnnEdges(spark, e)
-      else nnDescentEdges(spark, e)
+      if (n <= BlockedBuildMaxN) graphAnnEdgesFor(e, n, BlockedBuildMaxN)
+      else nnDescentEdgesFor(spark, e, n, NndRounds, None)
     graphSearch(e, edges)
   }
 
@@ -576,7 +599,7 @@ object Similarity {
   /** Batch beam search over an arbitrary prebuilt edge table — the
     * shared serving half of both graph-ANN variants.
     */
-  private def graphSearch(e: DataFrame, rawEdges: DataFrame): DataFrame = {
+  private[graft] def graphSearch(e: DataFrame, rawEdges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = rawEdges.persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
@@ -646,8 +669,11 @@ object Similarity {
     * NN-descent "visited" set, carried as data, never on the driver.
     */
   private[graft] def nnDescentEdges(spark: SparkSession, e: DataFrame,
-      rounds: Int = NndRounds, rho: Option[Int] = None): DataFrame = {
-    val n = denseCount(e, "NN-descent")
+      rounds: Int = NndRounds, rho: Option[Int] = None): DataFrame =
+    nnDescentEdgesFor(spark, e, denseCount(e, "NN-descent"), rounds, rho)
+
+  private def nnDescentEdgesFor(spark: SparkSession, e: DataFrame, n: Long,
+      rounds: Int, rho: Option[Int]): DataFrame = {
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
     // Pair and corpus frames at production N must never be elected for
     // broadcast: AQE's runtime size estimate sits below its threshold

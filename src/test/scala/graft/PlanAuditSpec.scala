@@ -122,10 +122,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"banded candidate join degenerated to all-pairs:\n${plan.take(1200)}")
-    // the persisted hash table must actually be reused (InMemoryRelation
-    // appears for the band/verify consumers instead of 4 re-decodes)
-    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
-      s"aHash table not persisted across its consumers:\n${plan.take(1200)}")
+    // the hash table must be materialized ONCE and reused by the
+    // band/verify consumers instead of 4 re-decodes: localCheckpoint
+    // truncates lineage, so every consumer reads the checkpointed RDD
+    // (Scan ExistingRDD) and no parquet decode survives in the plan
+    assert(plan.contains("ExistingRDD") || plan.contains("InMemoryTableScan") ||
+      plan.contains("InMemoryRelation"),
+      s"aHash table not materialized across its consumers:\n${plan.take(1200)}")
   }
 
   test("q_incremental_agg: merge is a hash/merge join of pre-aggregated sides") {

@@ -58,6 +58,17 @@ class Round15OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("graphKnnAuto: routes to the blocked build below the ceiling (== graphKnn)") {
+    // below BlockedBuildMaxN the routed entry must be row-identical to
+    // the blocked query — this is what lets q_knn_graph_auto share
+    // q_knn_graph's DuckDB oracle at gate scale
+    val direct = graft.operators.Similarity.graphKnn(spark, sfDir)
+      .collect().map(_.toSeq)
+    val auto = graft.operators.Similarity.graphKnnAuto(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(direct.nonEmpty && direct.toSeq == auto.toSeq)
+  }
+
   test("substringDedup paranoid (3-polynomial) tier: identical spans at fixture scale") {
     // the escalation must change only the collision bound, never the
     // result below it — at fixture scale (zero collisions either way)
