@@ -364,6 +364,25 @@ object SparkEntry {
     "q_tpch_q20"        -> (Relational.tpchQ20 _),
     // multi-EXISTS/NOT-EXISTS lineitem self-joins (semi + anti)
     "q_tpch_q21"        -> (Relational.tpchQ21 _),
+    // — the remaining 9 stock shapes: full TPC-H 22/22 coverage —
+    // correlated scalar-MIN over the derived supply relation
+    "q_tpch_q2"         -> (Relational.tpchQ2 _),
+    // EXISTS correlated on key + outer date column (semi join)
+    "q_tpch_q4"         -> (Relational.tpchQ4 _),
+    // bidirectional two-nation trade (nation dim joined twice)
+    "q_tpch_q7"         -> (Relational.tpchQ7 _),
+    // 7-relation tree + conditional market-share aggregate
+    "q_tpch_q8"         -> (Relational.tpchQ8 _),
+    // name-sliced profit by nation/year
+    "q_tpch_q9"         -> (Relational.tpchQ9 _),
+    // grouped agg with scalar-subquery HAVING threshold
+    "q_tpch_q11"        -> (Relational.tpchQ11 _),
+    // outer-join histogram (filter on the join condition)
+    "q_tpch_q13"        -> (Relational.tpchQ13 _),
+    // distinct-count groups behind a null-aware NOT IN anti join
+    "q_tpch_q16"        -> (Relational.tpchQ16 _),
+    // scalar-AVG threshold + NOT EXISTS anti join finale
+    "q_tpch_q22"        -> (Relational.tpchQ22 _),
     // SQL LATERAL correlated subquery (Catalyst decorrelates to a join)
     "q_lateral_join"    -> (Relational.lateralTopNations _),
     // MERGE-style incremental snapshot upsert (full-outer merge dataflow)
@@ -2776,6 +2795,133 @@ object SparkEntry {
         |                    AND l3.l_shipdate > o_orderdate + INTERVAL 360 DAY)
         |  AND s_nationkey = n_nationkey
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, supply, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15 AND p_type = 'SMALL'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(s2.ps_supplycost)
+        |    FROM supply s2, supplier sup2, nation n2, region r2
+        |    WHERE s2.ps_partkey = p_partkey AND s2.ps_suppkey = sup2.s_suppkey
+        |      AND sup2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM lineitem, orders, supplier, customer, nation n1, nation n2
+        |      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |        AND o_custkey = c_custkey
+        |        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                      THEN l_extendedprice * (1 - l_discount)
+        |                      ELSE 0 END), 2) AS nation_volume,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+        |FROM lineitem, part, orders, customer, supplier,
+        |     nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'AMERICA'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |           - 600 * CAST(round(p_retailprice * 10) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) / 10000.0 AS sum_profit
+        |FROM lineitem, part, orders, supplier, nation
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """SELECT l_partkey AS ps_partkey, round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem, supplier, nation
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_5'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) > (
+        |  SELECT sum(l_extendedprice) * 0.001
+        |  FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_5')
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '4-NOT SPECIFIED'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM lineitem) supply, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#2' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM (SELECT c_custkey % 10 AS cntrycode, c_acctbal
+        |      FROM customer
+        |      WHERE c_custkey % 10 IN (1, 2, 3, 4, 5, 6, 7)
+        |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                         WHERE c_acctbal > 0.00
+        |                           AND c_custkey % 10 IN (1, 2, 3, 4, 5, 6, 7))
+        |        AND NOT EXISTS (SELECT 1 FROM orders
+        |                        WHERE o_custkey = c_custkey
+        |                          AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS acctbal, n_name,

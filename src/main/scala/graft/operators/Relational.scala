@@ -939,6 +939,295 @@ object Relational {
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated scalar-MIN
+    * subquery over the supply relation, re-executed per part —
+    * Catalyst must decorrelate it into ONE grouped min aggregate
+    * joined back on partkey (never a per-row re-execution), with the
+    * region restriction applied inside BOTH the outer block and the
+    * min derivation. Fixture adaptation: no partsupp table exists, so
+    * the supply relation is DERIVED — cost(part, supp) := the minimum
+    * unit price that supplier ever shipped the part at
+    * (min(l_extendedprice / l_quantity) from lineitem). The division
+    * is one IEEE op both engines evaluate identically and min SELECTS
+    * a value rather than accumulating, so the correlated equality is
+    * engine-exact without rounding. Scale: supply is a grouped
+    * aggregate of lineitem (map-side partials), dims broadcast; the
+    * decorrelated min reuses supply's shuffle partitioning.
+    */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t2")
+    Tables.part(spark, dir).createOrReplaceTempView("part_t2")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_t2")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_t2")
+    Tables.region(spark, dir).createOrReplaceTempView("region_t2")
+    spark.sql(
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem_t2 GROUP BY 1, 2)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part_t2, supply, supplier_t2, nation_t2, region_t2
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15 AND p_type = 'SMALL'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(s2.ps_supplycost)
+        |    FROM supply s2, supplier_t2 sup2, nation_t2 n2, region_t2 r2
+        |    WHERE s2.ps_partkey = p_partkey AND s2.ps_suppkey = sup2.s_suppkey
+        |      AND sup2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): EXISTS against the fact
+    * table correlated on the join key AND an outer column — planned as
+    * one left-semi join of orders against lineitem shuffled on
+    * orderkey, with the date-window filter pushed to the orders scan.
+    * Fixture adaptation: no l_commitdate/l_receiptdate, so "late" :=
+    * shipped more than 90 days after the order date (the same
+    * two-table correlation q_tpch_q21 stresses). All-integer output.
+    */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t4")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_t4")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders_t4
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem_t4
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q7 shape (volume shipping): the bidirectional two-nation
+    * trade query — supplier nation and customer nation must be the
+    * pair (NATION_1, NATION_2) in either direction, revenue by
+    * (supp_nation, cust_nation, year). Both nation dims broadcast
+    * under DIFFERENT aliases (the same table joined twice on different
+    * keys); the direction predicate rides after both joins as one
+    * disjunction. orders⋈lineitem is the only fact-fact shuffle; the
+    * ship-date window is pushed to the lineitem scan.
+    */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(sum(col("volume")), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): the deepest stock join
+    * tree (7 relations: part-sliced lineitem, date-sliced orders,
+    * customer→nation→region on one side, supplier→nation on the
+    * other) with a conditional aggregate over the nation of interest.
+    * Fidelity note: the share is emitted as its two rounded components
+    * (nation_volume, total_volume) instead of their quotient — the
+    * division of two accumulation-ordered double sums is the one
+    * non-portable op in the stock query, and the components carry
+    * strictly more information. Scale: every dim broadcasts;
+    * lineitem⋈orders is again the single fact-fact shuffle.
+    */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nc = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey"))
+    val ns = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))), 2).as("nation_volume"),
+        round(sum(col("volume")), 2).as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): name-sliced parts through
+    * the lineitem→orders→supplier→nation tree, profit aggregated by
+    * (nation, order year). Fixture adaptation: no ps_supplycost, so
+    * unit cost := 60% of p_retailprice — the same per-row arithmetic
+    * profile (two multiplies and a subtract against joined columns).
+    * The profit is accumulated FIXED-POINT (a long in 10^-4 dollars:
+    * prices carry ≤2 decimals, the discount is a whole percent, so the
+    * scaling is lossless) because the subtraction makes group sums
+    * small enough to land on half-cent boundaries where double
+    * accumulation order flips a rounded cent between engines — the
+    * integer sum is order-free and the single closing division by
+    * 10000.0 is the same IEEE op on both sides, no rounding needed.
+    * Only part/supplier/nation broadcast; lineitem⋈orders shuffles.
+    */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 10).cast("long").as("retail10"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("ext_c"),
+        round(col("l_discount") * 100).cast("long").as("disc100"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg((sum(col("ext_c") * (lit(100L) - col("disc100")) -
+        lit(600L) * col("retail10") * col("qty")) / lit(10000.0)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock): grouped aggregate with a
+    * HAVING threshold that is itself a scalar subquery over the SAME
+    * join — the global total must be computed once and broadcast into
+    * the filter, not re-derived per group. Fixture adaptation: no
+    * partsupp, so a part's stock value in a nation := total extended
+    * price that nation's suppliers ever shipped of it.
+    */
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t11")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_t11")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_t11")
+    spark.sql(
+      """SELECT l_partkey AS ps_partkey, round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem_t11, supplier_t11, nation_t11
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_5'
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice) > (
+        |  SELECT sum(l_extendedprice) * 0.001
+        |  FROM lineitem_t11, supplier_t11, nation_t11
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_5')
+        |ORDER BY value DESC, ps_partkey""".stripMargin)
+  }
+
+  /** TPC-H Q13 shape (customer order distribution): the outer-join
+    * histogram — customers LEFT JOIN orders with the filter ON THE
+    * JOIN CONDITION (a WHERE would silently turn it inner and drop
+    * the zero-order customers Q13 exists to count), then a double
+    * aggregation: orders per customer, customers per order-count.
+    * Fixture adaptation: o_comment doesn't exist, so the exclusion
+    * filter is the NOT-SPECIFIED priority class. All-integer output.
+    * Scale: the first agg shuffles on custkey (map-side partials
+    * absorb the fact volume), the second is 25-ish rows.
+    */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q16 shape (parts/supplier relationship): count DISTINCT
+    * suppliers per (brand, type, size) slice, excluding a NOT-IN
+    * supplier set — the NOT IN must plan as a null-aware anti join
+    * against the (tiny, broadcastable) supplier side, and the distinct
+    * count rides the grouped aggregate (two-phase partial distinct).
+    * Fixture adaptation: supply pairs derive from lineitem; the
+    * "customer complaints" exclusion := suppliers with negative
+    * account balance. All-integer/string output.
+    */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t16")
+    Tables.part(spark, dir).createOrReplaceTempView("part_t16")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_t16")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM lineitem_t16) supply, part_t16
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#2' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier_t16
+        |                         WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): the double-subquery
+    * finale — an uncorrelated scalar AVG threshold plus a NOT EXISTS
+    * anti join against orders, over a derived "country code" column.
+    * Fixture adaptation: no c_phone, so cntrycode := c_custkey % 10
+    * (same role: a small categorical derived from a customer
+    * attribute, IN-listed in both the outer block and the threshold),
+    * and "never ordered" := no order since 2000-01-01 (the fixture's
+    * order stream covers every custkey, so the stock unqualified NOT
+    * EXISTS would be vacuously empty — dormancy keeps the anti join
+    * selective AND non-trivial). The AVG compare is a one-sided
+    * inequality on well-separated balances, engine-portable without
+    * rounding.
+    */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_t22")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_t22")
+    spark.sql(
+      """SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM (SELECT c_custkey % 10 AS cntrycode, c_acctbal
+        |      FROM customer_t22
+        |      WHERE c_custkey % 10 IN (1, 2, 3, 4, 5, 6, 7)
+        |        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer_t22
+        |                         WHERE c_acctbal > 0.00
+        |                           AND c_custkey % 10 IN (1, 2, 3, 4, 5, 6, 7))
+        |        AND NOT EXISTS (SELECT 1 FROM orders_t22
+        |                        WHERE o_custkey = c_custkey
+        |                          AND o_orderdate >= TIMESTAMP '2000-01-01')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** LATERAL correlated subquery (SQL surface): per-region top-2
     * nations by total customer account balance. The lateral derived
     * table re-executes per outer row DECLARATIVELY — Catalyst decorrelates

@@ -117,6 +117,43 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(q21.contains("LeftAnti"), "Q21's NOT EXISTS not an anti join")
   }
 
+  test("TPC-H Q2/Q4/Q11/Q16/Q22: subquery shapes decorrelate, semi/anti joins appear") {
+    // the five subquery-bearing closers of the 22/22 set: correlated
+    // scalar-MIN (Q2), correlated EXISTS (Q4), scalar-subquery HAVING
+    // (Q11), NOT IN (Q16), scalar AVG + NOT EXISTS (Q22) — all must
+    // plan as joins/one-shot subqueries, never nested re-execution
+    for (q <- Seq("q_tpch_q2", "q_tpch_q4", "q_tpch_q11", "q_tpch_q16", "q_tpch_q22")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n${plan.take(800)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop (undecorrelated subquery):\n${plan.take(1200)}")
+    }
+    val q4 = planOf("q_tpch_q4")
+    assert(q4.contains("LeftSemi") || q4.contains("ExistenceJoin"),
+      "Q4's EXISTS not a semi join")
+    assert(planOf("q_tpch_q16").contains("LeftAnti"), "Q16's NOT IN not an anti join")
+    assert(planOf("q_tpch_q22").contains("LeftAnti"), "Q22's NOT EXISTS not an anti join")
+  }
+
+  test("TPC-H Q7/Q8/Q9: dims broadcast, at most one fact-fact shuffle join") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast dim join")
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      val shuffleJoins = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      assert(shuffleJoins <= 1,
+        s"$q: $shuffleJoins shuffle joins (expected <= 1):\n${plan.take(1500)}")
+    }
+  }
+
+  test("q_tpch_q13: the exclusion filter stays ON the outer join, zero-order customers kept") {
+    val plan = planOf("q_tpch_q13")
+    assert(plan.contains("LeftOuter"),
+      s"Q13's left join collapsed to inner (drops zero-order customers):\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), "Q13 plans a cartesian")
+  }
+
   test("q_image_neardup: band join is an equi-join on (band, value), never all-pairs") {
     val plan = planOf("q_image_neardup")
     assert(!plan.contains("CartesianProduct") &&
