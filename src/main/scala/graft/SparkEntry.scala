@@ -98,6 +98,10 @@ object SparkEntry {
     "q_sink_roundtrip"  -> (graft.sources.Sinks.partitionedRoundTrip _),
     // bucketed (co-located join) storage round-trip, graded:
     "q_bucketed_join"   -> (graft.sources.Sinks.bucketedJoinRoundTrip _),
+    // dynamic-partition-pruned star join over a partitioned landing:
+    "q_dpp_join"        -> (graft.sources.Sinks.dppJoinRoundTrip _),
+    // runtime Bloom-filter shuffle reduction (merge-hinted fact join):
+    "q_bloom_join"      -> (Relational.bloomFilteredJoin _),
     // text-format (CSV) sink/source round-trip, graded:
     "q_json_roundtrip"  -> (graft.sources.Sinks.jsonRoundTrip _),
     "q_orc_roundtrip"   -> (graft.sources.Sinks.orcRoundTrip _),
@@ -1485,6 +1489,24 @@ object SparkEntry {
         |round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_dpp_join" ->
+      """SELECT ship_year, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+        |FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year, l_extendedprice
+        |      FROM lineitem) f
+        |WHERE ship_year IN (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER)
+        |                    FROM orders
+        |                    WHERE o_orderpriority = '1-URGENT'
+        |                      AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |                      AND o_orderdate < TIMESTAMP '1998-01-01')
+        |GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

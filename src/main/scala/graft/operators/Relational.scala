@@ -1228,6 +1228,68 @@ object Relational {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** Runtime Bloom-filter join (the shuffle-reduction lever): a
+    * selective filter on the orders side should cut the LINEITEM
+    * shuffle too, even though lineitem itself has no predicate —
+    * Catalyst's InjectRuntimeFilter builds a Bloom filter from the
+    * filtered creation side and plants `might_contain(xxhash64(
+    * l_orderkey))` on the fact scan, so non-qualifying fact rows die
+    * BEFORE the shuffle instead of after the join. At 100 TB this is
+    * the difference between shuffling the whole fact table and
+    * shuffling the ~join-surviving fraction. The join is MERGE-hinted
+    * (runtime filters only pay off on shuffle joins — a broadcast join
+    * already filters at probe time), and the application-side size
+    * threshold is lowered ONLY while this plan is optimized (default
+    * 10 GB targets real clusters; the try/finally restores the session
+    * for every other query). The Bloom filter is semantics-preserving
+    * (false positives just pass through the real join), so the values
+    * sit under the exact oracle gate while the plan assertion pins the
+    * injection.
+    */
+  def bloomFilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    // Injection preconditions, scaled down to fixture size: the scan
+    // threshold (default 10 GB) targets real fact tables, and
+    // InjectRuntimeFilter refuses joins it considers broadcastable —
+    // at 100 TB the filtered orders side is far past the broadcast
+    // threshold, so planning with broadcast off IS the production
+    // plan, not a trick. All three overrides live only until the plan
+    // below is forced.
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"))
+      val l = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount"))
+      val df = l.hint("merge").join(o.hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("l_returnflag"))
+      // force optimization + physical planning NOW, while the
+      // threshold override is in effect — the Dataset caches this
+      // QueryExecution, so consumers (and the plan audit) see the
+      // injected filter; re-planned executions (e.g. a write command)
+      // run without it and produce identical values
+      df.queryExecution.executedPlan
+      df
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** LATERAL correlated subquery (SQL surface): per-region top-2
     * nations by total customer account balance. The lateral derived
     * table re-executes per outer row DECLARATIVELY — Catalyst decorrelates

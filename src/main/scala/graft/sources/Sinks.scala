@@ -118,6 +118,38 @@ object Sinks {
       .orderBy(col("bucket"))
   }
 
+  /** Dynamic-partition-pruning round trip: the fact table lands
+    * partitioned by ship year, then joins a dimension whose qualifying
+    * years are only known at RUNTIME (urgent orders in a date window —
+    * the filter is on o_orderdate, the join key is a derived year, so
+    * no static rule can prune the fact scan). Catalyst must inject a
+    * dynamicpruning subquery into the fact scan's PartitionFilters,
+    * reusing the broadcast dim, so only the qualifying year partitions
+    * are read (plan-asserted in PlanAuditSpec). At 100 TB this is THE
+    * date-dim star-join access path: the fact scan is O(hit
+    * partitions) even though the hit set is computed by the query
+    * itself. Values sit under the oracle gate (DuckDB re-derives the
+    * semi-join from the raw tables), so a pruning bug that drops or
+    * duplicates partitions breaks the hash, not just the plan shape.
+    */
+  def dppJoinRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "dpp_lineitem")
+    Tables.lineitem(spark, dir)
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(year(col("o_orderdate")).as("o_year")).distinct()
+    fact.join(broadcast(dim), col("ship_year") === col("o_year"))
+      .groupBy(col("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("ship_year"))
+  }
+
   /** MERGE landed on storage: the full-outer merge dataflow
     * ([[graft.operators.Relational.mergeUpsert]]) written as an
     * action-partitioned parquet snapshot — `mode("overwrite")` makes

@@ -154,6 +154,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("CartesianProduct"), "Q13 plans a cartesian")
   }
 
+  test("q_dpp_join: fact scan carries a dynamicpruning PartitionFilter") {
+    // the qualifying years are computed by the query itself, so only a
+    // RUNTIME pruning subquery on the partitioned scan keeps the fact
+    // read O(hit partitions) — a static plan here reads all 7 years
+    val plan = planOf("q_dpp_join")
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${plan.take(1500)}")
+    assert(plan.contains("PartitionFilters: [isnotnull(ship_year"),
+      s"ship_year not a partition filter:\n${plan.take(1500)}")
+  }
+
+  test("q_bloom_join: runtime bloom filter planted on the fact side, session conf restored") {
+    val plan = planOf("q_bloom_join")
+    assert(plan.contains("bloom_filter_agg"),
+      s"no bloom filter built from the filtered orders side:\n${plan.take(1500)}")
+    assert(plan.contains("might_contain"),
+      s"no might_contain guard on the lineitem side:\n${plan.take(1500)}")
+    // the planning-time overrides must not leak into the shared session
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "bloomFilteredJoin leaked its broadcast-threshold override")
+  }
+
   test("q_image_neardup: band join is an equi-join on (band, value), never all-pairs") {
     val plan = planOf("q_image_neardup")
     assert(!plan.contains("CartesianProduct") &&
