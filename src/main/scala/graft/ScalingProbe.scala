@@ -118,6 +118,8 @@ object ScalingProbe {
       case "winnow_pairs"    => graft.operators.TextAnalysis.winnowPairsOn(docs)
       // duplicate-heavy variants (30% template copies): skew-bound proofs
       case "substring_dup"   => graft.operators.Dedup.substringDedupOn(docs)
+      case "substring_p3"    => graft.operators.Dedup.substringDedupOn(docs,
+        graft.operators.Dedup.SubstringL, paranoid = true)
       case "winnow_pairs_dup" => graft.operators.TextAnalysis.winnowPairsOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
       // deliberate probe of the BLOCKED build at any size (the library

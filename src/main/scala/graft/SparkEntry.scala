@@ -1252,7 +1252,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         |round(sum(l_extendedprice),2) AS sum_base_price,
         |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        |round(avg(l_quantity),4) AS avg_qty,
+        |round(avg(l_extendedprice),4) AS avg_price,
+        |round(avg(l_discount),4) AS avg_disc,
         |count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

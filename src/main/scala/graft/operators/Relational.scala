@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** TPC-H Q1-style pricing summary: scan → filter → wide agg → sort.
-    * The reference's whole dataflow shape (scan→map→shuffle→reduce,
+  /** TPC-H Q1 pricing summary (the stock column set: sum_qty,
+    * sum_base_price, sum_disc_price, sum_charge, avg_qty, avg_price,
+    * avg_disc, count_order): scan → filter → wide agg → sort. The
+    * reference's whole dataflow shape (scan→map→shuffle→reduce,
     * SURVEY.md §3.1) instantiated over lineitem. Doubles are rounded
     * identically in the oracle to make the hash comparison stable.
     */
@@ -32,7 +34,10 @@ object Relational {
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
