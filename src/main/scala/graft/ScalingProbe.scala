@@ -122,6 +122,8 @@ object ScalingProbe {
         graft.operators.Dedup.SubstringL, paranoid = true)
       case "winnow_pairs_dup" => graft.operators.TextAnalysis.winnowPairsOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
+      case "phrase"          => graft.operators.Retrieval.phraseSearchOn(docs,
+        graft.operators.Retrieval.PhraseQuery)
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes

@@ -152,6 +152,9 @@ object SparkEntry {
     // DSIR importance resampling: unigram-LM log-likelihood-ratio
     // selection of background docs that look like the target domain
     "q_dsir"            -> (Retrieval.dsirWeights _),
+    // exact phrase lookup over positional postings (attribution):
+    // only phrase-term postings ever shuffle, never the corpus
+    "q_phrase_search"   -> (Retrieval.phraseSearch _),
     // the graded stages composed end-to-end, the way a training-data
     // pipeline runs them: quality filter → exact dedup → train-side
     // decontamination → sequence packing, one dataflow, one corpus scan
@@ -2040,6 +2043,25 @@ object SparkEntry {
     },
 
     // both source rankings re-derived exactly (embedding side =
+    // positional postings re-derived with a 1-based LATERAL subscript
+    // walk (generate_series over len(arr)); adjacency via +1/+2 joins
+    // on the pruned posting set, mirroring the Spark fold
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '[^a-z]'),
+        |                     x -> x <> '') AS arr
+        |  FROM documents),
+        |p AS (SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+        |      WHERE arr[g.i] IN ('small', 'query', 'line'))
+        |SELECT a.doc_id, a.pos
+        |FROM p a
+        |JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.tok = 'query'
+        |JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 AND c.tok = 'line'
+        |WHERE a.tok = 'small'
+        |ORDER BY a.doc_id, a.pos""".stripMargin,
+
     // q_knn_bruteforce's rounded cosine; lexical side = long-dot /
     // sqrt(long·long), all ops on exact inputs); each 1/(60+rank)
     // quantizes to 2^20 fixed-point so fused scores sum as longs

@@ -154,6 +154,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!plan.contains("CartesianProduct"), "Q13 plans a cartesian")
   }
 
+  test("q_phrase_search: pruned posting joins, never a corpus-wide window") {
+    val plan = planOf("q_phrase_search")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"adjacency join degenerated to all-pairs:\n${plan.take(1200)}")
+    // the scale contract: phrase terms prune the postings BEFORE any
+    // wide op — a Window here would mean every posting in the corpus
+    // shuffles instead of O(sum df(term)) pruned rows
+    assert(!plan.contains("Window"),
+      s"phrase search planned as a corpus-wide window:\n${plan.take(1200)}")
+    assert(plan.contains("posexplode") || plan.contains("Generate"),
+      s"no posting generation in the plan:\n${plan.take(1200)}")
+  }
+
   test("q_dpp_join: fact scan carries a dynamicpruning PartitionFilter") {
     // the qualifying years are computed by the query itself, so only a
     // RUNTIME pruning subquery on the partitioned scan keeps the fact

@@ -6,6 +6,30 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class Round15OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
+  test("phraseSearch: every reported (doc, pos) really starts the phrase there") {
+    val phrase = graft.operators.Retrieval.PhraseQuery
+    val hits = graft.operators.Retrieval.phraseSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(hits.nonEmpty, "fixture phrase must occur in the corpus")
+    val texts = graft.tables.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(hits.map(_._1).distinct: _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { case (doc, pos) =>
+      val toks = texts(doc).toLowerCase.split("[^a-z]").filter(_.nonEmpty)
+      assert(toks.slice(pos, pos + phrase.size).toSeq == phrase,
+        s"doc $doc pos $pos does not start the phrase")
+    }
+    // completeness against an independent in-JVM scan of every doc
+    val expected = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split("[^a-z]").filter(_.nonEmpty)
+        toks.sliding(phrase.size).zipWithIndex
+          .collect { case (w, i) if w.toSeq == phrase => (r.getLong(0), i) }
+      }.toSet
+    assert(hits.toSet == expected, "posting-join result differs from direct scan")
+  }
+
   test("incrementalAgg: delta-apply equals a from-scratch recompute") {
     // THE materialized-view maintenance contract: merging the batch
     // delta into the pre-aggregated base must be indistinguishable
