@@ -100,6 +100,8 @@ object SparkEntry {
     "q_bucketed_join"   -> (graft.sources.Sinks.bucketedJoinRoundTrip _),
     // dynamic-partition-pruned star join over a partitioned landing:
     "q_dpp_join"        -> (graft.sources.Sinks.dppJoinRoundTrip _),
+    // small-file compaction (storage maintenance), losslessness graded:
+    "q_compaction"      -> (graft.sources.Sinks.compactionRoundTrip _),
     // runtime Bloom-filter shuffle reduction (merge-hinted fact join):
     "q_bloom_join"      -> (Relational.bloomFilteredJoin _),
     // text-format (CSV) sink/source round-trip, graded:
@@ -1495,6 +1497,12 @@ object SparkEntry {
         |round(sum(o_totalprice), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS revenue,
+        |count(DISTINCT o_orderkey) AS n_keys
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_dpp_join" ->
       """SELECT ship_year, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue

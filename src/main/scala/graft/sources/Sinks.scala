@@ -118,6 +118,44 @@ object Sinks {
       .orderBy(col("bucket"))
   }
 
+  /** Small-file COMPACTION round trip — the storage-maintenance op
+    * every streaming/micro-batch landing needs: the raw landing is
+    * written as 32-files-per-partition debris (each micro-batch task
+    * leaves its own file; at 100 TB this is millions of KB-sized files
+    * whose open cost dominates every subsequent scan), then compacted
+    * by ONE shuffle keyed on the partition column so each partition
+    * directory collapses to a single right-sized file (at production
+    * scale `maxRecordsPerFile` re-splits oversized partitions; the
+    * layout contract — ≤1 file per partition dir here, vs 32 before —
+    * is pinned by SinkRoundTripSpec on the actual directories). The
+    * graded values re-aggregate the COMPACTED dataset against the
+    * oracle computed from the original table, so a compaction that
+    * drops, duplicates, or cross-partitions rows breaks the hash —
+    * lossless-ness is gate-proven, not assumed.
+    */
+  def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .repartition(32)
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(compactionRawDir(spark))
+    spark.read.parquet(compactionRawDir(spark))
+      .repartition(col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(compactionOutDir(spark))
+    spark.read.parquet(compactionOutDir(spark))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def compactionRawDir(spark: SparkSession): String =
+    Scratch.dir(spark, "compact_raw")
+
+  def compactionOutDir(spark: SparkSession): String =
+    Scratch.dir(spark, "compact_out")
+
   /** Dynamic-partition-pruning round trip: the fact table lands
     * partitioned by ship year, then joins a dimension whose qualifying
     * years are only known at RUNTIME (urgent orders in a date window —

@@ -39,6 +39,32 @@ class GatedSourceSinkSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("compaction: 32-file debris collapses to one file per partition, values intact") {
+    val got = Sinks.compactionRoundTrip(spark, sfDir).collect()
+    val want = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_keys"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(got.toSeq == want.toSeq, "compacted values drifted from the source table")
+    // the layout contract: each status dir held 32 debris files before
+    // and at most ONE parquet file after the keyed-shuffle rewrite
+    def filesPerPartition(root: String): Map[String, Int] = {
+      val dir = new java.io.File(root.stripPrefix("file:"))
+      assert(dir.isDirectory, s"landing dir missing: $dir")
+      dir.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val raw = filesPerPartition(Sinks.compactionRawDir(spark))
+    val out = filesPerPartition(Sinks.compactionOutDir(spark))
+    assert(raw.nonEmpty && raw.values.forall(_ > 1),
+      s"raw landing not fragmented: $raw")
+    assert(out.keySet == raw.keySet && out.values.forall(_ == 1),
+      s"compaction left multi-file partitions: $out")
+  }
+
   test("partitioned sink round-trip equals the direct aggregate and prunes partitions") {
     val got = Sinks.partitionedRoundTrip(spark, sfDir).collect()
     val want = Tables.orders(spark, sfDir)
