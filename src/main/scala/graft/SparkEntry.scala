@@ -102,8 +102,10 @@ object SparkEntry {
     "q_dpp_join"        -> (graft.sources.Sinks.dppJoinRoundTrip _),
     // small-file compaction (storage maintenance), losslessness graded:
     "q_compaction"      -> (graft.sources.Sinks.compactionRoundTrip _),
-    // runtime Bloom-filter shuffle reduction (merge-hinted fact join):
-    "q_bloom_join"      -> (Relational.bloomFilteredJoin _),
+    // runtime Bloom-filter shuffle reduction (merge-hinted fact join);
+    // the default path executes the filtered plan under the conf
+    // window via eager checkpoint (a write would re-plan without it)
+    "q_bloom_join"      -> ((s: SparkSession, d: String) => Relational.bloomFilteredJoin(s, d)),
     // text-format (CSV) sink/source round-trip, graded:
     "q_json_roundtrip"  -> (graft.sources.Sinks.jsonRoundTrip _),
     "q_orc_roundtrip"   -> (graft.sources.Sinks.orcRoundTrip _),
@@ -1240,6 +1242,32 @@ object SparkEntry {
     * a session the engine merges whenever a gap hits 30:00.000000
     * exactly — the round-14 boundary spec pins this.
     */
+  /** q_phrase_search's DuckDB twin, generated FROM the library's
+    * [[graft.operators.Retrieval.PhraseQuery]] (terms, join count, and
+    * adjacency offsets all derive from it) so the oracle can never
+    * drift from the Spark query when the phrase changes.
+    */
+  private val phraseSearchSql: String = {
+    val terms = graft.operators.Retrieval.PhraseQuery
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val joins = terms.zipWithIndex.drop(1).map { case (w, i) =>
+      s"JOIN p t$i ON a.doc_id = t$i.doc_id AND t$i.pos = a.pos + $i AND t$i.tok = '$w'"
+    }.mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z]'),
+       |                     x -> x <> '') AS arr
+       |  FROM documents),
+       |p AS (SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+       |      WHERE arr[g.i] IN ($inList))
+       |SELECT a.doc_id, a.pos
+       |FROM p a
+       |$joins
+       |WHERE a.tok = '${terms.head}'
+       |ORDER BY a.doc_id, a.pos""".stripMargin
+  }
+
   private val sessionsSql: String =
     """WITH flagged AS (SELECT user_id, ts, value,
       |  CASE WHEN lag(ts) OVER w IS NULL
@@ -2050,26 +2078,14 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    // both source rankings re-derived exactly (embedding side =
     // positional postings re-derived with a 1-based LATERAL subscript
-    // walk (generate_series over len(arr)); adjacency via +1/+2 joins
-    // on the pruned posting set, mirroring the Spark fold
-    "q_phrase_search" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(lower(text), '[^a-z]'),
-        |                     x -> x <> '') AS arr
-        |  FROM documents),
-        |p AS (SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
-        |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
-        |      WHERE arr[g.i] IN ('small', 'query', 'line'))
-        |SELECT a.doc_id, a.pos
-        |FROM p a
-        |JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND b.tok = 'query'
-        |JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 AND c.tok = 'line'
-        |WHERE a.tok = 'small'
-        |ORDER BY a.doc_id, a.pos""".stripMargin,
+    // walk (generate_series over len(arr)); adjacency joins on the
+    // pruned posting set mirror the Spark fold, with the terms and
+    // offsets INTERPOLATED from Retrieval.PhraseQuery so an edited
+    // phrase cannot desynchronize the gate
+    "q_phrase_search" -> phraseSearchSql,
 
+    // both source rankings re-derived exactly (embedding side =
     // q_knn_bruteforce's rounded cosine; lexical side = long-dot /
     // sqrt(long·long), all ops on exact inputs); each 1/(60+rank)
     // quantizes to 2^20 fixed-point so fused scores sum as longs

@@ -1133,7 +1133,12 @@ object Relational {
     * join — the global total must be computed once and broadcast into
     * the filter, not re-derived per group. Fixture adaptation: no
     * partsupp, so a part's stock value in a nation := total extended
-    * price that nation's suppliers ever shipped of it.
+    * price that nation's suppliers ever shipped of it. Cross-engine
+    * note: the HAVING compares two unrounded double sums, so a group
+    * landing within accumulation-order noise (~1e-11 relative) of the
+    * threshold could flip between engines; at the fixture the nearest
+    * group sits 3.2e-4 relative from the cut — seven orders of
+    * magnitude of margin — the q_tpch_q22 separation argument.
     */
   def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_t11")
@@ -1250,8 +1255,20 @@ object Relational {
     * (false positives just pass through the real join), so the values
     * sit under the exact oracle gate while the plan assertion pins the
     * injection.
+    *
+    * The default path EXECUTES the Bloom-filtered plan inside the conf
+    * window via an eager localCheckpoint — a consumer's later write
+    * command re-plans from the logical plan under the restored session
+    * conf, which would silently drop the injected filter (both Bench's
+    * noop write and Verify's parquet write are such consumers), so
+    * lazy-returning the frame would mean the audited plan never
+    * actually runs. checkpoint=false exists for plan audits only: it
+    * returns the un-executed frame whose CACHED QueryExecution (forced
+    * inside the window) carries the bloom_filter_agg/might_contain
+    * nodes to assert on.
     */
-  def bloomFilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+  def bloomFilteredJoin(spark: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
     // Injection preconditions, scaled down to fixture size: the scan
     // threshold (default 10 GB) targets real fact tables, and
     // InjectRuntimeFilter refuses joins it considers broadcastable —
@@ -1279,14 +1296,15 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
-        .orderBy(col("l_returnflag"))
-      // force optimization + physical planning NOW, while the
-      // threshold override is in effect — the Dataset caches this
-      // QueryExecution, so consumers (and the plan audit) see the
-      // injected filter; re-planned executions (e.g. a write command)
-      // run without it and produce identical values
-      df.queryExecution.executedPlan
-      df
+      // checkpoint BEFORE the closing sort (the bm25On pattern): the
+      // join+agg EXECUTE here, under the overrides; the 3-row sort
+      // re-plans later under the restored conf, which is fine
+      if (checkpoint) df.localCheckpoint().orderBy(col("l_returnflag"))
+      else { // audit path: un-executed, cached QueryExecution has the bloom nodes
+        val full = df.orderBy(col("l_returnflag"))
+        full.queryExecution.executedPlan
+        full
+      }
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

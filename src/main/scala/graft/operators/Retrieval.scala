@@ -134,6 +134,53 @@ object Retrieval {
     } finally { if (checkpoint && persistPostings) { tf.unpersist(); () } }
   }
 
+  /** Default phrase for the graded [[phraseSearch]] entry — present in
+    * the synthetic corpus (5 occurrences at sf0.001 AND at sf0.01, so both
+    * the spec fixture and the driver gate exercise non-empty results).
+    * [[graft.SparkEntry.oracleSql]] interpolates THESE terms into the
+    * DuckDB twin, so editing the phrase cannot desynchronize the gate.
+    */
+  val PhraseQuery: Seq[String] = Seq("small", "query", "line")
+
+  /** Exact phrase search over POSITIONAL postings — the attribution /
+    * quotation-lookup primitive (find every (document, offset) where
+    * the words appear consecutively). The corpus tokenizes in ONE
+    * map-only pass into (doc_id, pos, tok) postings pruned to the
+    * phrase's terms, eagerly materialized (localCheckpoint) so the
+    * per-term adjacency self-joins all read the tiny pruned table
+    * instead of re-scanning the corpus once per term — at 100 TB a
+    * phrase query touches the corpus once and then O(Σ df(term))
+    * posting rows, where the equivalent window formulation (lead(tok)
+    * OVER doc order) would shuffle EVERY posting. Each adjacency step
+    * is an equi-join on (doc_id, pos - offset), so candidate starts
+    * die at the first non-matching term. Output is the (doc_id, pos)
+    * start-position list, fully integer, ordered — gate-exact.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOn(Tables.documents(spark, dir), PhraseQuery)
+
+  def phraseSearchOn(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    // one corpus scan; the pruned result is term-bounded and shared by
+    // every adjacency join below (checkpoint over persist so the
+    // blocks die with the RDD — the q_image_neardup precedent)
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "[^a-z]"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+      .localCheckpoint()
+    val base = postings.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
+      acc.join(
+        postings.filter(col("tok") === w)
+          .select(col("doc_id").as("d2"), (col("pos") - i).as("p2")),
+        col("doc_id") === col("d2") && col("pos") === col("p2"))
+        .select(col("doc_id"), col("pos"))
+    }.orderBy(col("doc_id"), col("pos"))
+  }
+
   /** Hybrid retrieval by Reciprocal Rank Fusion: for each query doc
     * (the [[Similarity.NumQueries]] fixture convention, vec_id =
     * doc_id), fuse (a) the embedding-cosine ranking over the
@@ -152,49 +199,6 @@ object Retrieval {
     * rankings — the corpus side streams past it with no corpus-wide
     * pairwise stage; rank lists are query-bounded (≤ depth·|Q| rows).
     */
-  /** Default phrase for the graded [[phraseSearch]] entry — present in
-    * the synthetic corpus (5 occurrences at sf0.001 AND at sf0.01, so both
-    * the spec fixture and the driver gate exercise non-empty results).
-    */
-  val PhraseQuery: Seq[String] = Seq("small", "query", "line")
-
-  /** Exact phrase search over POSITIONAL postings — the attribution /
-    * quotation-lookup primitive (find every (document, offset) where
-    * the words appear consecutively). The corpus tokenizes map-only
-    * into (doc_id, pos, tok); the postings are pruned to the phrase's
-    * terms BEFORE anything wide happens, so the adjacency self-joins
-    * shuffle only phrase-term postings — at 100 TB that is the whole
-    * design: a phrase query touches O(Σ df(term)) posting rows, never
-    * the corpus, where the equivalent window formulation (lead(tok)
-    * OVER doc order) would shuffle EVERY posting in the corpus. Each
-    * adjacency step is an equi-join on (doc_id, pos - offset), so
-    * candidate starts die at the first non-matching term (joins run
-    * smallest-surviving-set first in the fold order). Output is the
-    * (doc_id, pos) start-position list, fully integer, ordered —
-    * gate-exact.
-    */
-  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
-    phraseSearchOn(Tables.documents(spark, dir), PhraseQuery)
-
-  def phraseSearchOn(docs: DataFrame, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one term")
-    val postings = docs
-      .select(col("doc_id"),
-        posexplode(filter(split(lower(col("text")), "[^a-z]"), t => t =!= ""))
-          .as(Seq("pos", "tok")))
-      // the df-selective prune: only phrase terms survive the map side
-      .filter(col("tok").isin(phrase: _*))
-    val base = postings.filter(col("tok") === phrase.head)
-      .select(col("doc_id"), col("pos"))
-    phrase.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
-      acc.join(
-        postings.filter(col("tok") === w)
-          .select(col("doc_id").as("d2"), (col("pos") - i).as("p2")),
-        col("doc_id") === col("d2") && col("pos") === col("p2"))
-        .select(col("doc_id"), col("pos"))
-    }.orderBy(col("doc_id"), col("pos"))
-  }
-
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

