@@ -116,14 +116,38 @@ object ScalingProbe {
       case "substring"       => graft.operators.Dedup.substringDedupOn(docs)
       case "substring_decon" => graft.operators.Dedup.substringDecontaminationOn(docs)
       case "winnow_pairs"    => graft.operators.TextAnalysis.winnowPairsOn(docs)
-      // duplicate-heavy variants (30% template copies): skew-bound proofs
+      // duplicate-heavy variants (30% template copies, `_dup` suffix
+      // routes them onto dupCorpus below): skew-bound proofs
       case "substring_dup"   => graft.operators.Dedup.substringDedupOn(docs)
+      case "winnow_pairs_dup" => graft.operators.TextAnalysis.winnowPairsOn(docs)
+      // 3-poly paranoid tier on the DIVERSE corpus on purpose (no _dup
+      // suffix): an apples-to-apples 2-hash vs 3-hash cost comparison
+      // against the plain `substring` probe above
       case "substring_p3"    => graft.operators.Dedup.substringDedupOn(docs,
         graft.operators.Dedup.SubstringL, paranoid = true)
-      case "winnow_pairs_dup" => graft.operators.TextAnalysis.winnowPairsOn(docs)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
       case "phrase"          => graft.operators.Retrieval.phraseSearchOn(docs,
         graft.operators.Retrieval.PhraseQuery)
+      // 1000 deterministic 2-4-term phrases through ONE postings
+      // build: against the single-`phrase` probe above this proves the
+      // batch costs one corpus scan + Σ df joins, not 1000 rescans
+      case "phrase_batch"    =>
+        val words = Vector("key", "agg", "row", "scan", "slow", "fast",
+          "table", "value", "part", "hash", "merge", "batch", "spark",
+          "line", "sort", "window", "stream", "group", "vector", "filter",
+          "join", "query", "order", "data", "column", "small", "big",
+          "the", "customer", "a")
+        val batch = (0 until 1000).map { qid =>
+          val rnd = new scala.util.Random(qid * 104729L + 13)
+          (qid.toLong,
+            Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.size))))
+        }
+        graft.operators.Retrieval.phraseBatchOn(spark, docs, batch)
+      // decode-only linear baseline vs the banded pair join on top of
+      // it — the pair (like `phrase`/`phrase_batch`) isolates which
+      // term dominates growth
+      case "image_ahash"     => graft.operators.Multimodal.ahashOf(spark, docs)
+      case "image_neardup"   => graft.operators.Multimodal.imageNeardupOn(spark, docs)
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes
@@ -180,6 +204,8 @@ object ScalingProbe {
     val gen: Int => DataFrame =
       if (op == "paths") eventCorpus
       else if (op.startsWith("graphann") || embOps(op)) embCorpus
+      else if (op.startsWith("image_"))
+        (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus
       else corpus
 

@@ -101,7 +101,8 @@ object SparkEntry {
     // dynamic-partition-pruned star join over a partitioned landing:
     "q_dpp_join"        -> (graft.sources.Sinks.dppJoinRoundTrip _),
     // small-file compaction (storage maintenance), losslessness graded:
-    "q_compaction"      -> (graft.sources.Sinks.compactionRoundTrip _),
+    "q_compaction"      -> ((s: SparkSession, d: String) =>
+      graft.sources.Sinks.compactionRoundTrip(s, d)),
     // runtime Bloom-filter shuffle reduction (merge-hinted fact join);
     // the default path executes the filtered plan under the conf
     // window via eager checkpoint (a write would re-plan without it)
@@ -159,6 +160,11 @@ object SparkEntry {
     // exact phrase lookup over positional postings (attribution):
     // only phrase-term postings ever shuffle, never the corpus
     "q_phrase_search"   -> (Retrieval.phraseSearch _),
+    // the batch restatement (N phrases, ONE corpus scan + slot-count
+    // join) and the NEAR/k ordered-proximity variant of the same
+    // postings build
+    "q_phrase_batch"    -> (Retrieval.phraseBatch _),
+    "q_proximity_search" -> (Retrieval.proximitySearch _),
     // the graded stages composed end-to-end, the way a training-data
     // pipeline runs them: quality filter → exact dedup → train-side
     // decontamination → sequence packing, one dataflow, one corpus scan
@@ -1268,6 +1274,67 @@ object SparkEntry {
        |ORDER BY a.doc_id, a.pos""".stripMargin
   }
 
+  /** q_phrase_batch's DuckDB twin — a per-phrase adjacency-join CTE
+    * union (the BPE chained-CTE precedent), generated FROM
+    * [[graft.operators.Retrieval.PhraseBatch]] so phrases, slot
+    * offsets, and ids can never drift from the Spark query. The Spark
+    * side resolves all phrases through ONE slot-count join; the oracle
+    * proves each phrase independently and unions — different
+    * algorithms, same answer, which is the point of the gate.
+    */
+  private val phraseBatchSql: String = {
+    val batch = graft.operators.Retrieval.PhraseBatch
+    val vocab = batch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val arms = batch.map { case (qid, terms) =>
+      val joins = terms.zipWithIndex.drop(1).map { case (w, i) =>
+        s"JOIN p t$i ON a.doc_id = t$i.doc_id AND t$i.pos = a.pos + $i " +
+          s"AND t$i.tok = '$w'"
+      }.mkString(" ")
+      s"SELECT CAST($qid AS BIGINT) AS query_id, a.doc_id, a.pos " +
+        s"FROM p a $joins WHERE a.tok = '${terms.head}'"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z]'),
+       |                     x -> x <> '') AS arr
+       |  FROM documents),
+       |p AS (SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+       |      WHERE arr[g.i] IN ($vocab))
+       |SELECT query_id, doc_id, pos FROM (
+       |$arms
+       |) ORDER BY query_id, doc_id, pos""".stripMargin
+  }
+
+  /** q_proximity_search's twin: the phrase adjacency join with the
+    * `pos + i` equality relaxed to the ordered band
+    * prev < next <= prev + k, start positions DISTINCT — generated
+    * from the same PhraseQuery/ProximityK the Spark entry uses.
+    */
+  private val proximitySearchSql: String = {
+    val terms = graft.operators.Retrieval.PhraseQuery
+    val k = graft.operators.Retrieval.ProximityK
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val joins = terms.zipWithIndex.drop(1).map { case (w, i) =>
+      val prev = if (i == 1) "a.pos" else s"t${i - 1}.pos"
+      s"JOIN p t$i ON a.doc_id = t$i.doc_id AND t$i.pos > $prev " +
+        s"AND t$i.pos <= $prev + $k AND t$i.tok = '$w'"
+    }.mkString("\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z]'),
+       |                     x -> x <> '') AS arr
+       |  FROM documents),
+       |p AS (SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+       |      WHERE arr[g.i] IN ($inList))
+       |SELECT DISTINCT a.doc_id, a.pos
+       |FROM p a
+       |$joins
+       |WHERE a.tok = '${terms.head}'
+       |ORDER BY a.doc_id, a.pos""".stripMargin
+  }
+
   private val sessionsSql: String =
     """WITH flagged AS (SELECT user_id, ts, value,
       |  CASE WHEN lag(ts) OVER w IS NULL
@@ -2084,6 +2151,8 @@ object SparkEntry {
     // offsets INTERPOLATED from Retrieval.PhraseQuery so an edited
     // phrase cannot desynchronize the gate
     "q_phrase_search" -> phraseSearchSql,
+    "q_phrase_batch" -> phraseBatchSql,
+    "q_proximity_search" -> proximitySearchSql,
 
     // both source rankings re-derived exactly (embedding side =
     // q_knn_bruteforce's rounded cosine; lexical side = long-dot /

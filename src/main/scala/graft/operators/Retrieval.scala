@@ -178,7 +178,125 @@ object Retrieval {
           .select(col("doc_id").as("d2"), (col("pos") - i).as("p2")),
         col("doc_id") === col("d2") && col("pos") === col("p2"))
         .select(col("doc_id"), col("pos"))
-    }.orderBy(col("doc_id"), col("pos"))
+    } // pos explicitly widened to BIGINT for oracle type parity
+      // (posexplode emits int; DuckDB's generate_subscripts arithmetic
+      // emits BIGINT — the q_dpp_join cast-for-parity convention)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Fixture phrase BATCH for [[phraseBatch]] — deliberately diverse:
+    * the single-phrase fixture itself, a repeated-term phrase (one
+    * posting row must anchor BOTH term slots), a high-frequency
+    * 2-gram, a rare 3-gram, a 4-gram absent at sf0.001 but present at
+    * sf0.01 (per-phrase empties must not drop the others), and a
+    * phrase of tokens outside the corpus vocabulary (its postings
+    * prune to nothing). [[graft.SparkEntry.oracleSql]] interpolates
+    * these terms into the DuckDB twin, so editing the batch cannot
+    * desynchronize the gate.
+    */
+  val PhraseBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> PhraseQuery,
+    2L -> Seq("table", "table"),
+    3L -> Seq("data", "stream"),
+    4L -> Seq("spark", "window", "part"),
+    5L -> Seq("scan", "group", "big", "vector"),
+    6L -> Seq("no", "such", "phrase", "here"))
+
+  def phraseBatch(spark: SparkSession, dir: String): DataFrame =
+    phraseBatchOn(spark, Tables.documents(spark, dir), PhraseBatch)
+
+  /** BATCH exact phrase search — the attribution / decontamination
+    * workload shape: thousands of phrases against one corpus. The
+    * corpus tokenizes ONCE into postings pruned to the UNION of all
+    * phrases' terms (still one map-only scan + localCheckpoint, the
+    * [[phraseSearchOn]] contract), and instead of L−1 adjacency
+    * self-joins PER phrase, every (phrase term, slot) probes the
+    * postings in ONE join and matches resolve by counting distinct
+    * filled slots per candidate anchor: posting (doc, p, tok) joined
+    * to phrase slot (qid, i, tok) anchors start = p − i, and an anchor
+    * holding all `len` distinct slots is a match (a phrase with
+    * repeated terms fills multiple slots from one posting row —
+    * correct by construction). Total cost: one corpus scan + one
+    * O(Σ_q Σ_i df(term_qi)) join + one keyed count-distinct — per
+    * added phrase the increment is its own df joins, NOT a corpus
+    * rescan (probed by ScalingProbe `phrase_batch`). Anchors from
+    * stray tokens die in the count filter; a phrase absent from the
+    * corpus contributes zero rows without disturbing the batch.
+    */
+  def phraseBatchOn(spark: SparkSession, docs: DataFrame,
+      phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "every phrase needs at least one term")
+    import spark.implicits._
+    val slots = phrases.flatMap { case (qid, terms) =>
+      terms.zipWithIndex.map { case (w, i) => (qid, i.toLong, w) }
+    }.toDF("query_id", "slot", "tok")
+    val lens = phrases.map { case (qid, terms) =>
+      (qid, terms.size.toLong) }.toDF("query_id", "phrase_len")
+    val vocab = phrases.flatMap(_._2).distinct
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "[^a-z]"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(vocab: _*))
+      .localCheckpoint()
+    postings
+      .join(broadcast(slots), "tok") // phrase table: broadcast by size
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("slot")).cast("long").as("pos"), col("slot"))
+      .filter(col("pos") >= 0)
+      .groupBy(col("query_id"), col("doc_id"), col("pos"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .join(broadcast(lens), "query_id")
+      .filter(col("n_slots") === col("phrase_len"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+      .orderBy(col("query_id"), col("doc_id"), col("pos"))
+  }
+
+  /** Window size for the graded [[proximitySearch]] entry: consecutive
+    * terms may sit up to this many positions apart (gap ≤ k, order
+    * preserved) — NEAR/k with ordered semantics.
+    */
+  val ProximityK = 3
+
+  /** Ordered proximity search (NEAR/k): the phrase's terms must appear
+    * in order with each consecutive gap in (0, k]. Exactly
+    * [[phraseSearchOn]]'s adjacency join with the equality on
+    * `pos + i` relaxed to a BAND predicate (p_prev < p_next ≤
+    * p_prev + k) — candidate chains still die at the first term with
+    * no in-window successor, and the posting table is the same pruned
+    * single-scan build. Emits the START position of each ordered
+    * chain, DISTINCT because multiple in-window successor chains can
+    * share a start. Cost is the same Σ df(term) posting volume with a
+    * k-bounded fan-out per adjacency step.
+    */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame =
+    proximitySearchOn(Tables.documents(spark, dir), PhraseQuery, ProximityK)
+
+  def proximitySearchOn(docs: DataFrame, phrase: Seq[String],
+      k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(k >= 1, "window must be at least 1")
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "[^a-z]"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+      .localCheckpoint()
+    val base = postings.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"), col("pos").as("prev"))
+    phrase.drop(1).foldLeft(base) { case (acc, w) =>
+      acc.join(
+        postings.filter(col("tok") === w)
+          .select(col("doc_id").as("d2"), col("pos").as("p2")),
+        col("doc_id") === col("d2") &&
+          col("p2") > col("prev") && col("p2") <= col("prev") + k)
+        .select(col("doc_id"), col("start"), col("p2").as("prev"))
+    }
+      .select(col("doc_id"), col("start").cast("long").as("pos"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** Hybrid retrieval by Reciprocal Rank Fusion: for each query doc

@@ -123,23 +123,55 @@ object Sinks {
     * written as 32-files-per-partition debris (each micro-batch task
     * leaves its own file; at 100 TB this is millions of KB-sized files
     * whose open cost dominates every subsequent scan), then compacted
-    * by ONE shuffle keyed on the partition column so each partition
-    * directory collapses to a single right-sized file (at production
-    * scale `maxRecordsPerFile` re-splits oversized partitions; the
-    * layout contract — ≤1 file per partition dir here, vs 32 before —
-    * is pinned by SinkRoundTripSpec on the actual directories). The
-    * graded values re-aggregate the COMPACTED dataset against the
-    * oracle computed from the original table, so a compaction that
-    * drops, duplicates, or cross-partitions rows breaks the hash —
-    * lossless-ness is gate-proven, not assumed.
+    * into per-partition FILE GROUPS sized by bytes: each partition
+    * directory's measured raw bytes (driver-side listing, O(#dirs)
+    * metadata) divide by [[CompactionTargetFileBytes]] into
+    * ceil(bytes/target) groups, rows salt into their group by
+    * pmod(hash(key), n_groups), and the write range-shuffles on the
+    * globally sequential group id so every group is its own task — a
+    * terabyte
+    * hot partition compacts through thousands of parallel writers
+    * instead of funneling through one (the round-15 version
+    * repartitioned on the 3-value partition column alone, serializing
+    * each directory through a single task; `maxRecordsPerFile`
+    * re-splits files but adds no write parallelism). The layout
+    * contract — ≤ n_groups files per partition dir, vs 32-per-task
+    * debris before — is pinned by GatedSourceSinkSpec on the actual
+    * directories, including a small-target run that forces multi-group
+    * partitions. The graded values re-aggregate the COMPACTED dataset
+    * against the oracle computed from the original table, so a
+    * compaction that drops, duplicates, or cross-partitions rows
+    * breaks the hash — lossless-ness is gate-proven, not assumed.
     */
-  def compactionRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+  def compactionRoundTrip(spark: SparkSession, dir: String,
+      targetFileBytes: Long = CompactionTargetFileBytes): DataFrame = {
     Tables.orders(spark, dir)
       .repartition(32)
       .write.mode("overwrite").partitionBy("o_orderstatus")
       .parquet(compactionRawDir(spark))
+    val groups = partitionFileGroups(spark, compactionRawDir(spark),
+      "o_orderstatus", targetFileBytes)
+    val totalGroups = math.max(1L, groups.map(_._2).sum)
+    // globally sequential group ids: status S's groups occupy
+    // [offset(S), offset(S) + n_groups(S)) — rows salt into their gid
+    // by key hash, and the shuffle is repartitionByRange on gid with
+    // one target partition per group, NOT a hash repartition on the
+    // (status, grp) tuple: murmur3 of (string, small-int) tuples has
+    // measurably correlated low bits (at the fixture every status's
+    // two groups collided mod 6 — parity-preserving), while contiguous
+    // gid ranges give the structural guarantee directly — a gid never
+    // splits across tasks, so each dir holds ≤ n_groups files, and
+    // distinct gids separate into distinct writers.
+    val offsets = groups.scanLeft(0L)(_ + _._2)
+    val groupsDf = spark.createDataFrame(
+        groups.zip(offsets).map { case ((st, n), off) => (st, n, off) })
+      .toDF("o_orderstatus", "n_groups", "g_off")
     spark.read.parquet(compactionRawDir(spark))
-      .repartition(col("o_orderstatus"))
+      .join(broadcast(groupsDf), "o_orderstatus")
+      .withColumn("gid",
+        col("g_off") + pmod(hash(col("o_orderkey")), col("n_groups")))
+      .repartitionByRange(totalGroups.toInt, col("gid"))
+      .drop("gid", "n_groups", "g_off")
       .write.mode("overwrite").partitionBy("o_orderstatus")
       .parquet(compactionOutDir(spark))
     spark.read.parquet(compactionOutDir(spark))
@@ -148,6 +180,32 @@ object Sinks {
         round(sum(col("o_totalprice")), 2).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_keys"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** ~128 MB compacted files — the standard HDFS/object-store sweet
+    * spot (big enough to amortize open cost, small enough to split).
+    */
+  val CompactionTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Driver-side per-partition-directory group counts:
+    * (partition value, ceil(dir bytes / target)). Listing is
+    * O(#partition dirs + #files) pure metadata against the store —
+    * the same listing every scan's planning already does — and the
+    * returned map is #partitions rows, broadcastable by construction.
+    */
+  private def partitionFileGroups(spark: SparkSession, path: String,
+      partCol: String, targetFileBytes: Long): Seq[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map { d =>
+        val bytes = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getLen).sum
+        val value = d.getPath.getName.substring(partCol.length + 1)
+        (value, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes))
+      }
   }
 
   def compactionRawDir(spark: SparkSession): String =

@@ -211,12 +211,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"banded candidate join degenerated to all-pairs:\n${plan.take(1200)}")
     // the hash table must be materialized ONCE and reused by the
-    // band/verify consumers instead of 4 re-decodes: localCheckpoint
-    // truncates lineage, so every consumer reads the checkpointed RDD
-    // (Scan ExistingRDD) and no parquet decode survives in the plan
-    assert(plan.contains("ExistingRDD") || plan.contains("InMemoryTableScan") ||
-      plan.contains("InMemoryRelation"),
-      s"aHash table not materialized across its consumers:\n${plan.take(1200)}")
+    // band/verify consumers instead of 4 re-decodes: since round 16
+    // it's the scratch-parquet read-back (shared with q_image_ahash),
+    // so every consumer is a narrow 3-long FileScan of the hash table
+    // (asserted on ReadSchema — the explain Location string truncates
+    // the scratch path, so the path itself is not a stable anchor)
+    // and the decode pipeline (mapPartitions → SerializeFromObject)
+    // must not survive anywhere in the plan
+    assert(plan.contains(
+      "ReadSchema: struct<doc_id:bigint,ahash_hi:bigint,ahash_lo:bigint>"),
+      s"aHash consumers not reading the materialized table:\n${plan.take(1200)}")
+    assert(!plan.contains("SerializeFromObject") &&
+      !plan.contains("MapPartitions"),
+      s"PNG decode pipeline leaked into the query plan:\n${plan.take(1200)}")
   }
 
   test("q_incremental_agg: merge is a hash/merge join of pre-aggregated sides") {

@@ -9,7 +9,7 @@ class Round15OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("phraseSearch: every reported (doc, pos) really starts the phrase there") {
     val phrase = graft.operators.Retrieval.PhraseQuery
     val hits = graft.operators.Retrieval.phraseSearch(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
+      .map(r => (r.getLong(0), r.getLong(1).toInt)) // pos is BIGINT (oracle parity)
     assert(hits.nonEmpty, "fixture phrase must occur in the corpus")
     val texts = graft.tables.Tables.documents(spark, sfDir)
       .filter(col("doc_id").isin(hits.map(_._1).distinct: _*))

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 additions: spec-side error bounds for the rows-only sketch
+  * tier (the gate can hash-match exact queries only, so the sketches'
+  * correctness is pinned HERE, against the exact twins on the same
+  * fixture, each round — bounded, not just trusted).
+  */
+class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  /** approx_count_distinct at rsd=0.02 has a 2% standard error; 5σ
+    * (10% relative) is a deterministic-fixture margin no correct HLL
+    * implementation misses (the estimate is a pure function of the
+    * hashed key set — no run-to-run variance to flake on).
+    */
+  test("approxDistinct: every HLL estimate within 5x rsd of the exact count") {
+    val exact = graft.operators.Relational.distinctAgg(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = graft.operators.Relational.approxDistinctAgg(spark, sfDir)
+      .collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val (supps, parts) = exact(r.getString(0))
+      def within(est: Long, truth: Long, what: String): Unit =
+        assert(math.abs(est - truth).toDouble <= 0.10 * truth,
+          s"flag ${r.getString(0)} $what: HLL $est vs exact $truth " +
+            "outside the 10% (5x rsd=0.02) envelope")
+      within(r.getLong(1), supps, "supps")
+      within(r.getLong(2), parts, "parts")
+    }
+  }
+
+  /** The mergeable-sketch rollup must bound the same way AFTER the
+    * union re-aggregation (a broken merge path typically collapses or
+    * doubles estimates — far outside 10%), and its n_rows passthrough
+    * is exact arithmetic, equal not approximate.
+    */
+  test("hllSketchRollup: unioned estimates within 10% of exact; n_rows exact") {
+    val exact = graft.operators.Relational.distinctAgg(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val rolled = graft.operators.Relational.hllSketchRollup(spark, sfDir)
+      .collect()
+    assert(rolled.nonEmpty && rolled.length == exact.size)
+    rolled.foreach { r =>
+      val (supps, nRows) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - supps).toDouble <= 0.10 * supps,
+        s"flag ${r.getString(0)}: unioned sketch ${r.getLong(1)} vs " +
+          s"exact $supps outside the 10% envelope")
+      assert(r.getLong(2) == nRows,
+        s"flag ${r.getString(0)}: n_rows drifted through the rollup")
+    }
+  }
+
+  /** The batch resolver (ONE slot-count join for all phrases) must
+    * agree phrase-for-phrase with the single-phrase adjacency-join
+    * resolver — two different algorithms over the same postings, so a
+    * slot-count bug (repeated terms, anchors below 0, cross-phrase
+    * bleed) can't hide behind a shared code path.
+    */
+  test("phraseBatch: per-phrase results equal the single-phrase resolver") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val batch = graft.operators.Retrieval.PhraseBatch
+    val got = graft.operators.Retrieval.phraseBatchOn(spark, docs, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(got.values.exists(_.nonEmpty), "fixture batch found nothing")
+    batch.foreach { case (qid, phrase) =>
+      val single = graft.operators.Retrieval.phraseSearchOn(docs, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.getOrElse(qid, Set.empty) == single,
+        s"phrase $qid ($phrase): batch and single resolvers disagree")
+    }
+    // the repeated-term phrase must really exercise its case
+    assert(batch.exists { case (_, p) => p.distinct.size < p.size })
+  }
+
+  test("proximitySearch: matches an independent in-JVM windowed scan") {
+    val phrase = graft.operators.Retrieval.PhraseQuery
+    val k = graft.operators.Retrieval.ProximityK
+    val got = graft.operators.Retrieval.proximitySearch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture phrase must have proximity hits")
+    // independent scan: ordered chains with gaps in (0, k]
+    val expected = graft.tables.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split("[^a-z]").filter(_.nonEmpty)
+        def chains(fromPos: Int, rest: Seq[String]): Boolean =
+          rest.isEmpty || (1 to k).exists { g =>
+            val p = fromPos + g
+            p < toks.length && toks(p) == rest.head && chains(p, rest.tail)
+          }
+        toks.indices.collect {
+          case i if toks(i) == phrase.head && chains(i, phrase.tail) =>
+            (r.getLong(0), i.toLong)
+        }
+      }.toSet
+    assert(got == expected, "band-join result differs from direct scan")
+    // proximity must be a strict superset of exact-adjacency hits here
+    val exact = graft.operators.Retrieval.phraseSearch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(got), "NEAR/k lost an exact-adjacency match")
+  }
+}
