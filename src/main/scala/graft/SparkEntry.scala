@@ -107,6 +107,10 @@ object SparkEntry {
     // the default path executes the filtered plan under the conf
     // window via eager checkpoint (a write would re-plan without it)
     "q_bloom_join"      -> ((s: SparkSession, d: String) => Relational.bloomFilteredJoin(s, d)),
+    // cost-based join reorder driven by ANALYZE TABLE statistics (the
+    // stats/CBO surface: no hints — the optimizer re-orders a
+    // deliberately bad syntactic join order from column stats)
+    "q_cbo_join"        -> ((s: SparkSession, d: String) => Relational.cboStarJoin(s, d)),
     // text-format (CSV) sink/source round-trip, graded:
     "q_json_roundtrip"  -> (graft.sources.Sinks.jsonRoundTrip _),
     "q_orc_roundtrip"   -> (graft.sources.Sinks.orcRoundTrip _),
@@ -1616,6 +1620,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // join order is semantics-free, so the oracle states the query in
+    // the natural order; the Spark side's CBO reorder is graded by
+    // PlanAuditSpec, the values by this hash
+    "q_cbo_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -1416,4 +1416,88 @@ object Relational {
         round(col("total_value") / col("n_orders"), 6))
       .orderBy(col("month"), col("status"))
   }
+
+  /** Cost-based-optimizer surface: ANALYZE-driven join REORDERING with
+    * no hints and no hand-pinned shape — the one optimizer lever every
+    * other plan here deliberately avoids (they pin shapes so the gate
+    * is deterministic; this entry certifies the stats path itself).
+    * The fixture parquet is registered as EXTERNAL catalog tables
+    * (zero copy — the production posture: stats are computed in place
+    * over data that already lives in tables) and
+    * `ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS` records
+    * row counts + per-column NDV/min/max. The query is then written in
+    * a deliberately BAD syntactic order — the two big tables first
+    * (orders ⋈ customer), the selective dimension (nation filtered to
+    * one name) last — and CBO's CostBasedJoinReorder, fed by the
+    * column stats (n_name's NDV prices the filter at ~1/25
+    * selectivity), rewrites it to join customer with the ~1-row
+    * filtered nation FIRST, so the orders join only carries that
+    * nation's customers. At 100 TB that is the difference between
+    * shuffling every order against every customer and shuffling 4% of
+    * them; PlanAuditSpec asserts the reorder structurally (the
+    * innermost join holds customer+nation, orders joins LAST — the
+    * opposite of the written order) and that it is genuinely
+    * stats-driven (same query with CBO off keeps the bad syntactic
+    * order). Values are join-order-invariant, so the DuckDB oracle
+    * gate holds regardless — the plan assertion is what grades the
+    * optimizer surface.
+    *
+    * Executes under the conf window via eager localCheckpoint (the
+    * [[bloomFilteredJoin]] contract: a consumer's later write would
+    * re-plan under the restored session conf and silently lose the
+    * CBO plan); checkpoint=false is the audit path whose forced
+    * QueryExecution carries the reordered plan to assert on.
+    */
+  def cboStarJoin(spark: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val Seq(tOrders, tCust, tNat) =
+      Seq("orders", "customer", "nation").map(analyzedTable(spark, dir, _))
+    val overrides = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.table(tOrders)
+        .join(spark.table(tCust), col("o_custkey") === col("c_custkey"))
+        .join(spark.table(tNat), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_7")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      if (checkpoint) df.localCheckpoint().orderBy(col("c_mktsegment"))
+      else {
+        val full = df.orderBy(col("c_mktsegment"))
+        full.queryExecution.executedPlan // force planning inside the window
+        full
+      }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
+  /** External catalog table over `dir/<name>.parquet` with full
+    * statistics, created+analyzed once per (catalog, corpus): the
+    * table name carries the corpus digest so sf fixtures never
+    * collide, and existence is checked against the session CATALOG
+    * (not a JVM-wide memo set) because an in-memory catalog does not
+    * outlive its session — a fresh session re-registers and
+    * re-analyzes, which is exactly the state ANALYZE maintains.
+    */
+  private[graft] def analyzedTable(spark: SparkSession, dir: String,
+      name: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val tbl = s"g_cbo_${name}_$tag"
+    if (!spark.catalog.tableExists(tbl)) synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.catalog.createTable(tbl, s"$dir/$name.parquet", "parquet")
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+    tbl
+  }
 }

@@ -205,6 +205,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "bloomFilteredJoin leaked its broadcast-threshold override")
   }
 
+  test("q_cbo_join: ANALYZE stats reorder the bad syntactic join order; CBO off keeps it") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // innermost Join (exactly one Join in its own subtree = itself):
+    // with CBO + stats it must hold customer⋈nation (no o_ columns);
+    // orders — written FIRST — must have been pushed to the top join
+    def innerJoinCols(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val joins = df.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+      assert(joins.size === 2, s"expected 2 joins, got ${joins.size}")
+      joins.filter(_.collect { case x: Join => x }.size == 1)
+        .head.output.map(_.name)
+    }
+    val cboCols = innerJoinCols(graft.operators.Relational
+      .cboStarJoin(spark, sfDir, checkpoint = false))
+    assert(!cboCols.exists(_.startsWith("o_")) &&
+      cboCols.exists(_.startsWith("c_")) && cboCols.exists(_.startsWith("n_")),
+      s"CBO did not reorder the selective dimension inward: $cboCols")
+    // conf window restored for the rest of the session
+    assert(!spark.conf.getOption("spark.sql.cbo.enabled").contains("true"),
+      "cboStarJoin leaked spark.sql.cbo.enabled")
+    // ANALYZE genuinely recorded row counts in the catalog
+    val tbl = graft.operators.Relational.analyzedTable(spark, sfDir, "nation")
+    val statsRow = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+      .filter(col("col_name") === "Statistics")
+      .collect().map(_.getString(1)).mkString
+    assert(statsRow.contains("rows"), s"no row-count stats on $tbl: $statsRow")
+    // CONTROL — same query, same analyzed tables, CBO off: the bad
+    // syntactic order survives (orders stays in the innermost join),
+    // proving the reorder above is stats-driven, not shape luck
+    val ctrl = spark.table(graft.operators.Relational
+        .analyzedTable(spark, sfDir, "orders"))
+      .join(spark.table(graft.operators.Relational
+        .analyzedTable(spark, sfDir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(spark.table(tbl), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "GERMANY")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ctrlCols = innerJoinCols(ctrl)
+    assert(ctrlCols.exists(_.startsWith("o_")),
+      s"control without CBO unexpectedly reordered: $ctrlCols")
+  }
+
   test("q_image_neardup: band join is an equi-join on (band, value), never all-pairs") {
     val plan = planOf("q_image_neardup")
     assert(!plan.contains("CartesianProduct") &&
