@@ -148,6 +148,11 @@ object ScalingProbe {
       // term dominates growth
       case "image_ahash"     => graft.operators.Multimodal.ahashOf(spark, docs)
       case "image_neardup"   => graft.operators.Multimodal.imageNeardupOn(spark, docs)
+      // the linear-output dedup DECISION (one row per image) — the
+      // production entry at repeat-heavy scale, vs the pair contract
+      // above whose output is quadratic in class size by definition
+      case "image_dedup"     => graft.operators.Multimodal.imageDedupOn(
+        graft.operators.Multimodal.ahashOf(spark, docs))
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes

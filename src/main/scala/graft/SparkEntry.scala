@@ -360,6 +360,10 @@ object SparkEntry {
     // candidates (Manku banding — complete recall at Hamming ≤ 3),
     // integer popcount verifies; joins the multimodal + dedup families
     "q_image_neardup"   -> (Multimodal.imageNeardup _),
+    // exact visual dedup: one row per image → its aHash-class
+    // representative + class size (the linear-output decision the
+    // pair contract above audits)
+    "q_image_dedup"     -> (Multimodal.imageDedup _),
     "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
     // stub-decoded plumbing (formats with no JVM codec):
@@ -704,6 +708,18 @@ object SparkEntry {
        |  FROM cand JOIN ahv x ON x.doc_id = id_a JOIN ahv y ON y.doc_id = id_b)
        |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact visual dedup's twin: min-doc representative + class size
+    * per exact aHash class, one row per image.
+    */
+  private val imageDedupSql: String =
+    s"""WITH $ahashCtesSql,
+       |reps AS (SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id,
+       |    count(*) AS n_class
+       |  FROM ahv GROUP BY 1, 2)
+       |SELECT doc_id, rep_id, n_class
+       |FROM ahv JOIN reps USING (ahash_hi, ahash_lo)
+       |ORDER BY doc_id""".stripMargin
 
   private val ewmaSql: String = {
     val k = graft.operators.EventAnalytics.EwmaK
@@ -2807,6 +2823,7 @@ object SparkEntry {
     "q_stream_image_ahash" -> imageAhashSql,
     // banded Hamming-ball pairs over the same hash (exact at ≤ 3)
     "q_image_neardup" -> imageNeardupSql,
+    "q_image_dedup" -> imageDedupSql,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
     "q_image_resize" ->

@@ -363,28 +363,83 @@ object Multimodal {
       .toDF("doc_id", "ahash_hi", "ahash_lo")
   }
 
+  /** The pair enumeration, restructured after the round-16 1M probe
+    * DNF'd the doc-granularity version: banding and popcount-verify
+    * run over DISTINCT hashes only, and documents re-enter the plan
+    * at the final expansion joins. Web-scale image corpora are
+    * dominated by EXACT repeats (blank thumbnails, logos, tracking
+    * pixels — the fixture's 256-image cycle is a faithful miniature),
+    * so at n docs with d distinct hashes the band join costs O(d·4)
+    * rows instead of O(n·4) and within-bucket fan-out is bounded by
+    * DISTINCT-hash bucket population — repeats can never blow up the
+    * candidate join again. What remains output-bound is the pair
+    * CONTRACT itself: a hash class of m docs owes m(m-1)/2 dist-0
+    * rows by definition, produced here by one equi-self-join
+    * ([[imageDedup]] is the linear-output entry a 100 TB pipeline
+    * runs instead; this entry's exact pair list is the audit surface).
+    */
   private def neardupFromHashes(ah: DataFrame): DataFrame = {
-    val bands = ah.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+    val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val bands = hashes.select(col("ahash_hi"), col("ahash_lo"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bv", expr(
         "CASE WHEN b < 2 THEN (ahash_lo >> (b*16)) & 65535 " +
           "ELSE (ahash_hi >> ((b-2)*16)) & 65535 END"))
-    val cand = bands.as("a")
+    // candidate DISTINCT-hash pairs in canonical (hi, lo) lexicographic
+    // order, de-duped across colliding bands, popcount-verified
+    val hashPairs = bands.as("a")
       .join(bands.as("c"),
         col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+          (col("a.ahash_hi") < col("c.ahash_hi") ||
+            (col("a.ahash_hi") === col("c.ahash_hi") &&
+              col("a.ahash_lo") < col("c.ahash_lo"))))
+      .select(col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
+        col("c.ahash_hi").as("hi_b"), col("c.ahash_lo").as("lo_b"))
       .distinct()
-    cand
-      .join(ah.select(col("doc_id").as("id_a"), col("ahash_hi").as("hi_a"),
-        col("ahash_lo").as("lo_a")), "id_a")
-      .join(ah.select(col("doc_id").as("id_b"), col("ahash_hi").as("hi_b"),
-        col("ahash_lo").as("lo_b")), "id_b")
       .withColumn("dist", expr(
         "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
       .filter(col("dist") <= ImageNeardupMaxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .orderBy(col("id_a"), col("id_b"))
+    // expansion 1: cross-class doc pairs (classes are disjoint, so
+    // least/greatest canonicalizes without a comparison on hashes)
+    val cross = hashPairs
+      .join(ah.select(col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+        col("doc_id").as("da")), Seq("hi_a", "lo_a"))
+      .join(ah.select(col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+        col("doc_id").as("db")), Seq("hi_b", "lo_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("dist"))
+    // expansion 2: within-class pairs (dist 0) — the output-bound term
+    val within = ah.as("x")
+      .join(ah.as("y"),
+        col("x.ahash_hi") === col("y.ahash_hi") &&
+          col("x.ahash_lo") === col("y.ahash_lo") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(0L).as("dist"))
+    cross.unionByName(within).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact visual dedup — the LINEAR-output entry a 100 TB image
+    * pipeline actually runs (the round-16 probe measured why: an
+    * exact-repeat-heavy corpus owes the pair contract quadratic
+    * output, but a dedup DECISION is one row per image). Each image
+    * maps to its exact-aHash class representative (min doc_id) with
+    * the class size; downstream keeps `doc_id = rep_id` rows. The
+    * aggregation is groupBy, NOT a per-class window: map-side partial
+    * min/count collapse a billion-copy blank-thumbnail class to one
+    * row per partition before any shuffle, where a window would
+    * funnel the whole class through one reducer. The rep table joins
+    * back on the hash (distinct-hash-sized, shuffle equi-join).
+    */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame =
+    imageDedupOn(ahashTable(spark, dir))
+
+  private[graft] def imageDedupOn(ah: DataFrame): DataFrame = {
+    val reps = ah.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_class"))
+    ah.join(reps, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("rep_id"), col("n_class"))
+      .orderBy(col("doc_id"))
   }
 
   /** Encode → REAL resize (nearest-neighbor on rasters, re-encoded) →

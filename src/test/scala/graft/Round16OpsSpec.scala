@@ -104,4 +104,28 @@ class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(got), "NEAR/k lost an exact-adjacency match")
   }
+
+  /** The linear-output dedup decision must agree with an in-JVM
+    * regroup of the hash table: min-doc representative, exact class
+    * sizes, and one row per image (the partition property).
+    */
+  test("imageDedup: min-doc representative and class sizes partition the corpus") {
+    val Multimodal = graft.operators.Multimodal
+    val ah = Multimodal.imageAhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val classes = ah.groupBy(_._2).map { case (h, ms) =>
+      h -> (ms.map(_._1).min, ms.size.toLong) }
+    val ded = Multimodal.imageDedup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ded.length == ah.length, "not one row per image")
+    val hashOf = ah.toMap
+    ded.foreach { case (doc, rep, n) =>
+      val (expRep, expN) = classes(hashOf(doc))
+      assert(rep == expRep && n == expN,
+        s"doc $doc: got (rep=$rep, n=$n), expected ($expRep, $expN)")
+    }
+    // the representative relation is consistent: reps map to themselves
+    val reps = ded.filter { case (doc, rep, _) => doc == rep }
+    assert(reps.length == classes.size, "rep count != class count")
+  }
 }
