@@ -663,4 +663,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"expected both stat joins broadcast:\n${plan.take(1500)}")
     assert(!plan.contains("SortMergeJoin"), "stat join fell back to SMJ")
   }
+
+  test("q_phrase_batch: one postings build, phrase tables broadcast, no window") {
+    // the batch contract: N phrases cost ONE pruned corpus scan (the
+    // materialized postings) + Σ df probe rows — a per-phrase rescan
+    // or a corpus-wide Window would both break the attribution
+    // workload at scale
+    val plan = planOf("q_phrase_batch")
+    assert(plan.contains("ExistingRDD"),
+      s"pruned postings not materialized once:\n${plan.take(1200)}")
+    assert(!plan.contains("FileScan parquet"),
+      s"a probe side re-scans the corpus:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"batch resolver planned as a corpus-wide window:\n${plan.take(1200)}")
+    // slot table and length table are query-sized: both join broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"phrase-side tables not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"slot probe degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_proximity_search: band adjacency joins stay keyed on doc_id, no window") {
+    // NEAR/k relaxes the adjacency equality to a band predicate, but
+    // doc_id equality must remain the join KEY (band evaluated as a
+    // post-join filter on the keyed join) — losing the equi-key turns
+    // each step into an all-pairs nested loop
+    val plan = planOf("q_proximity_search")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"proximity planned as a corpus-wide window:\n${plan.take(1200)}")
+    assert(plan.contains("ExistingRDD"),
+      s"pruned postings not materialized once:\n${plan.take(1200)}")
+    assert(!plan.contains("FileScan parquet"),
+      s"an adjacency side re-scans the corpus:\n${plan.take(1200)}")
+  }
+
+  test("q_image_dedup: class stats partial-aggregate map-side, never a per-class window") {
+    // a billion-copy hash class must collapse to one row per partition
+    // BEFORE the shuffle (partial min/count), and the representative
+    // join must key on the hash — a Window over the class would funnel
+    // the whole class through one reducer
+    val plan = planOf("q_image_dedup")
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"class stats lack a map-side partial phase:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"dedup decision planned as a per-class window:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"representative join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
 }
