@@ -218,6 +218,11 @@ object SparkEntry {
     // rates FROM corpus stats: p(s) ∝ n^α flattening (α=1/2) as a
     // deterministic static downsample — the actual data-mixing math
     "q_temperature_mixture" -> (Dedup.temperatureMixture _),
+    // deterministic global shuffle → N shard files with stable
+    // positions (the training writer's last stage; mix31-keyed so the
+    // whole layout has a DuckDB twin, per-shard rank = one reducer
+    // per output file)
+    "q_shard_assign"    -> (Dedup.shardAssign _),
     // benchmark-contamination scan: eval-split shingle overlap vs train
     "q_decontamination" -> (Dedup.decontamination _),
     // Bloom-prefiltered twin: eval-shingle sketch screens the train
@@ -2407,6 +2412,16 @@ object SparkEntry {
          |FROM documents JOIN rates USING (lang)
          |WHERE ${h32("text || '#temp'")} % 1000000 < rate * 1000000
          |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
+
+    // the shuffle key is engine-portable mix31, so shard AND in-shard
+    // rank replicate exactly; % stands in for pmod (skey ≥ 0)
+    "q_shard_assign" ->
+      s"""WITH keyed AS (SELECT doc_id,
+         |    ${mixSql("doc_id", "797")} AS skey FROM documents)
+         |SELECT doc_id, skey % 8 AS shard,
+         |  row_number() OVER (PARTITION BY skey % 8
+         |    ORDER BY skey, doc_id) - 1 AS pos
+         |FROM keyed ORDER BY shard, pos""".stripMargin,
 
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",

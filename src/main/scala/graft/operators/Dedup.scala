@@ -1627,6 +1627,54 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** Output shards for [[shardAssign]] — fixture-sized; a production
+    * run sizes this to ceil(corpus_bytes / target_shard_bytes), which
+    * is also the stage's write parallelism.
+    */
+  val NumShards = 8
+
+  /** Salt separating the shuffle-key hash domain from [[hashSplit]] /
+    * the samplers (their md5 domains) and from the graph builders'
+    * mix31 salts 1..102.
+    */
+  private val ShardSalt = 797L
+
+  def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    shardAssignOn(Tables.documents(spark, dir).select(col("doc_id")))
+
+  /** Deterministic global shuffle + shard assignment — the training
+    * writer's final stage: every epoch-0 data loader wants the corpus
+    * in a fixed pseudo-random order, split into N shard files with a
+    * stable position inside each. The shuffle key is
+    * [[graft.operators.Similarity.mix31]] over doc_id (engine-portable,
+    * so the full layout has a DuckDB twin); shard = key mod N; pos =
+    * rank within the shard by (key, doc_id).
+    *
+    * Scale shape: one map-only key projection, then ONE hash shuffle
+    * on `shard` where the per-shard rank window runs — parallelism is
+    * the shard count, the knob the user already sizes to target file
+    * bytes, so "one reducer per shard" is exactly the write path's
+    * unit of work (each task's sorted run IS one shard file's write
+    * order). A global row_number would funnel the corpus through one
+    * task; zipWithIndex-style position assignment is partition-layout
+    * dependent and unreproducible across re-shards. This is re-run /
+    * re-shard / incremental-stable like the samplers above: positions
+    * are a pure function of the id set.
+    */
+  private[graft] def shardAssignOn(docs: DataFrame,
+      nShards: Int = NumShards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"),
+      Similarity.mix31(col("doc_id"), ShardSalt).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** SimHash (32-bit): per token, an md5-derived 32-bit hash votes ±1
     * on each bit position weighted by token frequency; the fingerprint
     * sets bit b iff the vote sum is positive.

@@ -241,13 +241,19 @@ object Retrieval {
           .as(Seq("pos", "tok")))
       .filter(col("tok").isin(vocab: _*))
       .localCheckpoint()
+    // count(*) not countDistinct: a probe row is keyed by (query_id,
+    // doc_id, anchor, slot) and the source posting position is
+    // DETERMINED by anchor + slot, so the tuple can never repeat —
+    // plain count is exact and, unlike the distinct form, partial-
+    // aggregates map-side (the Σ df probe volume collapses to anchor
+    // counts per partition before the shuffle)
     postings
       .join(broadcast(slots), "tok") // phrase table: broadcast by size
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("slot")).cast("long").as("pos"), col("slot"))
       .filter(col("pos") >= 0)
       .groupBy(col("query_id"), col("doc_id"), col("pos"))
-      .agg(countDistinct(col("slot")).as("n_slots"))
+      .agg(count(lit(1)).as("n_slots"))
       .join(broadcast(lens), "query_id")
       .filter(col("n_slots") === col("phrase_len"))
       .select(col("query_id"), col("doc_id"), col("pos"))

@@ -701,6 +701,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"an adjacency side re-scans the corpus:\n${plan.take(1200)}")
   }
 
+  test("q_shard_assign: ONE shard shuffle feeds the rank window; output sort ranged") {
+    // the contract: parallelism = shard count (one reducer per output
+    // file), so the only hash exchange is on `shard`; a second one
+    // would mean the window re-shuffled, a global sort would mean the
+    // corpus funnels through one task
+    val plan = planOf("q_shard_assign")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n${plan.take(1500)}")
+    assert(plan.contains("rangepartitioning"), "output sort not range-partitioned")
+  }
+
   test("q_image_dedup: class stats partial-aggregate map-side, never a per-class window") {
     // a billion-copy hash class must collapse to one row per partition
     // BEFORE the shuffle (partial min/count), and the representative

@@ -128,4 +128,28 @@ class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val reps = ded.filter { case (doc, rep, _) => doc == rep }
     assert(reps.length == classes.size, "rep count != class count")
   }
+
+  /** The shard layout must PARTITION the corpus: one row per doc,
+    * every shard's positions exactly 0..|shard|-1 (a gap or repeat
+    * means a training loader skips or double-reads a sample), and the
+    * assignment roughly balanced (mix31 equidistributes ids — a
+    * degenerate hash would pile everything into few shards).
+    */
+  test("shardAssign: contiguous per-shard positions partition the corpus") {
+    val rows = graft.operators.Dedup.shardAssign(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.tables.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs, "not one row per document")
+    assert(rows.map(_._1).distinct.length == rows.length, "doc repeated")
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet.subsetOf(
+      (0L until graft.operators.Dedup.NumShards.toLong).toSet))
+    byShard.foreach { case (s, ms) =>
+      assert(ms.map(_._3).sorted.toSeq == (0L until ms.length.toLong),
+        s"shard $s positions not contiguous 0..${ms.length - 1}")
+    }
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max < 3 * sizes.min + 8,
+      s"shard sizes badly skewed: ${sizes.toList.sorted}")
+  }
 }
