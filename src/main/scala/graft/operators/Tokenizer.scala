@@ -122,14 +122,50 @@ object Tokenizer {
     import spark.implicits._
     val (rules, seqs) = learnOn(docs)
     seqs.unpersist()
-    rules.toDF()
+    mergesFrom(rules.toDF())
+  }
+
+  private def mergesFrom(rules: DataFrame): DataFrame =
+    rules
       .select(col("merge_round"), col("t1"), col("t2"),
         concat(col("t1"), col("t2")).as("merged"), col("pair_count"))
       .orderBy(col("merge_round"))
-  }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesOn(spark, Tables.documents(spark, dir))
+    mergesFrom(materializedBpeModel(spark, dir)._1)
+
+  /** Trained model (rules + final sequence table) materialized once
+    * per (session, corpus): q_bpe_merges, q_bpe_tokenize AND the
+    * streaming deploy ([[learnRules]]) all need the same [[learnOn]]
+    * output, and until round 16 each re-ran the full training loop —
+    * the q_knn_graph_auto double-build shape, paid three times.
+    * Training is deterministic (exact long counts, total-order argmax
+    * tie-break), so the read-back is value-identical to retraining
+    * and every consumer stays under its oracle.
+    */
+  private[graft] def materializedBpeModel(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rulesPath = graft.sources.Scratch.dir(spark, s"bpe_model/$md5/rules")
+    val seqsPath = graft.sources.Scratch.dir(spark, s"bpe_model/$md5/seqs")
+    if (!bpeMaterialized.contains(rulesPath)) synchronized {
+      if (!bpeMaterialized.contains(rulesPath)) {
+        val (rules, seqs) = learnOn(Tables.documents(spark, dir))
+        // the final seq table is still persisted from the last round —
+        // the write drains cached blocks, not a retrain
+        seqs.write.mode("overwrite").parquet(seqsPath)
+        seqs.unpersist()
+        rules.toDF().write.mode("overwrite").parquet(rulesPath)
+        bpeMaterialized.add(rulesPath)
+      }
+    }
+    (spark.read.parquet(rulesPath), spark.read.parquet(seqsPath))
+  }
+
+  private val bpeMaterialized =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Apply the learned merges corpus-wide: per-document word and
     * BPE-token counts. The application is one corpus scan joined to
@@ -139,15 +175,7 @@ object Tokenizer {
     */
   def bpeTokenizeOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     val (_, seqs) = learnOn(docs)
-    val tokCounts = seqs.select(col("word"),
-      size(split(trim(col("seq"), "|"), "\\|\\|")).cast("long").as("n_tok"))
-    val docWords = docs
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), lower(col("tok")).as("word"))
-    val out = docWords.join(broadcast(tokCounts), "word")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
-      .orderBy(col("doc_id"))
+    val out = tokenizeWith(seqs, docs)
       // force while the final seq table is still cached (the BM25
       // try/finally pattern), then release the cache
       .localCheckpoint()
@@ -155,16 +183,30 @@ object Tokenizer {
     out
   }
 
-  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
-    bpeTokenizeOn(spark, Tables.documents(spark, dir))
+  private def tokenizeWith(seqs: DataFrame, docs: DataFrame): DataFrame = {
+    val tokCounts = seqs.select(col("word"),
+      size(split(trim(col("seq"), "|"), "\\|\\|")).cast("long").as("n_tok"))
+    val docWords = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), lower(col("tok")).as("word"))
+    docWords.join(broadcast(tokCounts), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
-  /** Train on the batch corpus and hand back just the rules — the
-    * "deploy the tokenizer" entry point for streaming application.
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    // model read-back is a vocabulary-sized FileScan — no cache dance
+    tokenizeWith(materializedBpeModel(spark, dir)._2,
+      Tables.documents(spark, dir))
+
+  /** Hand back just the learned rules — the "deploy the tokenizer"
+    * entry point for streaming application (reads the shared model).
     */
   def learnRules(spark: SparkSession, dir: String): Seq[BpeRule] = {
-    val (rules, seqs) = learnOn(Tables.documents(spark, dir))
-    seqs.unpersist()
-    rules
+    import spark.implicits._
+    materializedBpeModel(spark, dir)._1.as[BpeRule]
+      .collect().sortBy(_.merge_round).toSeq
   }
 
   /** Column expression applying learned merges to ONE lowercased word:

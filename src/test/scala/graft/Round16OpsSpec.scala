@@ -129,6 +129,50 @@ class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(reps.length == classes.size, "rep count != class count")
   }
 
+  /** The r15-verdict double-build fix, PPJoin edition: q_neardup_auto's
+    * exact route and q_ngram_jaccard consume one shared pair
+    * materialization. Certify (a) the routed entry is row-identical to
+    * the direct query (what lets it share the oracle), and (b) the
+    * second consumer's plan READS the scratch parquet instead of
+    * re-running the prefix-filter join.
+    */
+  test("nearDupPairsAuto: exact route shares q_ngram_jaccard's materialized pairs") {
+    val direct = graft.operators.Dedup.ngramJaccardPairs(spark, sfDir)
+      .collect().map(_.toSeq)
+    val auto = graft.operators.Dedup.nearDupPairsAuto(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(direct.nonEmpty && direct.toSeq == auto.toSeq)
+    val plan = graft.operators.Dedup.ngramJaccardPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the FileScan's location string is elided mid-path in plan dumps
+    // ("…graft_scratch/jaccard_pai…") — match the scratch root
+    assert(plan.contains("graft_scratch/jaccard"),
+      s"q_ngram_jaccard did not read the shared materialization:\n${plan.take(800)}")
+    assert(!plan.contains("shingle"),
+      "a consumer re-ran the shingle pipeline instead of reading back")
+  }
+
+  /** Same fix, BPE edition: merges, tokenize, and the streaming deploy
+    * all consume one materialized model instead of re-running the
+    * training loop. Certify value identity against a fresh train AND
+    * that the tokenize plan reads the model parquet.
+    */
+  test("bpe: dir-based entries share one materialized model; values equal a fresh train") {
+    val Tok = graft.operators.Tokenizer
+    val freshMerges = Tok.bpeMergesOn(spark,
+      graft.tables.Tables.documents(spark, sfDir)).collect().map(_.toSeq)
+    val shared = Tok.bpeMerges(spark, sfDir).collect().map(_.toSeq)
+    assert(freshMerges.nonEmpty && freshMerges.toSeq == shared.toSeq)
+    val plan = Tok.bpeTokenize(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_scratch/bpe"),
+      s"tokenize did not read the shared model:\n${plan.take(800)}")
+    val rules = Tok.learnRules(spark, sfDir)
+    assert(rules.map(r => (r.merge_round, r.t1, r.t2, r.pair_count)).toSeq ==
+      freshMerges.map(r => (r(0), r(1), r(2), r(4))).toSeq,
+      "streaming deploy rules drifted from the trained merges")
+  }
+
   /** The shard layout must PARTITION the corpus: one row per doc,
     * every shard's positions exactly 0..|shard|-1 (a gap or repeat
     * means a training loader skips or double-reads a sample), and the
