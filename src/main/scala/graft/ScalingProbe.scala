@@ -126,6 +126,11 @@ object ScalingProbe {
       case "substring_p3"    => graft.operators.Dedup.substringDedupOn(docs,
         graft.operators.Dedup.SubstringL, paranoid = true)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
+      // shards sized ~√n (production sizes them to target file bytes;
+      // the point is per-shard work must stay bounded as n grows)
+      case "shard"           => graft.operators.Dedup.shardAssignOn(
+        docs.select("doc_id"),
+        math.max(8, math.sqrt(docs.count().toDouble).toInt))
       case "phrase"          => graft.operators.Retrieval.phraseSearchOn(docs,
         graft.operators.Retrieval.PhraseQuery)
       // 1000 deterministic 2-4-term phrases through ONE postings
@@ -151,8 +156,11 @@ object ScalingProbe {
       // the linear-output dedup DECISION (one row per image) — the
       // production entry at repeat-heavy scale, vs the pair contract
       // above whose output is quadratic in class size by definition
+      // checkpoint the hash table: imageDedupOn consumes it on BOTH
+      // join sides, so an unmaterialized frame would decode the
+      // corpus twice and the probe would report ~2x the real cost
       case "image_dedup"     => graft.operators.Multimodal.imageDedupOn(
-        graft.operators.Multimodal.ahashOf(spark, docs))
+        graft.operators.Multimodal.ahashOf(spark, docs).localCheckpoint())
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes

@@ -2414,12 +2414,15 @@ object SparkEntry {
          |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
 
     // the shuffle key is engine-portable mix31, so shard AND in-shard
-    // rank replicate exactly; % stands in for pmod (skey ≥ 0)
+    // rank replicate exactly; % stands in for pmod (skey ≥ 0); salt
+    // and shard count interpolate from the library constants so
+    // editing them cannot desynchronize the gate
     "q_shard_assign" ->
       s"""WITH keyed AS (SELECT doc_id,
-         |    ${mixSql("doc_id", "797")} AS skey FROM documents)
-         |SELECT doc_id, skey % 8 AS shard,
-         |  row_number() OVER (PARTITION BY skey % 8
+         |    ${mixSql("doc_id", Dedup.ShardSalt.toString)} AS skey
+         |  FROM documents)
+         |SELECT doc_id, skey % ${Dedup.NumShards} AS shard,
+         |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
          |    ORDER BY skey, doc_id) - 1 AS pos
          |FROM keyed ORDER BY shard, pos""".stripMargin,
 

@@ -330,24 +330,16 @@ object Dedup {
     */
   private[graft] def materializedJaccardPairs(spark: SparkSession,
       dir: String): DataFrame = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.dir(spark, s"jaccard_pairs/$md5")
-    if (!jaccardMaterialized.contains(path)) synchronized {
-      if (!jaccardMaterialized.contains(path)) {
-        // already localCheckpoint'd inside the builder, so the write
-        // reads materialized blocks, not a second PPJoin
-        ngramJaccardPairsOn(Tables.documents(spark, dir))
-          .write.mode("overwrite").parquet(path)
-        jaccardMaterialized.add(path)
-      }
+    val path = graft.sources.Scratch.corpusDir(spark, "jaccard_pairs", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      // already localCheckpoint'd inside the builder, so the write
+      // reads materialized blocks, not a second PPJoin
+      ngramJaccardPairsOn(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
-
-  private val jaccardMaterialized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def ngramJaccardPairsOn(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -489,14 +481,8 @@ object Dedup {
     * under the conf-derived scratch root — two corpora touched by one
     * session get independent pair files instead of thrashing one slot.
     */
-  def pairsDir(spark: SparkSession, dir: String): String = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    graft.sources.Scratch.dir(spark, s"neardup_pairs/$md5")
-  }
-
-  private val pairsMaterialized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def pairsDir(spark: SparkSession, dir: String): String =
+    graft.sources.Scratch.corpusDir(spark, "neardup_pairs", dir)
 
   /** Pair-file bucket count derived from the pair count: ~5M narrow
     * (24-byte) pair rows per bucket targets ~128 MB files, with a floor
@@ -526,16 +512,13 @@ object Dedup {
     */
   def materializedPairs(spark: SparkSession, dir: String): DataFrame = {
     val path = pairsDir(spark, dir)
-    if (!pairsMaterialized.contains(path)) synchronized {
-      if (!pairsMaterialized.contains(path)) {
-        // already localCheckpoint'd by minhashLshPairs, so the count and
-        // the write read the checkpointed blocks, not the LSH pipeline
-        val pairs = minhashLshPairs(spark, dir)
-        val nBuckets = pairBuckets(pairs.count())
-        pairs.withColumn("bucket", pmod(col("id_a"), lit(nBuckets)))
-          .write.mode("overwrite").partitionBy("bucket").parquet(path)
-        pairsMaterialized.add(path)
-      }
+    graft.sources.Scratch.materializeOnce(path) {
+      // already localCheckpoint'd by minhashLshPairs, so the count and
+      // the write read the checkpointed blocks, not the LSH pipeline
+      val pairs = minhashLshPairs(spark, dir)
+      val nBuckets = pairBuckets(pairs.count())
+      pairs.withColumn("bucket", pmod(col("id_a"), lit(nBuckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
     spark.read.parquet(path).select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
@@ -1678,9 +1661,10 @@ object Dedup {
 
   /** Salt separating the shuffle-key hash domain from [[hashSplit]] /
     * the samplers (their md5 domains) and from the graph builders'
-    * mix31 salts 1..102.
+    * mix31 salts 1..102. graft-visible so the DuckDB twin interpolates
+    * it (editing it cannot desynchronize the gate).
     */
-  private val ShardSalt = 797L
+  private[graft] val ShardSalt = 797L
 
   def shardAssign(spark: SparkSession, dir: String): DataFrame =
     shardAssignOn(Tables.documents(spark, dir).select(col("doc_id")))

@@ -292,22 +292,14 @@ object Multimodal {
     * both graded entries stay on the same DuckDB oracle.
     */
   private def ahashTable(spark: SparkSession, dir: String): DataFrame = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.dir(spark, s"image_ahash/$md5")
-    if (!ahashMaterialized.contains(path)) synchronized {
-      if (!ahashMaterialized.contains(path)) {
-        ahashOf(spark, Tables.documents(spark, dir))
-          .write.mode("overwrite").parquet(path)
-        ahashMaterialized.add(path)
-      }
+    val path = graft.sources.Scratch.corpusDir(spark, "image_ahash", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      ahashOf(spark, Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path)
       .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
   }
-
-  private val ahashMaterialized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Hamming-ball threshold for [[imageNeardup]]. With the hash split
     * into 4 bands, the pigeonhole guarantees any pair within distance

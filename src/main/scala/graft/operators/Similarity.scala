@@ -586,28 +586,24 @@ object Similarity {
     * SimilaritySpec proves the blocked builder refuses above it.
     */
   private[graft] def materializedGraphEdges(spark: SparkSession,
-      dir: String): DataFrame = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val path = graft.sources.Scratch.dir(spark, s"graph_ann_edges/$md5")
-    if (!graphEdgesMaterialized.contains(path)) synchronized {
-      if (!graphEdgesMaterialized.contains(path)) {
-        graphAnnEdges(spark, Tables.embeddings(spark, dir))
-          .write.mode("overwrite").parquet(path)
-        graphEdgesMaterialized.add(path)
-      }
+      dir: String, precountedN: Option[Long] = None): DataFrame = {
+    val path = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      // a caller that already sized the corpus (the auto router)
+      // passes n through — the "corpus counted ONCE" contract
+      val e = Tables.embeddings(spark, dir)
+      val n = precountedN.getOrElse(denseCount(e, "graph ANN"))
+      graphAnnEdgesFor(e, n, BlockedBuildMaxN)
+        .write.mode("overwrite").parquet(path)
     }
     spark.read.parquet(path).select(col("src"), col("dst"))
   }
-
-  private val graphEdgesMaterialized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def graphKnnAuto(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n = denseCount(e, "graph ANN routing")
     val edges =
-      if (n <= BlockedBuildMaxN) materializedGraphEdges(spark, dir)
+      if (n <= BlockedBuildMaxN) materializedGraphEdges(spark, dir, Some(n))
       else nnDescentEdgesFor(spark, e, n, NndRounds, None)
     graphSearch(e, edges)
   }

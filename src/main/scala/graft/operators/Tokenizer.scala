@@ -146,26 +146,19 @@ object Tokenizer {
   private[graft] def materializedBpeModel(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val rulesPath = graft.sources.Scratch.dir(spark, s"bpe_model/$md5/rules")
-    val seqsPath = graft.sources.Scratch.dir(spark, s"bpe_model/$md5/seqs")
-    if (!bpeMaterialized.contains(rulesPath)) synchronized {
-      if (!bpeMaterialized.contains(rulesPath)) {
-        val (rules, seqs) = learnOn(Tables.documents(spark, dir))
-        // the final seq table is still persisted from the last round —
-        // the write drains cached blocks, not a retrain
-        seqs.write.mode("overwrite").parquet(seqsPath)
-        seqs.unpersist()
-        rules.toDF().write.mode("overwrite").parquet(rulesPath)
-        bpeMaterialized.add(rulesPath)
-      }
+    val root = graft.sources.Scratch.corpusDir(spark, "bpe_model", dir)
+    val rulesPath = s"$root/rules"
+    val seqsPath = s"$root/seqs"
+    graft.sources.Scratch.materializeOnce(root) {
+      val (rules, seqs) = learnOn(Tables.documents(spark, dir))
+      // the final seq table is still persisted from the last round —
+      // the write drains cached blocks, not a retrain
+      seqs.write.mode("overwrite").parquet(seqsPath)
+      seqs.unpersist()
+      rules.toDF().write.mode("overwrite").parquet(rulesPath)
     }
     (spark.read.parquet(rulesPath), spark.read.parquet(seqsPath))
   }
-
-  private val bpeMaterialized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Apply the learned merges corpus-wide: per-document word and
     * BPE-token counts. The application is one corpus scan joined to

@@ -21,4 +21,31 @@ object Scratch {
         .stripSuffix("/") + "/graft_scratch")
     s"$root/$name"
   }
+
+  /** Per-corpus scratch slot `<name>/<md5(sourceDir)>`: the full
+    * 128-bit key keeps two corpora touched by one session from
+    * thrashing a single slot.
+    */
+  def corpusDir(spark: SparkSession, name: String,
+      sourceDir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(sourceDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    dir(spark, s"$name/$md5")
+  }
+
+  /** Session-lifetime write-once memo shared by every materialized
+    * artifact (pair graphs, ANN edges, aHash tables, BPE models):
+    * `build` must write its output(s) under `key`; it runs at most
+    * once per (session, key), with the double-checked set keeping
+    * concurrent first callers behind one build. Centralized so the
+    * locking/memo discipline lives in ONE place instead of a
+    * per-artifact copy that can drift.
+    */
+  def materializeOnce(key: String)(build: => Unit): Unit =
+    if (!built.contains(key)) synchronized {
+      if (!built.contains(key)) { build; built.add(key) }
+    }
+
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

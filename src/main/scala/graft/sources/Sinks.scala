@@ -159,15 +159,21 @@ object Sinks {
     // (status, grp) tuple: murmur3 of (string, small-int) tuples has
     // measurably correlated low bits (at the fixture every status's
     // two groups collided mod 6 — parity-preserving), while contiguous
-    // gid ranges give the structural guarantee directly — a gid never
-    // splits across tasks, so each dir holds ≤ n_groups files, and
-    // distinct gids separate into distinct writers.
+    // gid ranges give the structural guarantee directly: a gid never
+    // SPLITS across tasks, so each dir holds ≤ n_groups files. Range
+    // bounds are sample-derived, so adjacent gids CAN share a task —
+    // the ceiling is exact, while write parallelism is n_groups in
+    // expectation (uniform hash salting), not a per-gid guarantee.
+    // The null-safe join keeps a __HIVE_DEFAULT_PARTITION__ dir's
+    // rows (part value NULL) in the compaction.
     val offsets = groups.scanLeft(0L)(_ + _._2)
     val groupsDf = spark.createDataFrame(
         groups.zip(offsets).map { case ((st, n), off) => (st, n, off) })
-      .toDF("o_orderstatus", "n_groups", "g_off")
+      .toDF("part_value", "n_groups", "g_off")
     spark.read.parquet(compactionRawDir(spark))
-      .join(broadcast(groupsDf), "o_orderstatus")
+      .join(broadcast(groupsDf),
+        col("o_orderstatus") <=> col("part_value"))
+      .drop("part_value")
       .withColumn("gid",
         col("g_off") + pmod(hash(col("o_orderkey")), col("n_groups")))
       .repartitionByRange(totalGroups.toInt, col("gid"))
@@ -203,7 +209,18 @@ object Sinks {
         val bytes = fs.listStatus(d.getPath)
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
           .map(_.getLen).sum
-        val value = d.getPath.getName.substring(partCol.length + 1)
+        // directory names are Hive-ESCAPED ('A B' → 'A%20B'; NULL →
+        // __HIVE_DEFAULT_PARTITION__): un-escape before joining back
+        // against the read-back column values, or any partition whose
+        // value Spark escapes silently drops out of the inner join —
+        // lossy compaction the single-letter fixture could never catch
+        val raw = d.getPath.getName.substring(partCol.length + 1)
+        val unescaped = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(raw)
+        val value = if (unescaped ==
+          org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else unescaped
         (value, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes))
       }
   }

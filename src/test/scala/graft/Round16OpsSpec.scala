@@ -144,9 +144,13 @@ class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(direct.nonEmpty && direct.toSeq == auto.toSeq)
     val plan = graft.operators.Dedup.ngramJaccardPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
-    // the FileScan's location string is elided mid-path in plan dumps
-    // ("…graft_scratch/jaccard_pai…") — match the scratch root
-    assert(plan.contains("graft_scratch/jaccard"),
+    // assert on ReadSchema, not the Location path: FileScan locations
+    // truncate at spark.sql.maxMetadataStringLength, so a long
+    // warehouse prefix would elide any path substring (the
+    // q_image_neardup audit precedent); only the pair read-back scans
+    // this exact 3-column schema
+    assert(plan.contains(
+        "ReadSchema: struct<id_a:bigint,id_b:bigint,jaccard:double>"),
       s"q_ngram_jaccard did not read the shared materialization:\n${plan.take(800)}")
     assert(!plan.contains("shingle"),
       "a consumer re-ran the shingle pipeline instead of reading back")
@@ -165,7 +169,10 @@ class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(freshMerges.nonEmpty && freshMerges.toSeq == shared.toSeq)
     val plan = Tok.bpeTokenize(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_scratch/bpe"),
+    // ReadSchema, not the truncatable Location path: only the model
+    // read-back scans (word, seq) — a retrain would show the corpus
+    // scan + merge-replace pipeline instead
+    assert(plan.contains("ReadSchema: struct<word:string,seq:string>"),
       s"tokenize did not read the shared model:\n${plan.take(800)}")
     val rules = Tok.learnRules(spark, sfDir)
     assert(rules.map(r => (r.merge_round, r.t1, r.t2, r.pair_count)).toSeq ==
