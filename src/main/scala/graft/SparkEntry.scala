@@ -371,6 +371,13 @@ object SparkEntry {
     "q_image_dedup"     -> (Multimodal.imageDedup _),
     "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
+    // 16-frame energy fingerprint over the REAL RIFF decode — the
+    // audio blocking key (1-D aHash twin; bands into the same
+    // Hamming-ball consumer shape as the image family)
+    "q_audio_fingerprint" -> (Multimodal.audioFingerprint _),
+    // exact acoustic dedup: fingerprint-class representative + size,
+    // one row per clip (the q_image_dedup decision on the audio key)
+    "q_audio_dedup"     -> (Multimodal.audioDedup _),
     // stub-decoded plumbing (formats with no JVM codec):
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
@@ -717,6 +724,31 @@ object SparkEntry {
   /** Exact visual dedup's twin: min-doc representative + class size
     * per exact aHash class, one row per image.
     */
+  /** Shared audio-fingerprint CTE chain ending in
+    * `afv(doc_id, n_samples, afp)` — the DuckDB twin of
+    * [[graft.operators.Multimodal.RealCodecs.fingerprintWav]] over the
+    * AM sample fixture; consumed by q_audio_fingerprint and
+    * q_audio_dedup so the two gates can never drift apart.
+    */
+  private val audioFpCteSql: String = {
+    val F = graft.operators.Multimodal.AudioFpFrames
+    s"""samples AS (SELECT doc_id, i,
+       |    abs(((doc_id*13 + i*17) % 16384 - 8192)
+       |        * (1 + (doc_id + (i*$F) // (1000 + doc_id % 500)) % 4)) AS a,
+       |    (i*$F) // (1000 + doc_id % 500) AS f
+       |  FROM (SELECT doc_id,
+       |      unnest(generate_series(0, 999 + doc_id % 500)) AS i
+       |    FROM documents)),
+       |frames AS (SELECT doc_id, f, sum(a) AS fs, count(*) AS nf
+       |  FROM samples GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(a) AS total, count(*) AS n
+       |  FROM samples GROUP BY 1),
+       |afv AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       |  CAST(sum(CASE WHEN fs * n > total * nf
+       |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
+       |  FROM frames JOIN tot USING (doc_id) GROUP BY doc_id, n)""".stripMargin
+  }
+
   private val imageDedupSql: String =
     s"""WITH $ahashCtesSql,
        |reps AS (SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id,
@@ -2858,6 +2890,25 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(generate_series(0, 999 + doc_id % 500)) AS i
         |      FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // frame f = floor(i*F/n); bit f iff frame mean |amp| > clip mean,
+    // cross-multiplied to exact integers (fs*n > total*nf); samples
+    // are the AM fixture: +/-8191 base x (1 + (doc_id + f) % 4)
+    "q_audio_fingerprint" ->
+      s"""WITH $audioFpCteSql
+         |SELECT doc_id, n_samples, afp FROM afv
+         |ORDER BY doc_id""".stripMargin,
+
+    // exact acoustic dedup: min-doc representative + class size per
+    // fingerprint class (the q_image_dedup shape on the audio key)
+    "q_audio_dedup" ->
+      s"""WITH $audioFpCteSql,
+         |reps AS (SELECT afp, min(doc_id) AS rep_id,
+         |    count(*) AS n_class
+         |  FROM afv GROUP BY 1)
+         |SELECT doc_id, rep_id, n_class
+         |FROM afv JOIN reps USING (afp)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -208,6 +208,36 @@ object Multimodal {
       bb.array()
     }
 
+    /** Amplitude-modulated synthetic clip for the FINGERPRINT fixture:
+      * the flat sawtooth of [[syntheticWav]] has an identical energy
+      * envelope for every doc (a constant fingerprint — useless as a
+      * blocking key), so this variant scales a ±8191 base by a per-
+      * frame envelope 1 + (doc_id + ⌊i·F/n⌋) mod 4 (peak ±32764, still
+      * 16-bit). The envelope phase rotates with doc_id, so clips fall
+      * into distinct fingerprint classes — what an acoustic blocking
+      * key actually keys on.
+      */
+    def syntheticWavAm(docId: Long, n: Int, rate: Int): Array[Byte] = {
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)
+      bb.putInt(rate); bb.putInt(rate * 2)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        val base = (docId * 13 + i * 17) % 16384 - 8192
+        val env = 1 + (docId + i.toLong * AudioFpFrames / n) % 4
+        bb.putShort((base * env).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
     /** REAL RIFF/WAV parse — walks chunks (not fixed offsets), reads the
       * fmt sample rate and the 16-bit PCM data: (rate, nSamples, Σ|s|).
       */
@@ -250,7 +280,68 @@ object Multimodal {
       require(rate > 0 && nSamples >= 0, "missing fmt/data chunk")
       (rate, nSamples, ampSum)
     }
+
+    /** Acoustic fingerprint over the REAL decoded PCM: the samples
+      * split into [[AudioFpFrames]] frames by f = ⌊i·F/n⌋ and bit f
+      * sets iff the frame's mean |amplitude| exceeds the clip's mean —
+      * cross-multiplied (frameSum·n > total·frameLen) so the
+      * comparison is exact integer arithmetic the DuckDB oracle
+      * replays bit-for-bit (the image aHash convention, 1-D). Frame
+      * sizes differ by ±1 sample under the floor split; the density
+      * form makes that irrelevant. Products stay < 2^52.
+      */
+    def fingerprintWav(bytes: Array[Byte]): (Int, Int, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF file")
+      bb.getInt
+      require(fourcc() == "WAVE", "not a WAVE file")
+      var rate = -1
+      var n = -1
+      val fs = new Array[Long](AudioFpFrames)
+      val fn = new Array[Long](AudioFpFrames)
+      var total = 0L
+      while (bb.remaining() >= 8 && (rate < 0 || n < 0)) {
+        val id = fourcc()
+        val len = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmtStart = bb.position()
+            require(bb.getShort == 1, "not PCM")
+            bb.getShort
+            rate = bb.getInt
+            bb.position(math.min(fmtStart + len + (len & 1), bb.limit()))
+          case "data" =>
+            val dataStart = bb.position()
+            n = len / 2
+            var i = 0
+            while (i < n) {
+              val a = math.abs(bb.getShort.toInt).toLong
+              val f = i * AudioFpFrames / n
+              fs(f) += a; fn(f) += 1; total += a
+              i += 1
+            }
+            bb.position(math.min(dataStart + len + (len & 1), bb.limit()))
+          case _ =>
+            bb.position(math.min(bb.position() + len + (len & 1), bb.limit()))
+        }
+      }
+      require(rate > 0 && n > 0, "missing fmt/data chunk")
+      var fp = 0L
+      var f = 0
+      while (f < AudioFpFrames) {
+        if (fs(f) * n > total * fn(f)) fp |= 1L << f
+        f += 1
+      }
+      (rate, n, fp)
+    }
   }
+
+  /** Frames in the [[RealCodecs.fingerprintWav]] energy fingerprint. */
+  val AudioFpFrames = 16
 
   /** PNG encode → REAL decode per document, features under the gate.
     * Encode and decode run as separate narrow stages (payload-in /
@@ -465,6 +556,46 @@ object Multimodal {
         (id, rate.toLong, n.toLong, amp)
       })
       .toDF("doc_id", "sample_rate", "n_samples", "amp_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** WAV synth → REAL RIFF parse → [[AudioFpFrames]]-frame energy
+    * fingerprint per document — the AUDIO blocking key, the 1-D twin
+    * of [[imageAhash]]: a dedup pass buckets on the fingerprint (or
+    * bands it for a Hamming ball, exactly the [[imageNeardup]]
+    * consumer shape — same banding arithmetic, fewer bits) and only
+    * fingerprint longs ever shuffle, never PCM payloads. All-integer
+    * frame-vs-clip mean comparison keeps the bits under the DuckDB
+    * gate from the closed-form sample definition.
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        val (_, n, fp) = RealCodecs.fingerprintWav(wav)
+        (id, n.toLong, fp)
+      })
+      .toDF("doc_id", "n_samples", "afp")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact acoustic dedup — the audio twin of [[imageDedup]]: one row
+    * per clip mapping to its fingerprint class's min-doc
+    * representative + class size, via the same groupBy-not-window
+    * discipline (map-side partials collapse a hot class per partition
+    * before the shuffle). The fingerprint table is checkpointed
+    * because both join sides consume it — the round-16 image-probe
+    * lesson: an unmaterialized frame would synthesize + parse every
+    * clip twice.
+    */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = audioFingerprint(spark, dir)
+      .select(col("doc_id"), col("afp")).localCheckpoint()
+    val reps = fp.groupBy(col("afp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_class"))
+    fp.join(reps, Seq("afp"))
+      .select(col("doc_id"), col("rep_id"), col("n_class"))
       .orderBy(col("doc_id"))
   }
 

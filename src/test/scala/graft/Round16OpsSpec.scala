@@ -156,6 +156,35 @@ class Round16OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "a consumer re-ran the shingle pipeline instead of reading back")
   }
 
+  /** The audio fingerprint must agree with a closed-form recompute
+    * that never touches the RIFF codec path — same differential
+    * discipline as the PNG features: synthesis is the fixture, DECODE
+    * is what's under test.
+    */
+  test("audioFingerprint: bits match the closed-form sample definition") {
+    val F = graft.operators.Multimodal.AudioFpFrames
+    val got = graft.operators.Multimodal.audioFingerprint(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, afp) =>
+      assert(n == 1000 + id % 500, s"doc $id: wrong sample count")
+      val amps = (0L until n).map { i =>
+        val f = i * F / n
+        math.abs(((id * 13 + i * 17) % 16384 - 8192) * (1 + (id + f) % 4))
+      }
+      val total = amps.sum
+      var exp = 0L
+      (0 until F).foreach { f =>
+        val idx = (0L until n).filter(i => i * F / n == f)
+        val fs = idx.map(i => amps(i.toInt)).sum
+        if (fs * n > total * idx.length) exp |= 1L << f
+      }
+      assert(afp == exp, s"doc $id: fp $afp != closed-form $exp")
+    }
+    // the fingerprint must actually discriminate (not constant)
+    assert(got.map(_._3).distinct.length > 1, "fingerprint is constant")
+  }
+
   /** Same fix, BPE edition: merges, tokenize, and the streaming deploy
     * all consume one materialized model instead of re-running the
     * training loop. Certify value identity against a fresh train AND
