@@ -161,6 +161,10 @@ object ScalingProbe {
       // corpus twice and the probe would report ~2x the real cost
       case "image_dedup"     => graft.operators.Multimodal.imageDedupOn(
         graft.operators.Multimodal.ahashOf(spark, docs).localCheckpoint())
+      // audio fingerprint is map-only synth+RIFF-parse per clip — the
+      // probe documents the linear decode term (the image_ahash twin)
+      case "audio_fp"        =>
+        graft.operators.Multimodal.audioFingerprintOn(spark, docs)
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes
@@ -217,7 +221,7 @@ object ScalingProbe {
     val gen: Int => DataFrame =
       if (op == "paths") eventCorpus
       else if (op.startsWith("graphann") || embOps(op)) embCorpus
-      else if (op.startsWith("image_"))
+      else if (op.startsWith("image_") || op == "audio_fp")
         (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus
       else corpus

@@ -721,9 +721,6 @@ object SparkEntry {
        |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Exact visual dedup's twin: min-doc representative + class size
-    * per exact aHash class, one row per image.
-    */
   /** Shared audio-fingerprint CTE chain ending in
     * `afv(doc_id, n_samples, afp)` — the DuckDB twin of
     * [[graft.operators.Multimodal.RealCodecs.fingerprintWav]] over the
@@ -749,6 +746,9 @@ object SparkEntry {
        |  FROM frames JOIN tot USING (doc_id) GROUP BY doc_id, n)""".stripMargin
   }
 
+  /** Exact visual dedup's twin: min-doc representative + class size
+    * per exact aHash class, one row per image.
+    */
   private val imageDedupSql: String =
     s"""WITH $ahashCtesSql,
        |reps AS (SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id,

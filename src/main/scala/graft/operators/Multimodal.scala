@@ -238,10 +238,16 @@ object Multimodal {
       bb.array()
     }
 
-    /** REAL RIFF/WAV parse — walks chunks (not fixed offsets), reads the
-      * fmt sample rate and the 16-bit PCM data: (rate, nSamples, Σ|s|).
+    /** Shared RIFF chunk walk: locate `fmt ` (PCM required, sample
+      * rate) and the `data` chunk, returning (rate, nSamples, buffer
+      * positioned at the first sample). Chunk traversal handles the
+      * RIFF odd-length pad byte — skip len + (len & 1) or every chunk
+      * after an odd one misparses — with the final position clamped
+      * because a last odd chunk may legally omit its pad. ONE walker
+      * for both consumers so a container-parsing fix can never apply
+      * to one decode path and silently miss the other.
       */
-    def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
+    private def wavPcm(bytes: Array[Byte]): (Int, Int, java.nio.ByteBuffer) = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(): String = {
@@ -252,12 +258,10 @@ object Multimodal {
       require(fourcc() == "WAVE", "not a WAVE file")
       var rate = -1
       var nSamples = -1
-      var ampSum = 0L
+      var dataPos = -1
       while (bb.remaining() >= 8 && (rate < 0 || nSamples < 0)) {
         val id = fourcc()
         val len = bb.getInt
-        // RIFF pads odd-length chunks with one byte; skip len + (len & 1)
-        // or every chunk after an odd one misparses
         id match {
           case "fmt " =>
             val fmtStart = bb.position()
@@ -265,20 +269,27 @@ object Multimodal {
             require(audioFormat == 1, s"not PCM: $audioFormat")
             bb.getShort // channels
             rate = bb.getInt
-            // clamp: a final odd chunk may legally omit the pad byte
             bb.position(math.min(fmtStart + len + (len & 1), bb.limit()))
           case "data" =>
-            val dataStart = bb.position()
+            dataPos = bb.position()
             nSamples = len / 2
-            var i = 0
-            while (i < nSamples) { ampSum += math.abs(bb.getShort.toInt); i += 1 }
-            bb.position(math.min(dataStart + len + (len & 1), bb.limit()))
+            bb.position(math.min(dataPos + len + (len & 1), bb.limit()))
           case _ =>
             bb.position(math.min(bb.position() + len + (len & 1), bb.limit()))
         }
       }
       require(rate > 0 && nSamples >= 0, "missing fmt/data chunk")
-      (rate, nSamples, ampSum)
+      bb.position(dataPos)
+      (rate, nSamples, bb)
+    }
+
+    /** REAL RIFF/WAV parse: (rate, nSamples, Σ|s|). */
+    def decodeWav(bytes: Array[Byte]): (Int, Int, Long) = {
+      val (rate, n, bb) = wavPcm(bytes)
+      var ampSum = 0L
+      var i = 0
+      while (i < n) { ampSum += math.abs(bb.getShort.toInt); i += 1 }
+      (rate, n, ampSum)
     }
 
     /** Acoustic fingerprint over the REAL decoded PCM: the samples
@@ -288,48 +299,33 @@ object Multimodal {
       * comparison is exact integer arithmetic the DuckDB oracle
       * replays bit-for-bit (the image aHash convention, 1-D). Frame
       * sizes differ by ±1 sample under the floor split; the density
-      * form makes that irrelevant. Products stay < 2^52.
+      * form makes that irrelevant.
+      *
+      * SAMPLE-COUNT DOMAIN: frame indexing is Long-safe at any n, but
+      * the cross-multiplication needs frameSum·n < 2^63, i.e.
+      * n < 2^24 (≈17 min mono at 16 kHz) — the require below raises
+      * loudly instead of silently flipping bits; fingerprint longer
+      * recordings per chunk ([[graft.operators.TextAnalysis]]'s
+      * chunking discipline applies to audio too).
       */
     def fingerprintWav(bytes: Array[Byte]): (Int, Int, Long) = {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def fourcc(): String = {
-        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-      }
-      require(fourcc() == "RIFF", "not a RIFF file")
-      bb.getInt
-      require(fourcc() == "WAVE", "not a WAVE file")
-      var rate = -1
-      var n = -1
+      val (rate, n, bb) = wavPcm(bytes)
+      require(n > 0, "fingerprintWav needs at least one sample")
+      require(n < (1 << 24),
+        s"fingerprintWav caps at 2^24 samples (cross-multiplied mean " +
+          s"stays inside Long); got $n — fingerprint per chunk instead")
       val fs = new Array[Long](AudioFpFrames)
       val fn = new Array[Long](AudioFpFrames)
       var total = 0L
-      while (bb.remaining() >= 8 && (rate < 0 || n < 0)) {
-        val id = fourcc()
-        val len = bb.getInt
-        id match {
-          case "fmt " =>
-            val fmtStart = bb.position()
-            require(bb.getShort == 1, "not PCM")
-            bb.getShort
-            rate = bb.getInt
-            bb.position(math.min(fmtStart + len + (len & 1), bb.limit()))
-          case "data" =>
-            val dataStart = bb.position()
-            n = len / 2
-            var i = 0
-            while (i < n) {
-              val a = math.abs(bb.getShort.toInt).toLong
-              val f = i * AudioFpFrames / n
-              fs(f) += a; fn(f) += 1; total += a
-              i += 1
-            }
-            bb.position(math.min(dataStart + len + (len & 1), bb.limit()))
-          case _ =>
-            bb.position(math.min(bb.position() + len + (len & 1), bb.limit()))
-        }
+      var i = 0
+      while (i < n) {
+        val a = math.abs(bb.getShort.toInt).toLong
+        // Long multiply BEFORE the divide: i*F overflows Int past
+        // 2^27 samples (the synth side always used Long math)
+        val f = (i.toLong * AudioFpFrames / n).toInt
+        fs(f) += a; fn(f) += 1; total += a
+        i += 1
       }
-      require(rate > 0 && n > 0, "missing fmt/data chunk")
       var fp = 0L
       var f = 0
       while (f < AudioFpFrames) {
@@ -568,16 +564,27 @@ object Multimodal {
     * frame-vs-clip mean comparison keeps the bits under the DuckDB
     * gate from the closed-form sample definition.
     */
-  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprintOn(spark,
+      Tables.documents(spark, dir).select(col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** Unsorted fingerprint body shared by the graded entry (which adds
+    * the presentation sort), [[audioDedup]] (which checkpoints it
+    * unsorted — a sort feeding a hash join is wasted shuffle), and
+    * the scaling probe (so the probe measures THIS op, not a copy
+    * that can drift).
+    */
+  private[graft] def audioFingerprintOn(spark: SparkSession,
+      ids: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
         val (_, n, fp) = RealCodecs.fingerprintWav(wav)
         (id, n.toLong, fp)
       })
       .toDF("doc_id", "n_samples", "afp")
-      .orderBy(col("doc_id"))
   }
 
   /** Exact acoustic dedup — the audio twin of [[imageDedup]]: one row
@@ -590,7 +597,8 @@ object Multimodal {
     * clip twice.
     */
   def audioDedup(spark: SparkSession, dir: String): DataFrame = {
-    val fp = audioFingerprint(spark, dir)
+    val fp = audioFingerprintOn(spark,
+        Tables.documents(spark, dir).select(col("doc_id")))
       .select(col("doc_id"), col("afp")).localCheckpoint()
     val reps = fp.groupBy(col("afp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_class"))

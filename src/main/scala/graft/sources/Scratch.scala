@@ -36,16 +36,24 @@ object Scratch {
   /** Session-lifetime write-once memo shared by every materialized
     * artifact (pair graphs, ANN edges, aHash tables, BPE models):
     * `build` must write its output(s) under `key`; it runs at most
-    * once per (session, key), with the double-checked set keeping
+    * once per (session, key), with double-checked locking keeping
     * concurrent first callers behind one build. Centralized so the
     * locking/memo discipline lives in ONE place instead of a
-    * per-artifact copy that can drift.
+    * per-artifact copy that can drift. The lock is PER KEY
+    * (computeIfAbsent a monitor object) — a minutes-long BPE train
+    * must not serialize an unrelated corpus's edge build behind one
+    * global monitor.
     */
   def materializeOnce(key: String)(build: => Unit): Unit =
-    if (!built.contains(key)) synchronized {
-      if (!built.contains(key)) { build; built.add(key) }
+    if (!built.contains(key)) {
+      val lock = locks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        if (!built.contains(key)) { build; built.add(key) }
+      }
     }
 
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
