@@ -165,6 +165,23 @@ object ScalingProbe {
       // probe documents the linear decode term (the image_ahash twin)
       case "audio_fp"        =>
         graft.operators.Multimodal.audioFingerprintOn(spark, docs)
+      // DIVERSE-hash near-dup probe: ~uniform synthetic 64-bit hashes
+      // (d ≈ n distinct — the shape the fixture synth can never make:
+      // its pixel pattern is an offset mod 256, so d ≤ 256 always).
+      // Decouples the BANDING join's growth from decode (linear,
+      // probed) and from the repeat corpus's output-quadratic pair
+      // contract: with 4×16-bit bands candidate volume is
+      // Σ_buckets C(occ, 2) ≈ 4·n²/2^17 — quadratic in DISTINCT
+      // hashes, the documented boundary of the 4-band design
+      case "image_neardup_div" => {
+        import spark.implicits._
+        val hashes = docs.select(col("doc_id")).as[Long].map { id =>
+          val r = new scala.util.Random(id * 6364136223846793005L + 11)
+          (id, r.nextInt().toLong & 0xffffffffL,
+            r.nextInt().toLong & 0xffffffffL)
+        }.toDF("doc_id", "ahash_hi", "ahash_lo")
+        graft.operators.Multimodal.neardupFromHashes(hashes)
+      }
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes

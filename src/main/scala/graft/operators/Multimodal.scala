@@ -456,8 +456,20 @@ object Multimodal {
     * rows by definition, produced here by one equi-self-join
     * ([[imageDedup]] is the linear-output entry a 100 TB pipeline
     * runs instead; this entry's exact pair list is the audit surface).
+    *
+    * DIVERSE-corpus boundary (probed, round 16): with d DISTINCT
+    * hashes the 4×16-bit band join enumerates ~4·d²/2^17 candidate
+    * pairs (uniform-hash bucket occupancy d/2^16 per band) — probed
+    * flat to ~8M distinct hashes and visibly quadratic at 16M (32 s
+    * local[32]; the repeat-heavy web shape keeps d ≪ n, where this
+    * never binds). Past d ~ 10^8 the mitigation is Manku's
+    * multi-table widening — complete recall at Hamming ≤ 3 also
+    * holds joining on any C(6,3) = 20 combinations of three ~11-bit
+    * blocks (2^33-key buckets, candidates ~20·d²/2^34, ~500× fewer) —
+    * a constant-factor table swap in this SAME join shape, not a new
+    * algorithm.
     */
-  private def neardupFromHashes(ah: DataFrame): DataFrame = {
+  private[graft] def neardupFromHashes(ah: DataFrame): DataFrame = {
     val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
     val bands = hashes.select(col("ahash_hi"), col("ahash_lo"),
         explode(sequence(lit(0), lit(3))).as("b"))
