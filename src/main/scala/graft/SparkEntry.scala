@@ -474,6 +474,10 @@ object SparkEntry {
     // deployed-decoder stream: REAL ImageIO decode + perceptual hash as
     // a stateless streaming projection; shares q_image_ahash's oracle
     "q_stream_image_ahash" -> (graft.streaming.DocumentStreams.streamedImageAhash _),
+    // stateless streaming acoustic fingerprint (shares the batch
+    // entry's oracle — replay == batch, real RIFF parse on the stream)
+    "q_stream_audio_fingerprint" ->
+      (graft.streaming.DocumentStreams.streamedAudioFingerprint _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -2895,6 +2899,12 @@ object SparkEntry {
     // cross-multiplied to exact integers (fs*n > total*nf); samples
     // are the AM fixture: +/-8191 base x (1 + (doc_id + f) % 4)
     "q_audio_fingerprint" ->
+      s"""WITH $audioFpCteSql
+         |SELECT doc_id, n_samples, afp FROM afv
+         |ORDER BY doc_id""".stripMargin,
+
+    // finite replay == batch: the streaming twin shares the oracle
+    "q_stream_audio_fingerprint" ->
       s"""WITH $audioFpCteSql
          |SELECT doc_id, n_samples, afp FROM afv
          |ORDER BY doc_id""".stripMargin,

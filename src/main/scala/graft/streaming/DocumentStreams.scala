@@ -547,6 +547,36 @@ object DocumentStreams {
     spark.table("graft_stream_ahash").orderBy(col("doc_id"))
   }
 
+  /** Streaming acoustic-fingerprint ingest — the audio twin of
+    * [[streamedImageAhash]]: each arriving clip is synthesized, REALLY
+    * RIFF-parsed, and energy-fingerprinted in the same stateless
+    * streaming projection shape (typed mapPartitions, no state, no
+    * shuffle). Finite replay = the batch computation, so it shares
+    * q_audio_fingerprint's DuckDB oracle (closed-form samples on the
+    * oracle side, the actual chunk-walk parser on the stream side).
+    */
+  def streamedAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.operators.Multimodal.RealCodecs
+    val out = streamedDocs(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        val (_, n, fp) = RealCodecs.fingerprintWav(wav)
+        (id, n.toLong, fp)
+      })
+      .toDF("doc_id", "n_samples", "afp")
+    val q = out.writeStream.format("memory")
+      .queryName("graft_stream_audio_fp")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_audio_fp").orderBy(col("doc_id"))
+  }
+
   /** Smallest band index on which two signatures fully agree (exists for
     * any two co-members of a bucket — they agree on that bucket's band
     * by construction).
