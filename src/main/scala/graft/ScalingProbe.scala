@@ -107,7 +107,23 @@ object ScalingProbe {
       }.toDF("vec_id", "embedding")
     }
 
-    def run(docs: DataFrame): DataFrame = op match {
+    // DIVERSE synthetic 64-bit hashes (d ≈ n distinct — the shape the
+    // fixture synth can never make: its pixel pattern is an offset mod
+    // 256, so d ≤ 256 always); shared by both banding-tier probes so
+    // their crossover is apples-to-apples
+    def diverseHashes(docs: DataFrame): DataFrame = {
+      import spark.implicits._
+      docs.select(col("doc_id")).as[Long].map { id =>
+        val r = new scala.util.Random(id * 6364136223846793005L + 11)
+        (id, r.nextInt().toLong & 0xffffffffL,
+          r.nextInt().toLong & 0xffffffffL)
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+    }
+
+    // `n` is the known generated size, threaded in so no probe op ever
+    // needs a docs.count() inside the timed region (an extra full pass
+    // that isn't part of the op's own cost model)
+    def run(docs: DataFrame, n: Int): DataFrame = op match {
       case "decontamination" => graft.operators.Dedup.decontaminationOn(docs)
       case "decon_bloom"     => graft.operators.Dedup.decontaminationBloomOn(docs)
       case "jaccard"         => graft.operators.Dedup.ngramJaccardPairsOn(docs)
@@ -130,7 +146,7 @@ object ScalingProbe {
       // the point is per-shard work must stay bounded as n grows)
       case "shard"           => graft.operators.Dedup.shardAssignOn(
         docs.select("doc_id"),
-        math.max(8, math.sqrt(docs.count().toDouble).toInt))
+        math.max(8, math.sqrt(n.toDouble).toInt))
       case "phrase"          => graft.operators.Retrieval.phraseSearchOn(docs,
         graft.operators.Retrieval.PhraseQuery)
       // 1000 deterministic 2-4-term phrases through ONE postings
@@ -148,6 +164,24 @@ object ScalingProbe {
             Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.size))))
         }
         graft.operators.Retrieval.phraseBatchOn(spark, docs, batch)
+      // single NEAR/k probe vs the 1000-phrase batch below — the
+      // phrase/phrase_batch pair's proximity twin
+      case "proximity"       => graft.operators.Retrieval.proximitySearchOn(
+        docs, graft.operators.Retrieval.PhraseQuery,
+        graft.operators.Retrieval.ProximityK)
+      case "proximity_batch" =>
+        val words = Vector("key", "agg", "row", "scan", "slow", "fast",
+          "table", "value", "part", "hash", "merge", "batch", "spark",
+          "line", "sort", "window", "stream", "group", "vector", "filter",
+          "join", "query", "order", "data", "column", "small", "big",
+          "the", "customer", "a")
+        val batch = (0 until 1000).map { qid =>
+          val rnd = new scala.util.Random(qid * 104729L + 13)
+          (qid.toLong,
+            Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.size))))
+        }
+        graft.operators.Retrieval.proximityBatchOn(spark, docs, batch,
+          graft.operators.Retrieval.ProximityK)
       // decode-only linear baseline vs the banded pair join on top of
       // it — the pair (like `phrase`/`phrase_batch`) isolates which
       // term dominates growth
@@ -174,13 +208,13 @@ object ScalingProbe {
       // Σ_buckets C(occ, 2) ≈ 4·n²/2^17 — quadratic in DISTINCT
       // hashes, the documented boundary of the 4-band design
       case "image_neardup_div" => {
-        import spark.implicits._
-        val hashes = docs.select(col("doc_id")).as[Long].map { id =>
-          val r = new scala.util.Random(id * 6364136223846793005L + 11)
-          (id, r.nextInt().toLong & 0xffffffffL,
-            r.nextInt().toLong & 0xffffffffL)
-        }.toDF("doc_id", "ahash_hi", "ahash_lo")
-        graft.operators.Multimodal.neardupFromHashes(hashes)
+        graft.operators.Multimodal.neardupFromHashes(diverseHashes(docs))
+      }
+      // the Manku wide tier on the SAME diverse-hash generator: the
+      // crossover between this probe and image_neardup_div sets
+      // Multimodal.WideBandCutover (BASELINE.md round 17)
+      case "image_neardup_div_wide" => {
+        graft.operators.Multimodal.neardupFromHashesWide(diverseHashes(docs))
       }
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
@@ -199,7 +233,6 @@ object ScalingProbe {
       case "semdedup"        => graft.operators.Similarity.semanticDedupOn(spark, docs)
       // the scale path: k sized ~√N so within-cluster pair work stays ~N^1.5
       case "semdedup_sqrtk"  =>
-        val n = docs.count()
         graft.operators.Similarity.semanticDedupOn(spark, docs, 0.4,
           math.max(8, math.sqrt(n.toDouble).toInt))
       case "boilerplate"     => graft.operators.TextAnalysis.removeBoilerplateOn(docs)
@@ -244,13 +277,13 @@ object ScalingProbe {
       else corpus
 
     // warm-up (JIT of the shingle/hash codegen paths)
-    run(gen(512)).write.format("noop").mode("overwrite").save()
+    run(gen(512), 512).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     sizes.foreach { n =>
       val docs = gen(n).localCheckpoint() // generation cost out of the timing
       val t0 = System.nanoTime()
-      val rows = run(docs).count()
+      val rows = run(docs, n).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       println(f"SCALING op=$op n=$n%6d rows=$rows%8d time=$dt%7.2f s")

@@ -111,6 +111,10 @@ object SparkEntry {
     // stats/CBO surface: no hints — the optimizer re-orders a
     // deliberately bad syntactic join order from column stats)
     "q_cbo_join"        -> ((s: SparkSession, d: String) => Relational.cboStarJoin(s, d)),
+    // the second CBO lever: stats-driven BROADCAST of the dimension
+    // composite (4-relation star, no hints — PlanAuditSpec asserts
+    // BHJ-with-stats vs SMJ-without on the orders join)
+    "q_cbo_broadcast"   -> ((s: SparkSession, d: String) => Relational.cboStarJoin4(s, d)),
     // text-format (CSV) sink/source round-trip, graded:
     "q_json_roundtrip"  -> (graft.sources.Sinks.jsonRoundTrip _),
     "q_orc_roundtrip"   -> (graft.sources.Sinks.orcRoundTrip _),
@@ -169,10 +173,17 @@ object SparkEntry {
     // postings build
     "q_phrase_batch"    -> (Retrieval.phraseBatch _),
     "q_proximity_search" -> (Retrieval.proximitySearch _),
+    // batch NEAR/k: N proximity probes through ONE pruned postings
+    // build, frontier-advanced one slot per round (band-join chains)
+    "q_proximity_batch" -> (Retrieval.proximityBatch _),
     // the graded stages composed end-to-end, the way a training-data
     // pipeline runs them: quality filter → exact dedup → train-side
     // decontamination → sequence packing, one dataflow, one corpus scan
     "q_pipeline_e2e"    -> (Pipeline.curationPipeline _),
+    // the MULTIMODAL cascade: image decode+aHash + audio decode+wide
+    // fingerprint (both materialized once) → joint-key dedup decision
+    // → deterministic shard layout of the survivors
+    "q_pipeline_media"  -> (Pipeline.mediaPipeline _),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
@@ -365,6 +376,12 @@ object SparkEntry {
     // candidates (Manku banding — complete recall at Hamming ≤ 3),
     // integer popcount verifies; joins the multimodal + dedup families
     "q_image_neardup"   -> (Multimodal.imageNeardup _),
+    // Manku multi-table widening of the same contract (C(6,3)=20
+    // three-block ~11-bit band tables, same pigeonhole completeness):
+    // the d ≫ 10^6 diverse-hash escalation, value-identical output
+    "q_image_neardup_wide" -> (Multimodal.imageNeardupWide _),
+    // routed production entry: distinct-hash count picks the tier
+    "q_image_neardup_auto" -> (Multimodal.imageNeardupAuto _),
     // exact visual dedup: one row per image → its aHash-class
     // representative + class size (the linear-output decision the
     // pair contract above audits)
@@ -378,6 +395,16 @@ object SparkEntry {
     // exact acoustic dedup: fingerprint-class representative + size,
     // one row per clip (the q_image_dedup decision on the audio key)
     "q_audio_dedup"     -> (Multimodal.audioDedup _),
+    // WIDE 64-frame fingerprint as two 32-bit halves — the bandable
+    // acoustic key (the image-aHash convention on audio)
+    "q_audio_fingerprint_wide" -> (Multimodal.audioFingerprintWide _),
+    // acoustic near-dup pairs: the image banding engine verbatim on
+    // the wide fingerprint (completes the audio triple: blocking key →
+    // near-dup pairs → dedup decision)
+    "q_audio_neardup"   -> (Multimodal.audioNeardup _),
+    // chunked long-clip fingerprints: one row per (clip, chunk), each
+    // chunk against its own mean — lifts the 2^24-sample clip bound
+    "q_audio_fingerprint_chunks" -> (Multimodal.audioFingerprintChunks _),
     // stub-decoded plumbing (formats with no JVM codec):
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
@@ -689,18 +716,20 @@ object SparkEntry {
     * two 32-bit halves), shared by q_image_ahash (+ streaming twin)
     * and q_image_neardup. Ends at `ahv(doc_id, ahash_hi, ahash_lo)`.
     */
-  private val ahashCtesSql: String =
-    """px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
-      |  FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
-      |       (SELECT unnest(generate_series(0, 31)) AS x)),
-      |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY doc_id),
-      |blk AS (SELECT doc_id, (y//2)*8 + (x//4) AS bit, sum(v) AS bs FROM px GROUP BY doc_id, (y//2)*8 + (x//4)),
-      |bits AS (SELECT b.doc_id, bit, CASE WHEN bs*64 > total THEN 1 ELSE 0 END AS s
-      |  FROM blk b JOIN tot t ON b.doc_id = t.doc_id),
-      |ahv AS (SELECT doc_id,
-      |  CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-      |  CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
-      |  FROM bits GROUP BY doc_id)""".stripMargin
+  private def ahashCtes(p: String): String =
+    s"""${p}px AS (SELECT doc_id, x, y, (doc_id*31 + y*7 + x) % 256 AS v
+       |  FROM (SELECT doc_id, unnest(generate_series(0, 15)) AS y FROM documents),
+       |       (SELECT unnest(generate_series(0, 31)) AS x)),
+       |${p}tot AS (SELECT doc_id, sum(v) AS total FROM ${p}px GROUP BY doc_id),
+       |${p}blk AS (SELECT doc_id, (y//2)*8 + (x//4) AS bit, sum(v) AS bs FROM ${p}px GROUP BY doc_id, (y//2)*8 + (x//4)),
+       |${p}bits AS (SELECT b.doc_id, bit, CASE WHEN bs*64 > total THEN 1 ELSE 0 END AS s
+       |  FROM ${p}blk b JOIN ${p}tot t ON b.doc_id = t.doc_id),
+       |${p}ahv AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s=1 AND bit>=32 THEN (CAST(1 AS BIGINT) << (bit-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+       |  CAST(sum(CASE WHEN s=1 AND bit<32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ahash_lo
+       |  FROM ${p}bits GROUP BY doc_id)""".stripMargin
+
+  private val ahashCtesSql: String = ahashCtes("")
 
   private val imageAhashSql: String =
     s"""WITH $ahashCtesSql
@@ -749,6 +778,37 @@ object SparkEntry {
        |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
        |  FROM frames JOIN tot USING (doc_id) GROUP BY doc_id, n)""".stripMargin
   }
+
+  /** The WIDE 64-frame fingerprint CTE chain ending in
+    * `afw(doc_id, n_samples, afp_hi, afp_lo)` — like [[audioFpCteSql]]
+    * but with 64 fingerprint frames split into two 32-bit halves (the
+    * aHash shift convention). The ENVELOPE frame index stays at 16
+    * ([[graft.operators.Multimodal.AudioFpFrames]] — the synth fixture
+    * is unchanged); only the fingerprint granularity widens. Shared by
+    * q_audio_fingerprint_wide and q_audio_neardup.
+    */
+  private def audioFpWideCte(p: String): String = {
+    val envF = graft.operators.Multimodal.AudioFpFrames
+    s"""${p}samples AS (SELECT doc_id, i,
+       |    abs(((doc_id*13 + i*17) % 16384 - 8192)
+       |        * (1 + (doc_id + (i*$envF) // (1000 + doc_id % 500)) % 4)) AS a,
+       |    (i*64) // (1000 + doc_id % 500) AS f
+       |  FROM (SELECT doc_id,
+       |      unnest(generate_series(0, 999 + doc_id % 500)) AS i
+       |    FROM documents)),
+       |${p}frames AS (SELECT doc_id, f, sum(a) AS fs, count(*) AS nf
+       |  FROM ${p}samples GROUP BY 1, 2),
+       |${p}tot AS (SELECT doc_id, sum(a) AS total, count(*) AS n
+       |  FROM ${p}samples GROUP BY 1),
+       |${p}afw AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       |  CAST(sum(CASE WHEN fs * n > total * nf AND f >= 32
+       |    THEN (CAST(1 AS BIGINT) << (f - 32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+       |  CAST(sum(CASE WHEN fs * n > total * nf AND f < 32
+       |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp_lo
+       |  FROM ${p}frames JOIN ${p}tot USING (doc_id) GROUP BY doc_id, n)""".stripMargin
+  }
+
+  private val audioFpWideCteSql: String = audioFpWideCte("")
 
   /** Exact visual dedup's twin: min-doc representative + class size
     * per exact aHash class, one row per image.
@@ -1396,6 +1456,39 @@ object SparkEntry {
        |ORDER BY a.doc_id, a.pos""".stripMargin
   }
 
+  /** q_proximity_batch's twin — per-phrase band-join CTE arms unioned
+    * (the phraseBatchSql precedent with the proximity band predicate),
+    * generated FROM [[graft.operators.Retrieval.ProximityBatch]] /
+    * ProximityK so the batch can never drift from the Spark query. The
+    * Spark side resolves all phrases through ONE frontier; the oracle
+    * proves each independently — different algorithms, same answer.
+    */
+  private val proximityBatchSql: String = {
+    val batch = graft.operators.Retrieval.ProximityBatch
+    val k = graft.operators.Retrieval.ProximityK
+    val vocab = batch.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    val arms = batch.map { case (qid, terms) =>
+      val joins = terms.zipWithIndex.drop(1).map { case (w, i) =>
+        val prev = if (i == 1) "a.pos" else s"t${i - 1}.pos"
+        s"JOIN p t$i ON a.doc_id = t$i.doc_id AND t$i.pos > $prev " +
+          s"AND t$i.pos <= $prev + $k AND t$i.tok = '$w'"
+      }.mkString(" ")
+      s"SELECT DISTINCT CAST($qid AS BIGINT) AS query_id, a.doc_id, a.pos " +
+        s"FROM p a $joins WHERE a.tok = '${terms.head}'"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z]'),
+       |                     x -> x <> '') AS arr
+       |  FROM documents),
+       |p AS (SELECT doc_id, g.i - 1 AS pos, arr[g.i] AS tok
+       |      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(arr))) AS i) g
+       |      WHERE arr[g.i] IN ($vocab))
+       |SELECT query_id, doc_id, pos FROM (
+       |$arms
+       |) ORDER BY query_id, doc_id, pos""".stripMargin
+  }
+
   private val sessionsSql: String =
     """WITH flagged AS (SELECT user_id, ts, value,
       |  CASE WHEN lag(ts) OVER w IS NULL
@@ -1687,6 +1780,17 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_name = 'NATION_7'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // like q_cbo_join: the oracle grades the VALUES (order-invariant);
+    // the stats-driven broadcast itself is graded by PlanAuditSpec
+    "q_cbo_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_csv_roundtrip" ->
@@ -2225,6 +2329,7 @@ object SparkEntry {
     "q_phrase_search" -> phraseSearchSql,
     "q_phrase_batch" -> phraseBatchSql,
     "q_proximity_search" -> proximitySearchSql,
+    "q_proximity_batch" -> proximityBatchSql,
 
     // both source rankings re-derived exactly (embedding side =
     // q_knn_bruteforce's rounded cosine; lexical side = long-dot /
@@ -2877,6 +2982,12 @@ object SparkEntry {
     "q_stream_image_ahash" -> imageAhashSql,
     // banded Hamming-ball pairs over the same hash (exact at ≤ 3)
     "q_image_neardup" -> imageNeardupSql,
+    // the wide tier and the router are value-identical to the 4-band
+    // tier by construction (same verify+expansion over a
+    // complete-recall candidate set), so all three share ONE oracle —
+    // a drift in any tier breaks its own hash match
+    "q_image_neardup_wide" -> imageNeardupSql,
+    "q_image_neardup_auto" -> imageNeardupSql,
     "q_image_dedup" -> imageDedupSql,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
@@ -2919,6 +3030,57 @@ object SparkEntry {
          |SELECT doc_id, rep_id, n_class
          |FROM afv JOIN reps USING (afp)
          |ORDER BY doc_id""".stripMargin,
+
+    // wide 64-frame fingerprint, two 32-bit halves (aHash convention)
+    "q_audio_fingerprint_wide" ->
+      s"""WITH $audioFpWideCteSql
+         |SELECT doc_id, n_samples, afp_hi, afp_lo FROM afw
+         |ORDER BY doc_id""".stripMargin,
+
+    // acoustic near-dup: 4×16-bit banding + popcount verify over the
+    // wide fingerprint — the imageNeardupSql shape on the audio key
+    "q_audio_neardup" ->
+      s"""WITH $audioFpWideCteSql,
+         |bands AS (SELECT doc_id, b,
+         |    CASE WHEN b < 2 THEN (afp_lo >> (b*16)) & 65535
+         |         ELSE (afp_hi >> ((b-2)*16)) & 65535 END AS bv
+         |  FROM afw, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, dist FROM (
+         |  SELECT id_a, id_b,
+         |    CAST(bit_count(xor(x.afp_hi, y.afp_hi)) + bit_count(xor(x.afp_lo, y.afp_lo)) AS BIGINT) AS dist
+         |  FROM cand JOIN afw x ON x.doc_id = id_a JOIN afw y ON y.doc_id = id_b)
+         |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // chunked fingerprints: chunk = i // 512, frame index and the
+    // cross-multiplied mean compare both within-CHUNK (nc, the short
+    // tail chunk's own length — never the clip's)
+    "q_audio_fingerprint_chunks" -> {
+      val cs = graft.operators.Multimodal.AudioChunkSamples
+      val envF = graft.operators.Multimodal.AudioFpFrames
+      s"""WITH base AS (SELECT doc_id, (1000 + doc_id % 500) AS n FROM documents),
+         |samples AS (SELECT doc_id, i,
+         |    abs(((doc_id*13 + i*17) % 16384 - 8192)
+         |        * (1 + (doc_id + (i*$envF) // n) % 4)) AS a,
+         |    i // $cs AS chunk, i % $cs AS j,
+         |    least($cs, n - (i // $cs)*$cs) AS nc
+         |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+         |    FROM base)),
+         |frames AS (SELECT doc_id, chunk, nc, (j*$envF) // nc AS f,
+         |    sum(a) AS fs, count(*) AS nf
+         |  FROM samples GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT doc_id, chunk, sum(a) AS total
+         |  FROM samples GROUP BY 1, 2)
+         |SELECT f.doc_id, CAST(f.chunk AS BIGINT) AS chunk,
+         |  CAST(f.nc AS BIGINT) AS n_samples,
+         |  CAST(sum(CASE WHEN fs * nc > total * nf
+         |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
+         |FROM frames f JOIN tot t ON f.doc_id = t.doc_id AND f.chunk = t.chunk
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     "q_media_features" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3348,5 +3510,24 @@ object SparkEntry {
          |SELECT shard, seq_id, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
          |FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
+
+    // the multimodal cascade in ONE CTE chain: closed-form pixels →
+    // aHash bits (i_ prefix), closed-form samples → wide fingerprint
+    // bits (a_ prefix), joint-key class reps, mix31 shard layout —
+    // the hash match proves the COMPOSITION across both modalities
+    "q_pipeline_media" ->
+      s"""WITH ${ahashCtes("i_")},
+         |${audioFpWideCte("a_")},
+         |k AS (SELECT v.doc_id, ahash_hi, ahash_lo, afp_hi, afp_lo
+         |  FROM i_ahv v JOIN a_afw w ON v.doc_id = w.doc_id),
+         |reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_class
+         |  FROM k GROUP BY ahash_hi, ahash_lo, afp_hi, afp_lo),
+         |keyed AS (SELECT doc_id, n_class,
+         |    ${mixSql("doc_id", Dedup.ShardSalt.toString)} AS skey
+         |  FROM reps)
+         |SELECT doc_id, n_class, skey % ${Dedup.NumShards} AS shard,
+         |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
+         |    ORDER BY skey, doc_id) - 1 AS pos
+         |FROM keyed ORDER BY shard, pos""".stripMargin,
   )
 }

@@ -1678,27 +1678,50 @@ object Dedup {
     * rank within the shard by (key, doc_id).
     *
     * Scale shape: one map-only key projection, then ONE hash shuffle
-    * on `shard` where the per-shard rank window runs — parallelism is
-    * the shard count, the knob the user already sizes to target file
-    * bytes, so "one reducer per shard" is exactly the write path's
-    * unit of work (each task's sorted run IS one shard file's write
-    * order). A global row_number would funnel the corpus through one
-    * task; zipWithIndex-style position assignment is partition-layout
-    * dependent and unreproducible across re-shards. This is re-run /
-    * re-shard / incremental-stable like the samplers above: positions
-    * are a pure function of the id set.
+    * on `shard` where the per-shard rank window runs — the explicit
+    * `repartition(nShards, shard)` already satisfies the window's
+    * required clustering, so EnsureRequirements adds no second
+    * exchange and the exchange's partition count IS nShards
+    * (spec-pinned in PlanAuditSpec/Round17OpsSpec), the knob the user
+    * already sizes to target file bytes: "one reducer per shard" is
+    * exactly the write path's unit of work (each task's sorted run IS
+    * one shard file's write order). A global row_number would funnel
+    * the corpus through one task; zipWithIndex-style position
+    * assignment is partition-layout dependent and unreproducible
+    * across re-shards. This is re-run / re-shard / incremental-stable
+    * like the samplers above: positions are a pure function of the id
+    * set.
+    *
+    * DEGENERATE CHOICE, loudly: nShards is also the stage's
+    * parallelism ceiling, so picking N far below the cluster's cores
+    * (e.g. 8 shards on 1000 executors) idles the fleet and funnels
+    * n/N rows through each task. That is sometimes intended (few,
+    * huge shard files) but never silently — the warning below names
+    * it at plan-build time rather than letting the stage quietly
+    * serialize.
     */
   private[graft] def shardAssignOn(docs: DataFrame,
       nShards: Int = NumShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = docs.select(col("doc_id"),
-      Similarity.mix31(col("doc_id"), ShardSalt).as("skey"))
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    if (nShards < cores)
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+        s"shardAssign: nShards=$nShards < defaultParallelism=$cores — " +
+          s"the rank stage runs at most $nShards-way parallel (one task " +
+          s"per shard file); size nShards to the target file count " +
+          s"knowingly")
+    // withColumn (not a doc_id-only select): any EXTRA input columns
+    // (e.g. the media cascade's n_class) ride through the layout
+    // unchanged — the layout itself keys on doc_id alone either way
+    val keyed = docs
+      .withColumn("skey", Similarity.mix31(col("doc_id"), ShardSalt))
       .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
     keyed
+      .repartition(nShards, col("shard"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .select(col("doc_id"), col("shard"), col("pos"))
+      .drop("skey")
       .orderBy(col("shard"), col("pos"))
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pattern: media (image/audio/video) carried as an
@@ -313,26 +313,87 @@ object Multimodal {
       require(n > 0, "fingerprintWav needs at least one sample")
       require(n < (1 << 24),
         s"fingerprintWav caps at 2^24 samples (cross-multiplied mean " +
-          s"stays inside Long); got $n — fingerprint per chunk instead")
-      val fs = new Array[Long](AudioFpFrames)
-      val fn = new Array[Long](AudioFpFrames)
+          s"stays inside Long); got $n — use fingerprintWavChunks")
+      val fp = fingerprintOf(bb, n, AudioFpFrames)
+      (rate, n, fp)
+    }
+
+    /** The frame-energy bit derivation over `n` samples at the
+      * buffer's position, `frames` ≤ 64 bits: bit f sets iff frame
+      * f's mean |amplitude| exceeds the span's mean, cross-multiplied
+      * (fs·n > total·fn — exact integer, n < 2^24 keeps fs·n < 2^63).
+      * ONE kernel for the 16-frame, 64-frame wide, and per-chunk
+      * fingerprints, so the bit convention can never fork.
+      */
+    private def fingerprintOf(bb: java.nio.ByteBuffer, n: Int,
+        frames: Int): Long = {
+      val fs = new Array[Long](frames)
+      val fn = new Array[Long](frames)
       var total = 0L
       var i = 0
       while (i < n) {
         val a = math.abs(bb.getShort.toInt).toLong
         // Long multiply BEFORE the divide: i*F overflows Int past
         // 2^27 samples (the synth side always used Long math)
-        val f = (i.toLong * AudioFpFrames / n).toInt
+        val f = (i.toLong * frames / n).toInt
         fs(f) += a; fn(f) += 1; total += a
         i += 1
       }
       var fp = 0L
       var f = 0
-      while (f < AudioFpFrames) {
+      while (f < frames) {
         if (fs(f) * n > total * fn(f)) fp |= 1L << f
         f += 1
       }
-      (rate, n, fp)
+      fp
+    }
+
+    /** WIDE 64-frame fingerprint as two unsigned 32-bit halves — the
+      * BANDABLE acoustic key (the [[ahashPng]] convention: a shift
+      * into bit 63 of one BIGINT flips sign differently across
+      * engines, so halves stop at 32). 64 bits is what makes the
+      * 4×16-bit Hamming-ball banding ([[graft.operators.Multimodal.neardupFromHashes]])
+      * meaningful on audio: the 16-bit fingerprint's bands would be
+      * 4 bits wide — bucket keyspace 16, every clip colliding with
+      * every other.
+      */
+    def fingerprintWavWide(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+      val (rate, n, bb) = wavPcm(bytes)
+      require(n > 0, "fingerprintWavWide needs at least one sample")
+      require(n < (1 << 24),
+        s"fingerprintWavWide caps at 2^24 samples — use fingerprintWavChunks")
+      val fp = fingerprintOf(bb, n, 64)
+      (rate, n, fp >>> 32, fp & 0xffffffffL)
+    }
+
+    /** The CHUNKED long-clip path the [[fingerprintWav]] require names:
+      * samples split into fixed `chunkSamples` windows (the last may be
+      * short), each fingerprinted INDEPENDENTLY (frame mean vs CHUNK
+      * mean — a chunk is a self-contained clip, so a loud passage
+      * can't flip every quiet chunk's bits the way a global mean
+      * would). Emits (chunk index, samples in chunk, fingerprint);
+      * unbounded clip length — each chunk's cross-multiplication only
+      * ever sees chunkSamples < 2^24 samples. At scale this is the
+      * flatMap shape: one row per (clip, chunk), and a dedup/near-dup
+      * tier keys on chunk fingerprints exactly as it keys on whole-
+      * clip ones.
+      */
+    def fingerprintWavChunks(bytes: Array[Byte],
+        chunkSamples: Int): Seq[(Int, Int, Long)] = {
+      require(chunkSamples > 0 && chunkSamples < (1 << 24),
+        s"chunkSamples must be in (0, 2^24), got $chunkSamples")
+      val (_, n, bb) = wavPcm(bytes)
+      require(n > 0, "fingerprintWavChunks needs at least one sample")
+      val out = Seq.newBuilder[(Int, Int, Long)]
+      var c = 0
+      var off = 0
+      while (off < n) {
+        val len = math.min(chunkSamples, n - off)
+        out += ((c, len, fingerprintOf(bb, len, AudioFpFrames)))
+        c += 1
+        off += len
+      }
+      out.result()
     }
   }
 
@@ -378,7 +439,7 @@ object Multimodal {
     * sums), so the read-back is value-identical to recomputing and
     * both graded entries stay on the same DuckDB oracle.
     */
-  private def ahashTable(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def ahashTable(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Scratch.corpusDir(spark, "image_ahash", dir)
     graft.sources.Scratch.materializeOnce(path) {
       ahashOf(spark, Tables.documents(spark, dir))
@@ -418,6 +479,65 @@ object Multimodal {
     // longs/image — never the decode pipeline. No checkpoint needed:
     // the materialization IS the pin, shared across queries too.
     neardupFromHashes(ahashTable(spark, dir))
+
+  /** Expected CANDIDATES PER DISTINCT HASH above which
+    * [[imageNeardupAuto]] escalates from the 4-band tier to
+    * [[neardupFromHashesWide]]. Why candidates, not a distinct-hash
+    * count: the round-17 probes (ScalingProbe `image_neardup_div` vs
+    * `image_neardup_div_wide`, BASELINE.md round 17) measured the
+    * UNIFORM-hash crossover at d ≈ 3×10^8 distinct — the 4-band tier
+    * enumerates+popcounts candidates at ~0.74G/s (quad coefficient
+    * 4.1×10^-14 s/d²) while the wide tier pays a 5× larger band-table
+    * shuffle (~12.6 µs/hash marginal), so the break-even is ~9,100
+    * enumerated candidates per hash — but a REAL aHash distribution
+    * is band-skewed (dark/bright images pile onto few 16-bit band
+    * values), where the 4-band quadratic ignites at far smaller d. A
+    * d-threshold must guess the skew; the router instead MEASURES the
+    * exact quadratic driver, Σ_buckets C(occ,2), in one cheap
+    * aggregation over the 4·d band rows. 2^13 sits just under the
+    * measured local[32] break-even: routing wide a bit early costs a
+    * bounded constant factor, routing late on a skewed corpus costs
+    * an unbounded quadratic.
+    */
+  val WideRouteCandPerHash = 8192L
+
+  /** The routing decision: estimated 4-band candidate volume vs
+    * [[WideRouteCandPerHash]]·d, both measured in ONE aggregation over
+    * the band table (d = Σ occupancy / 4 — no second count job).
+    */
+  private[graft] def routeWide(ah: DataFrame): Boolean = {
+    val row = bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct())
+      .groupBy(col("b"), col("bv"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(c * (c - 1)) div 2")).as("cand"), sum(col("c")).as("occ"))
+      .collect()(0)
+    val cand = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val d = (if (row.isNullAt(1)) 0L else row.getLong(1)) / 4
+    cand > WideRouteCandPerHash * d
+  }
+
+  /** The Manku wide tier on the corpus hash table, graded directly
+    * (q_image_neardup_wide) so the d ≫ cutover path sits under the
+    * SAME DuckDB oracle as the 4-band tier — value-identical output
+    * by construction ([[neardupFromHashesWide]]).
+    */
+  def imageNeardupWide(spark: SparkSession, dir: String): DataFrame =
+    neardupFromHashesWide(ahashTable(spark, dir))
+
+  /** Routed production entry (the graphKnnAuto discipline): measure
+    * the 4-band tier's ACTUAL candidate volume ([[routeWide]] — one
+    * cheap aggregation over the materialized hash table's band
+    * projection) and pick the banding tier. The fixture corpus is
+    * repeat-heavy (d ≤ 256, candidates ≪ threshold), so the graded
+    * entry exercises the ROUTE-to-4-band arm; the wide arm is graded
+    * by its own entry, the skewed ROUTE-to-wide arm by
+    * Round17OpsSpec, and the crossover constant by the probes.
+    */
+  def imageNeardupAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ah = ahashTable(spark, dir)
+    if (routeWide(ah)) neardupFromHashesWide(ah)
+    else neardupFromHashes(ah)
+  }
 
   /** Probe entry (ScalingProbe `image_neardup`): decode+hash an
     * arbitrary doc_id frame and band-join it, hash table pinned by
@@ -462,25 +582,85 @@ object Multimodal {
     * pairs (uniform-hash bucket occupancy d/2^16 per band) — probed
     * flat to ~8M distinct hashes and visibly quadratic at 16M (32 s
     * local[32]; the repeat-heavy web shape keeps d ≪ n, where this
-    * never binds). Past d ~ 10^8 the mitigation is Manku's
-    * multi-table widening — complete recall at Hamming ≤ 3 also
-    * holds joining on any C(6,3) = 20 combinations of three ~11-bit
-    * blocks (2^33-key buckets, candidates ~20·d²/2^34, ~500× fewer) —
-    * a constant-factor table swap in this SAME join shape, not a new
-    * algorithm.
+    * never binds). Past that knee the mitigation is Manku's
+    * multi-table widening, IMPLEMENTED as [[neardupFromHashesWide]]
+    * (round 17) — same join shape, ~2^17× fewer expected candidates —
+    * with [[imageNeardupAuto]] routing on the MEASURED candidate
+    * volume ([[routeWide]]) like graphKnnAuto routes ANN builds.
     */
-  private[graft] def neardupFromHashes(ah: DataFrame): DataFrame = {
-    val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
-    val bands = hashes.select(col("ahash_hi"), col("ahash_lo"),
+  private[graft] def neardupFromHashes(ah: DataFrame): DataFrame =
+    expandHashPairs(ah, verifiedHashPairs(
+      bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct()),
+      "b", "bv"))
+
+  /** The 4×16-bit band table over a DISTINCT hash frame — shared by
+    * the 4-band tier and [[routeWide]]'s candidate estimator, so the
+    * router prices exactly the join the tier would run.
+    */
+  private def bands4(hashes: DataFrame): DataFrame =
+    hashes.select(col("ahash_hi"), col("ahash_lo"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("bv", expr(
         "CASE WHEN b < 2 THEN (ahash_lo >> (b*16)) & 65535 " +
           "ELSE (ahash_hi >> ((b-2)*16)) & 65535 END"))
-    // candidate DISTINCT-hash pairs in canonical (hi, lo) lexicographic
-    // order, de-duped across colliding bands, popcount-verified
-    val hashPairs = bands.as("a")
+
+  /** 6-block split for the wide banding: bits [off, off+len) of the
+    * 64-bit value (hi << 32 | lo), len = 11,11,11,11,10,10. Any 3 bit
+    * flips touch at most 3 blocks, so at least 3 of the 6 survive —
+    * and every 3-subset of blocks is one of the C(6,3) = 20 join
+    * tables below, so complete recall at Hamming ≤ [[ImageNeardupMaxDist]]
+    * holds exactly as it does for the 4-band split (pigeonhole, one
+    * level deeper).
+    */
+  private val WideBlockLens = Seq(11, 11, 11, 11, 10, 10)
+
+  /** Manku et al.'s multi-table widening (WWW'07 §3) of
+    * [[neardupFromHashes]] for DIVERSE-hash corpora: instead of 4
+    * 16-bit bands (bucket key space 2^16), join on every C(6,3) = 20
+    * combination of three ~11-bit blocks — bucket keys are ~2^32.5, so
+    * expected candidates fall from ~4·d²/2^17 to ~20·d²/2^34 (~2^17×
+    * fewer at equal d) at the cost of a 5× wider band table (20·d vs
+    * 4·d rows). Below the crossover the 4-band form wins on constant
+    * factors; past it this one stays flat where 4-band goes quadratic
+    * (both probed — ScalingProbe `image_neardup_div` /
+    * `image_neardup_div_wide`, BASELINE.md round 17). Identical
+    * output contract: candidates are popcount-verified and expanded
+    * through the same [[expandHashPairs]], so the two paths are
+    * value-identical and share the DuckDB oracle.
+    */
+  private[graft] def neardupFromHashesWide(ah: DataFrame): DataFrame = {
+    val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val offs = WideBlockLens.scanLeft(0)(_ + _).init
+    // block j of the reassembled 64-bit value; arithmetic shiftright is
+    // safe (off + len <= 64, the mask cuts any sign-fill)
+    def blk(j: Int): Column = expr(
+      s"shiftright(shiftleft(ahash_hi, 32) | ahash_lo, ${offs(j)}) " +
+        s"& ${(1 << WideBlockLens(j)) - 1}")
+    // pack each 3-block combo into one <= 33-bit key, radix 2^11
+    val keys = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
+      case (c, i) => struct(lit(i).as("cb"),
+        (blk(c(0)) + blk(c(1)) * lit(2048L) +
+          blk(c(2)) * lit(2048L * 2048L)).as("kv"))
+    }
+    val bands = hashes.select(col("ahash_hi"), col("ahash_lo"),
+        explode(array(keys: _*)).as("bk"))
+      .select(col("ahash_hi"), col("ahash_lo"),
+        col("bk.cb").as("cb"), col("bk.kv").as("kv"))
+    expandHashPairs(ah, verifiedHashPairs(bands, "cb", "kv"))
+  }
+
+  /** Candidate DISTINCT-hash pairs from a band table: equi-join on
+    * (band id, band key) in canonical (hi, lo) lexicographic order,
+    * de-duped across colliding bands, popcount-verified to
+    * [[ImageNeardupMaxDist]] — the shared verify half of both banding
+    * tiers.
+    */
+  private def verifiedHashPairs(bands: DataFrame, bandId: String,
+      bandKey: String): DataFrame = {
+    bands.as("a")
       .join(bands.as("c"),
-        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+        col(s"a.$bandId") === col(s"c.$bandId") &&
+          col(s"a.$bandKey") === col(s"c.$bandKey") &&
           (col("a.ahash_hi") < col("c.ahash_hi") ||
             (col("a.ahash_hi") === col("c.ahash_hi") &&
               col("a.ahash_lo") < col("c.ahash_lo"))))
@@ -490,6 +670,14 @@ object Multimodal {
       .withColumn("dist", expr(
         "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
       .filter(col("dist") <= ImageNeardupMaxDist)
+  }
+
+  /** The shared expansion half: verified distinct-hash pairs back to
+    * document pairs (cross-class join ×2) plus the within-class dist-0
+    * pairs — the output-bound term a production pipeline avoids via
+    * [[imageDedup]].
+    */
+  private def expandHashPairs(ah: DataFrame, hashPairs: DataFrame): DataFrame = {
     // expansion 1: cross-class doc pairs (classes are disjoint, so
     // least/greatest canonicalizes without a comparison on hashes)
     val cross = hashPairs
@@ -617,6 +805,91 @@ object Multimodal {
     fp.join(reps, Seq("afp"))
       .select(col("doc_id"), col("rep_id"), col("n_class"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Chunk size (samples) for the graded [[audioFingerprintChunks]]
+    * entry — small so every fixture clip (1000–1499 samples) spans
+    * 2–3 chunks and the short-tail chunk path is exercised under the
+    * gate; production sizes this to the 2^24-sample bound the whole-
+    * clip fingerprints enforce.
+    */
+  val AudioChunkSamples = 512
+
+  /** The unsorted (doc_id, n_samples, afp_hi, afp_lo) WIDE-fingerprint
+    * table — synth + RIFF decode + 64-frame fingerprint, MATERIALIZED
+    * once per (session, corpus) like [[ahashTable]]: the decode is the
+    * dominant linear pass and both consumers
+    * ([[audioFingerprintWide]], [[audioNeardup]] — the latter on BOTH
+    * band-join sides and both expansion ends) plan over the narrow
+    * 4-long read-back.
+    */
+  private[operators] def audioFpWideTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.corpusDir(spark, "audio_fp_wide", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      audioFpWideOf(spark, Tables.documents(spark, dir).select(col("doc_id")))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("n_samples"), col("afp_hi"), col("afp_lo"))
+  }
+
+  /** Decode+fingerprint pipeline on an arbitrary doc_id frame — the
+    * shared body of [[audioFpWideTable]] and the scaling probe.
+    */
+  private[graft] def audioFpWideOf(spark: SparkSession,
+      ids: DataFrame): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        val (_, n, hi, lo) = RealCodecs.fingerprintWavWide(wav)
+        (id, n.toLong, hi, lo)
+      })
+      .toDF("doc_id", "n_samples", "afp_hi", "afp_lo")
+  }
+
+  /** WIDE 64-frame acoustic fingerprint per clip, graded — the
+    * BANDABLE audio key ([[RealCodecs.fingerprintWavWide]]): two
+    * unsigned 32-bit halves exactly like the image aHash, so the
+    * near-dup tier below reuses the image banding verbatim.
+    */
+  def audioFingerprintWide(spark: SparkSession, dir: String): DataFrame =
+    audioFpWideTable(spark, dir).orderBy(col("doc_id"))
+
+  /** Acoustic near-duplicate pairs — the audio triple's missing leg
+    * (blocking key → NEAR-DUP PAIRS → dedup decision): the
+    * [[imageNeardup]] banding applied to the wide fingerprint,
+    * literally [[neardupFromHashes]] on renamed columns, so audio
+    * inherits the distinct-hash granularity, the complete-recall
+    * pigeonhole at Hamming ≤ [[ImageNeardupMaxDist]], the popcount
+    * verify, and (via [[neardupFromHashesWide]] when a corpus's
+    * measured band skew demands it — the [[routeWide]] criterion) the
+    * Manku wide escalation — one banding engine, two modalities, and
+    * a fix in either serves both.
+    */
+  def audioNeardup(spark: SparkSession, dir: String): DataFrame =
+    neardupFromHashes(audioFpWideTable(spark, dir)
+      .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo")))
+
+  /** Chunked long-clip fingerprints, graded at [[AudioChunkSamples]]:
+    * the flatMap shape ([[RealCodecs.fingerprintWavChunks]]) that
+    * lifts the whole-clip 2^24-sample bound — one row per (clip,
+    * chunk), each chunk fingerprinted against its OWN mean. The gate
+    * proves chunk boundaries, the short tail chunk, and the per-chunk
+    * bit math against DuckDB's closed-form replay.
+    */
+  def audioFingerprintChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        RealCodecs.fingerprintWavChunks(wav, AudioChunkSamples).map {
+          case (c, len, fp) => (id, c.toLong, len.toLong, fp)
+        }
+      })
+      .toDF("doc_id", "chunk", "n_samples", "afp")
+      .orderBy(col("doc_id"), col("chunk"))
   }
 
   /** Build the multimodal table from documents: text bytes stand in for

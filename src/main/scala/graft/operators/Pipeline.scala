@@ -61,6 +61,50 @@ object Pipeline {
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
     curationPipelineOn(Tables.documents(spark, dir))
 
+  /** The MULTIMODAL end-to-end cascade — [[curationPipeline]]'s twin
+    * for the media families, composed in the order a media ingest
+    * actually runs:
+    *
+    *   1. image decode + perceptual hash — the materialized per-corpus
+    *      aHash table ([[Multimodal.ahashTable]]: the ONE PNG decode
+    *      pass, shared with q_image_ahash/q_image_neardup*);
+    *   2. audio decode + wide fingerprint — the materialized
+    *      [[Multimodal.audioFpWideTable]] (the ONE RIFF decode pass,
+    *      shared with q_audio_fingerprint_wide/q_audio_neardup);
+    *   3. exact multimodal dedup DECISION on the joint content key
+    *      (ahash_hi, ahash_lo, afp_hi, afp_lo) — a record survives iff
+    *      it is its class's min-doc representative, via the same
+    *      groupBy-not-window discipline as [[Multimodal.imageDedup]]
+    *      (map-side partial min/count collapse a billion-copy class
+    *      per partition before the shuffle);
+    *   4. deterministic shard layout of the survivors —
+    *      [[Dedup.shardAssignOn]], the training writer's final stage,
+    *      carrying the class size through as payload.
+    *
+    * Scale shape: after the two materialized linear decode passes,
+    * everything that flows is 5 longs per record (ids, hash halves) —
+    * pixels and PCM never enter a shuffle; the dedup decision and the
+    * layout are the only wide stages. The single DuckDB oracle CTE
+    * chain re-derives decode → hash/fingerprint bits → class reps →
+    * mix31 layout closed-form, so the hash match proves the
+    * COMPOSITION (stage boundaries, the join of the two modality
+    * tables, survivor semantics, layout determinism) — the
+    * q_pipeline_e2e precedent for the second modality family.
+    */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val img = Multimodal.ahashTable(spark, dir)
+    val aud = Multimodal.audioFpWideTable(spark, dir)
+      .select(col("doc_id"), col("afp_hi"), col("afp_lo"))
+    val key = img.join(aud, Seq("doc_id"))
+    val reps = key
+      .groupBy(col("ahash_hi"), col("ahash_lo"),
+        col("afp_hi"), col("afp_lo"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_class"))
+      .select(col("doc_id"), col("n_class"))
+    Dedup.shardAssignOn(reps)
+      .select(col("doc_id"), col("n_class"), col("shard"), col("pos"))
+  }
+
   def curationPipelineOn(docs: DataFrame,
                          budget: Int = 2048, shards: Int = 8,
                          maxContamination: Double = 0.05,

@@ -1479,6 +1479,62 @@ object Relational {
     }
   }
 
+  /** The 4-relation CBO star — [[cboStarJoin]]'s second optimizer
+    * lever: stats-driven BROADCAST selection, no hints. Written order
+    * is again deliberately bad (orders ⋈ customer first, the selective
+    * region-filtered dimension chain last). With CBO + ANALYZE stats
+    * two things must happen that size-only planning cannot do:
+    * (a) CostBasedJoinReorder pushes the filtered region → nation →
+    * customer chain inward (the [[cboStarJoin]] reorder, one relation
+    * deeper), and (b) the JOIN ESTIMATES propagate row counts — the
+    * (customer ⋈ nation ⋈ σregion) intermediate is estimated at
+    * ~|customer|/5 ROWS (r_name NDV = 5), far under
+    * autoBroadcastJoinThreshold, so the planner BROADCASTS the whole
+    * dimension composite into the orders join. Without CBO the
+    * size-only visitor estimates an inner join at the PRODUCT of its
+    * children's sizeInBytes, so the same intermediate blows past any
+    * threshold and the orders join falls back to sort-merge — i.e.
+    * the broadcast is provably chosen from recorded statistics, not
+    * from file sizes (PlanAuditSpec asserts the BHJ-with-stats /
+    * SMJ-without pair on the orders join). At 100 TB this is the
+    * optimizer picking a map-side join for a star schema because the
+    * catalog KNOWS the dimension composite is small — the lever that
+    * replaces every hand-written broadcast() hint in this repo's
+    * pinned-shape entries.
+    */
+  def cboStarJoin4(spark: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val Seq(tOrders, tCust, tNat, tReg) =
+      Seq("orders", "customer", "nation", "region")
+        .map(analyzedTable(spark, dir, _))
+    val overrides = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.table(tOrders)
+        .join(spark.table(tCust), col("o_custkey") === col("c_custkey"))
+        .join(spark.table(tNat), col("c_nationkey") === col("n_nationkey"))
+        .join(spark.table(tReg), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      if (checkpoint) df.localCheckpoint().orderBy(col("c_mktsegment"))
+      else {
+        val full = df.orderBy(col("c_mktsegment"))
+        full.queryExecution.executedPlan // force planning inside the window
+        full
+      }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** External catalog table over `dir/<name>.parquet` with full
     * statistics, created+analyzed once per (catalog, corpus): the
     * table name carries the corpus digest so sf fixtures never

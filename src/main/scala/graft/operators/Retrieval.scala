@@ -212,13 +212,17 @@ object Retrieval {
     * phrases' terms (still one map-only scan + localCheckpoint, the
     * [[phraseSearchOn]] contract), and instead of L−1 adjacency
     * self-joins PER phrase, every (phrase term, slot) probes the
-    * postings in ONE join and matches resolve by counting distinct
-    * filled slots per candidate anchor: posting (doc, p, tok) joined
-    * to phrase slot (qid, i, tok) anchors start = p − i, and an anchor
-    * holding all `len` distinct slots is a match (a phrase with
-    * repeated terms fills multiple slots from one posting row —
-    * correct by construction). Total cost: one corpus scan + one
-    * O(Σ_q Σ_i df(term_qi)) join + one keyed count-distinct — per
+    * postings in ONE join and matches resolve by a plain keyed COUNT
+    * of filled slots per candidate anchor: posting (doc, p, tok)
+    * joined to phrase slot (qid, i, tok) anchors start = p − i; a
+    * probe row is keyed by (qid, doc, anchor, slot) and its source
+    * position is determined by anchor + slot, so rows can never
+    * repeat — plain count equals the number of filled slots (no
+    * countDistinct, and unlike the distinct form it partial-aggregates
+    * map-side), and an anchor counting all `len` slots is a match (a
+    * phrase with repeated terms fills multiple slots from one posting
+    * row — correct by construction). Total cost: one corpus scan + one
+    * O(Σ_q Σ_i df(term_qi)) join + one keyed count — per
     * added phrase the increment is its own df joins, NOT a corpus
     * rescan (probed by ScalingProbe `phrase_batch`). Anchors from
     * stray tokens die in the count filter; a phrase absent from the
@@ -303,6 +307,94 @@ object Retrieval {
       .select(col("doc_id"), col("start").cast("long").as("pos"))
       .distinct()
       .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Fixture batch for the graded [[proximityBatch]] entry — the
+    * [[PhraseBatch]] diversity discipline: the single-proximity
+    * fixture itself, a high-df 2-gram, a repeated-term pair (one
+    * posting row must serve both slots ACROSS positions — under the
+    * band predicate the second `table` matches any later in-window
+    * `table`, not the same position), a 3-term chain, and a phrase
+    * whose tokens are outside the corpus vocabulary (prunes to
+    * nothing without disturbing the batch).
+    */
+  val ProximityBatch: Seq[(Long, Seq[String])] = Seq(
+    1L -> PhraseQuery,
+    2L -> Seq("data", "stream"),
+    3L -> Seq("table", "table"),
+    4L -> Seq("spark", "window", "part"),
+    5L -> Seq("no", "such", "phrase", "here"))
+
+  def proximityBatch(spark: SparkSession, dir: String): DataFrame =
+    proximityBatchOn(spark, Tables.documents(spark, dir),
+      ProximityBatch, ProximityK)
+
+  /** BATCH ordered proximity search — [[phraseBatchOn]]'s trick
+    * applied to NEAR/k: N phrase probes against one corpus through
+    * ONE postings build pruned to the union vocabulary. The
+    * phrase-batch slot-count resolver does NOT carry over (an anchor
+    * no longer determines its later positions — gaps vary), so
+    * resolution is a FRONTIER of partial ordered chains advanced one
+    * slot per round: round i extends every live chain by the postings
+    * tagged slot i of its own phrase under the band predicate
+    * (prev < p ≤ prev + k), phrases exit the frontier at their own
+    * length, and chains die at the first term with no in-window
+    * successor. maxLen (≤ a few words) rounds of equi-band joins on
+    * (query_id, doc_id) — NEVER a per-phrase corpus rescan: per added
+    * phrase the increment is its own Σ df(term) posting rows riding
+    * the shared joins (probed vs the per-phrase loop by ScalingProbe
+    * `proximity_batch` / `proximity_loop`). Output: DISTINCT
+    * (query_id, doc_id, start), gate-exact integers.
+    */
+  def proximityBatchOn(spark: SparkSession, docs: DataFrame,
+      phrases: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_._2.nonEmpty),
+      "every phrase needs at least one term")
+    require(k >= 1, "window must be at least 1")
+    import spark.implicits._
+    val slots = phrases.flatMap { case (qid, terms) =>
+      terms.zipWithIndex.map { case (w, i) => (qid, i.toLong, w) }
+    }.toDF("query_id", "slot", "tok")
+    val vocab = phrases.flatMap(_._2).distinct
+    val postings = docs
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "[^a-z]"), t => t =!= ""))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok").isin(vocab: _*))
+      .localCheckpoint()
+    // (query_id, slot, doc_id, pos) probe rows — postings fanned out
+    // to every (phrase, slot) wanting that token, phrase table
+    // broadcast by size
+    val tagged = postings.join(broadcast(slots), "tok")
+      .select(col("query_id"), col("slot"), col("doc_id"), col("pos"))
+    val maxLen = phrases.map(_._2.size).max
+    var frontier = tagged.filter(col("slot") === 0L)
+      .select(col("query_id"), col("doc_id"),
+        col("pos").as("start"), col("pos").as("prev"))
+    var done = frontier.filter(lit(false))
+      .select(col("query_id"), col("doc_id"), col("start"))
+    for (i <- 1 until maxLen) {
+      val finished = phrases.filter(_._2.size == i).map(_._1)
+      if (finished.nonEmpty)
+        done = done.unionByName(
+          frontier.filter(col("query_id").isin(finished: _*))
+            .select(col("query_id"), col("doc_id"), col("start")))
+      val continuing = phrases.filter(_._2.size > i).map(_._1)
+      frontier = frontier.filter(col("query_id").isin(continuing: _*))
+        .join(tagged.filter(col("slot") === i.toLong)
+            .select(col("query_id").as("q2"), col("doc_id").as("d2"),
+              col("pos").as("p2")),
+          col("query_id") === col("q2") && col("doc_id") === col("d2") &&
+            col("p2") > col("prev") && col("p2") <= col("prev") + k)
+        .select(col("query_id"), col("doc_id"), col("start"),
+          col("p2").as("prev"))
+    }
+    done.unionByName(
+        frontier.select(col("query_id"), col("doc_id"), col("start")))
+      .select(col("query_id"), col("doc_id"),
+        col("start").cast("long").as("pos"))
+      .distinct()
+      .orderBy(col("query_id"), col("doc_id"), col("pos"))
   }
 
   /** Hybrid retrieval by Reciprocal Rank Fusion: for each query doc

@@ -241,7 +241,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .analyzedTable(spark, sfDir, "customer")),
         col("o_custkey") === col("c_custkey"))
       .join(spark.table(tbl), col("c_nationkey") === col("n_nationkey"))
-      .filter(col("n_name") === "GERMANY")
+      // the SAME literal the graded query filters on (the fixture's
+      // nation names are NATION_<k>), so the only variable between the
+      // two plans is the CBO conf, not the predicate's selectivity
+      .filter(col("n_name") === "NATION_7")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"))
     val ctrlCols = innerJoinCols(ctrl)
@@ -249,11 +252,83 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"control without CBO unexpectedly reordered: $ctrlCols")
   }
 
+  test("q_cbo_broadcast: stats-driven broadcast of the dim composite; size-only keeps SMJ") {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    // Threshold chosen so ORDERS itself can never broadcast under
+    // either stats regime (at fixture scale every table is tiny, so
+    // the discriminating lever is the INTERMEDIATE estimate): with CBO
+    // the (customer ⋈ nation ⋈ σ(region)) composite propagates row
+    // counts (~|customer|/5 rows) and lands far under the threshold →
+    // BroadcastHashJoin into orders; without CBO the size-only visitor
+    // estimates an inner join at the PRODUCT of child sizes → over any
+    // threshold → sort-merge. The broadcast is therefore provably
+    // chosen from ANALYZE statistics, not file sizes.
+    // ... and below CUSTOMER's too: the control's syntactic first join
+    // is orders ⋈ (bare customer), which would broadcast customer on
+    // its own size if the threshold only excluded orders
+    // sizes measured on the PRUNED projections the join actually
+    // carries (column pruning scales the size-only estimate, so the
+    // full-table size would overstate what the planner compares)
+    def tableSize(name: String, cols: Seq[String], cbo: Boolean): BigInt = {
+      val t = graft.operators.Relational.analyzedTable(spark, sfDir, name)
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      try spark.table(t).select(cols.map(col): _*)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    val pruned = Seq(
+      "orders" -> Seq("o_custkey", "o_totalprice"),
+      "customer" -> Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+    val thresh = pruned
+      .flatMap { case (t, cs) =>
+        Seq(tableSize(t, cs, cbo = false), tableSize(t, cs, cbo = true)) }
+      .min - 1
+    assert(thresh > 0, s"degenerate orders size estimate: $thresh")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh.toString)
+    try {
+      def ordersJoinLines(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        df.queryExecution.sparkPlan.toString.linesIterator
+          .filter(l => l.contains("Join") && l.contains("o_custkey")).toSeq
+      }
+      val cboLines = ordersJoinLines(graft.operators.Relational
+        .cboStarJoin4(spark, sfDir, checkpoint = false))
+      assert(cboLines.exists(_.contains("BroadcastHashJoin")),
+        s"CBO stats did not broadcast the dim composite into orders: $cboLines")
+      // CONTROL — same tables, same threshold, CBO off: the composite's
+      // product-of-sizes estimate forbids the broadcast
+      val Seq(tO, tC, tN, tR) = Seq("orders", "customer", "nation", "region")
+        .map(graft.operators.Relational.analyzedTable(spark, sfDir, _))
+      val ctrl = spark.table(tO)
+        .join(spark.table(tC), col("o_custkey") === col("c_custkey"))
+        .join(spark.table(tN), col("c_nationkey") === col("n_nationkey"))
+        .join(spark.table(tR), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+      val ctrlLines = ordersJoinLines(ctrl)
+      assert(ctrlLines.nonEmpty && ctrlLines.forall(!_.contains("BroadcastHashJoin")),
+        s"size-only control still broadcast the orders join: $ctrlLines")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q_image_neardup: band join is an equi-join on (band, value), never all-pairs") {
     val plan = planOf("q_image_neardup")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"banded candidate join degenerated to all-pairs:\n${plan.take(1200)}")
+    // the Manku wide tier must hold the same shape: 20 combo tables or
+    // not, the candidate join is still an equi-join on (combo, key)
+    val wide = planOf("q_image_neardup_wide")
+    assert(!wide.contains("CartesianProduct") &&
+      !wide.contains("BroadcastNestedLoopJoin"),
+      s"wide banded join degenerated to all-pairs:\n${wide.take(1200)}")
     // the hash table must be materialized ONCE and reused by the
     // band/verify consumers instead of 4 re-decodes: since round 16
     // it's the scratch-parquet read-back (shared with q_image_ahash),
@@ -710,6 +785,50 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n${plan.take(1500)}")
     assert(plan.contains("rangepartitioning"), "output sort not range-partitioned")
+    // the parallelism CONTRACT, pinned: the one exchange carries
+    // exactly nShards partitions (the explicit repartition already
+    // satisfies the window's clustering, so EnsureRequirements adds
+    // nothing) — parallelism = shard count = the file-size knob, and a
+    // degenerate nShards ≪ cores choice shows up HERE, not as a silent
+    // serialization at scale (shardAssignOn also warns at build time)
+    val n = graft.operators.Dedup.NumShards
+    assert(s"Exchange hashpartitioning\\(shard#\\d+L?, $n\\)".r
+        .findFirstIn(plan).isDefined,
+      s"shard exchange partition count != $n:\n${plan.take(1500)}")
+  }
+
+  test("q_proximity_batch: one pruned postings build, equi-band joins, no corpus rescan") {
+    val plan = planOf("q_proximity_batch")
+    assert(plan.contains("ExistingRDD"),
+      s"pruned postings not materialized once:\n${plan.take(1200)}")
+    assert(!plan.contains("FileScan parquet"),
+      s"a frontier round re-scans the corpus:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"),
+      s"proximity batch planned as a corpus-wide window:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a frontier join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_pipeline_media: decode never re-enters the cascade; dedup partials; one layout window") {
+    val plan = planOf("q_pipeline_media")
+    // both modality decodes live in the MATERIALIZED per-corpus tables;
+    // the cascade itself must plan over their narrow parquet read-backs
+    // (a SerializeFromObject marker would mean a decode mapPartitions
+    // leaked into this dataflow and runs per query)
+    assert(!plan.contains("SerializeFromObject"),
+      s"a decode stage leaked into the cascade plan:\n${plan.take(1500)}")
+    // the joint-key dedup decision partial-aggregates map-side (the
+    // q_image_dedup discipline)
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"joint-key class stats lack a map-side partial phase:\n${plan.take(1500)}")
+    // exactly ONE window — the nShards-parallel shard rank; a second
+    // would mean the dedup decision regressed to a per-class window
+    val nWin = plan.linesIterator.count(_.contains("Window ["))
+    assert(nWin === 1, s"expected 1 window (shard rank), got $nWin:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a cascade join degenerated to all-pairs:\n${plan.take(1200)}")
   }
 
   test("q_image_dedup: class stats partial-aggregate map-side, never a per-class window") {

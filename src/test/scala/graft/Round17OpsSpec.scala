@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 operators: the Manku wide banding tier (diverse-hash
+  * visual near-dup escalation), the widened/bandable audio
+  * fingerprint family, the chunked long-clip fingerprint path, the
+  * multimodal end-to-end cascade, and batch proximity search.
+  */
+class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  /** Diverse 64-bit hashes with PLANTED near-duplicates — the shape
+    * the corpus fixture can never produce (its pixel synth caps at
+    * 256 distinct hashes): 400 ~uniform random hashes, plus 40
+    * variants of random sources at Hamming distance 0–5. Distances
+    * 4–5 MUST be excluded by both tiers (banding recall completeness
+    * is only claimed at ≤ 3, but precision — the popcount verify — is
+    * what kills anything a band collision over-admits).
+    */
+  private lazy val planted: Seq[(Long, Long, Long)] = {
+    val rnd = new scala.util.Random(20260815L)
+    val base = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt().toLong & 0xffffffffL,
+        rnd.nextInt().toLong & 0xffffffffL)
+    }
+    val variants = (0 until 40).map { j =>
+      val (_, hi, lo) = base(rnd.nextInt(base.size))
+      val flips = j % 6 // 0..5 bit flips, positions anywhere in 0..63
+      var v = (hi << 32) | lo
+      (0 until flips).foreach(_ => v ^= 1L << rnd.nextInt(64))
+      (400L + j, v >>> 32, v & 0xffffffffL)
+    }
+    base ++ variants
+  }
+
+  /** Brute-force doc-pair oracle over the planted fixture. */
+  private lazy val expectedPairs: Seq[(Long, Long, Long)] = {
+    val maxD = graft.operators.Multimodal.ImageNeardupMaxDist
+    (for {
+      a <- planted; b <- planted if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3)
+      if d <= maxD
+    } yield (a._1, b._1, d.toLong)).sorted
+  }
+
+  test("neardupFromHashesWide == 4-band tier == brute force on planted diverse hashes") {
+    val ah = planted.toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val narrow = graft.operators.Multimodal.neardupFromHashes(ah)
+      .as[(Long, Long, Long)].collect().toSeq
+    val wide = graft.operators.Multimodal.neardupFromHashesWide(ah)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(expectedPairs.nonEmpty && expectedPairs.exists(_._3 > 0),
+      "fixture degenerate: no cross-class near-dup pairs planted")
+    assert(narrow == expectedPairs, "4-band tier diverged from brute force")
+    assert(wide == expectedPairs, "wide tier diverged from brute force")
+  }
+
+  test("routeWide: band-skewed hashes escalate to the wide tier, uniform ones do not") {
+    // uniform-ish (the planted fixture): candidate volume per hash is
+    // tiny => stay on the 4-band tier
+    val uni = planted.toDF("doc_id", "ahash_hi", "ahash_lo")
+    assert(!graft.operators.Multimodal.routeWide(uni),
+      "uniform fixture escalated to the wide tier")
+    // band-skewed: 20k DISTINCT hashes that all share band 0 (low 16
+    // bits of lo) — the dark-image/blank-thumbnail shape. The 4-band
+    // tier would owe C(20k,2) ≈ 2·10^8 candidate enumerations
+    // (> 2^13 per hash); the router must measure that from occupancy
+    // alone (no candidate is ever enumerated) and escalate.
+    val rnd = new scala.util.Random(7L)
+    val skewed = (0 until 20000).map { i =>
+      (i.toLong, rnd.nextInt().toLong & 0xffffffffL,
+        ((i.toLong << 16) | 0xbeefL) & 0xffffffffL)
+    }.toDF("doc_id", "ahash_hi", "ahash_lo")
+    assert(graft.operators.Multimodal.routeWide(skewed),
+      "band-skewed fixture did not escalate to the wide tier")
+  }
+
+  test("imageNeardupAuto routes the repeat-heavy corpus to the 4-band tier and matches") {
+    // d <= 256 on the fixture => the router must take the 4-band arm;
+    // value identity with the direct entry is the routing contract
+    // (the graphKnnAuto precedent)
+    val auto = graft.operators.Multimodal.imageNeardupAuto(spark, sfDir).collect()
+    val direct = graft.operators.Multimodal.imageNeardup(spark, sfDir).collect()
+    assert(auto.nonEmpty && auto.toSeq == direct.toSeq)
+  }
+
+  test("fingerprintWavChunks: long clip past the 2^24 whole-clip bound, exact per-chunk bits") {
+    import graft.operators.Multimodal.RealCodecs
+    // 2^24 samples (~17.5 min at 16 kHz, a 33 MB WAV): the whole-clip
+    // fingerprints must refuse loudly, the chunked path must not
+    val n = 1 << 24
+    val wav = RealCodecs.syntheticWavAm(7L, n, 16000)
+    intercept[IllegalArgumentException](RealCodecs.fingerprintWav(wav))
+    intercept[IllegalArgumentException](RealCodecs.fingerprintWavWide(wav))
+    val chunks = RealCodecs.fingerprintWavChunks(wav, 1 << 20)
+    assert(chunks.size == 16 && chunks.forall(_._2 == (1 << 20)),
+      s"expected 16 full 2^20-sample chunks: ${chunks.take(4)}")
+    // independent replay of one chunk's bits from the closed-form
+    // sample definition (the DuckDB-oracle convention, in-JVM): chunk
+    // c covers global samples [c*W, (c+1)*W); frame mean vs CHUNK mean
+    val c = 3
+    val w = 1 << 20
+    def sample(i: Int): Long = {
+      val base = (7L * 13 + i.toLong * 17) % 16384 - 8192
+      val env = 1 + (7L + i.toLong * 16 / n) % 4
+      math.abs(base * env)
+    }
+    val fs = new Array[Long](16); val fn = new Array[Long](16)
+    var total = 0L
+    (0 until w).foreach { j =>
+      val a = sample(c * w + j)
+      val f = (j.toLong * 16 / w).toInt
+      fs(f) += a; fn(f) += 1; total += a
+    }
+    var want = 0L
+    (0 until 16).foreach(f => if (fs(f) * w > total * fn(f)) want |= 1L << f)
+    assert(chunks(c)._3 == want,
+      f"chunk $c fingerprint ${chunks(c)._3}%x != closed-form $want%x")
+    // short tail chunk: a clip that is not a multiple of the window
+    val odd = RealCodecs.fingerprintWavChunks(
+      RealCodecs.syntheticWavAm(11L, 1300, 16000), 512)
+    assert(odd.map(_._2) == Seq(512, 512, 276),
+      s"tail chunk sizing wrong: ${odd.map(_._2)}")
+  }
+
+  test("proximityBatchOn == per-phrase proximitySearchOn over the fixture batch") {
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val k = graft.operators.Retrieval.ProximityK
+    val batch = graft.operators.Retrieval.ProximityBatch
+    val got = graft.operators.Retrieval
+      .proximityBatchOn(spark, docs, batch, k)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = batch.flatMap { case (qid, phrase) =>
+      graft.operators.Retrieval.proximitySearchOn(docs, phrase, k)
+        .as[(Long, Long)].collect().map { case (d, p) => (qid, d, p) }
+    }.sorted
+    assert(want.nonEmpty, "fixture batch found nothing — weak fixture")
+    assert(got == want, s"batch diverged from the per-phrase loop")
+  }
+}
