@@ -199,6 +199,10 @@ object ScalingProbe {
       // probe documents the linear decode term (the image_ahash twin)
       case "audio_fp"        =>
         graft.operators.Multimodal.audioFingerprintOn(spark, docs)
+      // the 64-frame wide kernel: same RIFF walk, 4x the bit loop —
+      // the curve documents the widening's decode-side cost is noise
+      case "audio_fp_wide"   =>
+        graft.operators.Multimodal.audioFpWideOf(spark, docs)
       // DIVERSE-hash near-dup probe: ~uniform synthetic 64-bit hashes
       // (d ≈ n distinct — the shape the fixture synth can never make:
       // its pixel pattern is an offset mod 256, so d ≤ 256 always).

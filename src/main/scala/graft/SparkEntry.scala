@@ -505,6 +505,10 @@ object SparkEntry {
     // entry's oracle — replay == batch, real RIFF parse on the stream)
     "q_stream_audio_fingerprint" ->
       (graft.streaming.DocumentStreams.streamedAudioFingerprint _),
+    // the WIDE bandable key at arrival time (shares the wide batch
+    // oracle — what a streaming near-dup index would actually ingest)
+    "q_stream_audio_fingerprint_wide" ->
+      (graft.streaming.DocumentStreams.streamedAudioFingerprintWide _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -3033,6 +3037,12 @@ object SparkEntry {
 
     // wide 64-frame fingerprint, two 32-bit halves (aHash convention)
     "q_audio_fingerprint_wide" ->
+      s"""WITH $audioFpWideCteSql
+         |SELECT doc_id, n_samples, afp_hi, afp_lo FROM afw
+         |ORDER BY doc_id""".stripMargin,
+
+    // finite replay == batch: the wide streaming twin shares the oracle
+    "q_stream_audio_fingerprint_wide" ->
       s"""WITH $audioFpWideCteSql
          |SELECT doc_id, n_samples, afp_hi, afp_lo FROM afw
          |ORDER BY doc_id""".stripMargin,

@@ -503,17 +503,22 @@ object Multimodal {
 
   /** The routing decision: estimated 4-band candidate volume vs
     * [[WideRouteCandPerHash]]·d, both measured in ONE aggregation over
-    * the band table (d = Σ occupancy / 4 — no second count job).
+    * the band table (d = Σ occupancy / 4 — no second count job). The
+    * estimate sums in DOUBLE on purpose: a single 3·10^9-occupancy
+    * bucket would overflow c·(c−1) in a long and wrap NEGATIVE —
+    * flipping the decision exactly where escalation matters most — and
+    * a routing threshold needs magnitude, not exactness.
     */
   private[graft] def routeWide(ah: DataFrame): Boolean = {
     val row = bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct())
       .groupBy(col("b"), col("bv"))
       .agg(count(lit(1)).as("c"))
-      .agg(sum(expr("(c * (c - 1)) div 2")).as("cand"), sum(col("c")).as("occ"))
+      .agg(sum(expr("CAST(c AS DOUBLE) * (c - 1) / 2")).as("cand"),
+        sum(col("c")).as("occ"))
       .collect()(0)
-    val cand = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val cand = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     val d = (if (row.isNullAt(1)) 0L else row.getLong(1)) / 4
-    cand > WideRouteCandPerHash * d
+    cand > WideRouteCandPerHash.toDouble * d
   }
 
   /** The Manku wide tier on the corpus hash table, graded directly

@@ -577,6 +577,35 @@ object DocumentStreams {
     spark.table("graft_stream_audio_fp").orderBy(col("doc_id"))
   }
 
+  /** The WIDE 64-frame fingerprint's deployed-decoder twin — the same
+    * stateless streaming projection over
+    * [[graft.operators.Multimodal.RealCodecs.fingerprintWavWide]], so
+    * the bandable acoustic key a near-dup index ingests is proven
+    * identical whether computed batch or at arrival time (finite
+    * replay == batch on q_audio_fingerprint_wide's shared oracle).
+    */
+  def streamedAudioFingerprintWide(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.operators.Multimodal.RealCodecs
+    val out = streamedDocs(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        val (_, n, hi, lo) = RealCodecs.fingerprintWavWide(wav)
+        (id, n.toLong, hi, lo)
+      })
+      .toDF("doc_id", "n_samples", "afp_hi", "afp_lo")
+    val q = out.writeStream.format("memory")
+      .queryName("graft_stream_audio_fp_wide")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_audio_fp_wide").orderBy(col("doc_id"))
+  }
+
   /** Smallest band index on which two signatures fully agree (exists for
     * any two co-members of a bucket — they agree on that bucket's band
     * by construction).

@@ -797,6 +797,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"shard exchange partition count != $n:\n${plan.take(1500)}")
   }
 
+  test("q_audio_neardup: banded equi-join over the materialized wide-fingerprint table") {
+    // the image-banding audit, symmetric for the audio key: never
+    // all-pairs, and the plan reads the once-per-corpus materialized
+    // fingerprint parquet (no SerializeFromObject = no RIFF decode
+    // re-entering this query's dataflow)
+    val plan = planOf("q_audio_neardup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"audio banded join degenerated to all-pairs:\n${plan.take(1200)}")
+    assert(!plan.contains("SerializeFromObject"),
+      s"audio decode leaked into the near-dup plan:\n${plan.take(1200)}")
+    val wide = planOf("q_audio_fingerprint_wide")
+    assert(!wide.contains("SerializeFromObject"),
+      s"q_audio_fingerprint_wide re-decodes instead of reading the " +
+        s"materialized table:\n${wide.take(1200)}")
+  }
+
   test("q_proximity_batch: one pruned postings build, equi-band joins, no corpus rescan") {
     val plan = planOf("q_proximity_batch")
     assert(plan.contains("ExistingRDD"),

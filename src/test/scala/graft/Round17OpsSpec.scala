@@ -126,6 +126,26 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"tail chunk sizing wrong: ${odd.map(_._2)}")
   }
 
+  test("audio wide-fingerprint table: materialized read-back == recompute (value identity)") {
+    // the Round16OpsSpec discipline for every scratch-materialized
+    // artifact: the once-per-corpus parquet must be value-identical to
+    // recomputing the decode+fingerprint pipeline, or consumers and
+    // the oracle could silently diverge
+    val fromTable = graft.operators.Multimodal
+      .audioFingerprintWide(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val recomputed = graft.operators.Multimodal
+      .audioFpWideOf(spark,
+        graft.tables.Tables.documents(spark, sfDir).select(col("doc_id")))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(fromTable.nonEmpty && fromTable == recomputed)
+    // the key is genuinely bandable on the fixture: more than one
+    // distinct fingerprint and at least one set bit in the hi half
+    // (bits 32-63 — a 16-bit-wide key would leave hi always zero)
+    assert(fromTable.map(r => (r._3, r._4)).distinct.size > 1)
+    assert(fromTable.exists(_._3 != 0L), "hi half never set — key not 64-bit")
+  }
+
   test("proximityBatchOn == per-phrase proximitySearchOn over the fixture batch") {
     val docs = graft.tables.Tables.documents(spark, sfDir)
     val k = graft.operators.Retrieval.ProximityK
