@@ -147,6 +147,12 @@ object ScalingProbe {
       case "shard"           => graft.operators.Dedup.shardAssignOn(
         docs.select("doc_id"),
         math.max(8, math.sqrt(n.toDouble).toInt))
+      // incremental layout: FIXED 100k batch appended to an n-row
+      // pre-built assignment (the gen output, checkpointed outside the
+      // timing) — the curve isolates the ingest cost's base-size term
+      // (claimed metadata-grade: one narrow shard-column scan)
+      case "delta_shard"     => graft.operators.Dedup.deltaShardAssignOn(
+        docs, spark.range(n.toLong, n.toLong + 100000).toDF("doc_id"))
       case "phrase"          => graft.operators.Retrieval.phraseSearchOn(docs,
         graft.operators.Retrieval.PhraseQuery)
       // 1000 deterministic 2-4-term phrases through ONE postings
@@ -275,7 +281,12 @@ object ScalingProbe {
     val gen: Int => DataFrame =
       if (op == "paths") eventCorpus
       else if (op.startsWith("graphann") || embOps(op)) embCorpus
-      else if (op.startsWith("image_") || op == "audio_fp")
+      // the delta probe's INPUT is the pre-built n-row assignment
+      // table itself (checkpointed by the sizes loop, outside timing)
+      else if (op == "delta_shard")
+        (n => graft.operators.Dedup.shardAssignOn(
+          spark.range(n.toLong).toDF("doc_id")))
+      else if (op.startsWith("image_") || op.startsWith("audio_fp"))
         (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus
       else corpus

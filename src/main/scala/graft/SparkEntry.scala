@@ -234,6 +234,9 @@ object SparkEntry {
     // whole layout has a DuckDB twin, per-shard rank = one reducer
     // per output file)
     "q_shard_assign"    -> (Dedup.shardAssign _),
+    // incremental layout: new batch appended after each shard's
+    // existing max position — old rows byte-identical, cost ∝ batch
+    "q_delta_shard_assign" -> (Dedup.deltaShardAssign _),
     // benchmark-contamination scan: eval-split shingle overlap vs train
     "q_decontamination" -> (Dedup.decontamination _),
     // Bloom-prefiltered twin: eval-shingle sketch screens the train
@@ -2570,6 +2573,30 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
          |    ORDER BY skey, doc_id) - 1 AS pos
          |FROM keyed ORDER BY shard, pos""".stripMargin,
+
+    // incremental layout: old split laid out as q_shard_assign, new
+    // split appended per shard after the existing max position
+    "q_delta_shard_assign" -> {
+      val n = Dedup.NumShards
+      val mix = mixSql("doc_id", Dedup.ShardSalt.toString)
+      s"""WITH oldk AS (SELECT doc_id, $mix AS skey
+         |  FROM documents WHERE doc_id % 10 < 8),
+         |base AS (SELECT doc_id, skey % $n AS shard,
+         |    row_number() OVER (PARTITION BY skey % $n
+         |      ORDER BY skey, doc_id) - 1 AS pos
+         |  FROM oldk),
+         |off AS (SELECT shard, count(*) AS base_n FROM base GROUP BY 1),
+         |newk AS (SELECT doc_id, $mix AS skey
+         |  FROM documents WHERE doc_id % 10 >= 8),
+         |app AS (SELECT doc_id, shard,
+         |    coalesce(base_n, 0) + row_number() OVER (PARTITION BY shard
+         |      ORDER BY skey, doc_id) - 1 AS pos
+         |  FROM (SELECT doc_id, skey % $n AS shard, skey FROM newk)
+         |  LEFT JOIN off USING (shard))
+         |SELECT doc_id, shard, pos FROM base
+         |UNION ALL SELECT doc_id, shard, pos FROM app
+         |ORDER BY shard, pos""".stripMargin
+    },
 
     "q_minhash_signatures" ->
       s"SELECT * FROM ($sigSql) ORDER BY doc_id",

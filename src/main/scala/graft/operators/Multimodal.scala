@@ -538,11 +538,17 @@ object Multimodal {
     * by its own entry, the skewed ROUTE-to-wide arm by
     * Round17OpsSpec, and the crossover constant by the probes.
     */
-  def imageNeardupAuto(spark: SparkSession, dir: String): DataFrame = {
-    val ah = ahashTable(spark, dir)
+  def imageNeardupAuto(spark: SparkSession, dir: String): DataFrame =
+    neardupFromHashesAuto(ahashTable(spark, dir))
+
+  /** The routed banding engine itself — [[routeWide]] picks the tier;
+    * both tiers are value-identical, so callers keep ONE oracle
+    * regardless of the route. Shared by [[imageNeardupAuto]] and
+    * [[audioNeardup]] (any 2×32-bit blocking key routes the same way).
+    */
+  private[graft] def neardupFromHashesAuto(ah: DataFrame): DataFrame =
     if (routeWide(ah)) neardupFromHashesWide(ah)
     else neardupFromHashes(ah)
-  }
 
   /** Probe entry (ScalingProbe `image_neardup`): decode+hash an
     * arbitrary doc_id frame and band-join it, hash table pinned by
@@ -873,7 +879,11 @@ object Multimodal {
     * a fix in either serves both.
     */
   def audioNeardup(spark: SparkSession, dir: String): DataFrame =
-    neardupFromHashes(audioFpWideTable(spark, dir)
+    // routed like the image entry: the occupancy estimator prices THIS
+    // corpus's fingerprint skew, so a pathological acoustic key
+    // distribution escalates to the wide tier automatically (values
+    // identical either way — the shared oracle holds on both routes)
+    neardupFromHashesAuto(audioFpWideTable(spark, dir)
       .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
         col("afp_lo").as("ahash_lo")))
 

@@ -52,6 +52,35 @@ class InvarianceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(shuffled === baseline)
   }
 
+  test("batch proximity search is invariant under input partitioning") {
+    // the frontier rounds join on (query_id, doc_id) — any dependence
+    // on the postings' physical layout (e.g. a non-deterministic
+    // localCheckpoint interaction) would diverge here
+    val batch = operators.Retrieval.ProximityBatch
+    val k = operators.Retrieval.ProximityK
+    val baseline = operators.Retrieval
+      .proximityBatchOn(spark, docs, batch, k).collect().toSeq
+    val shuffled = operators.Retrieval
+      .proximityBatchOn(spark, docs.repartition(13), batch, k).collect().toSeq
+    assert(shuffled === baseline)
+  }
+
+  test("shard layouts (full and delta) are invariant under input partitioning") {
+    // positions are claimed to be a pure function of the id SET — the
+    // window rank must not leak physical row order through skey ties
+    val ids = Tables.documents(spark, sfDir).select($"doc_id")
+    val baseline = Dedup.shardAssignOn(ids).collect().toSeq
+    assert(Dedup.shardAssignOn(ids.repartition(13)).collect().toSeq === baseline)
+    val old = ids.filter($"doc_id" % 10 < 8)
+    val nw = ids.filter($"doc_id" % 10 >= 8)
+    val delta = Dedup.deltaShardAssignOn(Dedup.shardAssignOn(old), nw)
+      .collect().toSeq
+    val deltaShuffled = Dedup.deltaShardAssignOn(
+      Dedup.shardAssignOn(old.repartition(7)), nw.repartition(5))
+      .collect().toSeq
+    assert(deltaShuffled === delta)
+  }
+
   test("event paths are invariant under input partitioning") {
     val ev = Tables.events(spark, sfDir)
     val baseline = operators.EventAnalytics.eventPathsOn(spark, ev).collect().toSeq

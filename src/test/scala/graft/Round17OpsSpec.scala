@@ -146,6 +146,38 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fromTable.exists(_._3 != 0L), "hi half never set — key not 64-bit")
   }
 
+  test("deltaShardAssign: existing layout frozen byte-for-byte, new batch appended per shard") {
+    val ids = graft.tables.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val old = ids.filter(col("doc_id") % 10 < 8)
+    val nw = ids.filter(col("doc_id") % 10 >= 8)
+    val base = graft.operators.Dedup.shardAssignOn(old)
+      .as[(Long, Long, Long)].collect().toSeq
+    val delta = graft.operators.Dedup
+      .deltaShardAssignOn(graft.operators.Dedup.shardAssignOn(old), nw)
+      .as[(Long, Long, Long)].collect().toSeq
+    val oldIds = base.map(_._1).toSet
+    // THE contract: ingest must not move a single existing row — the
+    // writer's already-written shard files stay valid
+    assert(delta.filter(r => oldIds(r._1)) == base,
+      "delta ingest moved existing assignments")
+    // the combined layout still PARTITIONS each shard: positions
+    // exactly 0..|shard|-1, and every new doc placed exactly once
+    val byShard = delta.groupBy(_._2)
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size).toSeq,
+        s"shard $s positions not contiguous after ingest")
+    }
+    val newRows = delta.filterNot(r => oldIds(r._1))
+    assert(newRows.map(_._1).toSet ==
+      nw.as[Long].collect().toSet, "new batch not fully placed")
+    // appended rows all rank AFTER the shard's existing rows
+    val baseMax = base.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).max }
+    newRows.foreach { case (id, s, p) =>
+      assert(p > baseMax.getOrElse(s, -1L),
+        s"new doc $id placed inside the frozen region of shard $s")
+    }
+  }
+
   test("proximityBatchOn == per-phrase proximitySearchOn over the fixture batch") {
     val docs = graft.tables.Tables.documents(spark, sfDir)
     val k = graft.operators.Retrieval.ProximityK
