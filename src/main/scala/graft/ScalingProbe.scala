@@ -120,6 +120,18 @@ object ScalingProbe {
       }.toDF("doc_id", "ahash_hi", "ahash_lo")
     }
 
+    // band-skewed variant of diverseHashes: band 0 (low 16 bits of lo)
+    // pinned to one value, the rest ~uniform — hashes stay distinct
+    // but one 4-band bucket holds the whole corpus
+    def skewedHashes(docs: DataFrame): DataFrame = {
+      import spark.implicits._
+      docs.select(col("doc_id")).as[Long].map { id =>
+        val r = new scala.util.Random(id * 6364136223846793005L + 19)
+        (id, r.nextInt().toLong & 0xffffffffL,
+          ((r.nextInt().toLong & 0xffffL) << 16) | 0xbeefL)
+      }.toDF("doc_id", "ahash_hi", "ahash_lo")
+    }
+
     // `n` is the known generated size, threaded in so no probe op ever
     // needs a docs.count() inside the timed region (an extra full pass
     // that isn't part of the op's own cost model)
@@ -222,9 +234,21 @@ object ScalingProbe {
       }
       // the Manku wide tier on the SAME diverse-hash generator: the
       // crossover between this probe and image_neardup_div sets
-      // Multimodal.WideBandCutover (BASELINE.md round 17)
+      // the router constant (BASELINE.md round 17)
       case "image_neardup_div_wide" => {
         graft.operators.Multimodal.neardupFromHashesWide(diverseHashes(docs))
+      }
+      // BAND-SKEWED diverse hashes (every hash shares 16-bit band 0 —
+      // the dark-image/blank-region shape): the 4-band tier owes
+      // C(d,2) candidate enumerations from that one band, quadratic at
+      // ANY d; the occupancy router must measure this and escalate.
+      // The _skew4 twin FORCES the 4-band tier on the same hashes —
+      // run it only at small sizes, its cost is the point.
+      case "image_neardup_div_skew" => {
+        graft.operators.Multimodal.neardupFromHashesAuto(skewedHashes(docs))
+      }
+      case "image_neardup_div_skew4" => {
+        graft.operators.Multimodal.neardupFromHashes(skewedHashes(docs))
       }
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point

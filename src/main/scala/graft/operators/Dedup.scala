@@ -1761,8 +1761,22 @@ object Dedup {
   private[graft] def deltaShardAssignOn(base: DataFrame, newDocs: DataFrame,
       nShards: Int = NumShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-shard append offsets: nShards rows, broadcast
-    val offsets = base.groupBy(col("shard")).agg(count(lit(1)).as("base_n"))
+    import base.sparkSession.implicits._
+    // per-shard append offsets, COLLECTED (≤ nShards rows — bounded
+    // model state, the kCenter discipline) so the layout identity can
+    // be validated before anything is placed: the mod rule is part of
+    // the layout, and a base built with a DIFFERENT nShards would
+    // otherwise silently mis-place every new row into shards the old
+    // rule never produced. The limit bounds the driver fetch even on
+    // a malformed base.
+    val offRows = base.groupBy(col("shard")).agg(count(lit(1)).as("base_n"))
+      .limit(nShards + 1).collect()
+    require(offRows.length <= nShards &&
+      offRows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < nShards),
+      s"base layout holds shard ids outside 0..${nShards - 1} — it was " +
+        s"built with a different shard count; re-shard or pass its nShards")
+    val offsets = offRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("shard", "base_n")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
     val appended = newDocs

@@ -176,6 +176,11 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(p > baseMax.getOrElse(s, -1L),
         s"new doc $id placed inside the frozen region of shard $s")
     }
+    // layout-identity guard: a base built with a DIFFERENT shard count
+    // must refuse loudly — its mod rule would mis-place every new row
+    val mismatched = graft.operators.Dedup.shardAssignOn(old, 16)
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.deltaShardAssignOn(mismatched, nw))
   }
 
   test("proximityBatchOn == per-phrase proximitySearchOn over the fixture batch") {
