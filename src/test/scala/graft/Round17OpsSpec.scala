@@ -177,10 +177,16 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"new doc $id placed inside the frozen region of shard $s")
     }
     // layout-identity guard: a base built with a DIFFERENT shard count
-    // must refuse loudly — its mod rule would mis-place every new row
+    // must refuse loudly — its mod rule would mis-place every new row.
+    // LARGER count: shard ids overflow the range check (deterministic)
     val mismatched = graft.operators.Dedup.shardAssignOn(old, 16)
     intercept[IllegalArgumentException](
       graft.operators.Dedup.deltaShardAssignOn(mismatched, nw))
+    // SMALLER count: every id sits inside 0..7 so the range check
+    // alone cannot see it — the mod-rule spot-check must refuse
+    val smaller = graft.operators.Dedup.shardAssignOn(old, 4)
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.deltaShardAssignOn(smaller, nw))
   }
 
   test("proximityBatchOn == per-phrase proximitySearchOn over the fixture batch") {
