@@ -385,6 +385,9 @@ object SparkEntry {
     "q_image_neardup_wide" -> (Multimodal.imageNeardupWide _),
     // routed production entry: distinct-hash count picks the tier
     "q_image_neardup_auto" -> (Multimodal.imageNeardupAuto _),
+    // connected components over the visual pair graph (near-dup at a
+    // Hamming ball is not transitive — group dedup needs the closure)
+    "q_image_dup_clusters" -> (Multimodal.imageDupClusters _),
     // exact visual dedup: one row per image → its aHash-class
     // representative + class size (the linear-output decision the
     // pair contract above audits)
@@ -3019,6 +3022,17 @@ object SparkEntry {
     // a drift in any tier breaks its own hash match
     "q_image_neardup_wide" -> imageNeardupSql,
     "q_image_neardup_auto" -> imageNeardupSql,
+    // transitive closure over the visual pairs (the q_dup_clusters
+    // recursive-CTE shape on the image pair list)
+    "q_image_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($imageNeardupSql)),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT u AS id FROM edges),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id)
+         |SELECT rep AS cluster_rep, count(*) AS n_members
+         |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
     "q_image_dedup" -> imageDedupSql,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8

@@ -541,7 +541,31 @@ object Dedup {
     * two pointer jumps are fused into each materialized round.
     */
   def duplicateClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(materializedPairs(spark, dir).select(col("id_a"), col("id_b")))
+    corpusClusterLabels(spark, dir)
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+
+  /** The CONVERGED corpus label table, MATERIALIZED once per
+    * (session, corpus) — the [[materializedPairs]] discipline one
+    * level up: the pointer-jumping loop is a multi-round chain of
+    * shuffle jobs, and both graded membership consumers
+    * (q_dup_clusters, q_dedup_keep_best) need only its FIXED POINT.
+    * The converged (id, lbl) table is deterministic (min doc_id per
+    * component), so the read-back is value-identical to recomputing
+    * (Round17OpsSpec pins it) and both entries stay on their DuckDB
+    * oracles; the second consumer reads a 2-long table instead of
+    * re-running the loop.
+    */
+  private def corpusClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.corpusDir(spark, "cc_labels", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      clusterLabels(materializedPairs(spark, dir)
+          .select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path).select(col("id"), col("lbl"))
+  }
 
   def duplicateClustersOn(docs: DataFrame): DataFrame =
     clustersFromPairs(minhashLshPairsOn(docs).select(col("id_a"), col("id_b")))
@@ -589,7 +613,14 @@ object Dedup {
           least(col("n.lbl"), coalesce(col("p_lbl"), col("n.lbl"))).as("lbl"),
           col("n.old").as("old"))
 
-    val MaxRounds = 20
+    // 64: the 1000-node PATH fixture converges in well under 20 (the
+    // O(log chain) DedupSpec pin), but a near-dup graph can be a long
+    // CYCLE of small cliques with weak shortcuts (the image hash
+    // classes at sf0.01 — offset-adjacent classes chain, measured ~25+
+    // rounds), where min-label flow is diameter-bound between halving
+    // wins. Rounds are one cheap job each; the cap exists to fail
+    // LOUDLY on a logic regression, not to be tight.
+    val MaxRounds = 64
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < MaxRounds) {
@@ -639,8 +670,8 @@ object Dedup {
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val labels = clusterLabels(
-      materializedPairs(spark, dir).select(col("id_a"), col("id_b")))
+    // the materialized converged label table — never the CC loop again
+    val labels = corpusClusterLabels(spark, dir)
     val words = Tables.documents(spark, dir).select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_words"))
     val w = Window.partitionBy(col("lbl"))

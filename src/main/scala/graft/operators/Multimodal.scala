@@ -709,6 +709,20 @@ object Multimodal {
     cross.unionByName(within).orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Visual near-duplicate CLUSTERS — the text family's pointer-
+    * jumping connected components ([[graft.operators.Dedup.clustersFromPairs]])
+    * consuming the VISUAL pair graph: near-dup at Hamming ≤ 3 is not
+    * transitive (A~B and B~C allow dist(A,C) = 6), so a dedup policy
+    * that keeps one representative per CONNECTED near-dup group needs
+    * the closure, exactly as the MinHash family does. One banding
+    * engine produced the pairs, one CC engine labels them — cross-
+    * family composition with zero new machinery, and the label table
+    * is pair-graph-sized, never corpus-sized.
+    */
+  def imageDupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.clustersFromPairs(
+      imageNeardup(spark, dir).select(col("id_a"), col("id_b")))
+
   /** Exact visual dedup — the LINEAR-output entry a 100 TB image
     * pipeline actually runs (the round-16 probe measured why: an
     * exact-repeat-heavy corpus owes the pair contract quadratic

@@ -126,6 +126,46 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"tail chunk sizing wrong: ${odd.map(_._2)}")
   }
 
+  test("imageDupClusters semantics: CC over planted pairs == union-find reference") {
+    // the graded fixture collapses to ONE component (the cyclic pixel
+    // classes chain — hash-matched but a thin value check), so the
+    // multi-component semantics are pinned here: pointer-jumping CC
+    // over the planted near-dup pairs must equal an in-JVM union-find
+    val ah = planted.toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val got = graft.operators.Dedup.clustersFromPairs(
+        graft.operators.Multimodal.neardupFromHashes(ah)
+          .select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toSeq
+    // union-find over the brute-force pair oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    expectedPairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = expectedPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = nodes.groupBy(find).map { case (rep, ms) =>
+      (rep, ms.size.toLong) }.toSeq.sorted
+    assert(want.size > 1, "planted fixture degenerate: one component")
+    assert(got == want, "CC labels diverged from union-find reference")
+  }
+
+  test("corpus CC label table: materialized read-back == recompute (value identity)") {
+    // q_dup_clusters and q_dedup_keep_best both consume the converged
+    // label fixed point; the scratch table must equal re-running the
+    // pointer-jumping loop or the two entries could silently diverge
+    val viaTable = graft.operators.Dedup.duplicateClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val recomputed = graft.operators.Dedup.clustersFromPairs(
+        graft.operators.Dedup.materializedPairs(spark, sfDir)
+          .select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toSeq
+    assert(viaTable.nonEmpty && viaTable == recomputed)
+  }
+
   test("audio wide-fingerprint table: materialized read-back == recompute (value identity)") {
     // the Round16OpsSpec discipline for every scratch-materialized
     // artifact: the once-per-corpus parquet must be value-identical to
