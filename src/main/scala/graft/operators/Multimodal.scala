@@ -710,18 +710,89 @@ object Multimodal {
   }
 
   /** Visual near-duplicate CLUSTERS — the text family's pointer-
-    * jumping connected components ([[graft.operators.Dedup.clustersFromPairs]])
-    * consuming the VISUAL pair graph: near-dup at Hamming ≤ 3 is not
-    * transitive (A~B and B~C allow dist(A,C) = 6), so a dedup policy
-    * that keeps one representative per CONNECTED near-dup group needs
-    * the closure, exactly as the MinHash family does. One banding
-    * engine produced the pairs, one CC engine labels them — cross-
-    * family composition with zero new machinery, and the label table
-    * is pair-graph-sized, never corpus-sized.
+    * jumping connected components ([[graft.operators.Dedup.clusterLabels]])
+    * consuming the VISUAL near-dup graph: near-dup at Hamming ≤ 3 is
+    * not transitive (A~B and B~C allow dist(A,C) = 6), so a dedup
+    * policy that keeps one representative per CONNECTED group needs
+    * the closure, exactly as the MinHash family does.
+    *
+    * GRANULARITY, the round-16 lesson applied to CC: the doc-level
+    * pair graph's edge list is quadratic in class size (a 234-copy
+    * class owes C(234,2) within-edges — feeding THAT to a 20-round
+    * join loop measured 35 s at sf0.1), but components of the doc
+    * graph EQUAL components of the DISTINCT-HASH graph (within-class
+    * edges connect every class internally; classes connect exactly
+    * when a verified hash pair exists). So the CC loop runs over the
+    * hash-level pairs — d nodes, never n — and documents re-enter at
+    * ONE final aggregation: component = hash label (isolated hashes
+    * are their own singleton components), cluster_rep = min doc_id,
+    * n_members = docs. Components of one member are dropped at the
+    * end — exactly the paired-doc node set the doc-level closure (and
+    * the DuckDB oracle) sees, because any 2-member component contains
+    * a pair by construction. Same output contract as q_dup_clusters;
+    * 35 s → ~1 s at sf0.1, and at 100 TB the loop's working set is
+    * distinct-hash-sized.
     */
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.clustersFromPairs(
-      imageNeardup(spark, dir).select(col("id_a"), col("id_b")))
+    imageDupClustersOn(ahashTable(spark, dir))
+
+  /** Hash-pair count below which the component labels are computed by
+    * an in-driver union-find instead of the distributed pointer-
+    * jumping loop. The loop pays ~20 fixed-overhead JOBS regardless of
+    * data size (measured ~4–8 s on a 256-node graph — all scheduling,
+    * no work); a ≤2^20-edge graph is bounded MODEL STATE (16 MB of
+    * longs — the kCenter/BPE collect discipline) that the driver
+    * labels in milliseconds. Repeat-heavy corpora live entirely below
+    * this gate (d ≤ thousands of distinct hashes); a diverse corpus
+    * past it takes the distributed loop, whose working set is
+    * distinct-hash-sized, never doc-sized.
+    */
+  val DriverCcMaxPairs = 1L << 20
+
+  /** `driverGate` exists for the spec only (force the distributed arm
+    * on a fixture the gate would route to the driver). */
+  private[graft] def imageDupClustersOn(ah: DataFrame,
+      driverGate: Long = DriverCcMaxPairs): DataFrame = {
+    import ah.sparkSession.implicits._
+    // packed 64-bit hash as the CC node id (sign-irrelevant: labels
+    // only need a deterministic total order and equality)
+    val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
+    val hashPairs = verifiedHashPairs(
+        bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct()),
+        "b", "bv")
+      .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
+        expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
+      .localCheckpoint() // counted then consumed — never re-banded
+    val labels =
+      if (hashPairs.count() <= driverGate) {
+        // bounded model state: union-find in the driver, same
+        // deterministic min-id representative as the distributed loop
+        val pairs = hashPairs.as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val reps = nodes.map(n => n -> find(n)).toMap
+        val minRep = reps.groupBy(_._2).map { case (r, ms) =>
+          r -> ms.keys.min }
+        nodes.map(n => (n, minRep(reps(n)))).toSeq.toDF("id", "lbl")
+      } else graft.operators.Dedup.clusterLabels(hashPairs)
+    ah.select(col("doc_id"), packed.as("hid"))
+      .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("hid")).as("comp"))
+      .groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_rep"), col("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
 
   /** Exact visual dedup — the LINEAR-output entry a 100 TB image
     * pipeline actually runs (the round-16 probe measured why: an

@@ -132,7 +132,17 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // multi-component semantics are pinned here: pointer-jumping CC
     // over the planted near-dup pairs must equal an in-JVM union-find
     val ah = planted.toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
-    val got = graft.operators.Dedup.clustersFromPairs(
+    // the graded hash-granularity path (CC over distinct hashes, docs
+    // re-entering at the final aggregation) AND the generic doc-level
+    // CC must both equal the reference — proving the granularity
+    // restructure preserved component semantics exactly
+    val got = graft.operators.Multimodal.imageDupClustersOn(ah)
+      .as[(Long, Long)].collect().toSeq
+    // the distributed arm forced on the same fixture (driverGate = -1):
+    // both routes must agree — the size gate can never change values
+    val gotDist = graft.operators.Multimodal.imageDupClustersOn(ah, -1L)
+      .as[(Long, Long)].collect().toSeq
+    val docLevel = graft.operators.Dedup.clustersFromPairs(
         graft.operators.Multimodal.neardupFromHashes(ah)
           .select(col("id_a"), col("id_b")))
       .as[(Long, Long)].collect().toSeq
@@ -150,7 +160,9 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val want = nodes.groupBy(find).map { case (rep, ms) =>
       (rep, ms.size.toLong) }.toSeq.sorted
     assert(want.size > 1, "planted fixture degenerate: one component")
-    assert(got == want, "CC labels diverged from union-find reference")
+    assert(got == want, "hash-level CC diverged from union-find reference")
+    assert(gotDist == want, "forced-distributed arm diverged from reference")
+    assert(docLevel == want, "doc-level CC diverged from union-find reference")
   }
 
   test("corpus CC label table: materialized read-back == recompute (value identity)") {
