@@ -769,9 +769,18 @@ object Multimodal {
         // deterministic min-id representative as the distributed loop
         val pairs = hashPairs.as[(Long, Long)].collect()
         val parent = scala.collection.mutable.Map[Long, Long]()
+        // ITERATIVE find with path compression: min-linking (no rank)
+        // can chain the forest O(n) deep, and a recursive find would
+        // blow the JVM stack near the 2^20-pair gate — walk to the
+        // root, then compress the walked path in a second pass
         def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x else { val r = find(p); parent(x) = r; r }
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent(c); parent(c) = r; c = next
+          }
+          r
         }
         pairs.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))

@@ -165,6 +165,24 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(docLevel == want, "doc-level CC diverged from union-find reference")
   }
 
+  test("imageDupClusters driver arm: 100k-hash gray-code chain collapses to one component") {
+    // gray codes: consecutive codes differ in exactly ONE bit, so
+    // hashes g(0)..g(n-1) form a near-dup CHAIN at Hamming 1 — the
+    // worst shape for a rankless union-find (long parent chains; the
+    // recursive-find version of the driver arm would risk a stack
+    // overflow here) and a single component for the whole corpus
+    val n = 100000
+    val chain = (0 until n).map { i =>
+      val g = (i ^ (i >> 1)).toLong
+      (i.toLong, g >>> 32, g & 0xffffffffL)
+    }.toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val got = graft.operators.Multimodal.imageDupClustersOn(chain)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, n.toLong)),
+      s"gray-code chain did not collapse to one $n-member component: " +
+        s"${got.take(3)}... (${got.size} rows)")
+  }
+
   test("corpus CC label table: materialized read-back == recompute (value identity)") {
     // q_dup_clusters and q_dedup_keep_best both consume the converged
     // label fixed point; the scratch table must equal re-running the
