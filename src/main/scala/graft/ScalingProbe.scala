@@ -121,13 +121,16 @@ object ScalingProbe {
     }
 
     // band-skewed variant of diverseHashes: band 0 (low 16 bits of lo)
-    // pinned to one value, the rest ~uniform — hashes stay distinct
-    // but one 4-band bucket holds the whole corpus
+    // pinned to one value, the rest mixed — hashes EXACTLY distinct
+    // (hi = odd-constant multiply mod 2^32, a bijection on doc_id for
+    // the probe's < 2^32 id range — the old 48-bit random draw left
+    // birthday repeats at 16M rows) but one 4-band bucket holds the
+    // whole corpus
     def skewedHashes(docs: DataFrame): DataFrame = {
       import spark.implicits._
       docs.select(col("doc_id")).as[Long].map { id =>
         val r = new scala.util.Random(id * 6364136223846793005L + 19)
-        (id, r.nextInt().toLong & 0xffffffffL,
+        (id, (id * 2654435761L) & 0xffffffffL,
           ((r.nextInt().toLong & 0xffffL) << 16) | 0xbeefL)
       }.toDF("doc_id", "ahash_hi", "ahash_lo")
     }

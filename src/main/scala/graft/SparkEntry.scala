@@ -392,6 +392,14 @@ object SparkEntry {
     // representative + class size (the linear-output decision the
     // pair contract above audits)
     "q_image_dedup"     -> (Multimodal.imageDedup _),
+    // INCREMENTAL media ingest (the q_delta_dedup discipline on the
+    // hash tables): batch band keys probe the stored index, existing
+    // vs existing never enumerated
+    "q_delta_image_neardup" -> (Multimodal.deltaImageNeardup _),
+    "q_delta_audio_neardup" -> (Multimodal.deltaAudioNeardup _),
+    // delta dedup DECISION: one row per new record → frozen stored
+    // rep (or elects one), class size after ingest
+    "q_delta_image_dedup" -> (Multimodal.deltaImageDedup _),
     "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
     // 16-frame energy fingerprint over the REAL RIFF decode — the
@@ -411,6 +419,10 @@ object SparkEntry {
     // chunked long-clip fingerprints: one row per (clip, chunk), each
     // chunk against its own mean — lifts the 2^24-sample clip bound
     "q_audio_fingerprint_chunks" -> (Multimodal.audioFingerprintChunks _),
+    // chunk-level acoustic near-dup: df-capped posting join on chunk
+    // fingerprints, verified by offset-consistent aligned-run counting
+    // — partial-overlap detection whole-clip keys cannot see
+    "q_audio_chunk_neardup" -> (Multimodal.audioChunkNeardup _),
     // stub-decoded plumbing (formats with no JVM codec):
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
@@ -819,6 +831,69 @@ object SparkEntry {
   }
 
   private val audioFpWideCteSql: String = audioFpWideCte("")
+
+  /** The per-chunk fingerprint replay — chunk = i // chunkSamples,
+    * frame index and the cross-multiplied mean compare both within-
+    * CHUNK (nc, the short tail chunk's own length — never the
+    * clip's). Shared by q_audio_fingerprint_chunks and the chunk-
+    * level near-dup so the key derivation can never fork.
+    */
+  private val audioChunksSql: String = {
+    val cs = graft.operators.Multimodal.AudioChunkSamples
+    val envF = graft.operators.Multimodal.AudioFpFrames
+    s"""WITH base AS (SELECT doc_id, (1000 + doc_id % 500) AS n FROM documents),
+       |samples AS (SELECT doc_id, i,
+       |    abs(((doc_id*13 + i*17) % 16384 - 8192)
+       |        * (1 + (doc_id + (i*$envF) // n) % 4)) AS a,
+       |    i // $cs AS chunk, i % $cs AS j,
+       |    least($cs, n - (i // $cs)*$cs) AS nc
+       |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+       |    FROM base)),
+       |frames AS (SELECT doc_id, chunk, nc, (j*$envF) // nc AS f,
+       |    sum(a) AS fs, count(*) AS nf
+       |  FROM samples GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT doc_id, chunk, sum(a) AS total
+       |  FROM samples GROUP BY 1, 2)
+       |SELECT f.doc_id, CAST(f.chunk AS BIGINT) AS chunk,
+       |  CAST(f.nc AS BIGINT) AS n_samples,
+       |  CAST(sum(CASE WHEN fs * nc > total * nf
+       |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
+       |FROM frames f JOIN tot t ON f.doc_id = t.doc_id AND f.chunk = t.chunk
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Acoustic near-dup pairs: 4×16-bit banding + popcount verify over
+    * the wide fingerprint — the imageNeardupSql shape on the audio
+    * key. Shared by q_audio_neardup and its delta (incremental) twin.
+    */
+  private val audioNeardupSql: String =
+    s"""WITH $audioFpWideCteSql,
+       |bands AS (SELECT doc_id, b,
+       |    CASE WHEN b < 2 THEN (afp_lo >> (b*16)) & 65535
+       |         ELSE (afp_hi >> ((b-2)*16)) & 65535 END AS bv
+       |  FROM afw, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, dist FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(bit_count(xor(x.afp_hi, y.afp_hi)) + bit_count(xor(x.afp_lo, y.afp_lo)) AS BIGINT) AS dist
+       |  FROM cand JOIN afw x ON x.doc_id = id_a JOIN afw y ON y.doc_id = id_b)
+       |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The delta restriction — the full pair list filtered to pairs
+    * touching the mod-10 ingest batch and type-tagged: the incremental
+    * probe must find exactly these (incremental joins change WORK,
+    * never results — the q_delta_dedup oracle shape).
+    */
+  private def deltaPairsSql(fullPairsSql: String): String =
+    s"""WITH pairs AS (SELECT * FROM ($fullPairsSql))
+       |SELECT id_a, id_b, dist,
+       |  CASE WHEN id_a % 10 >= 8 AND id_b % 10 >= 8 THEN 'new_new'
+       |       ELSE 'new_existing' END AS pair_type
+       |FROM pairs
+       |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact visual dedup's twin: min-doc representative + class size
     * per exact aHash class, one row per image.
@@ -3034,6 +3109,26 @@ object SparkEntry {
          |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
          |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
     "q_image_dedup" -> imageDedupSql,
+    // incremental ingest: the full-batch pair lists restricted to the
+    // mod-10 batch side — the delta probe must match them exactly
+    "q_delta_image_neardup" -> deltaPairsSql(imageNeardupSql),
+    "q_delta_audio_neardup" -> deltaPairsSql(audioNeardupSql),
+    // frozen-rep delta dedup decision: existing classes keep their
+    // stored (base-min) representative, new classes elect min batch
+    // doc; n_class counts the class AFTER ingest
+    "q_delta_image_dedup" ->
+      s"""WITH $ahashCtesSql,
+         |base AS (SELECT * FROM ahv WHERE doc_id % 10 < 8),
+         |batch AS (SELECT * FROM ahv WHERE doc_id % 10 >= 8),
+         |breps AS (SELECT ahash_hi, ahash_lo, min(doc_id) AS base_rep,
+         |    count(*) AS base_n FROM base GROUP BY 1, 2),
+         |bcls AS (SELECT ahash_hi, ahash_lo, min(doc_id) AS batch_min,
+         |    count(*) AS batch_n FROM batch GROUP BY 1, 2)
+         |SELECT b.doc_id, coalesce(base_rep, batch_min) AS rep_id,
+         |  CAST(coalesce(base_n, 0) + batch_n AS BIGINT) AS n_class
+         |FROM batch b JOIN bcls USING (ahash_hi, ahash_lo)
+         |LEFT JOIN breps USING (ahash_hi, ahash_lo)
+         |ORDER BY doc_id""".stripMargin,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
     "q_image_resize" ->
@@ -3090,47 +3185,39 @@ object SparkEntry {
 
     // acoustic near-dup: 4×16-bit banding + popcount verify over the
     // wide fingerprint — the imageNeardupSql shape on the audio key
-    "q_audio_neardup" ->
-      s"""WITH $audioFpWideCteSql,
-         |bands AS (SELECT doc_id, b,
-         |    CASE WHEN b < 2 THEN (afp_lo >> (b*16)) & 65535
-         |         ELSE (afp_hi >> ((b-2)*16)) & 65535 END AS bv
-         |  FROM afw, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
-         |SELECT id_a, id_b, dist FROM (
-         |  SELECT id_a, id_b,
-         |    CAST(bit_count(xor(x.afp_hi, y.afp_hi)) + bit_count(xor(x.afp_lo, y.afp_lo)) AS BIGINT) AS dist
-         |  FROM cand JOIN afw x ON x.doc_id = id_a JOIN afw y ON y.doc_id = id_b)
-         |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_audio_neardup" -> audioNeardupSql,
 
     // chunked fingerprints: chunk = i // 512, frame index and the
     // cross-multiplied mean compare both within-CHUNK (nc, the short
     // tail chunk's own length — never the clip's)
-    "q_audio_fingerprint_chunks" -> {
-      val cs = graft.operators.Multimodal.AudioChunkSamples
-      val envF = graft.operators.Multimodal.AudioFpFrames
-      s"""WITH base AS (SELECT doc_id, (1000 + doc_id % 500) AS n FROM documents),
-         |samples AS (SELECT doc_id, i,
-         |    abs(((doc_id*13 + i*17) % 16384 - 8192)
-         |        * (1 + (doc_id + (i*$envF) // n) % 4)) AS a,
-         |    i // $cs AS chunk, i % $cs AS j,
-         |    least($cs, n - (i // $cs)*$cs) AS nc
-         |  FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
-         |    FROM base)),
-         |frames AS (SELECT doc_id, chunk, nc, (j*$envF) // nc AS f,
-         |    sum(a) AS fs, count(*) AS nf
-         |  FROM samples GROUP BY 1, 2, 3, 4),
-         |tot AS (SELECT doc_id, chunk, sum(a) AS total
-         |  FROM samples GROUP BY 1, 2)
-         |SELECT f.doc_id, CAST(f.chunk AS BIGINT) AS chunk,
-         |  CAST(f.nc AS BIGINT) AS n_samples,
-         |  CAST(sum(CASE WHEN fs * nc > total * nf
-         |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
-         |FROM frames f JOIN tot t ON f.doc_id = t.doc_id AND f.chunk = t.chunk
-         |GROUP BY 1, 2, 3
-         |ORDER BY 1, 2""".stripMargin
+    "q_audio_fingerprint_chunks" ->
+      s"""SELECT doc_id, chunk, n_samples, afp FROM ($audioChunksSql)
+         |ORDER BY doc_id, chunk""".stripMargin,
+
+    // chunk-level acoustic near-dup: df-capped exact-fingerprint
+    // posting join, per-pair best offset-consistent aligned run
+    "q_audio_chunk_neardup" -> {
+      val cap = graft.operators.Multimodal.AudioChunkMaxDf
+      val minA = graft.operators.Multimodal.AudioChunkMinAligned
+      s"""WITH ch AS (SELECT * FROM ($audioChunksSql)),
+         |dfc AS (SELECT afp FROM (
+         |    SELECT afp, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |  WHERE df <= $cap),
+         |posts AS (SELECT afp, doc_id, chunk FROM ch
+         |  WHERE afp IN (SELECT afp FROM dfc)),
+         |cnt AS (SELECT id_a, id_b, offs, count(*) AS n FROM (
+         |    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |      c.chunk - a.chunk AS offs
+         |    FROM posts a JOIN posts c
+         |      ON a.afp = c.afp AND a.doc_id < c.doc_id)
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT id_a, id_b, max(n) AS n_aligned FROM cnt
+         |  GROUP BY 1, 2 HAVING max(n) >= $minA)
+         |SELECT id_a, id_b, min(offs) AS "offset", n_aligned
+         |FROM cnt JOIN best USING (id_a, id_b)
+         |WHERE n = n_aligned
+         |GROUP BY id_a, id_b, n_aligned
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_media_features" ->

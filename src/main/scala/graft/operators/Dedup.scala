@@ -642,8 +642,9 @@ object Dedup {
         System.err.println(f"[cc] round $rounds: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // A correctness-critical cap must fail loudly: silent exit would
-    // return WRONG cluster labels. 20 rounds of neighbor-min + double
-    // path halving cover astronomically long chains (> 2^20 hops).
+    // return WRONG cluster labels. 64 rounds cover the diameter-bound
+    // min-label regime (cycle-of-cliques graphs measured ~25+ rounds;
+    // see the MaxRounds rationale above) with wide margin.
     require(changed == 0,
       s"duplicateClusters: not converged after $rounds rounds ($changed labels still moving)")
     labels
@@ -1788,15 +1789,22 @@ object Dedup {
     * re-shards once before training; this operator is the layout for
     * everything between ingests.
     *
-    * LAYOUT-IDENTITY GUARD, two layers: the offsets collection
+    * LAYOUT-IDENTITY GUARD, three layers: the offsets collection
     * (≤ nShards rows — bounded model state, the kCenter discipline)
     * deterministically rejects shard ids outside 0..nShards−1 (a base
-    * built with a LARGER count), and a 1024-row spot-check re-derives
-    * the mod rule on sampled base rows — a base built with a SMALLER
-    * count (or another salt) passes the range check but disagrees
-    * with the rule on ~half the sampled rows, so the probabilistic
-    * miss chance is ~2^-1024. Without these, every new row would be
-    * silently placed into shards the old rule never produced.
+    * built with a LARGER count); a 1024-row HASH-SPREAD spot-check
+    * (TakeOrdered by an independent mix31 salt, so the sample draws
+    * uniformly across the base rather than from whichever partitions
+    * answer first) re-derives the mod rule on sampled base rows — a
+    * base built with a SMALLER count (or another salt) passes the
+    * range check but disagrees with the rule on ~half the sampled
+    * rows, so the probabilistic miss chance is ~2^-1024; and a
+    * batch-side sample is probed against the base for RE-INGESTED
+    * doc_ids (which would silently receive a second (shard, pos)).
+    * PRECONDITION the guards only spot-check: base and newDocs
+    * doc_ids are disjoint — exact enforcement is the caller's (an
+    * anti-join against the stored assignment table), since a full
+    * check costs the base-wide shuffle this stage exists to avoid.
     */
   private[graft] def deltaShardAppend(base: DataFrame, newDocs: DataFrame,
       nShards: Int = NumShards): DataFrame = {
@@ -1808,7 +1816,15 @@ object Dedup {
       offRows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < nShards),
       s"base layout holds shard ids outside 0..${nShards - 1} — it was " +
         s"built with a larger shard count; re-shard or pass its nShards")
-    val ruleMismatch = base.select(col("doc_id"), col("shard")).limit(1024)
+    // hash-SPREAD sample (top-1024 by an independent mix31 salt, a
+    // TakeOrdered scan — never head-partition rows: a base COMPOSED of
+    // two layouts built under different rules could present only
+    // matching rows to a whichever-partitions-answer-first sample,
+    // while a hash order draws uniformly across the whole base and
+    // keeps the ~2^-1024 miss analysis honest)
+    val ruleMismatch = base.select(col("doc_id"), col("shard"))
+      .orderBy(Similarity.mix31(col("doc_id"), ShardSalt + 1))
+      .limit(1024)
       .filter(pmod(Similarity.mix31(col("doc_id"), ShardSalt),
         lit(nShards.toLong)) =!= col("shard"))
       .limit(1).count()
@@ -1816,6 +1832,24 @@ object Dedup {
       s"base rows disagree with the mix31 % $nShards layout rule — the " +
         s"base was built with a different shard count or salt; appending " +
         s"under this rule would mis-place the batch")
+    // doc_id-DISJOINTNESS spot-check, same sampling discipline: a
+    // re-ingested id would silently receive a SECOND (shard, pos),
+    // breaking the positions-partition-each-shard contract. Sampling
+    // the BATCH side catches the common failure (yesterday's batch
+    // replayed wholesale) with probability 1; partial overlaps
+    // proportionally. Full disjointness remains the caller's
+    // precondition (an exact anti-join would cost a base-wide
+    // shuffle this metadata-grade stage deliberately avoids).
+    val batchSample = newDocs.select(col("doc_id"))
+      .orderBy(Similarity.mix31(col("doc_id"), ShardSalt + 1))
+      .limit(1024)
+    val reIngested = base.select(col("doc_id"))
+      .join(broadcast(batchSample), Seq("doc_id"), "left_semi")
+      .limit(1).count()
+    require(reIngested == 0L,
+      "new batch re-ingests doc_ids already present in the base layout " +
+        "— each would get a second (shard, pos); dedup the batch against " +
+        "the stored assignment table first")
     val offsets = offRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
       .toDF("shard", "base_n")
     val w = Window.partitionBy(col("shard"))

@@ -600,74 +600,122 @@ object Multimodal {
     * volume ([[routeWide]]) like graphKnnAuto routes ANN builds.
     */
   private[graft] def neardupFromHashes(ah: DataFrame): DataFrame =
-    expandHashPairs(ah, verifiedHashPairs(
-      bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct()),
-      "b", "bv"))
+    neardupFromHashesAt(ah, ImageNeardupMaxDist, 4, 1)
 
   /** The 4×16-bit band table over a DISTINCT hash frame — shared by
     * the 4-band tier and [[routeWide]]'s candidate estimator, so the
-    * router prices exactly the join the tier would run.
+    * router prices exactly the join the tier would run. An instance
+    * of the generic [[bandsOf]] split (4 blocks, subsets of 1) with
+    * the historical column names kept for its other consumer
+    * ([[imageDupClustersOn]]).
     */
-  private def bands4(hashes: DataFrame): DataFrame =
-    hashes.select(col("ahash_hi"), col("ahash_lo"),
-        explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("bv", expr(
-        "CASE WHEN b < 2 THEN (ahash_lo >> (b*16)) & 65535 " +
-          "ELSE (ahash_hi >> ((b-2)*16)) & 65535 END"))
+  private[graft] def bands4(hashes: DataFrame): DataFrame =
+    bandsOf(hashes, 64, 4, 1)
+      .select(col("ahash_hi"), col("ahash_lo"),
+        col("cb").as("b"), col("kv").as("bv"))
 
-  /** 6-block split for the wide banding: bits [off, off+len) of the
-    * 64-bit value (hi << 32 | lo), len = 11,11,11,11,10,10. Any 3 bit
-    * flips touch at most 3 blocks, so at least 3 of the 6 survive —
-    * and every 3-subset of blocks is one of the C(6,3) = 20 join
-    * tables below, so complete recall at Hamming ≤ [[ImageNeardupMaxDist]]
-    * holds exactly as it does for the 4-band split (pigeonhole, one
-    * level deeper).
+  /** Balanced block lengths: `width` bits into `blocks` blocks, the
+    * remainder spread one bit at a time over the leading blocks — for
+    * (64, 6) this is 11,11,11,11,10,10, the round-17 wide split.
     */
-  private val WideBlockLens = Seq(11, 11, 11, 11, 10, 10)
+  private def blockLens(width: Int, blocks: Int): Seq[Int] = {
+    val base = width / blocks
+    val rem = width % blocks
+    (0 until blocks).map(j => if (j < rem) base + 1 else base)
+  }
 
-  /** Manku et al.'s multi-table widening (WWW'07 §3) of
-    * [[neardupFromHashes]] for DIVERSE-hash corpora: instead of 4
-    * 16-bit bands (bucket key space 2^16), join on every C(6,3) = 20
-    * combination of three ~11-bit blocks — bucket keys are ~2^32.5, so
-    * expected candidates fall from ~4·d²/2^17 to ~20·d²/2^34 (~2^17×
-    * fewer at equal d) at the cost of a 5× wider band table (20·d vs
-    * 4·d rows). Below the crossover the 4-band form wins on constant
-    * factors; past it this one stays flat where 4-band goes quadratic
-    * (both probed — ScalingProbe `image_neardup_div` /
-    * `image_neardup_div_wide`, BASELINE.md round 17). Identical
-    * output contract: candidates are popcount-verified and expanded
-    * through the same [[expandHashPairs]], so the two paths are
-    * value-identical and share the DuckDB oracle.
+  /** GENERIC multi-table band projection (Manku et al., WWW'07 §3,
+    * parameterized): the `width`-bit key (hi << 32 | lo) splits into
+    * `blocks` balanced blocks, and every `subset`-sized block
+    * combination becomes one join table — C(blocks, subset) tables,
+    * combo values packed into one ≤62-bit key at a uniform radix.
+    * Recall: r bit flips touch at most r blocks, so whenever
+    * blocks − subset ≥ r some subset of untouched blocks survives
+    * intact and the pair collides on that table — complete recall at
+    * Hamming ≤ blocks − subset by pigeonhole. Bucket keyspace grows
+    * with subset · blockLen bits, trading band-table width
+    * (C(blocks, subset) rows per hash) against candidate volume —
+    * the (4,1) and (6,3) instances below are the two measured tiers;
+    * other radii ([[neardupFromHashesAt]]) reuse this engine.
     */
-  private[graft] def neardupFromHashesWide(ah: DataFrame): DataFrame = {
-    val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
-    val offs = WideBlockLens.scanLeft(0)(_ + _).init
+  private[graft] def bandsOf(hashes: DataFrame, width: Int, blocks: Int,
+      subset: Int): DataFrame = {
+    require(width > 0 && width <= 64, s"key width must be 1..64, got $width")
+    require(subset >= 1 && subset < blocks && blocks <= width,
+      s"need 1 <= subset < blocks <= width, got blocks=$blocks subset=$subset")
+    val lens = blockLens(width, blocks)
+    val offs = lens.scanLeft(0)(_ + _).init
+    val radix = 1L << lens.max
+    require(subset * lens.max <= 62,
+      s"packed combo key overflows a long: $subset blocks × ${lens.max} bits")
     // block j of the reassembled 64-bit value; arithmetic shiftright is
     // safe (off + len <= 64, the mask cuts any sign-fill)
     def blk(j: Int): Column = expr(
       s"shiftright(shiftleft(ahash_hi, 32) | ahash_lo, ${offs(j)}) " +
-        s"& ${(1 << WideBlockLens(j)) - 1}")
-    // pack each 3-block combo into one <= 33-bit key, radix 2^11
-    val keys = (0 until 6).combinations(3).toSeq.zipWithIndex.map {
-      case (c, i) => struct(lit(i).as("cb"),
-        (blk(c(0)) + blk(c(1)) * lit(2048L) +
-          blk(c(2)) * lit(2048L * 2048L)).as("kv"))
+        s"& ${(1L << lens(j)) - 1}")
+    val pows = Seq.iterate(1L, subset)(_ * radix)
+    val keys = (0 until blocks).combinations(subset).toSeq.zipWithIndex.map {
+      case (c, i) =>
+        val kv = c.zipWithIndex.map { case (j, k) =>
+          blk(j) * lit(pows(k))
+        }.reduce(_ + _)
+        struct(lit(i).as("cb"), kv.as("kv"))
     }
-    val bands = hashes.select(col("ahash_hi"), col("ahash_lo"),
+    hashes.select(col("ahash_hi"), col("ahash_lo"),
         explode(array(keys: _*)).as("bk"))
       .select(col("ahash_hi"), col("ahash_lo"),
         col("bk.cb").as("cb"), col("bk.kv").as("kv"))
-    expandHashPairs(ah, verifiedHashPairs(bands, "cb", "kv"))
+  }
+
+  /** Manku et al.'s multi-table widening of [[neardupFromHashes]] for
+    * DIVERSE-hash corpora — the (blocks=6, subset=3) instance of the
+    * generic engine: instead of 4 16-bit bands (bucket key space
+    * 2^16), join on every C(6,3) = 20 combination of three ~11-bit
+    * blocks — bucket keys are ~2^32.5, so expected candidates fall
+    * from ~4·d²/2^17 to ~20·d²/2^34 (~2^17× fewer at equal d) at the
+    * cost of a 5× wider band table (20·d vs 4·d rows). Below the
+    * crossover the 4-band form wins on constant factors; past it this
+    * one stays flat where 4-band goes quadratic (both probed —
+    * ScalingProbe `image_neardup_div` / `image_neardup_div_wide`,
+    * BASELINE.md round 17). Identical output contract: candidates are
+    * popcount-verified and expanded through the same
+    * [[expandHashPairs]], so the two paths are value-identical and
+    * share the DuckDB oracle.
+    */
+  private[graft] def neardupFromHashesWide(ah: DataFrame): DataFrame =
+    neardupFromHashesAt(ah, ImageNeardupMaxDist, 6, 3)
+
+  /** The RADIUS-PARAMETERIZED banding engine: verified near-dup doc
+    * pairs at Hamming ≤ `maxDist` over a 64-bit (hi, lo) key, banded
+    * on C(blocks, subset) combo tables. Complete recall requires
+    * blocks − subset ≥ maxDist (pigeonhole — enforced loudly); the
+    * verify popcount then makes the output EXACT at any admissible
+    * (blocks, subset), so wider keys or radii beyond 3 (embedding
+    * sign-hashes, SemDeDup-style 128-bit keys split across two calls)
+    * reuse this engine instead of growing a third hand-rolled tier.
+    * [[neardupFromHashes]] (4,1) and [[neardupFromHashesWide]] (6,3)
+    * are the two measured instances.
+    */
+  private[graft] def neardupFromHashesAt(ah: DataFrame, maxDist: Int,
+      blocks: Int, subset: Int): DataFrame = {
+    require(blocks - subset >= maxDist,
+      s"recall hole: $blocks blocks joined on $subset-subsets only " +
+        s"guarantees Hamming <= ${blocks - subset}, need $maxDist")
+    expandHashPairs(ah,
+      verifiedHashPairs(
+        bandsOf(ah.select(col("ahash_hi"), col("ahash_lo")).distinct(),
+          64, blocks, subset),
+        "cb", "kv", maxDist))
   }
 
   /** Candidate DISTINCT-hash pairs from a band table: equi-join on
     * (band id, band key) in canonical (hi, lo) lexicographic order,
-    * de-duped across colliding bands, popcount-verified to
-    * [[ImageNeardupMaxDist]] — the shared verify half of both banding
-    * tiers.
+    * de-duped across colliding bands, popcount-verified to `maxDist`
+    * (default [[ImageNeardupMaxDist]]) — the shared verify half of
+    * every banding tier.
     */
   private def verifiedHashPairs(bands: DataFrame, bandId: String,
-      bandKey: String): DataFrame = {
+      bandKey: String, maxDist: Int = ImageNeardupMaxDist): DataFrame = {
     bands.as("a")
       .join(bands.as("c"),
         col(s"a.$bandId") === col(s"c.$bandId") &&
@@ -680,7 +728,7 @@ object Multimodal {
       .distinct()
       .withColumn("dist", expr(
         "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
-      .filter(col("dist") <= ImageNeardupMaxDist)
+      .filter(col("dist") <= maxDist)
   }
 
   /** The shared expansion half: verified distinct-hash pairs back to
@@ -707,6 +755,162 @@ object Multimodal {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0L).as("dist"))
     cross.unionByName(within).orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** INCREMENTAL (delta) banded near-dup — [[graft.operators.Dedup.deltaDedupOn]]'s
+    * band-index-probe discipline applied to the media hash tables, the
+    * daily-ingest shape for images and audio: a new batch lands next
+    * to an already-ingested corpus and the question is which NEW
+    * records near-duplicate anything already present (or each other).
+    * Existing-vs-existing pairs are NEVER enumerated — that work was
+    * paid at prior ingests — and the stored base is consumed two ways
+    * only: its (3-long narrow) hash columns feed the band INDEX the
+    * batch probes (at 100 TB the index is a stored table written at
+    * prior ingests; here it is one map-only band projection — the
+    * base is never joined against itself), and its per-hash doc lists
+    * feed the expansion of pairs a batch hash verified against.
+    *
+    * Join work therefore scales with |batch| × bucket occupancy plus
+    * the true output (a new doc that near-dups a billion-copy stored
+    * class owes a billion `new_existing` rows — output-bound by the
+    * pair CONTRACT; the delta DECISION below is what production runs).
+    * Candidates probe the 4-band index; the popcount verify and the
+    * Hamming ≤ [[ImageNeardupMaxDist]] radius are identical to the
+    * full-batch tiers, so delta output == [[neardupFromHashes]] on
+    * base ∪ batch restricted to pairs touching the batch (spec-pinned).
+    *
+    * PRECONDITION (the [[graft.operators.Dedup.deltaShardAppend]]
+    * discipline): base and batch doc_ids are disjoint — a re-ingested
+    * id would pair with itself through its own stored hash.
+    */
+  private[graft] def deltaNeardupFromHashes(base: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val batchHashes = batch.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val allHashes = base.select(col("ahash_hi"), col("ahash_lo"))
+      .unionByName(batch.select(col("ahash_hi"), col("ahash_lo")))
+      .distinct()
+    // probe (batch-sized) vs index (the stored band table at scale):
+    // the ONLY candidate join — base bands never meet base bands
+    val probe = bands4(batchHashes)
+    val index = bands4(allHashes)
+    // canonical (hi, lo) lexicographic order — hashes are unsigned
+    // 32-bit halves in longs, so the signed compare is the unsigned one
+    val aFirst = col("a.ahash_hi") < col("c.ahash_hi") ||
+      (col("a.ahash_hi") === col("c.ahash_hi") &&
+        col("a.ahash_lo") < col("c.ahash_lo"))
+    val hashPairs = probe.as("a")
+      .join(index.as("c"),
+        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+          (col("a.ahash_hi") =!= col("c.ahash_hi") ||
+            col("a.ahash_lo") =!= col("c.ahash_lo")))
+      .select(
+        when(aFirst, col("a.ahash_hi")).otherwise(col("c.ahash_hi")).as("hi_a"),
+        when(aFirst, col("a.ahash_lo")).otherwise(col("c.ahash_lo")).as("lo_a"),
+        when(aFirst, col("c.ahash_hi")).otherwise(col("a.ahash_hi")).as("hi_b"),
+        when(aFirst, col("c.ahash_lo")).otherwise(col("a.ahash_lo")).as("lo_b"))
+      .distinct()
+      .withColumn("dist", expr(
+        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+      .filter(col("dist") <= ImageNeardupMaxDist)
+    // expansion DECOMPOSED so base docs never meet base docs: a
+    // verified hash pair admits (batch docs of side A × all docs of
+    // side B) plus (base docs of side A × batch docs of side B) —
+    // together exactly the pairs touching the batch, each once
+    def docsOf(src: DataFrame, side: String, d: String): DataFrame =
+      src.select(col("ahash_hi").as(s"hi_$side"),
+        col("ahash_lo").as(s"lo_$side"), col("doc_id").as(d))
+    val allTagged = base.withColumn("is_new", lit(false))
+      .unionByName(batch.withColumn("is_new", lit(true)))
+    val crossA = hashPairs
+      .join(docsOf(batch, "a", "da"), Seq("hi_a", "lo_a"))
+      .join(allTagged.select(col("ahash_hi").as("hi_b"),
+          col("ahash_lo").as("lo_b"), col("doc_id").as("db"),
+          col("is_new").as("other_new")),
+        Seq("hi_b", "lo_b"))
+      .select(col("da"), col("db"), col("dist"), col("other_new"))
+    val crossB = hashPairs
+      .join(docsOf(base, "a", "da"), Seq("hi_a", "lo_a"))
+      .join(docsOf(batch, "b", "db"), Seq("hi_b", "lo_b"))
+      .select(col("da"), col("db"), col("dist"),
+        lit(false).as("other_new"))
+    // within-class (dist 0) pairs touching the batch: batch × base of
+    // the same hash, plus batch × batch — never base × base
+    val withinNE = batch.as("x")
+      .join(base.as("y"), Seq("ahash_hi", "ahash_lo"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(0L).as("dist"), lit(false).as("other_new"))
+    val withinNN = batch.as("x")
+      .join(batch.as("y"),
+        col("x.ahash_hi") === col("y.ahash_hi") &&
+          col("x.ahash_lo") === col("y.ahash_lo") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(0L).as("dist"), lit(true).as("other_new"))
+    crossA.unionByName(crossB).unionByName(withinNE).unionByName(withinNN)
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("dist"),
+        when(col("other_new"), "new_new").otherwise("new_existing")
+          .as("pair_type"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Graded delta visual near-dup: the corpus hash table split by
+    * doc_id mod 10 (< 8 = the already-ingested base, ≥ 8 = the new
+    * batch — id-derived so the DuckDB oracle replays the split
+    * closed-form; [[graft.operators.Dedup.deltaShardAssign]]'s
+    * convention). ONE materialized decode pass serves both sides.
+    */
+  def deltaImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ah = ahashTable(spark, dir)
+    deltaNeardupFromHashes(
+      ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** Graded delta acoustic near-dup — the same delta engine on the
+    * wide audio fingerprint (renamed columns), proving the
+    * one-engine-two-modalities discipline extends to incremental
+    * ingest: a banding/delta fix in either modality serves both.
+    */
+  def deltaAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = audioFpWideTable(spark, dir)
+      .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo"))
+    deltaNeardupFromHashes(
+      fp.filter(col("doc_id") % 10 < 8), fp.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** INCREMENTAL exact dedup DECISION — the delta form of
+    * [[imageDedup]], the linear-output operator a daily media ingest
+    * actually runs: one row per NEW record, mapping it to its class
+    * representative. FROZEN-REP semantics: a hash class already
+    * present in the base keeps its STORED representative even when a
+    * new doc_id is smaller (history is never rewritten — the stored
+    * rep table and every downstream keep-decision stay valid); a hash
+    * new to the corpus elects min batch doc_id. n_class is the class
+    * size AFTER ingest (base + batch members). The base is consumed
+    * by ONE narrow groupBy (at scale: the stored rep table read
+    * directly) and never joins the batch at doc granularity.
+    */
+  private[graft] def deltaImageDedupOn(base: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val baseReps = base.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("base_rep"), count(lit(1)).as("base_n"))
+    val batchCls = batch.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("batch_min"), count(lit(1)).as("batch_n"))
+    batch.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
+      .join(batchCls, Seq("ahash_hi", "ahash_lo"))
+      .join(baseReps, Seq("ahash_hi", "ahash_lo"), "left")
+      .select(col("doc_id"),
+        coalesce(col("base_rep"), col("batch_min")).as("rep_id"),
+        (coalesce(col("base_n"), lit(0L)) + col("batch_n")).as("n_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Graded delta visual dedup on the mod-10 ingest split. */
+  def deltaImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ah = ahashTable(spark, dir)
+    deltaImageDedupOn(
+      ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
   }
 
   /** Visual near-duplicate CLUSTERS — the text family's pointer-
@@ -749,6 +953,42 @@ object Multimodal {
     */
   val DriverCcMaxPairs = 1L << 20
 
+  /** The in-driver component labeler behind the [[DriverCcMaxPairs]]
+    * gate: union-find with min-linking over the collected hash-pair
+    * edges, returning (node, min-id-in-component) — the exact label
+    * convention of the distributed pointer-jumping loop. ITERATIVE
+    * find with path compression: min-linking (no rank) can chain the
+    * forest O(n) deep, and a recursive find would blow the JVM stack
+    * near the 2^20-pair gate — walk to the root, then compress the
+    * walked path in a second pass. Exposed for the spec, which drives
+    * a worst-case million-hop parent chain through it directly (a
+    * fixture the BANDED path can't produce cheaply: dense gray-code
+    * hash sets explode the band buckets long before the chain gets
+    * interesting).
+    */
+  private[graft] def driverUnionFind(
+      pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val reps = nodes.map(n => n -> find(n)).toMap
+    val minRep = reps.groupBy(_._2).map { case (r, ms) =>
+      r -> ms.keys.min }
+    nodes.map(n => (n, minRep(reps(n)))).toSeq
+  }
+
   /** `driverGate` exists for the spec only (force the distributed arm
     * on a fixture the gate would route to the driver). */
   private[graft] def imageDupClustersOn(ah: DataFrame,
@@ -764,34 +1004,12 @@ object Multimodal {
         expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
       .localCheckpoint() // counted then consumed — never re-banded
     val labels =
-      if (hashPairs.count() <= driverGate) {
+      if (hashPairs.count() <= driverGate)
         // bounded model state: union-find in the driver, same
         // deterministic min-id representative as the distributed loop
-        val pairs = hashPairs.as[(Long, Long)].collect()
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        // ITERATIVE find with path compression: min-linking (no rank)
-        // can chain the forest O(n) deep, and a recursive find would
-        // blow the JVM stack near the 2^20-pair gate — walk to the
-        // root, then compress the walked path in a second pass
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val next = parent(c); parent(c) = r; c = next
-          }
-          r
-        }
-        pairs.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-        val reps = nodes.map(n => n -> find(n)).toMap
-        val minRep = reps.groupBy(_._2).map { case (r, ms) =>
-          r -> ms.keys.min }
-        nodes.map(n => (n, minRep(reps(n)))).toSeq.toDF("id", "lbl")
-      } else graft.operators.Dedup.clusterLabels(hashPairs)
+        driverUnionFind(hashPairs.as[(Long, Long)].collect())
+          .toDF("id", "lbl")
+      else graft.operators.Dedup.clusterLabels(hashPairs)
     ah.select(col("doc_id"), packed.as("hid"))
       .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("hid")).as("comp"))
@@ -988,9 +1206,33 @@ object Multimodal {
     * proves chunk boundaries, the short tail chunk, and the per-chunk
     * bit math against DuckDB's closed-form replay.
     */
-  def audioFingerprintChunks(spark: SparkSession, dir: String): DataFrame = {
+  def audioFingerprintChunks(spark: SparkSession, dir: String): DataFrame =
+    audioChunkTable(spark, dir).orderBy(col("doc_id"), col("chunk"))
+
+  /** The unsorted (doc_id, chunk, n_samples, afp) per-chunk
+    * fingerprint table, MATERIALIZED once per (session, corpus) like
+    * [[ahashTable]]: the synth+decode is the dominant linear pass and
+    * both graded consumers ([[audioFingerprintChunks]],
+    * [[audioChunkNeardup]] — the latter on the df filter and both
+    * posting-join sides) plan over the narrow 4-long read-back.
+    */
+  private[operators] def audioChunkTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Scratch.corpusDir(spark, "audio_fp_chunks", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      audioChunkFpOf(spark, Tables.documents(spark, dir).select(col("doc_id")))
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("chunk"), col("n_samples"), col("afp"))
+  }
+
+  /** Decode + per-chunk fingerprint pipeline on an arbitrary doc_id
+    * frame — the shared body of [[audioChunkTable]].
+    */
+  private[graft] def audioChunkFpOf(spark: SparkSession,
+      ids: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
         RealCodecs.fingerprintWavChunks(wav, AudioChunkSamples).map {
@@ -998,7 +1240,80 @@ object Multimodal {
         }
       })
       .toDF("doc_id", "chunk", "n_samples", "afp")
-      .orderBy(col("doc_id"), col("chunk"))
+  }
+
+  /** Chunk-fingerprint document-frequency cap for
+    * [[audioChunkNeardup]] — the winnowing/MOSS posting discipline on
+    * the acoustic key: a chunk fingerprint held by more than this
+    * many clips is an acoustic STOP-WORD (silence, constant tones,
+    * codec padding) whose posting list would pair everything with
+    * everything; dropping it bounds per-fingerprint join fan-out to
+    * C(cap, 2) while genuinely copied segments (rare fingerprints)
+    * always survive.
+    */
+  val AudioChunkMaxDf = 64
+
+  /** Minimum aligned-run length (chunks at one offset) for a clip
+    * pair to surface: 1 shared chunk is coincidence-grade at a 16-bit
+    * key; ≥ 2 CONSECUTIVE-offset-consistent matches is the copied-
+    * segment signal.
+    */
+  val AudioChunkMinAligned = 2
+  private val AudioChunkMinAlignedL = AudioChunkMinAligned.toLong
+
+  /** CHUNK-LEVEL acoustic near-dup — partial-overlap detection for
+    * long clips, the audio analog of q_chunk_dedup's cross-document
+    * repeated-span insight: a 30-second segment copied into a
+    * 10-minute clip is invisible to every whole-clip key (the global
+    * fingerprint averages it away) but its chunks fingerprint
+    * IDENTICALLY wherever they land. Blocks on exact per-chunk
+    * fingerprints ([[audioChunkTable]]), prunes acoustic stop-chunks
+    * by document frequency ([[AudioChunkMaxDf]]), then verifies by
+    * OFFSET-CONSISTENT match counting: for each clip pair, the best
+    * chunk-index offset and how many chunks agree at it —
+    * `n_aligned` ≥ [[AudioChunkMinAligned]] surfaces the pair, the
+    * [[graft.operators.Dedup]] winnow-pairs contract shape. Detection
+    * is chunk-boundary-aligned by construction (an unaligned copy
+    * shifts every chunk's sample window); production layers an
+    * overlapping-window chunker on the same join, which only changes
+    * the flatMap, never this consumer.
+    *
+    * Scale shape: only (doc_id, chunk, afp) longs shuffle; the
+    * posting self-join is df-capped so fan-out per fingerprint is
+    * bounded; the count/argmin stages are groupBy-not-window with
+    * map-side partials.
+    */
+  def audioChunkNeardup(spark: SparkSession, dir: String): DataFrame =
+    audioChunkNeardupOn(audioChunkTable(spark, dir))
+
+  private[graft] def audioChunkNeardupOn(ch: DataFrame): DataFrame = {
+    val dfc = ch.groupBy(col("afp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= AudioChunkMaxDf)
+      .select(col("afp"))
+    val posts = ch.join(dfc, Seq("afp"))
+      .select(col("afp"), col("doc_id"), col("chunk"))
+    val cnt = posts.as("a")
+      .join(posts.as("c"),
+        col("a.afp") === col("c.afp") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"),
+        (col("c.chunk") - col("a.chunk")).as("offset"))
+      .groupBy(col("id_a"), col("id_b"), col("offset"))
+      .agg(count(lit(1)).as("n"))
+      // consumed by BOTH the best-count aggregation and the argmin
+      // join below — pin it or the posting self-join runs twice
+      .localCheckpoint()
+    val best = cnt.groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("n")).as("n_aligned"))
+      .filter(col("n_aligned") >= AudioChunkMinAlignedL)
+    // deterministic presentation: min offset among those achieving the
+    // best aligned count (ties possible when two runs tie in length)
+    cnt.join(best, Seq("id_a", "id_b"))
+      .filter(col("n") === col("n_aligned"))
+      .groupBy(col("id_a"), col("id_b"), col("n_aligned"))
+      .agg(min(col("offset")).as("offset"))
+      .select(col("id_a"), col("id_b"), col("offset"), col("n_aligned"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Build the multimodal table from documents: text bytes stand in for

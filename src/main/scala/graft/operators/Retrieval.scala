@@ -369,26 +369,32 @@ object Retrieval {
     val tagged = postings.join(broadcast(slots), "tok")
       .select(col("query_id"), col("slot"), col("doc_id"), col("pos"))
     val maxLen = phrases.map(_._2.size).max
+    // each phrase's length rides the frontier as a broadcast-joined
+    // column, so per-round exit/continue tests are plain column
+    // predicates — NEVER driver-built `isin` literal lists, which at a
+    // 100k-phrase production batch would inflate every round's plan
+    // with 100k-literal predicates (the phraseBatchOn lens-table
+    // pattern applied to the loop state)
+    val lens = phrases.map { case (qid, terms) => (qid, terms.size.toLong) }
+      .toDF("query_id", "plen")
     var frontier = tagged.filter(col("slot") === 0L)
+      .join(broadcast(lens), "query_id")
       .select(col("query_id"), col("doc_id"),
-        col("pos").as("start"), col("pos").as("prev"))
+        col("pos").as("start"), col("pos").as("prev"), col("plen"))
     var done = frontier.filter(lit(false))
       .select(col("query_id"), col("doc_id"), col("start"))
     for (i <- 1 until maxLen) {
-      val finished = phrases.filter(_._2.size == i).map(_._1)
-      if (finished.nonEmpty)
-        done = done.unionByName(
-          frontier.filter(col("query_id").isin(finished: _*))
-            .select(col("query_id"), col("doc_id"), col("start")))
-      val continuing = phrases.filter(_._2.size > i).map(_._1)
-      frontier = frontier.filter(col("query_id").isin(continuing: _*))
+      done = done.unionByName(
+        frontier.filter(col("plen") === i.toLong)
+          .select(col("query_id"), col("doc_id"), col("start")))
+      frontier = frontier.filter(col("plen") > i.toLong)
         .join(tagged.filter(col("slot") === i.toLong)
             .select(col("query_id").as("q2"), col("doc_id").as("d2"),
               col("pos").as("p2")),
           col("query_id") === col("q2") && col("doc_id") === col("d2") &&
             col("p2") > col("prev") && col("p2") <= col("prev") + k)
         .select(col("query_id"), col("doc_id"), col("start"),
-          col("p2").as("prev"))
+          col("p2").as("prev"), col("plen"))
     }
     done.unionByName(
         frontier.select(col("query_id"), col("doc_id"), col("start")))

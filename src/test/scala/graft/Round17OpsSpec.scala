@@ -165,22 +165,50 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(docLevel == want, "doc-level CC diverged from union-find reference")
   }
 
-  test("imageDupClusters driver arm: 100k-hash gray-code chain collapses to one component") {
+  test("imageDupClusters driver arm: spread gray-code chain collapses to one component") {
     // gray codes: consecutive codes differ in exactly ONE bit, so
-    // hashes g(0)..g(n-1) form a near-dup CHAIN at Hamming 1 — the
-    // worst shape for a rankless union-find (long parent chains; the
-    // recursive-find version of the driver arm would risk a stack
-    // overflow here) and a single component for the whole corpus
-    val n = 100000
+    // g(0)..g(n-1) chain into a single component at Hamming 1. The
+    // 10 code bits are SPREAD to positions 6 apart (a bit permutation
+    // — all pairwise distances preserved) so the band buckets stay
+    // populated evenly instead of piling every hash into the all-zero
+    // hi bands. driverGate = MaxValue FORCES the driver union-find
+    // arm, so this test's arm coverage is deterministic, not an
+    // accident of the pair count (dense gray codes have ~300 in-radius
+    // neighbors each — at the old 100k scale that was 37M pairs
+    // silently routed to the DISTRIBUTED arm; the driver-arm claim
+    // was vacuous and the banding bill enormous).
+    val n = 1024
     val chain = (0 until n).map { i =>
-      val g = (i ^ (i >> 1)).toLong
-      (i.toLong, g >>> 32, g & 0xffffffffL)
+      val g = i ^ (i >> 1)
+      val spread = (0 until 10).foldLeft(0L) { (acc, j) =>
+        acc | (((g >> j) & 1).toLong << (j * 6))
+      }
+      (i.toLong, spread >>> 32, spread & 0xffffffffL)
     }.toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
-    val got = graft.operators.Multimodal.imageDupClustersOn(chain)
+    val got = graft.operators.Multimodal
+      .imageDupClustersOn(chain, driverGate = Long.MaxValue)
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((0L, n.toLong)),
       s"gray-code chain did not collapse to one $n-member component: " +
         s"${got.take(3)}... (${got.size} rows)")
+  }
+
+  test("driverUnionFind: million-hop parent chain labels iteratively (stack regression)") {
+    // min-linking without rank degenerates to an O(n) parent chain
+    // when a path's edges arrive root-to-leaf: processing (i, i+1)
+    // DESCENDING makes every union link a fresh root (parent[i+1]=i)
+    // with no compression opportunity, so the first find() of the
+    // label pass walks the full 2^20-hop chain — a recursive find
+    // overflows the JVM stack here; the iterative walk+compress must
+    // not. This drives the union-find DIRECTLY: the banded path
+    // cannot produce a million-node pure chain without quadratic
+    // bucket blowup (see above), which is exactly why the old
+    // banding-level "deep chain" claim was vacuous.
+    val n = (1 << 20) + 3
+    val pairs = Array.tabulate(n - 1)(k => { val i = n - 2 - k; (i.toLong, i + 1L) })
+    val labels = graft.operators.Multimodal.driverUnionFind(pairs)
+    assert(labels.size == n && labels.forall(_._2 == 0L),
+      "deep-chain labels wrong — union-find broke on a 2^20-hop chain")
   }
 
   test("corpus CC label table: materialized read-back == recompute (value identity)") {
