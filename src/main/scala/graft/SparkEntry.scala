@@ -184,6 +184,10 @@ object SparkEntry {
     // fingerprint (both materialized once) → joint-key dedup decision
     // → deterministic shard layout of the survivors
     "q_pipeline_media"  -> (Pipeline.mediaPipeline _),
+    // the media cascade with the NEAR-dup decision folded in: routed
+    // banded pairs per modality → class-contracted CC → keep-rep →
+    // layout (the production daily shape; exact-key sibling above)
+    "q_pipeline_media_near" -> (Pipeline.mediaPipelineNear _),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
@@ -400,6 +404,7 @@ object SparkEntry {
     // delta dedup DECISION: one row per new record → frozen stored
     // rep (or elects one), class size after ingest
     "q_delta_image_dedup" -> (Multimodal.deltaImageDedup _),
+    "q_delta_audio_dedup" -> (Multimodal.deltaAudioDedup _),
     "q_image_resize"    -> (Multimodal.imageResize _),
     "q_audio_decode"    -> (Multimodal.audioDecode _),
     // 16-frame energy fingerprint over the REAL RIFF decode — the
@@ -3129,6 +3134,21 @@ object SparkEntry {
          |FROM batch b JOIN bcls USING (ahash_hi, ahash_lo)
          |LEFT JOIN breps USING (ahash_hi, ahash_lo)
          |ORDER BY doc_id""".stripMargin,
+    // the audio twin: the same frozen-rep decision on the wide
+    // fingerprint class key
+    "q_delta_audio_dedup" ->
+      s"""WITH $audioFpWideCteSql,
+         |base AS (SELECT * FROM afw WHERE doc_id % 10 < 8),
+         |batch AS (SELECT * FROM afw WHERE doc_id % 10 >= 8),
+         |breps AS (SELECT afp_hi, afp_lo, min(doc_id) AS base_rep,
+         |    count(*) AS base_n FROM base GROUP BY 1, 2),
+         |bcls AS (SELECT afp_hi, afp_lo, min(doc_id) AS batch_min,
+         |    count(*) AS batch_n FROM batch GROUP BY 1, 2)
+         |SELECT b.doc_id, coalesce(base_rep, batch_min) AS rep_id,
+         |  CAST(coalesce(base_n, 0) + batch_n AS BIGINT) AS n_class
+         |FROM batch b JOIN bcls USING (afp_hi, afp_lo)
+         |LEFT JOIN breps USING (afp_hi, afp_lo)
+         |ORDER BY doc_id""".stripMargin,
 
     // resize maps out(x,y) <- in(2x, 2y) for 32x16 -> 16x8
     "q_image_resize" ->
@@ -3667,5 +3687,56 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
          |    ORDER BY skey, doc_id) - 1 AS pos
          |FROM keyed ORDER BY shard, pos""".stripMargin,
+
+    // the near-dup-folded cascade: the same two decode chains, exact
+    // joint-key reps, then PER-MODALITY Hamming-ball pairs (brute
+    // force here — value-equal to the routed banding by completeness),
+    // class-contracted recursive closure, keep-rep, mix31 layout
+    "q_pipeline_media_near" -> {
+      val maxD = graft.operators.Multimodal.ImageNeardupMaxDist
+      s"""WITH RECURSIVE ${ahashCtes("i_")},
+         |${audioFpWideCte("a_")},
+         |k AS (SELECT v.doc_id, ahash_hi, ahash_lo, afp_hi, afp_lo
+         |  FROM i_ahv v JOIN a_afw w ON v.doc_id = w.doc_id),
+         |reps AS (SELECT ahash_hi, ahash_lo, afp_hi, afp_lo,
+         |    min(doc_id) AS rep, count(*) AS n_class
+         |  FROM k GROUP BY 1, 2, 3, 4),
+         |iminr AS (SELECT ahash_hi, ahash_lo, min(rep) AS inode
+         |  FROM reps GROUP BY 1, 2),
+         |aminr AS (SELECT afp_hi, afp_lo, min(rep) AS anode
+         |  FROM reps GROUP BY 1, 2),
+         |ip AS (SELECT x.inode AS u, y.inode AS v FROM iminr x, iminr y
+         |  WHERE (x.ahash_hi < y.ahash_hi OR
+         |      (x.ahash_hi = y.ahash_hi AND x.ahash_lo < y.ahash_lo))
+         |    AND bit_count(xor(x.ahash_hi, y.ahash_hi))
+         |      + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= $maxD),
+         |ap AS (SELECT x.anode AS u, y.anode AS v FROM aminr x, aminr y
+         |  WHERE (x.afp_hi < y.afp_hi OR
+         |      (x.afp_hi = y.afp_hi AND x.afp_lo < y.afp_lo))
+         |    AND bit_count(xor(x.afp_hi, y.afp_hi))
+         |      + bit_count(xor(x.afp_lo, y.afp_lo)) <= $maxD),
+         |inc AS (SELECT DISTINCT im.inode AS u, am.anode AS v
+         |  FROM reps r JOIN iminr im USING (ahash_hi, ahash_lo)
+         |  JOIN aminr am USING (afp_hi, afp_lo)),
+         |alledges AS (SELECT u, v FROM ip UNION SELECT v, u FROM ip
+         |  UNION SELECT u, v FROM ap UNION SELECT v, u FROM ap
+         |  UNION SELECT u, v FROM inc UNION SELECT v, u FROM inc),
+         |nodes AS (SELECT DISTINCT u AS id FROM alledges),
+         |reach(id, r) AS (SELECT id, id FROM nodes
+         |  UNION SELECT e.v, r.r FROM reach r JOIN alledges e ON e.u = r.id),
+         |lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+         |keep AS (SELECT l.lbl AS doc_id,
+         |    CAST(sum(n_class) AS BIGINT) AS n_docs
+         |  FROM reps r JOIN iminr im USING (ahash_hi, ahash_lo)
+         |  JOIN lbl l ON l.id = im.inode
+         |  GROUP BY 1),
+         |keyed AS (SELECT doc_id, n_docs,
+         |    ${mixSql("doc_id", Dedup.ShardSalt.toString)} AS skey
+         |  FROM keep)
+         |SELECT doc_id, n_docs, skey % ${Dedup.NumShards} AS shard,
+         |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
+         |    ORDER BY skey, doc_id) - 1 AS pos
+         |FROM keyed ORDER BY shard, pos""".stripMargin
+    },
   )
 }

@@ -439,7 +439,7 @@ object Multimodal {
     * sums), so the read-back is value-identical to recomputing and
     * both graded entries stay on the same DuckDB oracle.
     */
-  private[operators] def ahashTable(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ahashTable(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Scratch.corpusDir(spark, "image_ahash", dir)
     graft.sources.Scratch.materializeOnce(path) {
       ahashOf(spark, Tables.documents(spark, dir))
@@ -549,6 +549,37 @@ object Multimodal {
   private[graft] def neardupFromHashesAuto(ah: DataFrame): DataFrame =
     if (routeWide(ah)) neardupFromHashesWide(ah)
     else neardupFromHashes(ah)
+
+  /** Routed VERIFIED DISTINCT-HASH pairs (pre-expansion): the same
+    * tier decision as [[neardupFromHashesAuto]] but returning the
+    * hash-granularity pair list (hi_a, lo_a, hi_b, lo_b, dist) — the
+    * composition surface for consumers (cascades, CC) that join
+    * documents themselves instead of paying the doc-pair-expansion
+    * contract.
+    */
+  private[graft] def verifiedHashPairsAuto(ah: DataFrame): DataFrame = {
+    val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val (blocks, subset) = if (routeWide(hashes)) (6, 3) else (4, 1)
+    verifiedHashPairs(bandsOf(hashes, 64, blocks, subset), "cb", "kv")
+  }
+
+  /** Gated connected-component labels over an arbitrary (id_a, id_b)
+    * long pair list: ≤ `driverGate` edges collapse to the in-driver
+    * union-find (bounded model state — ~20 fixed-overhead distributed
+    * jobs avoided), larger graphs take the pointer-jumping loop. Both
+    * arms return the identical (id, min-id-in-component) labels.
+    * Shared by [[imageDupClustersOn]] and the media cascade's
+    * near-dup stage.
+    */
+  private[graft] def componentLabels(pairs: DataFrame,
+      driverGate: Long = DriverCcMaxPairs): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val pinned = pairs.toDF("id_a", "id_b")
+      .localCheckpoint() // counted then consumed — never rebuilt
+    if (pinned.count() <= driverGate)
+      driverUnionFind(pinned.as[(Long, Long)].collect()).toDF("id", "lbl")
+    else graft.operators.Dedup.clusterLabels(pinned)
+  }
 
   /** Probe entry (ScalingProbe `image_neardup`): decode+hash an
     * arbitrary doc_id frame and band-join it, hash table pinned by
@@ -783,7 +814,12 @@ object Multimodal {
     * discipline): base and batch doc_ids are disjoint — a re-ingested
     * id would pair with itself through its own stored hash.
     */
-  private[graft] def deltaNeardupFromHashes(base: DataFrame,
+  /** The delta candidate half: batch band keys PROBE the base∪batch
+    * band index, verified hash pairs canonicalized and popcount-cut —
+    * exposed un-pinned so PlanAuditSpec can assert its structure (two
+    * band projections, probe side batch-filtered, one equi-join).
+    */
+  private[graft] def deltaBandHashPairs(base: DataFrame,
       batch: DataFrame): DataFrame = {
     val batchHashes = batch.select(col("ahash_hi"), col("ahash_lo")).distinct()
     val allHashes = base.select(col("ahash_hi"), col("ahash_lo"))
@@ -798,7 +834,7 @@ object Multimodal {
     val aFirst = col("a.ahash_hi") < col("c.ahash_hi") ||
       (col("a.ahash_hi") === col("c.ahash_hi") &&
         col("a.ahash_lo") < col("c.ahash_lo"))
-    val hashPairs = probe.as("a")
+    probe.as("a")
       .join(index.as("c"),
         col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
           (col("a.ahash_hi") =!= col("c.ahash_hi") ||
@@ -812,6 +848,13 @@ object Multimodal {
       .withColumn("dist", expr(
         "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
       .filter(col("dist") <= ImageNeardupMaxDist)
+  }
+
+  private[graft] def deltaNeardupFromHashes(base: DataFrame,
+      batch: DataFrame): DataFrame = {
+    // verified-pair-sized and consumed by BOTH expansion branches —
+    // pin it, or the band probe join runs once per branch
+    val hashPairs = deltaBandHashPairs(base, batch).localCheckpoint()
     // expansion DECOMPOSED so base docs never meet base docs: a
     // verified hash pair admits (batch docs of side A × all docs of
     // side B) plus (base docs of side A × batch docs of side B) —
@@ -913,6 +956,20 @@ object Multimodal {
       ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
   }
 
+  /** Graded delta acoustic dedup — [[deltaImageDedupOn]] verbatim on
+    * the wide-fingerprint class key (renamed columns): the frozen-rep
+    * incremental decision for the audio modality, completing the
+    * per-modality delta triple (near-dup pairs + dedup decision on
+    * both media keys).
+    */
+  def deltaAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = audioFpWideTable(spark, dir)
+      .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo"))
+    deltaImageDedupOn(
+      fp.filter(col("doc_id") % 10 < 8), fp.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** Visual near-duplicate CLUSTERS — the text family's pointer-
     * jumping connected components ([[graft.operators.Dedup.clusterLabels]])
     * consuming the VISUAL near-dup graph: near-dup at Hamming ≤ 3 is
@@ -1002,14 +1059,7 @@ object Multimodal {
         "b", "bv")
       .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
         expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
-      .localCheckpoint() // counted then consumed — never re-banded
-    val labels =
-      if (hashPairs.count() <= driverGate)
-        // bounded model state: union-find in the driver, same
-        // deterministic min-id representative as the distributed loop
-        driverUnionFind(hashPairs.as[(Long, Long)].collect())
-          .toDF("id", "lbl")
-      else graft.operators.Dedup.clusterLabels(hashPairs)
+    val labels = componentLabels(hashPairs, driverGate)
     ah.select(col("doc_id"), packed.as("hid"))
       .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("hid")).as("comp"))

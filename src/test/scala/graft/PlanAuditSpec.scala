@@ -848,6 +848,86 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"a cascade join degenerated to all-pairs:\n${plan.take(1200)}")
   }
 
+  test("q_delta_image_neardup: batch probes the index; base never re-banded against itself") {
+    // the candidate half, audited UN-PINNED (the graded entry
+    // checkpoints it before the two expansion branches consume it):
+    // exactly TWO band projections — the batch probe and the
+    // base∪batch index — a third would mean some side is banded
+    // twice (the existing-vs-existing shape this operator avoids)
+    val ah = graft.operators.Multimodal.ahashTable(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val cand = graft.operators.Multimodal.deltaBandHashPairs(
+      ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
+    val cplan = cand.queryExecution.executedPlan.toString
+    val nGen = cplan.linesIterator.count(_.contains("Generate explode"))
+    assert(nGen === 2, s"expected 2 band explosions (probe + index), got $nGen:\n${cplan.take(1500)}")
+    // the batch-side split filter reaches the probe scan; the index
+    // side unions both splits — so BOTH predicates appear, and the
+    // probe never degenerates to all-pairs
+    assert(cplan.contains("% 10)") && cplan.contains(">= 8"),
+      s"batch-side split filter missing from the candidate plan:\n${cplan.take(1500)}")
+    assert(!cplan.contains("CartesianProduct") &&
+      !cplan.contains("BroadcastNestedLoopJoin"),
+      s"the band probe degenerated to all-pairs:\n${cplan.take(1200)}")
+    // the graded entry's own plan: expansion joins over the pinned
+    // candidates and the narrow hash scans — no decode, no band
+    // re-derivation, no all-pairs
+    val plan = planOf("q_delta_image_neardup")
+    assert(!plan.contains("SerializeFromObject"),
+      s"a decode stage leaked into the delta plan:\n${plan.take(1500)}")
+    assert(!plan.contains("Generate explode"),
+      s"a band projection re-runs per expansion branch (checkpoint miss):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a delta join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_delta_image_dedup: one narrow base aggregation, no windows, no payload join") {
+    val plan = planOf("q_delta_image_dedup")
+    // both class-stat aggregations partial-aggregate map-side (the
+    // imageDedup discipline applied to base reps AND batch classes)
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"class stats lack a map-side partial phase:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"delta dedup decision planned as a window:\n${plan.take(1200)}")
+    assert(!plan.contains("SerializeFromObject"),
+      s"a decode stage leaked into the delta plan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q_audio_chunk_neardup: posting join keyed on fingerprints, groupBy-not-window") {
+    val plan = planOf("q_audio_chunk_neardup")
+    // the aligned-run count and the per-pair best are groupBy stages
+    // with map-side partials — a per-pair window would funnel hot
+    // pairs through single reducers
+    assert(!plan.contains("Window"),
+      s"aligned-run stages planned as windows:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_max"),
+      s"run counting lacks a map-side partial phase:\n${plan.take(1500)}")
+    assert(!plan.contains("SerializeFromObject"),
+      s"the chunk decode leaked into this plan (materialized table miss):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the posting join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_pipeline_media_near: no decode in the cascade; keeper agg partials; one layout window") {
+    val plan = planOf("q_pipeline_media_near")
+    // near-dup routing, banding and CC run (and pin their results)
+    // while BUILDING this frame; the planned dataflow is the keeper
+    // aggregation + layout and must stay free of decode stages
+    assert(!plan.contains("SerializeFromObject"),
+      s"a decode stage leaked into the cascade plan:\n${plan.take(1500)}")
+    assert(plan.contains("partial_sum"),
+      s"keeper n_docs aggregation lacks a map-side partial phase:\n${plan.take(1500)}")
+    val nWin = plan.linesIterator.count(_.contains("Window ["))
+    assert(nWin === 1, s"expected 1 window (shard rank), got $nWin:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a cascade join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
   test("q_image_dedup: class stats partial-aggregate map-side, never a per-class window") {
     // a billion-copy hash class must collapse to one row per partition
     // BEFORE the shuffle (partial min/count), and the representative

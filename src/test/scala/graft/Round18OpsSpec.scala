@@ -103,6 +103,122 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq((5L, 100L, 3L), (200L, 200L, 2L), (201L, 200L, 2L)))
   }
 
+  test("audioChunkNeardup: a copied segment inside two long clips is detected at its offset") {
+    import graft.operators.Multimodal.{AudioChunkSamples, RealCodecs}
+    // two synthetic long clips with DIFFERENT acoustic content, clip B
+    // carrying a verbatim copy of clip A's chunks [2, 5) at its chunks
+    // [6, 9) — the partial-overlap shape whole-clip fingerprints
+    // average away (asserted below)
+    val cs = AudioChunkSamples
+    def sample(d: Long, i: Int): Short = {
+      val base = (d * 13 + i * 29) % 16384 - 8192
+      val env = 1 + (d * 3 + i / 256) % 4
+      (base * env).toShort
+    }
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val a = Array.tabulate(10 * cs)(i => sample(1L, i))
+    val b = Array.tabulate(12 * cs)(i => sample(2L, i))
+    System.arraycopy(a, 2 * cs, b, 6 * cs, 3 * cs) // the planted copy
+    val chA = RealCodecs.fingerprintWavChunks(wavOf(a), cs)
+    val chB = RealCodecs.fingerprintWavChunks(wavOf(b), cs)
+    // copied chunks fingerprint IDENTICALLY regardless of surroundings
+    // (each chunk is compared against its OWN mean — the design point)
+    assert((0 until 3).forall(k => chA(2 + k)._3 == chB(6 + k)._3))
+    // ...while the whole-clip wide keys are band-invisible to each other
+    val (_, _, wahi, walo) = RealCodecs.fingerprintWavWide(wavOf(a))
+    val (_, _, wbhi, wblo) = RealCodecs.fingerprintWavWide(wavOf(b))
+    assert(java.lang.Long.bitCount(wahi ^ wbhi) +
+      java.lang.Long.bitCount(walo ^ wblo) >
+      graft.operators.Multimodal.ImageNeardupMaxDist,
+      "fixture degenerate: whole-clip keys already near-dup")
+    val ch = (chA.map(c => (1L, c._1.toLong, c._2.toLong, c._3)) ++
+      chB.map(c => (2L, c._1.toLong, c._2.toLong, c._3)))
+      .toDF("doc_id", "chunk", "n_samples", "afp").localCheckpoint()
+    val got = graft.operators.Multimodal.audioChunkNeardupOn(ch)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // in-test reference: best offset-consistent aligned run over the
+    // exact chunk fingerprints (accidental same-offset collisions, if
+    // any, legitimately extend the run — the reference counts them too)
+    val matches = for {
+      ca <- chA; cb <- chB if ca._3 == cb._3
+    } yield (cb._1 - ca._1).toLong
+    val byOff = matches.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bestN = byOff.values.max
+    val bestOff = byOff.filter(_._2 == bestN).keys.min
+    assert(bestN >= 3L, s"planted 3-chunk run not dominant: $byOff")
+    assert(got == Seq((1L, 2L, bestOff, bestN)),
+      s"chunk near-dup missed the planted segment: $got vs offset=$bestOff n=$bestN")
+    assert(bestOff == 4L, s"planted offset 4 not the best: $byOff")
+  }
+
+  test("mediaPipelineNear: cross-modality components, keep-rep, layout == reference") {
+    // planted multimodal corpus: docs 0,1 share a joint key; doc 2 is
+    // an IMAGE near-dup of their class; doc 3 an AUDIO near-dup of
+    // doc 2 — the four must chain into ONE component ACROSS modalities
+    // (the fold's point: neither single-modality operator sees this);
+    // docs 4,5 an isolated exact class; doc 6 a singleton
+    val a = (0x12345678L, 0x9abcdef0L)
+    val rows = Seq(
+      (0L, a._1, a._2, 0x11111111L, 0x22222222L),
+      (1L, a._1, a._2, 0x11111111L, 0x22222222L),
+      (2L, a._1, a._2 ^ 3L, 0x33333333L, 0x44444444L),
+      (3L, 0x0f0f0f0fL, 0xf0f0f0f0L, 0x33333333L, 0x44444445L),
+      (4L, 0xaaaaaaaaL, 0x55555555L, 0x66666666L, 0x99999999L),
+      (5L, 0xaaaaaaaaL, 0x55555555L, 0x66666666L, 0x99999999L),
+      (6L, 0x77777777L, 0x88888888L, 0xbbbbbbbbL, 0xccccccccL))
+    val img = rows.map(r => (r._1, r._2, r._3))
+      .toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val aud = rows.map(r => (r._1, r._4, r._5))
+      .toDF("doc_id", "afp_hi", "afp_lo").localCheckpoint()
+    // in-JVM reference: exact joint classes → rep graph connected by
+    // either modality's Hamming ball → union-find → keep-rep
+    val classes = rows.groupBy(r => (r._2, r._3, r._4, r._5)).values
+      .map(ds => (ds.map(_._1).min, ds.size.toLong)).toSeq
+    val maxD = graft.operators.Multimodal.ImageNeardupMaxDist
+    def near(x: (Long, Long), y: (Long, Long)) =
+      java.lang.Long.bitCount(x._1 ^ y._1) +
+        java.lang.Long.bitCount(x._2 ^ y._2) <= maxD
+    val byRep = rows.map(r => r._1 -> r).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((r1, _) <- classes; (r2, _) <- classes if r1 < r2) {
+      val (d1, d2) = (byRep(r1), byRep(r2))
+      if (near((d1._2, d1._3), (d2._2, d2._3)) ||
+          near((d1._4, d1._5), (d2._4, d2._5))) {
+        val (ra, rb) = (find(r1), find(r2))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val wantKeep = classes.groupBy(c => find(c._1))
+      .map { case (comp, cs) => (comp, cs.map(_._2).sum) }.toSeq.sorted
+    assert(wantKeep.size >= 3, s"fixture degenerate: $wantKeep")
+    assert(find(3L) == 0L, "cross-modality chain broken in the reference")
+    val got = graft.operators.Pipeline.mediaPipelineNearOn(img, aud)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)).sorted == wantKeep,
+      s"keepers diverged: ${got.map(r => (r._1, r._2)).sorted} vs $wantKeep")
+    // the layout stage must be EXACTLY shardAssignOn over the keepers
+    val wantLayout = graft.operators.Dedup.shardAssignOn(
+        wantKeep.toDF("doc_id", "n_docs"))
+      .select(col("doc_id"), col("n_docs"), col("shard"), col("pos"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.sorted == wantLayout.sorted, "layout diverged from shardAssignOn")
+  }
+
   test("banding engine instances: (4,1) == neardupFromHashes, (6,3) == wide tier") {
     // the two measured tiers must literally BE instances of the
     // generic engine — same values on the planted fixture
