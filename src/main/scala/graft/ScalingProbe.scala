@@ -253,6 +253,17 @@ object ScalingProbe {
       case "image_neardup_div_skew4" => {
         graft.operators.Multimodal.neardupFromHashes(skewedHashes(docs))
       }
+      // incremental media ingest: FIXED 100k diverse-hash batch probed
+      // against an n-hash stored base (the gen output, checkpointed
+      // outside timing — the delta_shard discipline). The curve's
+      // base-size term must stay LINEAR (one map-only band projection
+      // of the stored index + the narrow expansion scans) where the
+      // full re-band (image_neardup_div at the same n) goes visibly
+      // quadratic past ~8M distinct hashes.
+      case "image_neardup_delta" =>
+        graft.operators.Multimodal.deltaNeardupFromHashes(docs,
+          diverseHashes(spark.range(n.toLong, n.toLong + 100000)
+            .toDF("doc_id")).localCheckpoint())
       // deliberate probe of the BLOCKED build at any size (the library
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes
@@ -313,6 +324,10 @@ object ScalingProbe {
       else if (op == "delta_shard")
         (n => graft.operators.Dedup.shardAssignOn(
           spark.range(n.toLong).toDF("doc_id")))
+      // the delta-ingest probe's input is the pre-built n-hash base
+      // table itself (stored at prior ingests in production)
+      else if (op == "image_neardup_delta")
+        (n => diverseHashes(spark.range(n.toLong).toDF("doc_id")))
       else if (op.startsWith("image_") || op.startsWith("audio_fp"))
         (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus

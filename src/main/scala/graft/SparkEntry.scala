@@ -532,6 +532,12 @@ object SparkEntry {
     // oracle — what a streaming near-dup index would actually ingest)
     "q_stream_audio_fingerprint_wide" ->
       (graft.streaming.DocumentStreams.streamedAudioFingerprintWide _),
+    // the SERVING shape of the delta media family: new images stream
+    // in, probe the STORED band index (stream-static join, zero state,
+    // micro-batch-invariant), near-dups vs the corpus emitted on
+    // arrival; oracle = the full pair list cut to new-vs-existing
+    "q_stream_image_neardup_delta" ->
+      (graft.streaming.DocumentStreams.streamedDeltaImageNeardup _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -3118,6 +3124,14 @@ object SparkEntry {
     // mod-10 batch side — the delta probe must match them exactly
     "q_delta_image_neardup" -> deltaPairsSql(imageNeardupSql),
     "q_delta_audio_neardup" -> deltaPairsSql(audioNeardupSql),
+    // the streaming serving twin probes the STORED side only, so its
+    // contract is the new-vs-existing cut (never new_new — arrivals
+    // pair with the frozen corpus, not each other)
+    "q_stream_image_neardup_delta" ->
+      s"""WITH pairs AS (SELECT * FROM ($imageNeardupSql))
+         |SELECT id_a, id_b, dist FROM pairs
+         |WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)
+         |ORDER BY id_a, id_b""".stripMargin,
     // frozen-rep delta dedup decision: existing classes keep their
     // stored (base-min) representative, new classes elect min batch
     // doc; n_class counts the class AFTER ingest

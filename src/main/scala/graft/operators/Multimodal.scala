@@ -642,8 +642,7 @@ object Multimodal {
     */
   private[graft] def bands4(hashes: DataFrame): DataFrame =
     bandsOf(hashes, 64, 4, 1)
-      .select(col("ahash_hi"), col("ahash_lo"),
-        col("cb").as("b"), col("kv").as("bv"))
+      .withColumnRenamed("cb", "b").withColumnRenamed("kv", "bv")
 
   /** Balanced block lengths: `width` bits into `blocks` blocks, the
     * remainder spread one bit at a time over the leading blocks — for
@@ -692,10 +691,13 @@ object Multimodal {
         }.reduce(_ + _)
         struct(lit(i).as("cb"), kv.as("kv"))
     }
-    hashes.select(col("ahash_hi"), col("ahash_lo"),
-        explode(array(keys: _*)).as("bk"))
-      .select(col("ahash_hi"), col("ahash_lo"),
-        col("bk.cb").as("cb"), col("bk.kv").as("kv"))
+    // withColumn (not a hash-only select): extra input columns (e.g.
+    // a doc_id on a band-INDEX build) ride through — band-join callers
+    // pass bare 2-column hash frames and see the historical shape
+    hashes.withColumn("bk", explode(array(keys: _*)))
+      .withColumn("cb", col("bk.cb"))
+      .withColumn("kv", col("bk.kv"))
+      .drop("bk")
   }
 
   /** Manku et al.'s multi-table widening of [[neardupFromHashes]] for

@@ -606,6 +606,80 @@ object DocumentStreams {
     spark.table("graft_stream_audio_fp_wide").orderBy(col("doc_id"))
   }
 
+  /** STREAMING delta visual near-dup — the SERVING shape of
+    * [[graft.operators.Multimodal.deltaNeardupFromHashes]]: new images
+    * arrive as a stream (the mod-10 ingest batch of the delta family),
+    * are decoded + perceptually hashed in a stateless projection, and
+    * probe the STORED corpus's band index through a stream-STATIC
+    * equi-join — each arrival's near-dups against everything already
+    * ingested, emitted the moment it lands. NO state store at all: the
+    * dedup decision against a frozen corpus is a pure per-row function,
+    * so (unlike [[streamedNearDupPairs]], which must accumulate state
+    * to pair arrivals with EACH OTHER) this query is watermark-free and
+    * its output is independent of micro-batch boundaries — which is
+    * exactly why a finite replay is value-identical to the batch delta
+    * operator restricted to new-vs-existing pairs and shares its
+    * oracle restriction.
+    *
+    * Band-collision dedup WITHOUT a stateful distinct: a pair sharing
+    * k of the 4 bands would emit k times from the join, so rows are
+    * kept only when the joined band is the pair's FIRST shared band —
+    * a closed-form predicate on the XOR halves (16-bit field j is zero
+    * iff band j agrees), the [[firstSharedBand]] idea as one codegen
+    * CASE instead of a shuffle.
+    */
+  def streamedDeltaImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RealCodecs
+    // the stored side: the materialized corpus hash table's base split,
+    // banded ONCE with doc_id riding the index rows
+    val base = Multimodal.ahashTable(spark, dir)
+      .filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("base_id"),
+        col("ahash_hi").as("base_hi"), col("ahash_lo").as("base_lo"))
+    val index = Multimodal.bands4(base
+        .select(col("base_id"), col("base_hi").as("ahash_hi"),
+          col("base_lo").as("ahash_lo")))
+      .select(col("base_id"), col("ahash_hi").as("base_hi"),
+        col("ahash_lo").as("base_lo"), col("b"), col("bv"))
+      .localCheckpoint() // built once, probed by every micro-batch
+    // the arrival side: stateless decode + hash + band projection
+    val arrivals = Multimodal.bands4(
+      streamedDocs(spark, dir)
+        .filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val (hi, lo) = RealCodecs.ahashPng(RealCodecs.syntheticPng(id, 32, 16))
+          (id, hi, lo)
+        })
+        .toDF("doc_id", "ahash_hi", "ahash_lo"))
+    val xhi = col("ahash_hi").bitwiseXOR(col("base_hi"))
+    val xlo = col("ahash_lo").bitwiseXOR(col("base_lo"))
+    val firstShared =
+      when(xlo.bitwiseAND(lit(65535L)) === 0L, 0L)
+        .when(shiftright(xlo, 16).bitwiseAND(lit(65535L)) === 0L, 1L)
+        .when(xhi.bitwiseAND(lit(65535L)) === 0L, 2L)
+        .otherwise(3L) // the join guarantees SOME band agrees
+    val out = arrivals.join(index, Seq("b", "bv"))
+      .filter(col("b") === firstShared)
+      .withColumn("dist", (expr("bit_count(ahash_hi ^ base_hi)") +
+        expr("bit_count(ahash_lo ^ base_lo)")).cast("long"))
+      .filter(col("dist") <= Multimodal.ImageNeardupMaxDist)
+      .select(least(col("doc_id"), col("base_id")).as("id_a"),
+        greatest(col("doc_id"), col("base_id")).as("id_b"), col("dist"))
+    val q = out.writeStream.format("memory")
+      .queryName("graft_stream_img_delta")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    spark.table("graft_stream_img_delta")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Smallest band index on which two signatures fully agree (exists for
     * any two co-members of a bucket — they agree on that bucket's band
     * by construction).

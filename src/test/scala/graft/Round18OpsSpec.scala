@@ -219,6 +219,21 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.sorted == wantLayout.sorted, "layout diverged from shardAssignOn")
   }
 
+  test("streamed delta image near-dup == batch delta restricted to new-vs-existing") {
+    // the serving twin (stream-static band probe, zero state) must be
+    // value-identical to the batch delta operator's new_existing cut —
+    // proving the first-shared-band emission dedup exactly replaces
+    // the batch path's distinct()
+    val stream = graft.streaming.DocumentStreams
+      .streamedDeltaImageNeardup(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Multimodal.deltaImageNeardup(spark, sfDir)
+      .filter(col("pair_type") === "new_existing")
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("banding engine instances: (4,1) == neardupFromHashes, (6,3) == wide tier") {
     // the two measured tiers must literally BE instances of the
     // generic engine — same values on the planted fixture
