@@ -392,6 +392,10 @@ object SparkEntry {
     // connected components over the visual pair graph (near-dup at a
     // Hamming ball is not transitive — group dedup needs the closure)
     "q_image_dup_clusters" -> (Multimodal.imageDupClusters _),
+    // CC MAINTENANCE under ingest: stored hash-label table + batch
+    // bridges through a contracted mini-CC — batch-sized closure work,
+    // value-identical to the full recompute (shared oracle)
+    "q_delta_image_dup_clusters" -> (Multimodal.deltaImageDupClusters _),
     // exact visual dedup: one row per image → its aHash-class
     // representative + class size (the linear-output decision the
     // pair contract above audits)
@@ -428,6 +432,10 @@ object SparkEntry {
     // fingerprints, verified by offset-consistent aligned-run counting
     // — partial-overlap detection whole-clip keys cannot see
     "q_audio_chunk_neardup" -> (Multimodal.audioChunkNeardup _),
+    // OVERLAPPING-window fingerprints (stride = chunk/2): lifts the
+    // chunker's boundary-alignment sensitivity — stride-aligned copies
+    // fingerprint identically wherever they land
+    "q_audio_fingerprint_windows" -> (Multimodal.audioFingerprintWindows _),
     // stub-decoded plumbing (formats with no JVM codec):
     "q_media_features"  -> (Multimodal.mediaFeatures _),
     "q_media_stats"     -> (Multimodal.mediaStats _),
@@ -891,6 +899,21 @@ object SparkEntry {
        |  FROM cand JOIN afw x ON x.doc_id = id_a JOIN afw y ON y.doc_id = id_b)
        |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Transitive closure over the visual pairs (the q_dup_clusters
+    * recursive-CTE shape on the image pair list) — shared by the full
+    * and the incremental (label-maintenance) cluster entries, whose
+    * output contracts are identical by design.
+    */
+  private val imageDupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($imageNeardupSql)),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach(id, r) AS (SELECT id, id FROM nodes
+       |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id)
+       |SELECT rep AS cluster_rep, count(*) AS n_members
+       |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+       |GROUP BY rep ORDER BY cluster_rep""".stripMargin
 
   /** The delta restriction — the full pair list filtered to pairs
     * touching the mod-10 ingest batch and type-tagged: the incremental
@@ -3110,15 +3133,11 @@ object SparkEntry {
     "q_image_neardup_auto" -> imageNeardupSql,
     // transitive closure over the visual pairs (the q_dup_clusters
     // recursive-CTE shape on the image pair list)
-    "q_image_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($imageNeardupSql)),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |reach(id, r) AS (SELECT id, id FROM nodes
-         |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id)
-         |SELECT rep AS cluster_rep, count(*) AS n_members
-         |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
-         |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
+    "q_image_dup_clusters" -> imageDupClustersSql,
+    // the INCREMENTAL path changes WORK, never results: the maintained
+    // label table over base ∪ batch equals the full closure over the
+    // whole corpus, so the delta entry shares the oracle verbatim
+    "q_delta_image_dup_clusters" -> imageDupClustersSql,
     "q_image_dedup" -> imageDedupSql,
     // incremental ingest: the full-batch pair lists restricted to the
     // mod-10 batch side — the delta probe must match them exactly
@@ -3227,6 +3246,36 @@ object SparkEntry {
     "q_audio_fingerprint_chunks" ->
       s"""SELECT doc_id, chunk, n_samples, afp FROM ($audioChunksSql)
          |ORDER BY doc_id, chunk""".stripMargin,
+
+    // overlapping windows: w*stride <= g < w*stride + cs, each window
+    // fingerprinted against its OWN mean over its own length (the
+    // short sub-stride tail windows included — w ranges to (n-1)//stride)
+    "q_audio_fingerprint_windows" -> {
+      val cs = graft.operators.Multimodal.AudioChunkSamples
+      val st = graft.operators.Multimodal.AudioWindowStride
+      val envF = graft.operators.Multimodal.AudioFpFrames
+      s"""WITH base AS (SELECT doc_id, (1000 + doc_id % 500) AS n FROM documents),
+         |wins AS (SELECT doc_id, n, unnest(generate_series(0, (n-1)//$st)) AS w
+         |  FROM base),
+         |samples AS (SELECT doc_id, w, len, j, w*$st + j AS g,
+         |    abs(((doc_id*13 + (w*$st + j)*17) % 16384 - 8192)
+         |        * (1 + (doc_id + ((w*$st + j)*$envF) // n) % 4)) AS a,
+         |    (j*$envF) // len AS f
+         |  FROM (SELECT doc_id, n, w, least($cs, n - w*$st) AS len,
+         |      unnest(generate_series(0, least($cs, n - w*$st) - 1)) AS j
+         |    FROM wins)),
+         |frames AS (SELECT doc_id, w, len, f, sum(a) AS fs, count(*) AS nf
+         |  FROM samples GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT doc_id, w, sum(a) AS total
+         |  FROM samples GROUP BY 1, 2)
+         |SELECT f.doc_id, CAST(f.w AS BIGINT) AS win,
+         |  CAST(f.len AS BIGINT) AS n_samples,
+         |  CAST(sum(CASE WHEN fs * len > total * nf
+         |    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS afp
+         |FROM frames f JOIN tot t ON f.doc_id = t.doc_id AND f.w = t.w
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // chunk-level acoustic near-dup: df-capped exact-fingerprint
     // posting join, per-pair best offset-consistent aligned run

@@ -395,6 +395,39 @@ object Multimodal {
       }
       out.result()
     }
+
+    /** OVERLAPPING-window variant of [[fingerprintWavChunks]] —
+      * windows start every `stride` samples (stride ≤ chunkSamples)
+      * and each is fingerprinted against its OWN mean. This is what
+      * lifts the boundary chunker's alignment sensitivity: a copied
+      * segment fingerprints identically wherever it lands on a STRIDE
+      * boundary, not only on chunk boundaries, at the honest cost of
+      * re-reading each sample chunkSamples/stride times (the standard
+      * shingling trade — cf. the text family's stride-1 Rabin-Karp
+      * windows, where the rolling recurrence makes stride 1 free; an
+      * energy fingerprint has no such recurrence, so production picks
+      * stride = chunk/2 or /4). stride == chunkSamples degenerates to
+      * the non-overlapping chunker exactly (spec-pinned).
+      */
+    def fingerprintWavWindows(bytes: Array[Byte], chunkSamples: Int,
+        stride: Int): Seq[(Int, Int, Long)] = {
+      require(chunkSamples > 0 && chunkSamples < (1 << 24),
+        s"chunkSamples must be in (0, 2^24), got $chunkSamples")
+      require(stride > 0 && stride <= chunkSamples,
+        s"stride must be in (0, chunkSamples], got $stride")
+      val (_, n, bb) = wavPcm(bytes)
+      require(n > 0, "fingerprintWavWindows needs at least one sample")
+      val dataPos = bb.position()
+      val out = Seq.newBuilder[(Int, Int, Long)]
+      var w = 0
+      while (w * stride < n) {
+        val len = math.min(chunkSamples, n - w * stride)
+        bb.position(dataPos + w * stride * 2)
+        out += ((w, len, fingerprintOf(bb, len, AudioFpFrames)))
+        w += 1
+      }
+      out.result()
+    }
   }
 
   /** Frames in the [[RealCodecs.fingerprintWav]] energy fingerprint. */
@@ -1073,6 +1106,92 @@ object Multimodal {
       .orderBy(col("cluster_rep"))
   }
 
+  /** INCREMENTAL visual dup clusters — CC MAINTENANCE under ingest,
+    * the delta family's closure stage: prior ingests left a
+    * hash-granularity component label table (stored state, like the
+    * band index [[deltaNeardupFromHashes]] probes); a new batch can
+    * only change components it BRIDGES, so the update contracts every
+    * delta pair endpoint to its stored label (batch hashes stand for
+    * themselves), runs CC over that CONTRACTED edge list — batch-
+    * sized, never the full pair graph — and remaps. Label convention
+    * is preserved exactly: stored labels are the minima of their old
+    * components, so the merged component's min over (old labels ∪
+    * batch hash ids) IS the min over all its hashes — the incremental
+    * result equals the full recompute on base ∪ batch (spec-pinned),
+    * which is why the graded entry shares q_image_dup_clusters'
+    * recursive-closure oracle on the whole corpus.
+    *
+    * Cost shape: existing-vs-existing pairs never enumerated (the
+    * [[deltaBandHashPairs]] probe), the CC input is contracted-
+    * endpoint delta pairs (≤ |batch pairs|), and the only base-sized
+    * terms are the narrow stored-label/hash scans feeding the final
+    * joins. The fixture builds the "stored" label table in place
+    * ([[componentLabels]] over the base's own band pairs) exactly as
+    * [[ahashTable]] stands in for the landing-zone decode.
+    */
+  private[graft] def deltaImageDupClustersOn(base: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
+    // stored state: per-hash component labels of the base (hash
+    // granularity; isolated hashes label themselves via the coalesce
+    // below, exactly as imageDupClustersOn treats them)
+    val baseLabels = componentLabels(
+        verifiedHashPairs(
+          bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct()),
+          "b", "bv")
+          .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
+            expr("shiftleft(hi_b, 32) | lo_b").as("id_b")))
+      .localCheckpoint() // consumed by both contraction joins + remap
+    // contract each delta-pair endpoint to its stored label (batch
+    // hashes and isolated base hashes stand for themselves)
+    def contracted(side: String): DataFrame =
+      baseLabels.select(col("id").as(side), col("lbl").as(s"c_$side"))
+    val deltaPairs = deltaBandHashPairs(base, batch)
+      .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
+        expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
+      .join(contracted("id_a"), Seq("id_a"), "left")
+      .join(contracted("id_b"), Seq("id_b"), "left")
+      .select(coalesce(col("c_id_a"), col("id_a")).as("id_a"),
+        coalesce(col("c_id_b"), col("id_b")).as("id_b"))
+    // CC over the CONTRACTED edges — batch-sized, the whole point
+    val merged = componentLabels(deltaPairs).localCheckpoint()
+    // remap: stored labels ride through unless the merge moved them
+    val remap = merged.select(col("id").as("lbl"), col("lbl").as("new_lbl"))
+    val baseFinal = baseLabels
+      .join(remap, Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    // merged itself labels every SELF-STANDING contracted node — batch
+    // hashes AND base hashes that were isolated before this ingest
+    // bridged them (absent from the stored table, so the remap alone
+    // would miss them); where both sources cover a node (a node that
+    // is its old component's label) they agree by construction, the
+    // min-groupBy just dedupes. Hashes in neither source never paired
+    // at all — the final coalesce(lbl, hid) self-labels them.
+    val labels = baseFinal.unionByName(merged.toDF("id", "lbl"))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    base.unionByName(batch)
+      .select(col("doc_id"), packed.as("hid"))
+      .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("hid")).as("comp"))
+      .groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("cluster_rep"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_rep"), col("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** Graded incremental clusters on the mod-10 ingest split — output
+    * contract identical to [[imageDupClusters]] over the whole corpus
+    * (shares its oracle): the incremental path changes WORK, never
+    * results.
+    */
+  def deltaImageDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val ah = ahashTable(spark, dir)
+    deltaImageDupClustersOn(
+      ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
+  }
+
   /** Exact visual dedup — the LINEAR-output entry a 100 TB image
     * pipeline actually runs (the round-16 probe measured why: an
     * exact-repeat-heavy corpus owes the pair contract quadratic
@@ -1292,6 +1411,39 @@ object Multimodal {
         }
       })
       .toDF("doc_id", "chunk", "n_samples", "afp")
+  }
+
+  /** Stride for the graded [[audioFingerprintWindows]] entry — half
+    * the chunk width, so every fixture clip exercises overlapping
+    * windows, stride-aligned (but chunk-UNALIGNED) placement, and the
+    * sub-stride tail windows under the gate.
+    */
+  val AudioWindowStride = AudioChunkSamples / 2
+
+  /** OVERLAPPING-window acoustic fingerprints, graded at
+    * [[AudioChunkSamples]]/[[AudioWindowStride]] — the strided twin of
+    * [[audioFingerprintChunks]] that lifts chunk-boundary alignment
+    * sensitivity: a copied segment starting on any STRIDE multiple
+    * fingerprints identically in both clips, so the near-dup consumer
+    * ([[audioChunkNeardupOn]] — the window table drops in as the
+    * chunk table, offset semantics become window-index offsets)
+    * detects placements the boundary chunker is blind to
+    * (spec-pinned with a planted stride-aligned, chunk-unaligned
+    * copy). Same flatMap scale shape: one row per (clip, window),
+    * only longs downstream.
+    */
+  def audioFingerprintWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        RealCodecs.fingerprintWavWindows(wav, AudioChunkSamples,
+          AudioWindowStride).map {
+          case (w, len, fp) => (id, w.toLong, len.toLong, fp)
+        }
+      })
+      .toDF("doc_id", "win", "n_samples", "afp")
+      .orderBy(col("doc_id"), col("win"))
   }
 
   /** Chunk-fingerprint document-frequency cap for

@@ -234,6 +234,99 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("fingerprintWavWindows: stride==chunk degenerates to the chunker; half-stride catches unaligned copies") {
+    import graft.operators.Multimodal.{AudioChunkSamples, RealCodecs}
+    val cs = AudioChunkSamples
+    val st = cs / 2
+    // per-doc envelope PERIODS (256 vs 160) keep the two clips'
+    // background fingerprints genuinely distinct — a 16-bit energy key
+    // is coarse enough that same-period synthetic clips collide on
+    // background chunks, which is fixture noise, not detection
+    def sample(d: Long, i: Int): Short = {
+      val base = (d * 13 + i * 29) % 16384 - 8192
+      val env = 1 + (d + i / (if (d == 1L) 256 else 160)) % 4
+      (base * env).toShort
+    }
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // degeneracy: stride == chunkSamples IS the boundary chunker
+    val probe = wavOf(Array.tabulate(3 * cs + 100)(i => sample(3L, i)))
+    assert(RealCodecs.fingerprintWavWindows(probe, cs, cs) ==
+      RealCodecs.fingerprintWavChunks(probe, cs))
+    // planted copy aligned to a STRIDE boundary but NOT a chunk
+    // boundary: clip A's samples [2cs, 5cs) land at B's [6cs + st,
+    // 9cs + st) — the boundary chunker's windows all straddle copy
+    // edges, the strided windows fully inside must match
+    val a = Array.tabulate(10 * cs)(i => sample(1L, i))
+    val b = Array.tabulate(12 * cs)(i => sample(2L, i))
+    System.arraycopy(a, 2 * cs, b, 6 * cs + st, 3 * cs)
+    def nearOn(cha: Seq[(Int, Int, Long)], chb: Seq[(Int, Int, Long)]) =
+      graft.operators.Multimodal.audioChunkNeardupOn(
+        (cha.map(c => (1L, c._1.toLong, c._2.toLong, c._3)) ++
+          chb.map(c => (2L, c._1.toLong, c._2.toLong, c._3)))
+          .toDF("doc_id", "chunk", "n_samples", "afp").localCheckpoint())
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val chunked = nearOn(RealCodecs.fingerprintWavChunks(wavOf(a), cs),
+      RealCodecs.fingerprintWavChunks(wavOf(b), cs))
+    val strided = nearOn(RealCodecs.fingerprintWavWindows(wavOf(a), cs, st),
+      RealCodecs.fingerprintWavWindows(wavOf(b), cs, st))
+    // the chunker is BLIND to the copy: a 3-chunk run would score
+    // n_aligned >= 3; anything at or below 2 is coincidence-grade
+    // background collision of the coarse 16-bit key
+    assert(chunked.forall(_._4 < 3L),
+      s"boundary chunker saw the chunk-unaligned copy: $chunked")
+    // A's copied region covers strided windows w = 4..8 (start 2cs,
+    // len 3cs); in B they sit at w = 13..17 — offset 9, 5 aligned
+    assert(strided.exists(r => r._3 == 9L && r._4 >= 5L),
+      s"strided windows missed the stride-aligned copy: $strided")
+  }
+
+  test("deltaImageDupClusters: label maintenance == full recompute (bridge/merge/isolated)") {
+    // hi families 8+ bits apart so only the PLANTED lo-distances link;
+    // the batch exercises every maintenance case: E bridges the
+    // previously-ISOLATED base hash A (absent from the stored label
+    // table — the remap alone would miss it); F joins the existing
+    // {C,D} component; L MERGES two separate base components {J},{K};
+    // G stays isolated; B stays an untouched base singleton
+    val base = Seq(
+      (100L, 0L, 1L), (101L, 0L, 0xf0L),            // A isolated, B isolated
+      (102L, 255L, 0L), (103L, 255L, 3L),           // {C,D}
+      (106L, 65280L, 0L), (107L, 65280L, 63L))      // {J}, {K} separate
+      .toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val batch = Seq(
+      (200L, 0L, 3L),                                // E: bridges A
+      (201L, 255L, 2L),                              // F: joins {C,D}
+      (202L, 65280L, 7L),                            // L: merges J & K
+      (203L, 16711680L, 0L))                         // G: isolated
+      .toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val inc = graft.operators.Multimodal.deltaImageDupClustersOn(base, batch)
+      .as[(Long, Long)].collect().toSeq
+    val full = graft.operators.Multimodal
+      .imageDupClustersOn(base.unionByName(batch))
+      .as[(Long, Long)].collect().toSeq
+    assert(inc == Seq((100L, 2L), (102L, 3L), (106L, 3L)),
+      s"maintained clusters wrong: $inc")
+    assert(inc == full, "incremental path diverged from full recompute")
+    // and on the wider planted fixture split by doc id
+    val ah = planted.toDF("doc_id", "ahash_hi", "ahash_lo").localCheckpoint()
+    val inc2 = graft.operators.Multimodal.deltaImageDupClustersOn(
+        ah.filter(col("doc_id") % 5 =!= 0), ah.filter(col("doc_id") % 5 === 0))
+      .as[(Long, Long)].collect().toSeq
+    val full2 = graft.operators.Multimodal.imageDupClustersOn(ah)
+      .as[(Long, Long)].collect().toSeq
+    assert(inc2.nonEmpty && inc2 == full2)
+  }
+
   test("banding engine instances: (4,1) == neardupFromHashes, (6,3) == wide tier") {
     // the two measured tiers must literally BE instances of the
     // generic engine — same values on the planted fixture
