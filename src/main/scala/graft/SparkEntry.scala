@@ -220,6 +220,9 @@ object SparkEntry {
     // incremental ingest: near-dup pairs touching the NEW batch only
     // (delta-probed LSH join — existing-vs-existing never enumerated)
     "q_delta_dedup"     -> (Dedup.deltaDedup _),
+    // CC maintenance for the text family: stored base labels + batch
+    // bridges through the contracted mini-CC (the shared engine)
+    "q_delta_dup_clusters" -> (Dedup.deltaDupClusters _),
     // near-dup pairs straddling the train/val/test boundary — the
     // eval-integrity audit (LSH pairs × hashSplit membership)
     "q_split_leakage"   -> (Dedup.splitLeakage _),
@@ -899,6 +902,19 @@ object SparkEntry {
        |  FROM cand JOIN afw x ON x.doc_id = id_a JOIN afw y ON y.doc_id = id_b)
        |WHERE dist <= ${graft.operators.Multimodal.ImageNeardupMaxDist}
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Transitive closure over the text near-dup pair graph — shared by
+    * q_dup_clusters and its incremental (label-maintenance) twin.
+    */
+  private lazy val dupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($lshPairsSql)),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM edges),
+       |reach(id, r) AS (SELECT id, id FROM nodes
+       |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id)
+       |SELECT rep AS cluster_rep, count(*) AS n_members
+       |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+       |GROUP BY rep ORDER BY cluster_rep""".stripMargin
 
   /** Transitive closure over the visual pairs (the q_dup_clusters
     * recursive-CTE shape on the image pair list) — shared by the full
@@ -2765,15 +2781,11 @@ object SparkEntry {
          |SELECT doc_id, CAST(min(depth) AS BIGINT) AS min_depth
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($lshPairsSql)),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT u AS id FROM edges),
-         |reach(id, r) AS (SELECT id, id FROM nodes
-         |  UNION SELECT e.v, r.r FROM reach r JOIN edges e ON e.u = r.id)
-         |SELECT rep AS cluster_rep, count(*) AS n_members
-         |FROM (SELECT id, min(r) AS rep FROM reach GROUP BY id)
-         |GROUP BY rep ORDER BY cluster_rep""".stripMargin,
+    "q_dup_clusters" -> dupClustersSql,
+    // label MAINTENANCE == full recompute (the min-label convention
+    // argument at Dedup.maintainComponentLabels): the incremental
+    // entry shares the closure oracle verbatim
+    "q_delta_dup_clusters" -> dupClustersSql,
 
     // the batch pair set restricted to pairs touching the new side of
     // the hash split — the delta probe must find exactly these (the

@@ -650,6 +650,119 @@ object Dedup {
     labels
   }
 
+  /** Pair count below which component labels are computed by an
+    * in-driver union-find instead of the distributed pointer-jumping
+    * loop. The loop pays ~20 fixed-overhead JOBS regardless of data
+    * size (measured ~4–8 s on a 256-node graph — all scheduling, no
+    * work); a ≤2^20-edge graph is bounded MODEL STATE (16 MB of
+    * longs — the kCenter/BPE collect discipline) that the driver
+    * labels in milliseconds. Repeat-heavy corpora live entirely below
+    * this gate (d ≤ thousands of distinct hashes); a diverse corpus
+    * past it takes the distributed loop, whose working set is
+    * blocking-key-sized, never doc-sized.
+    */
+  val DriverCcMaxPairs = 1L << 20
+
+  /** The in-driver component labeler behind the [[DriverCcMaxPairs]]
+    * gate: union-find with min-linking over the collected pair edges,
+    * returning (node, min-id-in-component) — the exact label
+    * convention of the distributed pointer-jumping loop. ITERATIVE
+    * find with path compression: min-linking (no rank) can chain the
+    * forest O(n) deep, and a recursive find would blow the JVM stack
+    * near the 2^20-pair gate — walk to the root, then compress the
+    * walked path in a second pass. Exposed for the spec, which drives
+    * a worst-case million-hop parent chain through it directly (a
+    * fixture the BANDED path can't produce cheaply: dense gray-code
+    * hash sets explode the band buckets long before the chain gets
+    * interesting).
+    */
+  private[graft] def driverUnionFind(
+      pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val reps = nodes.map(n => n -> find(n)).toMap
+    val minRep = reps.groupBy(_._2).map { case (r, ms) =>
+      r -> ms.keys.min }
+    nodes.map(n => (n, minRep(reps(n)))).toSeq
+  }
+
+  /** Gated connected-component labels over an arbitrary (id_a, id_b)
+    * long pair list: ≤ `driverGate` edges collapse to the in-driver
+    * union-find (bounded model state — ~20 fixed-overhead distributed
+    * jobs avoided), larger graphs take the pointer-jumping loop. Both
+    * arms return the identical (id, min-id-in-component) labels.
+    * Shared by the visual cluster entries, the media cascade's
+    * near-dup stage, and [[maintainComponentLabels]].
+    */
+  private[graft] def componentLabels(pairs: DataFrame,
+      driverGate: Long = DriverCcMaxPairs): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val pinned = pairs.toDF("id_a", "id_b")
+      .localCheckpoint() // counted then consumed — never rebuilt
+    if (pinned.count() <= driverGate)
+      driverUnionFind(pinned.as[(Long, Long)].collect()).toDF("id", "lbl")
+    else clusterLabels(pinned)
+  }
+
+  /** COMPONENT-LABEL MAINTENANCE under ingest — the generic closure
+    * stage of every delta family (visual hashes, text doc pairs): a
+    * new batch can only change components it BRIDGES, so instead of
+    * re-running CC over the full pair graph, contract every delta
+    * pair endpoint to its STORED label (nodes unknown to the store —
+    * batch members and previously-isolated base nodes — stand for
+    * themselves), run CC over the CONTRACTED edges (batch-sized), and
+    * remap. Because stored labels are the minima of their old
+    * components (the [[clusterLabels]]/[[componentLabels]] convention)
+    * the merged component's min over (old labels ∪ self-standing
+    * ids) IS the min over all members — maintained labels EQUAL the
+    * full recompute, which is what lets maintenance consumers share
+    * the full entries' oracles. Returns (id, lbl) over every node
+    * that has ever appeared in a pair; nodes never paired are the
+    * caller's coalesce-to-self, exactly as with [[clusterLabels]].
+    */
+  private[graft] def maintainComponentLabels(storedLabels: DataFrame,
+      deltaPairs: DataFrame): DataFrame = {
+    // consumed by both contraction joins and the final remap — pin it
+    // (in production this IS the stored table; the checkpoint stands
+    // in for its scan)
+    val stored = storedLabels.toDF("id", "lbl").localCheckpoint()
+    def contracted(side: String): DataFrame =
+      stored.select(col("id").as(side), col("lbl").as(s"c_$side"))
+    val contractedPairs = deltaPairs.toDF("id_a", "id_b")
+      .join(contracted("id_a"), Seq("id_a"), "left")
+      .join(contracted("id_b"), Seq("id_b"), "left")
+      .select(coalesce(col("c_id_a"), col("id_a")).as("id_a"),
+        coalesce(col("c_id_b"), col("id_b")).as("id_b"))
+    // CC over the CONTRACTED edges — batch-sized, the whole point
+    val merged = componentLabels(contractedPairs).localCheckpoint()
+    // stored labels ride through unless the merge moved them
+    val remap = merged.select(col("id").as("lbl"), col("lbl").as("new_lbl"))
+    val storedFinal = stored
+      .join(remap, Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    // merged itself labels every SELF-STANDING contracted node — batch
+    // members AND base nodes that were isolated before this ingest
+    // bridged them (absent from the stored table, so the remap alone
+    // would miss them); where both sources cover a node (a node that
+    // is its old component's label) they agree by construction, the
+    // min-groupBy just dedupes.
+    storedFinal.unionByName(merged.toDF("id", "lbl"))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+  }
+
   /** Connected components, aggregated to (cluster_rep, n_members) —
     * the q_dup_clusters shape. [[clusterLabels]] exposes the per-doc
     * label table for consumers that need membership, not just sizes
@@ -853,6 +966,49 @@ object Dedup {
             .otherwise("new_existing").as("pair_type"))
         .localCheckpoint()
         .orderBy(col("id_a"), col("id_b"))
+    } finally { sig.unpersist(); () }
+  }
+
+  /** INCREMENTAL duplicate clusters — [[maintainComponentLabels]] on
+    * the TEXT family, closing the delta triple (candidate probe =
+    * [[deltaDedupOn]], decision = delta pairs, CLOSURE = this): prior
+    * ingests left the converged doc-granularity label table over the
+    * base's pair graph; the new batch's verified pairs (the
+    * [[deltaCandidates]] probe — existing-vs-existing never
+    * enumerated) arrive as bridges, endpoints contract to stored
+    * labels, and CC runs over batch-sized contracted edges only.
+    * Maintained labels equal the full recompute (the min-label
+    * convention argument at [[maintainComponentLabels]]), so the
+    * graded entry shares q_dup_clusters' closure oracle verbatim.
+    * Membership split is [[hashSplit]]'s md5 arithmetic (buckets 8–9
+    * new), the [[deltaDedupOn]] convention.
+    */
+  def deltaDupClusters(spark: SparkSession, dir: String): DataFrame =
+    deltaDupClustersOn(Tables.documents(spark, dir))
+
+  def deltaDupClustersOn(docs: DataFrame): DataFrame = {
+    val newness = docs.select(col("doc_id"),
+      (pmod(md5Hash32(col("text")), lit(10)) >= 8).as("is_new"))
+      .localCheckpoint()
+    // stored state from prior ingests (built in place here, the
+    // ahashTable stand-in discipline): converged labels over the
+    // BASE's own pair graph
+    val baseDocs = docs.join(
+      newness.filter(!col("is_new")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val baseLabels = componentLabels(
+      minhashLshPairsOn(baseDocs).select(col("id_a"), col("id_b")))
+    // the delta probe: verified pairs touching the batch only
+    val sig = minhashSignaturesUnsorted(docs, prodHash = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deltaPairs = verifiedPairs(sig, deltaCandidates(sig, newness),
+          minEst = 0.5)
+        .select(col("id_a"), col("id_b"))
+      maintainComponentLabels(baseLabels, deltaPairs)
+        .groupBy(col("lbl").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_rep"))
     } finally { sig.unpersist(); () }
   }
 

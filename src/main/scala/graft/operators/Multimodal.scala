@@ -596,23 +596,6 @@ object Multimodal {
     verifiedHashPairs(bandsOf(hashes, 64, blocks, subset), "cb", "kv")
   }
 
-  /** Gated connected-component labels over an arbitrary (id_a, id_b)
-    * long pair list: ≤ `driverGate` edges collapse to the in-driver
-    * union-find (bounded model state — ~20 fixed-overhead distributed
-    * jobs avoided), larger graphs take the pointer-jumping loop. Both
-    * arms return the identical (id, min-id-in-component) labels.
-    * Shared by [[imageDupClustersOn]] and the media cascade's
-    * near-dup stage.
-    */
-  private[graft] def componentLabels(pairs: DataFrame,
-      driverGate: Long = DriverCcMaxPairs): DataFrame = {
-    import pairs.sparkSession.implicits._
-    val pinned = pairs.toDF("id_a", "id_b")
-      .localCheckpoint() // counted then consumed — never rebuilt
-    if (pinned.count() <= driverGate)
-      driverUnionFind(pinned.as[(Long, Long)].collect()).toDF("id", "lbl")
-    else graft.operators.Dedup.clusterLabels(pinned)
-  }
 
   /** Probe entry (ScalingProbe `image_neardup`): decode+hash an
     * arbitrary doc_id frame and band-join it, hash table pinned by
@@ -1032,59 +1015,10 @@ object Multimodal {
   def imageDupClusters(spark: SparkSession, dir: String): DataFrame =
     imageDupClustersOn(ahashTable(spark, dir))
 
-  /** Hash-pair count below which the component labels are computed by
-    * an in-driver union-find instead of the distributed pointer-
-    * jumping loop. The loop pays ~20 fixed-overhead JOBS regardless of
-    * data size (measured ~4–8 s on a 256-node graph — all scheduling,
-    * no work); a ≤2^20-edge graph is bounded MODEL STATE (16 MB of
-    * longs — the kCenter/BPE collect discipline) that the driver
-    * labels in milliseconds. Repeat-heavy corpora live entirely below
-    * this gate (d ≤ thousands of distinct hashes); a diverse corpus
-    * past it takes the distributed loop, whose working set is
-    * distinct-hash-sized, never doc-sized.
-    */
-  val DriverCcMaxPairs = 1L << 20
-
-  /** The in-driver component labeler behind the [[DriverCcMaxPairs]]
-    * gate: union-find with min-linking over the collected hash-pair
-    * edges, returning (node, min-id-in-component) — the exact label
-    * convention of the distributed pointer-jumping loop. ITERATIVE
-    * find with path compression: min-linking (no rank) can chain the
-    * forest O(n) deep, and a recursive find would blow the JVM stack
-    * near the 2^20-pair gate — walk to the root, then compress the
-    * walked path in a second pass. Exposed for the spec, which drives
-    * a worst-case million-hop parent chain through it directly (a
-    * fixture the BANDED path can't produce cheaply: dense gray-code
-    * hash sets explode the band buckets long before the chain gets
-    * interesting).
-    */
-  private[graft] def driverUnionFind(
-      pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) {
-        val next = parent(c); parent(c) = r; c = next
-      }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val reps = nodes.map(n => n -> find(n)).toMap
-    val minRep = reps.groupBy(_._2).map { case (r, ms) =>
-      r -> ms.keys.min }
-    nodes.map(n => (n, minRep(reps(n)))).toSeq
-  }
-
   /** `driverGate` exists for the spec only (force the distributed arm
     * on a fixture the gate would route to the driver). */
   private[graft] def imageDupClustersOn(ah: DataFrame,
-      driverGate: Long = DriverCcMaxPairs): DataFrame = {
+      driverGate: Long = graft.operators.Dedup.DriverCcMaxPairs): DataFrame = {
     import ah.sparkSession.implicits._
     // packed 64-bit hash as the CC node id (sign-irrelevant: labels
     // only need a deterministic total order and equality)
@@ -1094,7 +1028,7 @@ object Multimodal {
         "b", "bv")
       .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
         expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
-    val labels = componentLabels(hashPairs, driverGate)
+    val labels = graft.operators.Dedup.componentLabels(hashPairs, driverGate)
     ah.select(col("doc_id"), packed.as("hid"))
       .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("hid")).as("comp"))
@@ -1135,40 +1069,17 @@ object Multimodal {
     // stored state: per-hash component labels of the base (hash
     // granularity; isolated hashes label themselves via the coalesce
     // below, exactly as imageDupClustersOn treats them)
-    val baseLabels = componentLabels(
-        verifiedHashPairs(
-          bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct()),
-          "b", "bv")
-          .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
-            expr("shiftleft(hi_b, 32) | lo_b").as("id_b")))
-      .localCheckpoint() // consumed by both contraction joins + remap
-    // contract each delta-pair endpoint to its stored label (batch
-    // hashes and isolated base hashes stand for themselves)
-    def contracted(side: String): DataFrame =
-      baseLabels.select(col("id").as(side), col("lbl").as(s"c_$side"))
+    val baseLabels = graft.operators.Dedup.componentLabels(
+      verifiedHashPairs(
+        bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct()),
+        "b", "bv")
+        .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
+          expr("shiftleft(hi_b, 32) | lo_b").as("id_b")))
     val deltaPairs = deltaBandHashPairs(base, batch)
       .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
         expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
-      .join(contracted("id_a"), Seq("id_a"), "left")
-      .join(contracted("id_b"), Seq("id_b"), "left")
-      .select(coalesce(col("c_id_a"), col("id_a")).as("id_a"),
-        coalesce(col("c_id_b"), col("id_b")).as("id_b"))
-    // CC over the CONTRACTED edges — batch-sized, the whole point
-    val merged = componentLabels(deltaPairs).localCheckpoint()
-    // remap: stored labels ride through unless the merge moved them
-    val remap = merged.select(col("id").as("lbl"), col("lbl").as("new_lbl"))
-    val baseFinal = baseLabels
-      .join(remap, Seq("lbl"), "left")
-      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-    // merged itself labels every SELF-STANDING contracted node — batch
-    // hashes AND base hashes that were isolated before this ingest
-    // bridged them (absent from the stored table, so the remap alone
-    // would miss them); where both sources cover a node (a node that
-    // is its old component's label) they agree by construction, the
-    // min-groupBy just dedupes. Hashes in neither source never paired
-    // at all — the final coalesce(lbl, hid) self-labels them.
-    val labels = baseFinal.unionByName(merged.toDF("id", "lbl"))
-      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+    val labels = graft.operators.Dedup.maintainComponentLabels(
+      baseLabels, deltaPairs)
     base.unionByName(batch)
       .select(col("doc_id"), packed.as("hid"))
       .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")

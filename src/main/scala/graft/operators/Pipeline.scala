@@ -135,7 +135,7 @@ object Pipeline {
     * id is a rep in the component, and the min rep's class node is
     * ≤ it), and edge volume is distinct-class-pairs + distinct-hash
     * pairs — never quadratic in class size. Small graphs collapse to
-    * the driver union-find behind [[Multimodal.componentLabels]]'s
+    * the driver union-find behind [[Dedup.componentLabels]]'s
     * gate.
     */
   def mediaPipelineNear(spark: SparkSession, dir: String): DataFrame =
@@ -189,7 +189,7 @@ object Pipeline {
       audMin.select(col("afp_hi").as("ahash_hi"),
         col("afp_lo").as("ahash_lo"), col("anode")),
       "anode")
-    val labels = Multimodal.componentLabels(
+    val labels = Dedup.componentLabels(
       incidence.unionByName(ipairs).unionByName(apairs))
     // stage 5: keep-rep (= the component label) + layout
     val keepers = keyed

@@ -206,7 +206,7 @@ class Round17OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // banding-level "deep chain" claim was vacuous.
     val n = (1 << 20) + 3
     val pairs = Array.tabulate(n - 1)(k => { val i = n - 2 - k; (i.toLong, i + 1L) })
-    val labels = graft.operators.Multimodal.driverUnionFind(pairs)
+    val labels = graft.operators.Dedup.driverUnionFind(pairs)
     assert(labels.size == n && labels.forall(_._2 == 0L),
       "deep-chain labels wrong — union-find broke on a 2^20-hop chain")
   }

@@ -327,6 +327,20 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(inc2.nonEmpty && inc2 == full2)
   }
 
+  test("deltaDupClusters (text): label maintenance == full recompute on the corpus") {
+    // the SAME maintenance engine as the visual twin, on doc-granularity
+    // text pairs: maintained clusters over base labels + delta bridges
+    // must equal the full pointer-jumping recompute
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val inc = graft.operators.Dedup.deltaDupClustersOn(docs)
+      .as[(Long, Long)].collect().toSeq
+    val full = graft.operators.Dedup.duplicateClustersOn(docs)
+      .as[(Long, Long)].collect().toSeq
+    assert(inc.nonEmpty && inc == full,
+      s"text label maintenance diverged: ${inc.take(5)} vs ${full.take(5)}")
+  }
+
   test("banding engine instances: (4,1) == neardupFromHashes, (6,3) == wide tier") {
     // the two measured tiers must literally BE instances of the
     // generic engine — same values on the planted fixture
