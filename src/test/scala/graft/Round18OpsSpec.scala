@@ -341,6 +341,22 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"text label maintenance diverged: ${inc.take(5)} vs ${full.take(5)}")
   }
 
+  test("graded delta cluster entries (materialized base labels) == their full twins") {
+    // the stored-label read-back path must stay value-identical to the
+    // full recompute entries — the scratch-artifact discipline plus
+    // the maintenance theorem in one assertion per family
+    val incImg = graft.operators.Multimodal.deltaImageDupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val fullImg = graft.operators.Multimodal.imageDupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(incImg.nonEmpty && incImg == fullImg)
+    val incTxt = graft.operators.Dedup.deltaDupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val fullTxt = graft.operators.Dedup.duplicateClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(incTxt.nonEmpty && incTxt == fullTxt)
+  }
+
   test("banding engine instances: (4,1) == neardupFromHashes, (6,3) == wide tier") {
     // the two measured tiers must literally BE instances of the
     // generic engine — same values on the planted fixture
