@@ -253,6 +253,24 @@ object ScalingProbe {
       case "image_neardup_div_skew4" => {
         graft.operators.Multimodal.neardupFromHashes(skewedHashes(docs))
       }
+      // CC under ingest, both arms on the SAME synthetic graph: n/2
+      // two-node components (pairs (2k, 2k+1)) plus today's 100k
+      // bridge batch (pairs (4k, 4k+2), merging adjacent components).
+      // `cc_full` re-labels the WHOLE graph per ingest — docs = the
+      // full pair list, through the gated componentLabels (driver
+      // union-find below 2^20 edges, the pointer-jumping loop above
+      // it); `cc_delta` maintains — docs = the n-row STORED label
+      // table (the gen output, built outside timing, exactly what a
+      // production ingest reads), bridges contract to stored labels
+      // and only a batch-sized mini-CC runs. The curves isolate the
+      // maintenance claim: delta's base term is the narrow label
+      // scan, never the loop.
+      case "cc_full" =>
+        graft.operators.Dedup.componentLabels(docs)
+      case "cc_delta" =>
+        graft.operators.Dedup.maintainComponentLabels(docs,
+          spark.range(100000L)
+            .select((col("id") * 4).as("id_a"), (col("id") * 4 + 2).as("id_b")))
       // incremental media ingest: FIXED 100k diverse-hash batch probed
       // against an n-hash stored base (the gen output, checkpointed
       // outside timing — the delta_shard discipline). The curve's
@@ -328,6 +346,18 @@ object ScalingProbe {
       // table itself (stored at prior ingests in production)
       else if (op == "image_neardup_delta")
         (n => diverseHashes(spark.range(n.toLong).toDF("doc_id")))
+      // cc_full consumes the full pair list (base pairs + the bridge
+      // batch); cc_delta consumes the stored label table of the base
+      else if (op == "cc_full")
+        (n => spark.range(n.toLong / 2)
+          .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+          .unionByName(spark.range(100000L)
+            .select((col("id") * 4).as("id_a"), (col("id") * 4 + 2).as("id_b"))))
+      else if (op == "cc_delta")
+        (n => spark.range(n.toLong / 2)
+          .select((col("id") * 2).as("id"), (col("id") * 2).as("lbl"))
+          .unionByName(spark.range(n.toLong / 2)
+            .select((col("id") * 2 + 1).as("id"), (col("id") * 2).as("lbl"))))
       else if (op.startsWith("image_") || op.startsWith("audio_fp"))
         (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus
