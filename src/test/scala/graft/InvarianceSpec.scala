@@ -81,6 +81,27 @@ class InvarianceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(deltaShuffled === delta)
   }
 
+  test("delta media near-dup and label maintenance are invariant under input partitioning") {
+    // the incremental family's collect points (the mini-CC's driver
+    // union-find, the contraction joins) must not leak partition
+    // layout into labels or pair lists
+    val ah = graft.operators.Multimodal.ahashTable(spark, sfDir)
+    val base = ah.filter($"doc_id" % 10 < 8)
+    val batch = ah.filter($"doc_id" % 10 >= 8)
+    val baseline = graft.operators.Multimodal
+      .deltaNeardupFromHashes(base, batch).collect().toSeq
+    val shuffled = graft.operators.Multimodal
+      .deltaNeardupFromHashes(base.repartition(13), batch.repartition(3))
+      .collect().toSeq
+    assert(shuffled === baseline)
+    val clustersA = graft.operators.Multimodal
+      .deltaImageDupClustersOn(base, batch).collect().toSeq
+    val clustersB = graft.operators.Multimodal
+      .deltaImageDupClustersOn(base.repartition(7), batch.repartition(2))
+      .collect().toSeq
+    assert(clustersA.nonEmpty && clustersB === clustersA)
+  }
+
   test("event paths are invariant under input partitioning") {
     val ev = Tables.events(spark, sfDir)
     val baseline = operators.EventAnalytics.eventPathsOn(spark, ev).collect().toSeq
