@@ -692,11 +692,11 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
+    // with min-linking the component's min id can never be linked
+    // under anything (nothing is smaller), so it stays a root and
+    // find(n) IS the component minimum — no rep/min pass needed
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-    val reps = nodes.map(n => n -> find(n)).toMap
-    val minRep = reps.groupBy(_._2).map { case (r, ms) =>
-      r -> ms.keys.min }
-    nodes.map(n => (n, minRep(reps(n)))).toSeq
+    nodes.map(n => (n, find(n))).toSeq
   }
 
   /** Gated connected-component labels over an arbitrary (id_a, id_b)
@@ -948,17 +948,28 @@ object Dedup {
   def deltaDedup(spark: SparkSession, dir: String): DataFrame =
     deltaDedupOn(Tables.documents(spark, dir))
 
+  /** Batch-membership rule shared by EVERY text delta operator
+    * ([[deltaDedupOn]], [[deltaDupClustersOn]] and its stored-label
+    * builder): md5 bucket mod 10, buckets 8–9 = the new ~20%. One
+    * definition — the probe entry and the closure-maintenance entry
+    * must never disagree on what "the batch" is.
+    */
+  private def deltaIsNew: Column =
+    pmod(md5Hash32(col("text")), lit(10)) >= 8
+
+  /** Verify threshold shared by the delta probe's two consumers. */
+  private val DeltaVerifyMinEst = 0.5
+
   def deltaDedupOn(docs: DataFrame): DataFrame = {
     // tiny per-doc (doc_id, is_new) — consumed three times (band tag +
     // both pair-classification joins); checkpoint so the md5 pass over
     // text runs once
-    val newness = docs.select(col("doc_id"),
-      (pmod(md5Hash32(col("text")), lit(10)) >= 8).as("is_new"))
+    val newness = docs.select(col("doc_id"), deltaIsNew.as("is_new"))
       .localCheckpoint()
     val sig = minhashSignaturesUnsorted(docs, prodHash = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      verifiedPairs(sig, deltaCandidates(sig, newness), minEst = 0.5)
+      verifiedPairs(sig, deltaCandidates(sig, newness), DeltaVerifyMinEst)
         .join(newness.select(col("doc_id").as("id_a"), col("is_new").as("new_a")), "id_a")
         .join(newness.select(col("doc_id").as("id_b"), col("is_new").as("new_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("est_jaccard"),
@@ -1004,22 +1015,21 @@ object Dedup {
     * per corpus — it IS the table a production ingest reads).
     */
   private def baseDocLabels(docs: DataFrame): DataFrame = {
-    val baseDocs = docs.filter(pmod(md5Hash32(col("text")), lit(10)) < 8)
+    val baseDocs = docs.filter(!deltaIsNew)
     componentLabels(
       minhashLshPairsOn(baseDocs).select(col("id_a"), col("id_b")))
   }
 
   private def deltaDupClustersFrom(baseLabels: DataFrame,
       docs: DataFrame): DataFrame = {
-    val newness = docs.select(col("doc_id"),
-      (pmod(md5Hash32(col("text")), lit(10)) >= 8).as("is_new"))
+    val newness = docs.select(col("doc_id"), deltaIsNew.as("is_new"))
       .localCheckpoint()
     // the delta probe: verified pairs touching the batch only
     val sig = minhashSignaturesUnsorted(docs, prodHash = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val deltaPairs = verifiedPairs(sig, deltaCandidates(sig, newness),
-          minEst = 0.5)
+          DeltaVerifyMinEst)
         .select(col("id_a"), col("id_b"))
       maintainComponentLabels(baseLabels, deltaPairs)
         .groupBy(col("lbl").as("cluster_rep"))

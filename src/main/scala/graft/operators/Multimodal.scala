@@ -765,20 +765,30 @@ object Multimodal {
     */
   private def verifiedHashPairs(bands: DataFrame, bandId: String,
       bandKey: String, maxDist: Int = ImageNeardupMaxDist): DataFrame = {
-    bands.as("a")
-      .join(bands.as("c"),
-        col(s"a.$bandId") === col(s"c.$bandId") &&
-          col(s"a.$bandKey") === col(s"c.$bandKey") &&
-          (col("a.ahash_hi") < col("c.ahash_hi") ||
-            (col("a.ahash_hi") === col("c.ahash_hi") &&
-              col("a.ahash_lo") < col("c.ahash_lo"))))
-      .select(col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
-        col("c.ahash_hi").as("hi_b"), col("c.ahash_lo").as("lo_b"))
-      .distinct()
+    popcountVerified(
+      bands.as("a")
+        .join(bands.as("c"),
+          col(s"a.$bandId") === col(s"c.$bandId") &&
+            col(s"a.$bandKey") === col(s"c.$bandKey") &&
+            (col("a.ahash_hi") < col("c.ahash_hi") ||
+              (col("a.ahash_hi") === col("c.ahash_hi") &&
+                col("a.ahash_lo") < col("c.ahash_lo"))))
+        .select(col("a.ahash_hi").as("hi_a"), col("a.ahash_lo").as("lo_a"),
+          col("c.ahash_hi").as("hi_b"), col("c.ahash_lo").as("lo_b")),
+      maxDist)
+  }
+
+  /** The shared verify tail of EVERY banding candidate producer (the
+    * self-join tiers above and the delta probe): dedup across
+    * colliding bands, exact popcount distance, radius cut. One
+    * definition so a radius change can never reach one producer and
+    * silently miss another.
+    */
+  private def popcountVerified(cand: DataFrame, maxDist: Int): DataFrame =
+    cand.distinct()
       .withColumn("dist", expr(
         "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
       .filter(col("dist") <= maxDist)
-  }
 
   /** The shared expansion half: verified distinct-hash pairs back to
     * document pairs (cross-class join ×2) plus the within-class dist-0
@@ -838,7 +848,7 @@ object Multimodal {
     * band projections, probe side batch-filtered, one equi-join).
     */
   private[graft] def deltaBandHashPairs(base: DataFrame,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame, maxDist: Int = ImageNeardupMaxDist): DataFrame = {
     val batchHashes = batch.select(col("ahash_hi"), col("ahash_lo")).distinct()
     val allHashes = base.select(col("ahash_hi"), col("ahash_lo"))
       .unionByName(batch.select(col("ahash_hi"), col("ahash_lo")))
@@ -852,20 +862,18 @@ object Multimodal {
     val aFirst = col("a.ahash_hi") < col("c.ahash_hi") ||
       (col("a.ahash_hi") === col("c.ahash_hi") &&
         col("a.ahash_lo") < col("c.ahash_lo"))
-    probe.as("a")
-      .join(index.as("c"),
-        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
-          (col("a.ahash_hi") =!= col("c.ahash_hi") ||
-            col("a.ahash_lo") =!= col("c.ahash_lo")))
-      .select(
-        when(aFirst, col("a.ahash_hi")).otherwise(col("c.ahash_hi")).as("hi_a"),
-        when(aFirst, col("a.ahash_lo")).otherwise(col("c.ahash_lo")).as("lo_a"),
-        when(aFirst, col("c.ahash_hi")).otherwise(col("a.ahash_hi")).as("hi_b"),
-        when(aFirst, col("c.ahash_lo")).otherwise(col("a.ahash_lo")).as("lo_b"))
-      .distinct()
-      .withColumn("dist", expr(
-        "CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
-      .filter(col("dist") <= ImageNeardupMaxDist)
+    popcountVerified(
+      probe.as("a")
+        .join(index.as("c"),
+          col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+            (col("a.ahash_hi") =!= col("c.ahash_hi") ||
+              col("a.ahash_lo") =!= col("c.ahash_lo")))
+        .select(
+          when(aFirst, col("a.ahash_hi")).otherwise(col("c.ahash_hi")).as("hi_a"),
+          when(aFirst, col("a.ahash_lo")).otherwise(col("c.ahash_lo")).as("lo_a"),
+          when(aFirst, col("c.ahash_hi")).otherwise(col("a.ahash_hi")).as("hi_b"),
+          when(aFirst, col("c.ahash_lo")).otherwise(col("a.ahash_lo")).as("lo_b")),
+      maxDist)
   }
 
   private[graft] def deltaNeardupFromHashes(base: DataFrame,
@@ -1060,7 +1068,7 @@ object Multimodal {
     * endpoint delta pairs (≤ |batch pairs|), and the only base-sized
     * terms are the narrow stored-label/hash scans feeding the final
     * joins. The fixture builds the "stored" label table in place
-    * ([[componentLabels]] over the base's own band pairs) exactly as
+    * ([[graft.operators.Dedup.componentLabels]] over the base's own band pairs) exactly as
     * [[ahashTable]] stands in for the landing-zone decode.
     */
   /** Stored state: per-hash component labels of the base (hash

@@ -30,6 +30,23 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     base ++ variants
   }
 
+  /** 44-byte RIFF/PCM wrapper around raw 16-bit mono samples — the
+    * planted-copy fixtures' shared WAV builder (one definition so a
+    * header-format fix can never reach one test and miss the other).
+    */
+  private def wavOf(samples: Array[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   private def brutePairs(maxDist: Int): Seq[(Long, Long, Long)] =
     (for {
       a <- planted; b <- planted if a._1 < b._1
@@ -114,18 +131,6 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val base = (d * 13 + i * 29) % 16384 - 8192
       val env = 1 + (d * 3 + i / 256) % 4
       (base * env).toShort
-    }
-    def wavOf(samples: Array[Short]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
-      bb.put("WAVE".getBytes("US-ASCII"))
-      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
-      bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
-      bb.putShort(2); bb.putShort(16)
-      bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
-      samples.foreach(bb.putShort)
-      bb.array()
     }
     val a = Array.tabulate(10 * cs)(i => sample(1L, i))
     val b = Array.tabulate(12 * cs)(i => sample(2L, i))
@@ -246,18 +251,6 @@ class Round18OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val base = (d * 13 + i * 29) % 16384 - 8192
       val env = 1 + (d + i / (if (d == 1L) 256 else 160)) % 4
       (base * env).toShort
-    }
-    def wavOf(samples: Array[Short]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
-      bb.put("WAVE".getBytes("US-ASCII"))
-      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
-      bb.putShort(1); bb.putShort(1); bb.putInt(16000); bb.putInt(32000)
-      bb.putShort(2); bb.putShort(16)
-      bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
-      samples.foreach(bb.putShort)
-      bb.array()
     }
     // degeneracy: stride == chunkSamples IS the boundary chunker
     val probe = wavOf(Array.tabulate(3 * cs + 100)(i => sample(3L, i)))
