@@ -785,12 +785,12 @@ object SparkEntry {
     */
   private val imageNeardupSql: String =
     s"""WITH $ahashCtesSql,
-       |bands AS (SELECT doc_id, b,
-       |    CASE WHEN b < 2 THEN (ahash_lo >> (b*16)) & 65535
-       |         ELSE (ahash_hi >> ((b-2)*16)) & 65535 END AS bv
-       |  FROM ahv, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |bands AS (SELECT doc_id, cb,
+       |    CASE WHEN cb < 2 THEN (ahash_lo >> (cb*16)) & 65535
+       |         ELSE (ahash_hi >> ((cb-2)*16)) & 65535 END AS kv
+       |  FROM ahv, (SELECT unnest(generate_series(0, 3)) AS cb)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |  FROM bands a JOIN bands c ON a.cb = c.cb AND a.kv = c.kv AND a.doc_id < c.doc_id)
        |SELECT id_a, id_b, dist FROM (
        |  SELECT id_a, id_b,
        |    CAST(bit_count(xor(x.ahash_hi, y.ahash_hi)) + bit_count(xor(x.ahash_lo, y.ahash_lo)) AS BIGINT) AS dist
@@ -890,12 +890,12 @@ object SparkEntry {
     */
   private val audioNeardupSql: String =
     s"""WITH $audioFpWideCteSql,
-       |bands AS (SELECT doc_id, b,
-       |    CASE WHEN b < 2 THEN (afp_lo >> (b*16)) & 65535
-       |         ELSE (afp_hi >> ((b-2)*16)) & 65535 END AS bv
-       |  FROM afw, (SELECT unnest(generate_series(0, 3)) AS b)),
+       |bands AS (SELECT doc_id, cb,
+       |    CASE WHEN cb < 2 THEN (afp_lo >> (cb*16)) & 65535
+       |         ELSE (afp_hi >> ((cb-2)*16)) & 65535 END AS kv
+       |  FROM afw, (SELECT unnest(generate_series(0, 3)) AS cb)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |  FROM bands a JOIN bands c ON a.cb = c.cb AND a.kv = c.kv AND a.doc_id < c.doc_id)
        |SELECT id_a, id_b, dist FROM (
        |  SELECT id_a, id_b,
        |    CAST(bit_count(xor(x.afp_hi, y.afp_hi)) + bit_count(xor(x.afp_lo, y.afp_lo)) AS BIGINT) AS dist

@@ -1961,8 +1961,9 @@ object Dedup {
     * new rows rank after its existing max position (ordered by
     * (skey, doc_id), the same total order). Ingest cost = O(batch)
     * for everything wide, plus ONE narrow aggregation over the stored
-    * assignment's shard column for the offsets — a single-long
-    * columnar scan (metadata-grade: a production table keeps
+    * assignment's (doc_id, shard) columns for the offsets — a
+    * two-long columnar scan that also carries all three identity
+    * guards below (metadata-grade: a production table keeps
     * per-shard counts in commit metadata and skips even that;
     * probed — flat appending 100k to 1M/4M/16M bases). The trade
     * documented plainly: appended positions are no longer the global
@@ -1971,69 +1972,61 @@ object Dedup {
     * re-shards once before training; this operator is the layout for
     * everything between ingests.
     *
-    * LAYOUT-IDENTITY GUARD, three layers: the offsets collection
-    * (≤ nShards rows — bounded model state, the kCenter discipline)
-    * deterministically rejects shard ids outside 0..nShards−1 (a base
-    * built with a LARGER count); a 1024-row HASH-SPREAD spot-check
-    * (TakeOrdered by an independent mix31 salt, so the sample draws
-    * uniformly across the base rather than from whichever partitions
-    * answer first) re-derives the mod rule on sampled base rows — a
-    * base built with a SMALLER count (or another salt) passes the
-    * range check but disagrees with the rule on ~half the sampled
-    * rows, so the probabilistic miss chance is ~2^-1024; and a
-    * batch-side sample is probed against the base for RE-INGESTED
-    * doc_ids (which would silently receive a second (shard, pos)).
-    * PRECONDITION the guards only spot-check: base and newDocs
-    * doc_ids are disjoint — exact enforcement is the caller's (an
-    * anti-join against the stored assignment table), since a full
-    * check costs the base-wide shuffle this stage exists to avoid.
+    * LAYOUT-IDENTITY GUARD, three layers riding ONE base pass (the
+    * offsets aggregation itself — round 19 fused what were three
+    * separate base scans): the per-shard collection (≤ nShards rows —
+    * bounded model state, the kCenter discipline) deterministically
+    * rejects shard ids outside 0..nShards−1 (a base built with a
+    * LARGER count); a per-row mod-rule audit term in the SAME
+    * aggregation counts base rows disagreeing with the mix31 % nShards
+    * rule (a base built with a SMALLER count or another salt passes
+    * the range check but disagrees on ~half its rows — checking every
+    * row costs a few integer ops inside a scan the offsets already
+    * pay, and is strictly stronger than the former 1024-row
+    * hash-spread sample); and a broadcast 1024-row BATCH-side sample
+    * left-joins into the same scan to count RE-INGESTED doc_ids
+    * (which would silently receive a second (shard, pos)) — sampling
+    * the batch catches the common failure (yesterday's batch replayed
+    * wholesale) with probability 1, partial overlaps proportionally.
+    * PRECONDITION the batch-sample layer only spot-checks: base and
+    * newDocs doc_ids are disjoint — exact enforcement is the caller's
+    * (an anti-join against the stored assignment table), since the
+    * full check costs a base-wide shuffle on a batch-sized probe.
     */
   private[graft] def deltaShardAppend(base: DataFrame, newDocs: DataFrame,
       nShards: Int = NumShards): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import base.sparkSession.implicits._
-    val offRows = base.groupBy(col("shard")).agg(count(lit(1)).as("base_n"))
+    // hash-spread batch sample (TakeOrdered by an independent mix31
+    // salt — never head-partition rows): O(batch) to build, broadcast
+    // into the base scan below
+    val batchSample = newDocs.select(col("doc_id"))
+      .orderBy(Similarity.mix31(col("doc_id"), ShardSalt + 1))
+      .limit(1024)
+      .withColumn("re_hit", lit(1L))
+    val offRows = base.select(col("doc_id"), col("shard"))
+      .join(broadcast(batchSample), Seq("doc_id"), "left")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("base_n"),
+        sum(when(pmod(Similarity.mix31(col("doc_id"), ShardSalt),
+          lit(nShards.toLong)) =!= col("shard"), 1L).otherwise(0L))
+          .as("bad_rule"),
+        sum(coalesce(col("re_hit"), lit(0L))).as("re_ingested"))
       .limit(nShards + 1).collect()
     require(offRows.length <= nShards &&
       offRows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < nShards),
       s"base layout holds shard ids outside 0..${nShards - 1} — it was " +
         s"built with a larger shard count; re-shard or pass its nShards")
-    // hash-SPREAD sample (top-1024 by an independent mix31 salt, a
-    // TakeOrdered scan — never head-partition rows: a base COMPOSED of
-    // two layouts built under different rules could present only
-    // matching rows to a whichever-partitions-answer-first sample,
-    // while a hash order draws uniformly across the whole base and
-    // keeps the ~2^-1024 miss analysis honest)
-    val ruleMismatch = base.select(col("doc_id"), col("shard"))
-      .orderBy(Similarity.mix31(col("doc_id"), ShardSalt + 1))
-      .limit(1024)
-      .filter(pmod(Similarity.mix31(col("doc_id"), ShardSalt),
-        lit(nShards.toLong)) =!= col("shard"))
-      .limit(1).count()
-    require(ruleMismatch == 0L,
+    require(offRows.forall(_.getAs[Long]("bad_rule") == 0L),
       s"base rows disagree with the mix31 % $nShards layout rule — the " +
         s"base was built with a different shard count or salt; appending " +
         s"under this rule would mis-place the batch")
-    // doc_id-DISJOINTNESS spot-check, same sampling discipline: a
-    // re-ingested id would silently receive a SECOND (shard, pos),
-    // breaking the positions-partition-each-shard contract. Sampling
-    // the BATCH side catches the common failure (yesterday's batch
-    // replayed wholesale) with probability 1; partial overlaps
-    // proportionally. Full disjointness remains the caller's
-    // precondition (an exact anti-join would cost a base-wide
-    // shuffle this metadata-grade stage deliberately avoids).
-    val batchSample = newDocs.select(col("doc_id"))
-      .orderBy(Similarity.mix31(col("doc_id"), ShardSalt + 1))
-      .limit(1024)
-    val reIngested = base.select(col("doc_id"))
-      .join(broadcast(batchSample), Seq("doc_id"), "left_semi")
-      .limit(1).count()
-    require(reIngested == 0L,
+    require(offRows.forall(_.getAs[Long]("re_ingested") == 0L),
       "new batch re-ingests doc_ids already present in the base layout " +
         "— each would get a second (shard, pos); dedup the batch against " +
         "the stored assignment table first")
-    val offsets = offRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
-      .toDF("shard", "base_n")
+    val offsets = offRows.map(r => (r.getLong(0), r.getAs[Long]("base_n")))
+      .toSeq.toDF("shard", "base_n")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("skey"), col("doc_id"))
     newDocs

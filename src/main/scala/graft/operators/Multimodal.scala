@@ -544,7 +544,7 @@ object Multimodal {
     */
   private[graft] def routeWide(ah: DataFrame): Boolean = {
     val row = bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct())
-      .groupBy(col("b"), col("bv"))
+      .groupBy(col("cb"), col("kv"))
       .agg(count(lit(1)).as("c"))
       .agg(sum(expr("CAST(c AS DOUBLE) * (c - 1) / 2")).as("cand"),
         sum(col("c")).as("occ"))
@@ -583,16 +583,35 @@ object Multimodal {
     if (routeWide(ah)) neardupFromHashesWide(ah)
     else neardupFromHashes(ah)
 
+  /** THE tier table: the two measured (blocks, subset) banding
+    * instances, in one place so the doc-pair entries
+    * ([[neardupFromHashes]]/[[neardupFromHashesWide]] via
+    * [[neardupFromHashesAt]]) and the routed hash-pair surface
+    * ([[verifiedHashPairsAuto]]) can never drift — a tier retune
+    * edits exactly one tuple and every consumer follows.
+    */
+  private[graft] val Tier4Band: (Int, Int) = (4, 1)
+  private[graft] val TierWide: (Int, Int) = (6, 3)
+
+  private[graft] def routedTier(wide: Boolean): (Int, Int) =
+    if (wide) TierWide else Tier4Band
+
   /** Routed VERIFIED DISTINCT-HASH pairs (pre-expansion): the same
     * tier decision as [[neardupFromHashesAuto]] but returning the
     * hash-granularity pair list (hi_a, lo_a, hi_b, lo_b, dist) — the
     * composition surface for consumers (cascades, CC) that join
     * documents themselves instead of paying the doc-pair-expansion
-    * contract.
+    * contract. Same pigeonhole recall guard as [[neardupFromHashesAt]]:
+    * a tier entered into [[routedTier]] that cannot cover the verify
+    * radius refuses here too, not just on the doc-pair path.
     */
   private[graft] def verifiedHashPairsAuto(ah: DataFrame): DataFrame = {
     val hashes = ah.select(col("ahash_hi"), col("ahash_lo")).distinct()
-    val (blocks, subset) = if (routeWide(hashes)) (6, 3) else (4, 1)
+    val (blocks, subset) = routedTier(routeWide(hashes))
+    require(blocks - subset >= ImageNeardupMaxDist,
+      s"recall hole: $blocks blocks joined on $subset-subsets only " +
+        s"guarantees Hamming <= ${blocks - subset}, need " +
+        s"$ImageNeardupMaxDist")
     verifiedHashPairs(bandsOf(hashes, 64, blocks, subset), "cb", "kv")
   }
 
@@ -647,18 +666,17 @@ object Multimodal {
     * volume ([[routeWide]]) like graphKnnAuto routes ANN builds.
     */
   private[graft] def neardupFromHashes(ah: DataFrame): DataFrame =
-    neardupFromHashesAt(ah, ImageNeardupMaxDist, 4, 1)
+    neardupFromHashesAt(ah, ImageNeardupMaxDist, Tier4Band._1, Tier4Band._2)
 
   /** The 4×16-bit band table over a DISTINCT hash frame — shared by
     * the 4-band tier and [[routeWide]]'s candidate estimator, so the
-    * router prices exactly the join the tier would run. An instance
-    * of the generic [[bandsOf]] split (4 blocks, subsets of 1) with
-    * the historical column names kept for its other consumer
-    * ([[imageDupClustersOn]]).
+    * router prices exactly the join the tier would run. The
+    * [[Tier4Band]] instance of the generic [[bandsOf]] split, in the
+    * engine's (cb, kv) column convention (the historical b/bv rename
+    * shim was retired in round 19 — every consumer now reads cb/kv).
     */
   private[graft] def bands4(hashes: DataFrame): DataFrame =
-    bandsOf(hashes, 64, 4, 1)
-      .withColumnRenamed("cb", "b").withColumnRenamed("kv", "bv")
+    bandsOf(hashes, 64, Tier4Band._1, Tier4Band._2)
 
   /** Balanced block lengths: `width` bits into `blocks` blocks, the
     * remainder spread one bit at a time over the leading blocks — for
@@ -732,7 +750,7 @@ object Multimodal {
     * share the DuckDB oracle.
     */
   private[graft] def neardupFromHashesWide(ah: DataFrame): DataFrame =
-    neardupFromHashesAt(ah, ImageNeardupMaxDist, 6, 3)
+    neardupFromHashesAt(ah, ImageNeardupMaxDist, TierWide._1, TierWide._2)
 
   /** The RADIUS-PARAMETERIZED banding engine: verified near-dup doc
     * pairs at Hamming ≤ `maxDist` over a 64-bit (hi, lo) key, banded
@@ -865,7 +883,7 @@ object Multimodal {
     popcountVerified(
       probe.as("a")
         .join(index.as("c"),
-          col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+          col("a.cb") === col("c.cb") && col("a.kv") === col("c.kv") &&
             (col("a.ahash_hi") =!= col("c.ahash_hi") ||
               col("a.ahash_lo") =!= col("c.ahash_lo")))
         .select(
@@ -1033,7 +1051,7 @@ object Multimodal {
     val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
     val hashPairs = verifiedHashPairs(
         bands4(ah.select(col("ahash_hi"), col("ahash_lo")).distinct()),
-        "b", "bv")
+        "cb", "kv")
       .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
         expr("shiftleft(hi_b, 32) | lo_b").as("id_b"))
     val labels = graft.operators.Dedup.componentLabels(hashPairs, driverGate)
@@ -1081,7 +1099,7 @@ object Multimodal {
     graft.operators.Dedup.componentLabels(
       verifiedHashPairs(
         bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct()),
-        "b", "bv")
+        "cb", "kv")
         .select(expr("shiftleft(hi_a, 32) | lo_a").as("id_a"),
           expr("shiftleft(hi_b, 32) | lo_b").as("id_b")))
 

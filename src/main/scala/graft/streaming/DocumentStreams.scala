@@ -643,7 +643,7 @@ object DocumentStreams {
         .select(col("base_id"), col("base_hi").as("ahash_hi"),
           col("base_lo").as("ahash_lo")))
       .select(col("base_id"), col("ahash_hi").as("base_hi"),
-        col("ahash_lo").as("base_lo"), col("b"), col("bv"))
+        col("ahash_lo").as("base_lo"), col("cb"), col("kv"))
       .localCheckpoint() // built once, probed by every micro-batch
     // the arrival side: stateless decode + hash + band projection
     val arrivals = Multimodal.bands4(
@@ -662,8 +662,8 @@ object DocumentStreams {
         .when(shiftright(xlo, 16).bitwiseAND(lit(65535L)) === 0L, 1L)
         .when(xhi.bitwiseAND(lit(65535L)) === 0L, 2L)
         .otherwise(3L) // the join guarantees SOME band agrees
-    val out = arrivals.join(index, Seq("b", "bv"))
-      .filter(col("b") === firstShared)
+    val out = arrivals.join(index, Seq("cb", "kv"))
+      .filter(col("cb") === firstShared)
       .withColumn("dist", (expr("bit_count(ahash_hi ^ base_hi)") +
         expr("bit_count(ahash_lo ^ base_lo)")).cast("long"))
       .filter(col("dist") <= Multimodal.ImageNeardupMaxDist)
