@@ -851,16 +851,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("q_delta_image_neardup: batch probes the index; base never re-banded against itself") {
     // the candidate half, audited UN-PINNED (the graded entry
     // checkpoints it before the two expansion branches consume it):
-    // exactly TWO band projections — the batch probe and the
-    // base∪batch index — a third would mean some side is banded
-    // twice (the existing-vs-existing shape this operator avoids)
+    // exactly THREE band projections in the recompute-index form —
+    // the batch probe, the batch's own bands unioned into the index
+    // (new_new candidates), and the base's ONE projection — a fourth
+    // would mean the base is banded twice (the existing-vs-existing
+    // shape this operator avoids); the graded entries replace the
+    // base projection with the stored parquet index (audited below)
     val ah = graft.operators.Multimodal.ahashTable(spark, sfDir)
     import org.apache.spark.sql.functions.col
     val cand = graft.operators.Multimodal.deltaBandHashPairs(
       ah.filter(col("doc_id") % 10 < 8), ah.filter(col("doc_id") % 10 >= 8))
     val cplan = cand.queryExecution.executedPlan.toString
     val nGen = cplan.linesIterator.count(_.contains("Generate explode"))
-    assert(nGen === 2, s"expected 2 band explosions (probe + index), got $nGen:\n${cplan.take(1500)}")
+    assert(nGen === 3, s"expected 3 band explosions (probe + batch-in-index + base), got $nGen:\n${cplan.take(1500)}")
     // the batch-side split filter reaches the probe scan; the index
     // side unions both splits — so BOTH predicates appear, and the
     // probe never degenerates to all-pairs
