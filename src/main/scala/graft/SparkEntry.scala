@@ -160,6 +160,10 @@ object SparkEntry {
     // — retrieval / data selection —
     // BM25 ranked retrieval over the term-partitioned postings table
     "q_bm25"            -> (Retrieval.bm25 _),
+    // INCREMENTAL BM25: stored four-table index + one batch
+    // tokenization pass, merged by long delta-applies — equals the
+    // full rebuild, so it shares q_bm25's oracle verbatim
+    "q_delta_bm25"      -> (Retrieval.deltaBm25 _),
     // hybrid search: RRF fusion of embedding-cosine + lexical-cosine
     "q_rrf_fusion"      -> (Retrieval.rrfFusion _),
     // DSIR importance resampling: unigram-LM log-likelihood-ratio
@@ -549,6 +553,10 @@ object SparkEntry {
     // arrival; oracle = the full pair list cut to new-vs-existing
     "q_stream_image_neardup_delta" ->
       (graft.streaming.DocumentStreams.streamedDeltaImageNeardup _),
+    // the acoustic serving twin: same stream-static band-probe engine
+    // on the wide fingerprint computed at arrival time
+    "q_stream_audio_neardup_delta" ->
+      (graft.streaming.DocumentStreams.streamedDeltaAudioNeardup _),
     // MERGE landed on storage: partitioned overwrite + pruned read-back
     "q_merge_roundtrip" -> (graft.sources.Sinks.mergeRoundTrip _),
   )
@@ -1509,6 +1517,34 @@ object SparkEntry {
     * adjacency offsets all derive from it) so the oracle can never
     * drift from the Spark query when the phrase changes.
     */
+  /** The whole-corpus BM25 re-derivation, shared by q_bm25 and its
+    * incremental twin q_delta_bm25 (the maintained index equals the
+    * rebuild field-for-field — every stored quantity is an
+    * associative long sum over disjoint doc sets).
+    */
+  private lazy val bm25Sql: String = {
+    val vals = graft.operators.Retrieval.QueryTerms
+      .map { case (q, t) => s"($q,'$t')" }.mkString(",")
+    s"""WITH tok AS (SELECT doc_id, lower(w) AS word FROM
+       |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
+       |tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+       |  count(*) AS n_docs FROM dl),
+       |q AS (SELECT * FROM (VALUES $vals) AS t(query_id, word)),
+       |scored AS (SELECT query_id, tf.doc_id,
+       |  CAST(sum(CAST(round((ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) *
+       |    ((cnt::DOUBLE * 2.2) / (cnt::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1048576.0) AS BIGINT)) AS BIGINT) AS score_fp
+       |  FROM q JOIN tf USING(word) JOIN dfreq USING(word) JOIN dl ON tf.doc_id = dl.doc_id, stats
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_fp,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM scored)
+       |SELECT query_id, rank, doc_id, score_fp::DOUBLE / 1048576.0 AS score
+       |FROM r WHERE rank <= ${graft.operators.Retrieval.TopK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private val phraseSearchSql: String = {
     val terms = graft.operators.Retrieval.PhraseQuery
     val inList = terms.map(t => s"'$t'").mkString(", ")
@@ -2433,28 +2469,12 @@ object SparkEntry {
     // BEFORE the per-(query,doc) sum (the q_kmeans pattern), so the
     // gate compares exact integers; ln() ulp exposure is one rounding
     // per (term,doc) — the q_tfidf-precedented class
-    "q_bm25" -> {
-      val vals = graft.operators.Retrieval.QueryTerms
-        .map { case (q, t) => s"($q,'$t')" }.mkString(",")
-      s"""WITH tok AS (SELECT doc_id, lower(w) AS word FROM
-         |  (SELECT doc_id, unnest(string_split_regex(text,'[^a-zA-Z]')) AS w FROM documents) WHERE w<>''),
-         |tf AS (SELECT doc_id, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-         |stats AS (SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
-         |  count(*) AS n_docs FROM dl),
-         |q AS (SELECT * FROM (VALUES $vals) AS t(query_id, word)),
-         |scored AS (SELECT query_id, tf.doc_id,
-         |  CAST(sum(CAST(round((ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) *
-         |    ((cnt::DOUBLE * 2.2) / (cnt::DOUBLE + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / avgdl))))) * 1048576.0) AS BIGINT)) AS BIGINT) AS score_fp
-         |  FROM q JOIN tf USING(word) JOIN dfreq USING(word) JOIN dl ON tf.doc_id = dl.doc_id, stats
-         |  GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, score_fp,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM scored)
-         |SELECT query_id, rank, doc_id, score_fp::DOUBLE / 1048576.0 AS score
-         |FROM r WHERE rank <= ${graft.operators.Retrieval.TopK}
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "q_bm25" -> bm25Sql,
+    // the incremental index equals the full rebuild (every maintained
+    // field is an associative long sum over disjoint doc sets), so the
+    // delta entry is graded against the SAME whole-corpus oracle — the
+    // maintenance changes work, never results
+    "q_delta_bm25" -> bm25Sql,
 
     // positional postings re-derived with a 1-based LATERAL subscript
     // walk (generate_series over len(arr)); adjacency joins on the
@@ -3160,6 +3180,13 @@ object SparkEntry {
     // pair with the frozen corpus, not each other)
     "q_stream_image_neardup_delta" ->
       s"""WITH pairs AS (SELECT * FROM ($imageNeardupSql))
+         |SELECT id_a, id_b, dist FROM pairs
+         |WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the acoustic serving twin's contract is the same cut on the
+    // audio pair list
+    "q_stream_audio_neardup_delta" ->
+      s"""WITH pairs AS (SELECT * FROM ($audioNeardupSql))
          |SELECT id_a, id_b, dist FROM pairs
          |WHERE (id_a % 10 >= 8) <> (id_b % 10 >= 8)
          |ORDER BY id_a, id_b""".stripMargin,

@@ -1327,7 +1327,7 @@ object Multimodal {
     * band-join sides and both expansion ends) plan over the narrow
     * 4-long read-back.
     */
-  private[operators] def audioFpWideTable(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def audioFpWideTable(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Scratch.corpusDir(spark, "audio_fp_wide", dir)
     graft.sources.Scratch.materializeOnce(path) {
       audioFpWideOf(spark, Tables.documents(spark, dir).select(col("doc_id")))

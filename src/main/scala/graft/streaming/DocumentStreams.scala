@@ -629,32 +629,72 @@ object DocumentStreams {
     * CASE instead of a shuffle.
     */
   def streamedDeltaImageNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal
     import graft.operators.Multimodal.RealCodecs
-    // the stored side: the materialized corpus hash table's base split,
-    // banded ONCE with doc_id riding the index rows
+    // the stored side: the materialized corpus hash table's base split
     val base = Multimodal.ahashTable(spark, dir)
       .filter(col("doc_id") % 10 < 8)
-      .select(col("doc_id").as("base_id"),
-        col("ahash_hi").as("base_hi"), col("ahash_lo").as("base_lo"))
+    // the arrival side: stateless decode + hash
+    val arrivals = streamedDocs(spark, dir)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (hi, lo) = RealCodecs.ahashPng(RealCodecs.syntheticPng(id, 32, 16))
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    streamedDeltaBandProbe(spark, base, arrivals, "graft_stream_img_delta")
+  }
+
+  /** The acoustic twin: new clips stream in, fingerprint at arrival
+    * ([[graft.operators.Multimodal.RealCodecs.fingerprintWavWide]] —
+    * the bandable wide key), and probe the stored base fingerprints'
+    * band index through the SAME stream-static engine — a probe/dedup
+    * fix in either modality serves both (the deltaAudioNeardup
+    * discipline at serving time). Shares the batch audio delta's
+    * oracle restricted to the new-vs-existing cut.
+    */
+  def streamedDeltaAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.RealCodecs
+    val base = Multimodal.audioFpWideTable(spark, dir)
+      .filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo"))
+    val arrivals = streamedDocs(spark, dir)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
+        val (_, _, hi, lo) = RealCodecs.fingerprintWavWide(wav)
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    streamedDeltaBandProbe(spark, base, arrivals, "graft_stream_aud_delta")
+  }
+
+  /** The shared stream-static probe: band the stored base hashes once
+    * (doc_id riding the index rows), band each arrival statelessly,
+    * equi-join, first-shared-band dedup, popcount cut — one engine for
+    * every 2×32-bit modality key, the
+    * [[graft.operators.Multimodal.deltaNeardupFromHashes]] discipline
+    * at serving time. `base` and `arrivals` both carry
+    * (doc_id, ahash_hi, ahash_lo); only the hash PRODUCER differs per
+    * modality.
+    */
+  private def streamedDeltaBandProbe(spark: SparkSession, base: DataFrame,
+      arrivals: DataFrame, queryName: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Multimodal
     val index = Multimodal.bands4(base
-        .select(col("base_id"), col("base_hi").as("ahash_hi"),
-          col("base_lo").as("ahash_lo")))
+        .select(col("doc_id").as("base_id"), col("ahash_hi"),
+          col("ahash_lo")))
       .select(col("base_id"), col("ahash_hi").as("base_hi"),
         col("ahash_lo").as("base_lo"), col("cb"), col("kv"))
       .localCheckpoint() // built once, probed by every micro-batch
-    // the arrival side: stateless decode + hash + band projection
-    val arrivals = Multimodal.bands4(
-      streamedDocs(spark, dir)
-        .filter(col("doc_id") % 10 >= 8)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val (hi, lo) = RealCodecs.ahashPng(RealCodecs.syntheticPng(id, 32, 16))
-          (id, hi, lo)
-        })
-        .toDF("doc_id", "ahash_hi", "ahash_lo"))
+    val banded = Multimodal.bands4(arrivals)
     val xhi = col("ahash_hi").bitwiseXOR(col("base_hi"))
     val xlo = col("ahash_lo").bitwiseXOR(col("base_lo"))
     val firstShared =
@@ -662,7 +702,7 @@ object DocumentStreams {
         .when(shiftright(xlo, 16).bitwiseAND(lit(65535L)) === 0L, 1L)
         .when(xhi.bitwiseAND(lit(65535L)) === 0L, 2L)
         .otherwise(3L) // the join guarantees SOME band agrees
-    val out = arrivals.join(index, Seq("cb", "kv"))
+    val out = banded.join(index, Seq("cb", "kv"))
       .filter(col("cb") === firstShared)
       .withColumn("dist", (expr("bit_count(ahash_hi ^ base_hi)") +
         expr("bit_count(ahash_lo ^ base_lo)")).cast("long"))
@@ -670,13 +710,13 @@ object DocumentStreams {
       .select(least(col("doc_id"), col("base_id")).as("id_a"),
         greatest(col("doc_id"), col("base_id")).as("id_b"), col("dist"))
     val q = out.writeStream.format("memory")
-      .queryName("graft_stream_img_delta")
+      .queryName(queryName)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     q.stop()
-    spark.table("graft_stream_img_delta")
+    spark.table(queryName)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -63,4 +63,69 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("cb:int"),
       s"stored band index not read from parquet (no cb in a ReadSchema):\n${plan.take(1500)}")
   }
+
+  test("delta BM25: maintained index == full rebuild on an arbitrary split") {
+    import graft.operators.Retrieval
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // mod-3 split, NOT the graded mod-10 rule — the merge algebra must
+    // hold for any disjoint base/batch cut, not just the fixture's
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val tfB = Retrieval.postings(base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfq = tfB.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(sum(col("dl")).as("tot_dl"),
+        count(lit(1)).as("n_docs"))
+      val delta = Retrieval.deltaBm25From(tfB, dl, dfq, stats, batch)
+        .collect().toSeq
+      val full = Retrieval.bm25On(docs).collect().toSeq
+      assert(delta.nonEmpty, "delta BM25 returned nothing — weak fixture")
+      assert(delta == full,
+        "delta-maintained BM25 diverged from the full rebuild")
+    } finally { tfB.unpersist(); () }
+  }
+
+  test("delta BM25 plan: batch is the only tokenization; stored tables read back") {
+    import graft.operators.Retrieval
+    // graded entry once: materializes the stored four-table index
+    assert(Retrieval.deltaBm25(spark, sfDir).count() > 0)
+    val root = graft.sources.Scratch.corpusDir(spark, "bm25_index", sfDir)
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val plan = Retrieval.deltaBm25From(
+        spark.read.parquet(s"$root/postings"),
+        spark.read.parquet(s"$root/dl"),
+        spark.read.parquet(s"$root/df"),
+        spark.read.parquet(s"$root/stats"),
+        docs.filter(col("doc_id") % 10 >= 8), checkpoint = false)
+      .queryExecution.executedPlan.toString
+    // the ONLY tokenization lineage is the batch's: every explode in
+    // the plan sits above the batch-split filter (the persisted batch
+    // postings print once per consumer, so a count would overstate;
+    // the absence of the BASE split filter is the real claim — no
+    // base-text lineage anywhere), and the stored stats table arrives
+    // as a parquet read-back (tot_dl in a ReadSchema), never an
+    // aggregation over base postings
+    assert(plan.contains(">= 8"),
+      s"batch split filter missing from the delta plan:\n${plan.take(1500)}")
+    assert(!plan.contains("< 8"),
+      s"base-side text lineage leaked into the delta plan:\n${plan.take(1500)}")
+    assert(plan.contains("tot_dl"),
+      s"stored stats not read back from parquet:\n${plan.take(1500)}")
+  }
+
+  test("streamed delta audio near-dup == batch audio delta restricted to new-vs-existing") {
+    // the acoustic serving twin runs the SAME stream-static band-probe
+    // engine as the image one — finite replay must equal the batch
+    // delta operator's new_existing cut on the wide fingerprint key
+    val stream = graft.streaming.DocumentStreams
+      .streamedDeltaAudioNeardup(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = graft.operators.Multimodal.deltaAudioNeardup(spark, sfDir)
+      .filter(col("pair_type") === "new_existing")
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
 }
