@@ -192,6 +192,11 @@ object SparkEntry {
     // banded pairs per modality → class-contracted CC → keep-rep →
     // layout (the production daily shape; exact-key sibling above)
     "q_pipeline_media_near" -> (Pipeline.mediaPipelineNear _),
+    // the INCREMENTAL media cascade: frozen-rep exact dedup against
+    // the stored joint-class table, delta band probes for near-dup
+    // bridges, batch-local CC + base-touch absorption, newly-born
+    // components appended to the stored layout (deltaShardAppend)
+    "q_delta_pipeline_media" -> (Pipeline.deltaMediaPipeline _),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
@@ -1221,6 +1226,61 @@ object SparkEntry {
     * ×73244475 mod 2^31, twice. Inlined textually (h0 appears 8× in
     * the expansion — ~400 chars, cheaper than staged CTEs per salt).
     */
+  /** The media-near cascade re-derivation over a joint-key CTE `k`
+    * (doc_id, ahash_hi, ahash_lo, afp_hi, afp_lo), restricted by
+    * `where` and with every generated CTE name prefixed `p` — shared
+    * by q_pipeline_media_near's oracle (unrestricted) and the delta
+    * cascade oracle's stored-base half (doc_id mod-10 base cut), so
+    * the base layout the delta appends to is re-derived by the SAME
+    * chain the full cascade is graded against. Per-modality pairs are
+    * brute-force Hamming balls (value-equal to the routed banding by
+    * complete recall); closure is the recursive-CTE reach; layout is
+    * the mix31 shard arithmetic. Ends at
+    * `${p}layout(doc_id, n_docs, shard, pos)`.
+    */
+  private def mediaNearChainCtes(p: String, where: String): String = {
+    val maxD = graft.operators.Multimodal.ImageNeardupMaxDist
+    s"""${p}reps AS (SELECT ahash_hi, ahash_lo, afp_hi, afp_lo,
+       |    min(doc_id) AS rep, count(*) AS n_class
+       |  FROM k $where GROUP BY 1, 2, 3, 4),
+       |${p}iminr AS (SELECT ahash_hi, ahash_lo, min(rep) AS inode
+       |  FROM ${p}reps GROUP BY 1, 2),
+       |${p}aminr AS (SELECT afp_hi, afp_lo, min(rep) AS anode
+       |  FROM ${p}reps GROUP BY 1, 2),
+       |${p}ip AS (SELECT x.inode AS u, y.inode AS v FROM ${p}iminr x, ${p}iminr y
+       |  WHERE (x.ahash_hi < y.ahash_hi OR
+       |      (x.ahash_hi = y.ahash_hi AND x.ahash_lo < y.ahash_lo))
+       |    AND bit_count(xor(x.ahash_hi, y.ahash_hi))
+       |      + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= $maxD),
+       |${p}ap AS (SELECT x.anode AS u, y.anode AS v FROM ${p}aminr x, ${p}aminr y
+       |  WHERE (x.afp_hi < y.afp_hi OR
+       |      (x.afp_hi = y.afp_hi AND x.afp_lo < y.afp_lo))
+       |    AND bit_count(xor(x.afp_hi, y.afp_hi))
+       |      + bit_count(xor(x.afp_lo, y.afp_lo)) <= $maxD),
+       |${p}inc AS (SELECT DISTINCT im.inode AS u, am.anode AS v
+       |  FROM ${p}reps r JOIN ${p}iminr im USING (ahash_hi, ahash_lo)
+       |  JOIN ${p}aminr am USING (afp_hi, afp_lo)),
+       |${p}alledges AS (SELECT u, v FROM ${p}ip UNION SELECT v, u FROM ${p}ip
+       |  UNION SELECT u, v FROM ${p}ap UNION SELECT v, u FROM ${p}ap
+       |  UNION SELECT u, v FROM ${p}inc UNION SELECT v, u FROM ${p}inc),
+       |${p}nodes AS (SELECT DISTINCT u AS id FROM ${p}alledges),
+       |${p}reach(id, r) AS (SELECT id, id FROM ${p}nodes
+       |  UNION SELECT e.v, r.r FROM ${p}reach r JOIN ${p}alledges e ON e.u = r.id),
+       |${p}lbl AS (SELECT id, min(r) AS lbl FROM ${p}reach GROUP BY id),
+       |${p}keep AS (SELECT l.lbl AS doc_id,
+       |    CAST(sum(n_class) AS BIGINT) AS n_docs
+       |  FROM ${p}reps r JOIN ${p}iminr im USING (ahash_hi, ahash_lo)
+       |  JOIN ${p}lbl l ON l.id = im.inode
+       |  GROUP BY 1),
+       |${p}keyed AS (SELECT doc_id, n_docs,
+       |    ${mixSql("doc_id", Dedup.ShardSalt.toString)} AS skey
+       |  FROM ${p}keep),
+       |${p}layout AS (SELECT doc_id, n_docs, skey % ${Dedup.NumShards} AS shard,
+       |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
+       |    ORDER BY skey, doc_id) - 1 AS pos
+       |FROM ${p}keyed)""".stripMargin
+  }
+
   private def mixSql(x: String, salt: String): String = {
     val h0 = s"(($x + $salt) % 2147483648)"
     val h1 = s"((xor($h0, $h0 >> 16) * 73244475) % 2147483648)"
@@ -3794,51 +3854,93 @@ object SparkEntry {
     // joint-key reps, then PER-MODALITY Hamming-ball pairs (brute
     // force here — value-equal to the routed banding by completeness),
     // class-contracted recursive closure, keep-rep, mix31 layout
-    "q_pipeline_media_near" -> {
+    "q_pipeline_media_near" ->
+      s"""WITH RECURSIVE ${ahashCtes("i_")},
+         |${audioFpWideCte("a_")},
+         |k AS (SELECT v.doc_id, ahash_hi, ahash_lo, afp_hi, afp_lo
+         |  FROM i_ahv v JOIN a_afw w ON v.doc_id = w.doc_id),
+         |${mediaNearChainCtes("", "")}
+         |SELECT doc_id, n_docs, shard, pos FROM layout
+         |ORDER BY shard, pos""".stripMargin,
+
+    // the incremental cascade's ONE oracle chain proves the whole
+    // composition: the stored-base half is the SAME layout chain the
+    // full cascade is graded against (restricted to the mod-10 base);
+    // the delta half re-derives new classes (anti-join on the joint
+    // key), batch-local components (stars + new-new Hamming pairs,
+    // recursive reach), base-touch absorption (a new hash within the
+    // verify radius of any stored hash), and the per-shard append
+    // arithmetic over the frozen layout's counts
+    "q_delta_pipeline_media" -> {
       val maxD = graft.operators.Multimodal.ImageNeardupMaxDist
       s"""WITH RECURSIVE ${ahashCtes("i_")},
          |${audioFpWideCte("a_")},
          |k AS (SELECT v.doc_id, ahash_hi, ahash_lo, afp_hi, afp_lo
          |  FROM i_ahv v JOIN a_afw w ON v.doc_id = w.doc_id),
-         |reps AS (SELECT ahash_hi, ahash_lo, afp_hi, afp_lo,
-         |    min(doc_id) AS rep, count(*) AS n_class
-         |  FROM k GROUP BY 1, 2, 3, 4),
-         |iminr AS (SELECT ahash_hi, ahash_lo, min(rep) AS inode
-         |  FROM reps GROUP BY 1, 2),
-         |aminr AS (SELECT afp_hi, afp_lo, min(rep) AS anode
-         |  FROM reps GROUP BY 1, 2),
-         |ip AS (SELECT x.inode AS u, y.inode AS v FROM iminr x, iminr y
+         |${mediaNearChainCtes("b", "WHERE doc_id % 10 < 8")},
+         |nk AS (SELECT * FROM k WHERE doc_id % 10 >= 8),
+         |ncls AS (SELECT * FROM (SELECT ahash_hi, ahash_lo, afp_hi, afp_lo,
+         |    min(doc_id) AS rep, count(*) AS n FROM nk GROUP BY 1, 2, 3, 4) g
+         |  WHERE NOT EXISTS (SELECT 1 FROM breps b
+         |    WHERE b.ahash_hi = g.ahash_hi AND b.ahash_lo = g.ahash_lo
+         |      AND b.afp_hi = g.afp_hi AND b.afp_lo = g.afp_lo)),
+         |nih AS (SELECT ahash_hi, ahash_lo, min(rep) AS inode FROM ncls GROUP BY 1, 2),
+         |nah AS (SELECT afp_hi, afp_lo, min(rep) AS anode FROM ncls GROUP BY 1, 2),
+         |bih AS (SELECT DISTINCT ahash_hi, ahash_lo FROM k WHERE doc_id % 10 < 8),
+         |bah AS (SELECT DISTINCT afp_hi, afp_lo FROM k WHERE doc_id % 10 < 8),
+         |tih AS (SELECT n.ahash_hi, n.ahash_lo FROM nih n
+         |  WHERE EXISTS (SELECT 1 FROM bih b
+         |    WHERE bit_count(xor(n.ahash_hi, b.ahash_hi))
+         |      + bit_count(xor(n.ahash_lo, b.ahash_lo)) <= $maxD)),
+         |tah AS (SELECT n.afp_hi, n.afp_lo FROM nah n
+         |  WHERE EXISTS (SELECT 1 FROM bah b
+         |    WHERE bit_count(xor(n.afp_hi, b.afp_hi))
+         |      + bit_count(xor(n.afp_lo, b.afp_lo)) <= $maxD)),
+         |stars AS (SELECT c.rep AS u, i.inode AS v
+         |    FROM ncls c JOIN nih i USING (ahash_hi, ahash_lo)
+         |  UNION SELECT c.rep, a.anode
+         |    FROM ncls c JOIN nah a USING (afp_hi, afp_lo)),
+         |nip AS (SELECT x.inode AS u, y.inode AS v FROM nih x, nih y
          |  WHERE (x.ahash_hi < y.ahash_hi OR
          |      (x.ahash_hi = y.ahash_hi AND x.ahash_lo < y.ahash_lo))
          |    AND bit_count(xor(x.ahash_hi, y.ahash_hi))
          |      + bit_count(xor(x.ahash_lo, y.ahash_lo)) <= $maxD),
-         |ap AS (SELECT x.anode AS u, y.anode AS v FROM aminr x, aminr y
+         |nap AS (SELECT x.anode AS u, y.anode AS v FROM nah x, nah y
          |  WHERE (x.afp_hi < y.afp_hi OR
          |      (x.afp_hi = y.afp_hi AND x.afp_lo < y.afp_lo))
          |    AND bit_count(xor(x.afp_hi, y.afp_hi))
          |      + bit_count(xor(x.afp_lo, y.afp_lo)) <= $maxD),
-         |inc AS (SELECT DISTINCT im.inode AS u, am.anode AS v
-         |  FROM reps r JOIN iminr im USING (ahash_hi, ahash_lo)
-         |  JOIN aminr am USING (afp_hi, afp_lo)),
-         |alledges AS (SELECT u, v FROM ip UNION SELECT v, u FROM ip
-         |  UNION SELECT u, v FROM ap UNION SELECT v, u FROM ap
-         |  UNION SELECT u, v FROM inc UNION SELECT v, u FROM inc),
-         |nodes AS (SELECT DISTINCT u AS id FROM alledges),
-         |reach(id, r) AS (SELECT id, id FROM nodes
-         |  UNION SELECT e.v, r.r FROM reach r JOIN alledges e ON e.u = r.id),
-         |lbl AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
-         |keep AS (SELECT l.lbl AS doc_id,
-         |    CAST(sum(n_class) AS BIGINT) AS n_docs
-         |  FROM reps r JOIN iminr im USING (ahash_hi, ahash_lo)
-         |  JOIN lbl l ON l.id = im.inode
-         |  GROUP BY 1),
-         |keyed AS (SELECT doc_id, n_docs,
+         |dedges AS (SELECT u, v FROM stars UNION SELECT v, u FROM stars
+         |  UNION SELECT u, v FROM nip UNION SELECT v, u FROM nip
+         |  UNION SELECT u, v FROM nap UNION SELECT v, u FROM nap),
+         |dnodes AS (SELECT DISTINCT u AS id FROM dedges),
+         |dreach(id, r) AS (SELECT id, id FROM dnodes
+         |  UNION SELECT e.v, r.r FROM dreach r JOIN dedges e ON e.u = r.id),
+         |dlbl AS (SELECT id, min(r) AS lbl FROM dreach GROUP BY id),
+         |rcomp AS (SELECT c.rep, l.lbl AS comp
+         |  FROM (SELECT DISTINCT rep FROM ncls) c JOIN dlbl l ON l.id = c.rep),
+         |touchedrep AS (SELECT DISTINCT rep FROM ncls c
+         |  WHERE EXISTS (SELECT 1 FROM tih t
+         |      WHERE t.ahash_hi = c.ahash_hi AND t.ahash_lo = c.ahash_lo)
+         |    OR EXISTS (SELECT 1 FROM tah t
+         |      WHERE t.afp_hi = c.afp_hi AND t.afp_lo = c.afp_lo)),
+         |absorbed AS (SELECT DISTINCT comp FROM rcomp JOIN touchedrep USING (rep)),
+         |keepers AS (SELECT comp AS doc_id, CAST(sum(n) AS BIGINT) AS n_docs
+         |  FROM ncls JOIN rcomp USING (rep)
+         |  WHERE comp NOT IN (SELECT comp FROM absorbed) GROUP BY 1),
+         |bcnt AS (SELECT shard, count(*) AS base_n FROM blayout GROUP BY 1),
+         |akeyed AS (SELECT doc_id, n_docs,
          |    ${mixSql("doc_id", Dedup.ShardSalt.toString)} AS skey
-         |  FROM keep)
-         |SELECT doc_id, n_docs, skey % ${Dedup.NumShards} AS shard,
-         |  row_number() OVER (PARTITION BY skey % ${Dedup.NumShards}
-         |    ORDER BY skey, doc_id) - 1 AS pos
-         |FROM keyed ORDER BY shard, pos""".stripMargin
+         |  FROM keepers),
+         |appended AS (SELECT a.doc_id, a.n_docs,
+         |  a.skey % ${Dedup.NumShards} AS shard,
+         |  coalesce(b.base_n, 0) + row_number() OVER (
+         |    PARTITION BY a.skey % ${Dedup.NumShards}
+         |    ORDER BY a.skey, a.doc_id) - 1 AS pos
+         |  FROM akeyed a LEFT JOIN bcnt b ON b.shard = a.skey % ${Dedup.NumShards})
+         |SELECT doc_id, n_docs, shard, pos FROM blayout
+         |UNION ALL SELECT doc_id, n_docs, shard, pos FROM appended
+         |ORDER BY shard, pos""".stripMargin
     },
   )
 }

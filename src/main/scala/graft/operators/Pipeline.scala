@@ -201,6 +201,191 @@ object Pipeline {
       .select(col("doc_id"), col("n_docs"), col("shard"), col("pos"))
   }
 
+  /** The INCREMENTAL media cascade — [[mediaPipelineNear]]'s
+    * daily-ingest form, composing the delta singles end-to-end: a new
+    * batch decodes/hashes once, takes the FROZEN-REP exact-dedup
+    * decision against the stored joint-key class table, probes the
+    * stored per-modality band indexes for near-dup bridges, closes the
+    * batch-local component structure, and APPENDS the newly-born
+    * components to the stored shard layout via
+    * [[Dedup.deltaShardAppend]] — existing layout rows are never
+    * re-emitted, re-sorted, or rewritten.
+    *
+    * THE ABSORPTION ARGUMENT (why no stored CC labels are needed for
+    * the append decision): a batch class joins an existing component
+    * iff its component REACHES the base — and every path from a new
+    * class to a base class ends in an edge whose new-side endpoint
+    * directly touches base (shares or near-dups a stored hash, both
+    * visible in the delta band probe). So CC runs over the
+    * BATCH-LOCAL graph only (new reps, their class-incidence stars,
+    * and new-new hash pairs), and a component is absorbed iff any
+    * member touches base. Within an all-new component, full-graph
+    * connectivity equals batch-local connectivity (a connecting base
+    * node would mark both sides touched — contradiction), so the
+    * emitted keepers are EXACTLY the full cascade's all-new
+    * components: same min-rep keeper, same n_docs. Updating the
+    * stored label table for FUTURE ingests remains
+    * [[graft.operators.Multimodal.deltaImageDupClusters]]'s
+    * maintenance job; this cascade makes the layout decision without
+    * it.
+    *
+    * Stored state consumed (all narrow, written at prior ingests):
+    * the joint-key class table (frozen reps), the two per-modality
+    * band indexes (shared slots with the delta near-dup entries), and
+    * the base shard layout. Base media tables are NEVER decoded,
+    * re-banded, or re-clustered in the delta plan (plan-audited).
+    * Output is the deltaShardAssignOn presentation: the frozen base
+    * layout rows (n_docs as written at base ingest — the layout is an
+    * append-only record of write-time decisions) plus the appended
+    * new keepers, globally ordered for the gate.
+    */
+  def deltaMediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Scratch
+    val img = Multimodal.ahashTable(spark, dir)
+    val aud = Multimodal.audioFpWideTable(spark, dir)
+      .select(col("doc_id"), col("afp_hi"), col("afp_lo"))
+    val isNew = col("doc_id") % 10 >= 8
+    val imgBase = img.filter(!isNew)
+    val audBase = aud.filter(!isNew)
+    // stored state 1: the base cascade's layout (what base ingest wrote)
+    val layoutPath = Scratch.corpusDir(spark, "media_near_layout_base", dir)
+    Scratch.materializeOnce(layoutPath) {
+      mediaPipelineNearOn(imgBase, audBase)
+        .write.mode("overwrite").parquet(layoutPath)
+    }
+    // stored state 2: the base joint-key class table (the exact stage's
+    // frozen reps — the table the frozen-rep decision reads)
+    val repsPath = Scratch.corpusDir(spark, "media_joint_reps_base", dir)
+    Scratch.materializeOnce(repsPath) {
+      imgBase.join(audBase, Seq("doc_id"))
+        .groupBy(col("ahash_hi"), col("ahash_lo"),
+          col("afp_hi"), col("afp_lo"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_class"))
+        .write.mode("overwrite").parquet(repsPath)
+    }
+    // stored state 3+4: the per-modality band indexes — the SAME slots
+    // the delta near-dup entries probe (artifact sharing: one stored
+    // index serves every delta consumer)
+    val imgIdx = Multimodal.baseBandIndex(spark, "delta_band_index_img",
+      dir, imgBase)
+    val audIdx = Multimodal.baseBandIndex(spark, "delta_band_index_aud",
+      dir, audBase.select(col("doc_id"), col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo")))
+    deltaMediaPipelineOn(
+      spark.read.parquet(layoutPath),
+      spark.read.parquet(repsPath),
+      imgIdx, audIdx,
+      img.filter(isNew), aud.filter(isNew))
+  }
+
+  /** The delta cascade body on explicit stored tables — exposed so the
+    * spec can drive planted absorption/birth fixtures through it and
+    * the plan audit can pin the base-narrow consumption.
+    */
+  private[graft] def deltaMediaPipelineOn(baseLayout: DataFrame,
+      baseReps: DataFrame, imgIdx: DataFrame, audIdx: DataFrame,
+      imgBatch: DataFrame, audBatch: DataFrame): DataFrame = {
+    val jk = Seq("ahash_hi", "ahash_lo", "afp_hi", "afp_lo")
+    // stage A: frozen-rep exact dedup — batch classes whose joint key
+    // is stored are ABSORBED here; classes new to the corpus go on
+    val newCls = imgBatch.join(audBatch, Seq("doc_id"))
+      .groupBy(jk.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n"))
+      .join(baseReps.select(jk.map(col): _*), jk, "left_anti")
+      .localCheckpoint() // consumed by stars, probes, touch, keepers
+    // per-modality class-contraction nodes among the new classes
+    val nih = newCls.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("rep")).as("inode")).localCheckpoint()
+    val nah = newCls.groupBy(col("afp_hi"), col("afp_lo"))
+      .agg(min(col("rep")).as("anode")).localCheckpoint()
+    // stage B: delta near-dup probes — new hashes vs the STORED index
+    // (plus each other); base hash sets come from the index read-back,
+    // never a base-table scan
+    val imgPairs = Multimodal.deltaBandHashPairsFromIndex(
+      imgIdx, nih.select(col("ahash_hi"), col("ahash_lo")))
+      .localCheckpoint()
+    val audPairs = Multimodal.deltaBandHashPairsFromIndex(
+      audIdx, nah.select(col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo")))
+      .localCheckpoint()
+    val baseIH = imgIdx.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    val baseAH = audIdx.select(col("ahash_hi"), col("ahash_lo")).distinct()
+    // base-TOUCH per new hash: equals a stored hash, or verified-pairs
+    // with one (either pair side may be the stored one)
+    def touched(pairs: DataFrame, newHashes: DataFrame,
+        baseHashes: DataFrame): DataFrame = {
+      val aSide = pairs.select(col("hi_a").as("ahash_hi"),
+        col("lo_a").as("ahash_lo"), col("hi_b"), col("lo_b"))
+      val bSide = pairs.select(col("hi_b").as("ahash_hi"),
+        col("lo_b").as("ahash_lo"), col("hi_a").as("hi_b"),
+        col("lo_a").as("lo_b"))
+      aSide.unionByName(bSide)
+        .join(baseHashes.select(col("ahash_hi").as("hi_b"),
+          col("ahash_lo").as("lo_b")), Seq("hi_b", "lo_b"), "left_semi")
+        .select(col("ahash_hi"), col("ahash_lo"))
+        .unionByName(newHashes
+          .join(baseHashes, Seq("ahash_hi", "ahash_lo"), "left_semi"))
+        .distinct()
+    }
+    val touchIH = touched(imgPairs,
+      nih.select(col("ahash_hi"), col("ahash_lo")), baseIH)
+    val touchAH = touched(audPairs,
+      nah.select(col("afp_hi").as("ahash_hi"),
+        col("afp_lo").as("ahash_lo")), baseAH)
+    // batch-local component graph: incidence stars (rep—inode,
+    // rep—anode) + new-new hash-pair edges contracted to node ids
+    val stars = newCls.join(nih, Seq("ahash_hi", "ahash_lo"))
+      .select(col("rep").as("id_a"), col("inode").as("id_b"))
+      .unionByName(newCls.join(nah, Seq("afp_hi", "afp_lo"))
+        .select(col("rep").as("id_a"), col("anode").as("id_b")))
+    def newNewEdges(pairs: DataFrame, nodes: DataFrame): DataFrame =
+      pairs
+        .join(nodes.select(col("ahash_hi").as("hi_a"),
+          col("ahash_lo").as("lo_a"), col("inode").as("id_a")),
+          Seq("hi_a", "lo_a"))
+        .join(nodes.select(col("ahash_hi").as("hi_b"),
+          col("ahash_lo").as("lo_b"), col("inode").as("id_b")),
+          Seq("hi_b", "lo_b"))
+        .select(col("id_a"), col("id_b"))
+    val edges = stars
+      .unionByName(newNewEdges(imgPairs, nih))
+      .unionByName(newNewEdges(audPairs,
+        nah.select(col("afp_hi").as("ahash_hi"),
+          col("afp_lo").as("ahash_lo"), col("anode").as("inode"))))
+      .filter(col("id_a") =!= col("id_b"))
+    val labels = Dedup.componentLabels(edges)
+    val repLbl = newCls.select(col("rep"))
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("lbl"), col("rep")).as("comp"))
+      .localCheckpoint() // absorbed filter + keeper aggregation
+    // a component is ABSORBED iff any member class touches base
+    val touchedReps = newCls
+      .join(touchIH, Seq("ahash_hi", "ahash_lo"), "left_semi")
+      .select(col("rep"))
+      .unionByName(newCls
+        .join(touchAH, col("afp_hi") === touchAH("ahash_hi") &&
+          col("afp_lo") === touchAH("ahash_lo"), "left_semi")
+        .select(col("rep")))
+    val absorbedComps = repLbl
+      .join(touchedReps, Seq("rep"), "left_semi")
+      .select(col("comp")).distinct()
+    // stage C: newly-born components only — keeper = min rep (= the
+    // component label by construction), n_docs = batch records
+    val keepers = newCls.join(repLbl, Seq("rep"))
+      .join(absorbedComps, Seq("comp"), "left_anti")
+      .groupBy(col("comp").as("doc_id"))
+      .agg(sum(col("n")).as("n_docs"))
+      .localCheckpoint() // append + payload re-join
+    val appended = Dedup.deltaShardAppend(
+        baseLayout.select(col("doc_id"), col("shard")),
+        keepers.select(col("doc_id")))
+      .join(keepers, Seq("doc_id"))
+      .select(col("doc_id"), col("n_docs"), col("shard"), col("pos"))
+    baseLayout.select(col("doc_id"), col("n_docs"), col("shard"), col("pos"))
+      .unionByName(appended)
+      .orderBy(col("shard"), col("pos"))
+  }
+
   def curationPipelineOn(docs: DataFrame,
                          budget: Int = 2048, shards: Int = 8,
                          maxContamination: Double = 0.05,

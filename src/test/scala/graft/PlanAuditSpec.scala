@@ -848,6 +848,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"a cascade join degenerated to all-pairs:\n${plan.take(1200)}")
   }
 
+  test("q_delta_pipeline_media: no decode; batch-only band explosions; append window only") {
+    val plan = planOf("q_delta_pipeline_media")
+    // all four stored tables (layout, joint reps, two band indexes)
+    // arrive as parquet read-backs; the batch side planes through the
+    // materialized hash tables — no decode mapPartitions anywhere
+    assert(!plan.contains("SerializeFromObject"),
+      s"a decode stage leaked into the delta cascade plan:\n${plan.take(1500)}")
+    // every band explosion is a BATCH-side probe (the stored indexes
+    // are never re-banded); the delta CC and probes pin their results
+    // while building the frame, so the planned dataflow is keeper
+    // aggregation + append: exactly ONE window (the per-shard append
+    // rank over the batch keepers)
+    val nWin = plan.linesIterator.count(_.contains("Window ["))
+    assert(nWin === 1, s"expected 1 window (append rank), got $nWin:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a delta cascade join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
   test("q_delta_image_neardup: batch probes the index; base never re-banded against itself") {
     // the candidate half, audited UN-PINNED (the graded entry
     // checkpoints it before the two expansion branches consume it):

@@ -115,6 +115,79 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stored stats not read back from parquet:\n${plan.take(1500)}")
   }
 
+  test("delta media cascade: absorption via every bridge kind; all-new components appended") {
+    import graft.operators.{Dedup, Multimodal, Pipeline}
+    // base corpus: two far-apart joint classes (reps 10, 11)
+    val X1 = (0x1000L, 0x1L); val X2 = (0x2000L, 0x2L)
+    val Y1 = (0x10L, 0x20L); val Y2 = (0x7777L, 0x8888L)
+    val imgBase = Seq((10L, X1._1, X1._2), (11L, X2._1, X2._2))
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    val audBase = Seq((10L, Y1._1, Y1._2), (11L, Y2._1, Y2._2))
+      .toDF("doc_id", "afp_hi", "afp_lo")
+    // batch: every absorption bridge kind + two genuinely-new components
+    val batchRows = Seq(
+      // 80: exact joint key replay -> absorbed at the frozen-rep stage
+      (80L, X1, Y1),
+      // 81: new joint key but image hash STORED verbatim -> absorbed
+      (81L, X1, (0xABCDL, 0xDCBAL)),
+      // 82: image near-dups base X2 (Hamming 1) -> absorbed
+      (82L, (0x2001L, 0x2L), (0x4444L, 0x9999L)),
+      // 83+84: all-new pair chained by image near-dup (component birth)
+      (83L, (0xF0F0L, 0xAAAAL), (0x1111L, 0x2222L)),
+      (84L, (0xF0F0L, 0xAAABL), (0x3333L, 0x6666L)),
+      // 85: isolated all-new singleton
+      (85L, (0xFF00FFL, 0x0L), (0xE0E0L, 0xD0D0L)),
+      // 86+87: chain absorption — 86 links 87 by image, 87's audio
+      // near-dups base Y2; BOTH must be absorbed
+      (86L, (0x5555L, 0x5555L), (0x9999L, 0x7777L)),
+      (87L, (0x5556L, 0x5555L), (0x7776L, 0x8888L)),
+      // 88: joins the 83-component through the shared audio class
+      (88L, (0x123456L, 0x654321L), (0x1111L, 0x2222L)),
+      // 89: exact duplicate of 83's joint key (same NEW class)
+      (89L, (0xF0F0L, 0xAAAAL), (0x1111L, 0x2222L)),
+      // 90: audio hash stored verbatim -> absorbed
+      (90L, (0xDEADL, 0xBEEFL), Y1))
+    val imgBatch = batchRows.map(r => (r._1, r._2._1, r._2._2))
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+    val audBatch = batchRows.map(r => (r._1, r._3._1, r._3._2))
+      .toDF("doc_id", "afp_hi", "afp_lo")
+    val baseLayout = Pipeline.mediaPipelineNearOn(imgBase, audBase)
+      .localCheckpoint()
+    val baseReps = imgBase.join(audBase, Seq("doc_id"))
+      .groupBy(col("ahash_hi"), col("ahash_lo"), col("afp_hi"), col("afp_lo"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_class"))
+    val imgIdx = Multimodal.bands4(
+      imgBase.select(col("ahash_hi"), col("ahash_lo")).distinct())
+    val audIdx = Multimodal.bands4(audBase
+      .select(col("afp_hi").as("ahash_hi"), col("afp_lo").as("ahash_lo"))
+      .distinct())
+    val out = Pipeline.deltaMediaPipelineOn(baseLayout, baseReps,
+        imgIdx, audIdx, imgBatch, audBatch)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val baseRows = baseLayout
+      .select(col("doc_id"), col("n_docs"), col("shard"), col("pos"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // frozen base: every stored row re-emitted byte-for-byte
+    assert(out.filter(r => Set(10L, 11L)(r._1)).sorted == baseRows.sorted,
+      "delta cascade moved a frozen base layout row")
+    // newly-born components only: {83,84,88,89} (keeper 83, 4 docs)
+    // and {85}; every bridge-to-base case absorbed
+    val appended = out.filterNot(r => Set(10L, 11L)(r._1))
+    assert(appended.map(r => (r._1, r._2)).sorted == Seq((83L, 4L), (85L, 1L)),
+      s"wrong keepers appended: ${appended.sorted}")
+    // appended rows rank after the frozen region of their shard and
+    // the combined layout still partitions each shard 0..n-1
+    val baseMax = baseRows.groupBy(_._3).map { case (s, rs) => s -> rs.map(_._4).max }
+    appended.foreach { case (id, _, s, p) =>
+      assert(p > baseMax.getOrElse(s, -1L),
+        s"keeper $id placed inside the frozen region of shard $s")
+    }
+    out.groupBy(_._3).foreach { case (s, rows) =>
+      assert(rows.map(_._4).sorted == (0L until rows.size).toSeq,
+        s"shard $s positions not contiguous after the delta cascade")
+    }
+  }
+
   test("streamed delta audio near-dup == batch audio delta restricted to new-vs-existing") {
     // the acoustic serving twin runs the SAME stream-static band-probe
     // engine as the image one — finite replay must equal the batch
