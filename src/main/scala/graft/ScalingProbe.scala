@@ -107,6 +107,19 @@ object ScalingProbe {
       }.toDF("vec_id", "embedding")
     }
 
+    /** [[embCorpus]] over an arbitrary id range with a FIXED 1024
+      * clusters — the delta-ANN probes need base/batch/query slices
+      * whose geometry does not shift with n.
+      */
+    def embRange(lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi).map { id =>
+        val c = (id % 1024).toInt
+        val crnd = new scala.util.Random(c * 1000003L + 7)
+        val center = Array.fill(64)(crnd.nextGaussian().toFloat)
+        val rnd = new scala.util.Random(id * 2654435761L + 31)
+        (id, center.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+
     // DIVERSE synthetic 64-bit hashes (d ≈ n distinct — the shape the
     // fixture synth can never make: its pixel pattern is an offset mod
     // 256, so d ≤ 256 always); shared by both banding-tier probes so
@@ -286,6 +299,41 @@ object ScalingProbe {
       // refusal is bypassed here on purpose — measuring its DNF point
       // is how BlockedBuildMaxN was established); graphann_auto probes
       // the routed production entry instead
+      // INCREMENTAL ANN maintenance (the delta_shard discipline): the
+      // stored state is the gen output (outside timing); timed work is
+      // the batch's maintenance plus one serve. delta_knn_ivf: docs =
+      // the n-row ASSIGNED base layout; timed = a constant-size
+      // quantizer stand-in (fit on a FIXED 4096-vector seed — in
+      // production this is a read of the stored centroid table),
+      // 100k-batch stateless assignment, probe plan, cell-filtered
+      // union search. The curve's base term is the filtered scan —
+      // compare ivf_exact at equal n, whose Lloyd chain re-fits the
+      // whole corpus every run.
+      case "delta_knn_ivf" => {
+        val cents = graft.operators.Similarity
+          .ivfFitCents(spark, embRange(0, 4096))
+        graft.operators.Similarity.deltaIvfProbe(docs, cents,
+          embRange(n.toLong, n.toLong + 100000).localCheckpoint(),
+          embRange(0, 10))
+      }
+      // delta_knn_graph: docs = the stored n-node edge table (synthetic
+      // mix31 out-edges, degree GraphM — edge CONTENT is irrelevant to
+      // the cost shape, edge VOLUME is what the insert beam joins);
+      // timed = a 4096-vector insert batch's beam-searched link
+      // selection + the 10-query serve over stored ∪ inserted edges.
+      // Inserts run in bounded micro-batches by design — the beam
+      // frame (|batch| × GraphBeam rows) is broadcast per hop, so a
+      // production ingest slices millions of arrivals into batches
+      // this size rather than beaming them all at once. Compare
+      // graphann_nnd at equal n, which rebuilds R rounds of O(N·M²).
+      case "delta_knn_graph" => {
+        val base = embRange(0, n.toLong)
+        val batch = embRange(n.toLong, n.toLong + 4096).localCheckpoint()
+        val inserted = graft.operators.Similarity
+          .deltaGraphInsertEdges(base, docs, batch)
+        graft.operators.Similarity.graphSearch(
+          base.unionByName(batch), docs.unionByName(inserted))
+      }
       case "graphann"        => graft.operators.Similarity.graphSearch(docs,
         graft.operators.Similarity.graphAnnEdges(spark, docs, maxN = Long.MaxValue))
       case "graphann_auto"   => graft.operators.Similarity.graphKnnAutoOn(spark, docs)
@@ -358,6 +406,18 @@ object ScalingProbe {
           .select((col("id") * 2).as("id"), (col("id") * 2).as("lbl"))
           .unionByName(spark.range(n.toLong / 2)
             .select((col("id") * 2 + 1).as("id"), (col("id") * 2).as("lbl"))))
+      // stored delta-ANN state, built outside timing: the assigned
+      // base layout (ivf) / the base edge table (graph)
+      else if (op == "delta_knn_ivf")
+        (n => graft.operators.Similarity.ivfAssignTo(
+          graft.operators.Similarity.ivfFitCents(spark, embRange(0, 4096)),
+          embRange(0, n.toLong)))
+      else if (op == "delta_knn_graph")
+        (n => (0 until graft.operators.Similarity.GraphM).map { s =>
+          spark.range(n.toLong).select(col("id").as("src"),
+            pmod(graft.operators.Similarity.mix31(col("id"), 1000L + s),
+              lit(n.toLong)).as("dst"))
+        }.reduce(_ unionByName _).filter(col("src") =!= col("dst")))
       else if (op.startsWith("image_") || op.startsWith("audio_fp"))
         (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus

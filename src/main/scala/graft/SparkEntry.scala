@@ -305,6 +305,11 @@ object SparkEntry {
     // rows to q_knn_ivf_exact, so it shares the full oracle
     "q_knn_ivf_exact_pruned" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfKnnExactMaterialized(s, dir)),
+    // INCREMENTAL IVF: stored Lloyd quantizer + frozen cell-partitioned
+    // base layout; the batch lands via stateless argmin as a delta
+    // commit, search reads base + delta partition-pruned
+    "q_delta_knn_ivf"   -> ((s: SparkSession, dir: String) =>
+      Similarity.deltaIvfKnn(s, dir)),
     // the IVF-PQ composition under the gate: int8 coarse dot inside
     // the deterministic Lloyd cells of a partition-pruned packed
     // layout, exact rerank — fully oracle-graded
@@ -318,6 +323,10 @@ object SparkEntry {
     // recall floors in SimilaritySpec, and since round 15 the whole
     // build+search is mix31-deterministic -> full DuckDB oracle
     "q_knn_graph"       -> (Similarity.graphKnn _),
+    // INCREMENTAL NSW: batch vectors beam-search the STORED edge table
+    // for their top-M links (insert = search cost, never a rebuild);
+    // serving runs over stored ∪ inserted edges
+    "q_delta_knn_graph" -> (Similarity.deltaGraphKnn _),
     // the routed production entry (blocked <=200k, NN-descent above):
     // at gate scale the router picks the blocked build, so this shares
     // q_knn_graph's oracle — the gate certifies the routing decision
@@ -1104,6 +1113,82 @@ object SparkEntry {
     ivfSqlFor(graft.operators.Similarity.IvfExactCells.toString)
   private lazy val ivfSqrtSql: String = ivfSqlFor(sqrtCellsSql)
 
+  /** The INCREMENTAL IVF re-derived: the deterministic Lloyd chain
+    * runs over the id-PREFIX base only (vec_id < ⌊0.8n⌋ by integer
+    * arithmetic — Similarity.deltaBaseCount's twin), and the cell
+    * assignment covers ALL vectors against those base-fitted
+    * centroids — base rows exactly as the stored layout assigned them
+    * at base ingest, batch rows exactly as the stateless delta
+    * assignment lands them. Probe plan and exact rerank are
+    * [[ivfSqlFor]]'s verbatim.
+    */
+  private lazy val deltaIvfSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    val qc =
+      """un AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
+        |qa AS (SELECT vec_id, list_transform(embedding,
+        |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un),
+        |q AS (SELECT * FROM qa WHERE vec_id < (SELECT count(*) * 8 // 10 FROM embeddings))""".stripMargin
+    s"""WITH ${lloydRoundsSql(qc, graft.operators.Similarity.IvfExactCells.toString)},
+       |ca AS (SELECT t.vec_id, min({'d': ${lloydDistSql("t.qv", "c.cent")}, 'c': c.cid}) AS m
+       |  FROM qa t, c${iters - 1} c GROUP BY t.vec_id),
+       |cells AS (SELECT vec_id, m.c AS cell FROM ca),
+       |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
+       |  FROM (SELECT * FROM qa WHERE vec_id < ${graft.operators.Similarity.NumQueries}) qq, c${iters - 1} c
+       |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+       |    ORDER BY ${lloydDistSql("qq.qv", "c.cent")}, c.cid) <= 3),
+       |sims AS (SELECT p.q_id, s.vec_id AS n_id,
+       |  round(${cosSql("qe.embedding", "s.embedding")}, 6) AS sim
+       |  FROM probe p
+       |  JOIN cells cl ON cl.cell = p.cell
+       |  JOIN embeddings s ON s.vec_id = cl.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = p.q_id
+       |  WHERE s.vec_id <> p.q_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${graft.operators.Similarity.K}
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The INCREMENTAL NSW graph re-derived: the blocked build + rings
+    * restricted to the id-prefix base (the stored edge table), an
+    * unrolled insert beam per batch vector over those stored edges
+    * (top-GraphM links, both directions appended), then the serving
+    * beam over stored ∪ inserted edges with the full corpus.
+    */
+  private lazy val deltaGraphSql: String = {
+    import graft.operators.Similarity
+    val b = "(SELECT b FROM nb)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH $graphEvSql,
+       |nb AS (SELECT n * 8 // 10 AS b FROM nn),
+       |bsrc AS (SELECT * FROM ev WHERE vec_id < $b),
+       |${blockedEdgesSql("b", s"WHERE vec_id < $b", b)},
+       |iqset AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb, n2 AS q_n2 FROM ev WHERE vec_id >= $b),
+       |ibeam0 AS MATERIALIZED (SELECT q_id, c.vec_id AS n_id, ${gSimSql("q_emb", "q_n2", "c.emb", "c.n2")} AS sim
+       |  FROM ev c CROSS JOIN iqset WHERE c.vec_id < ${Similarity.GraphEntries})""".stripMargin
+    for (h <- 1 to Similarity.GraphHops) {
+      sb ++= s""",
+        |ibn$h AS MATERIALIZED (SELECT DISTINCT t.q_id, ed.dst AS n_id FROM ibeam${h - 1} t JOIN bedges ed ON ed.src = t.n_id),
+        |ibs$h AS MATERIALIZED (SELECT t.q_id, t.n_id, ${gSimSql("q.q_emb", "q.q_n2", "c.emb", "c.n2")} AS sim
+        |  FROM ibn$h t JOIN ev c ON c.vec_id = t.n_id JOIN iqset q ON q.q_id = t.q_id),
+        |ibeam$h AS MATERIALIZED (SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+        |  FROM (SELECT DISTINCT q_id, n_id, sim FROM
+        |    (SELECT * FROM ibeam${h - 1} UNION ALL SELECT * FROM ibs$h))) WHERE r <= ${Similarity.GraphBeam})""".stripMargin
+    }
+    sb ++= s""",
+      |ilinks AS (SELECT q_id, n_id FROM (
+      |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+      |  FROM ibeam${Similarity.GraphHops} WHERE q_id <> n_id) WHERE r <= ${Similarity.GraphM}),
+      |alledges AS MATERIALIZED (SELECT src, dst FROM bedges
+      |  UNION ALL SELECT q_id, n_id FROM ilinks
+      |  UNION ALL SELECT n_id, q_id FROM ilinks)""".stripMargin
+    sb ++= graphBeamSql("alledges")
+    sb.toString
+  }
+
   /** The IVF-PQ composition re-derived: the deterministic Lloyd cells
     * + probe plan (the [[ivfSqlFor]] CTEs at the given cell count),
     * int8 pack per vector (floor(x/scale + 0.5), clamped — Java
@@ -1317,17 +1402,23 @@ object SparkEntry {
     * salts in one pass via a (salt) cross join, partitioned by
     * (salt, grp). Ends at CTE `ring(src, dst)`.
     */
-  private val ringSql =
-    s"""rg AS (SELECT vec_id, s.salt,
-       |    ${mixSql("vec_id", "s.salt")} % greatest(1, (SELECT n FROM nn) // 32) AS grp,
+  /** `p`-prefixed ring CTEs over `embeddings $where`, with `nExpr` the
+    * node count driving the group sizing — the base-restricted
+    * instance serves the delta-graph oracle's stored-build half.
+    */
+  private def ringSqlFor(p: String, where: String, nExpr: String) =
+    s"""${p}rg AS (SELECT vec_id, s.salt,
+       |    ${mixSql("vec_id", "s.salt")} % greatest(1, $nExpr // 32) AS grp,
        |    ${mixSql("vec_id", "(s.salt + 100)")} AS ord
-       |  FROM embeddings CROSS JOIN (SELECT unnest([1, 2]) AS salt) s),
-       |ring AS MATERIALIZED (SELECT src, dst FROM (
+       |  FROM embeddings CROSS JOIN (SELECT unnest([1, 2]) AS salt) s $where),
+       |${p}ring AS MATERIALIZED (SELECT src, dst FROM (
        |  SELECT vec_id AS src,
        |    coalesce(lead(vec_id) OVER (PARTITION BY salt, grp ORDER BY ord, vec_id),
        |      first_value(vec_id) OVER (PARTITION BY salt, grp ORDER BY ord, vec_id
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS dst
-       |  FROM rg) WHERE src <> dst)""".stripMargin
+       |  FROM ${p}rg) WHERE src <> dst)""".stripMargin
+
+  private val ringSql = ringSqlFor("", "", "(SELECT n FROM nn)")
 
   /** The batch beam search (Similarity.graphSearch) over a prebuilt
     * `edges(src, dst)` CTE: entries = vec_id < GraphEntries crossed
@@ -1414,28 +1505,38 @@ object SparkEntry {
     * the pair+sim for the shared-both-blocks case), per-src top-M ∪
     * ring, shared beam search.
     */
-  private lazy val blockedGraphSql: String = {
+  /** `p`-prefixed blocked-build CTEs (Similarity.graphAnnEdgesFor)
+    * over `${p}src(vec_id, emb, n2)` sized by `nExpr`, ring edges
+    * included — ends at `${p}edges(src, dst)`. The unrestricted
+    * instance is q_knn_graph's build; the base-restricted instance is
+    * the delta-graph oracle's stored edge table.
+    */
+  private def blockedEdgesSql(p: String, where: String, nExpr: String): String = {
     import graft.operators.Similarity
-    val cellsSql = "(SELECT greatest(4, CAST(floor(sqrt(n)) AS BIGINT)) FROM nn)"
-    s"""WITH $graphEvSql,
-       |$ringSql,
-       |bk AS MATERIALIZED (SELECT vec_id, blk FROM (
+    val cellsSql = s"(SELECT greatest(4, CAST(floor(sqrt($nExpr)) AS BIGINT)))"
+    s"""${ringSqlFor(p, where, nExpr)},
+       |${p}bk AS MATERIALIZED (SELECT vec_id, blk FROM (
        |  SELECT e.vec_id, c.c_id AS blk,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY ${gSqdSql("e.emb", "c.c_emb")}, c.c_id) AS r
-       |  FROM ev e CROSS JOIN (SELECT vec_id AS c_id, emb AS c_emb FROM ev
+       |  FROM ${p}src e CROSS JOIN (SELECT vec_id AS c_id, emb AS c_emb FROM ${p}src
        |    WHERE vec_id < $cellsSql) c) WHERE r <= 2),
-       |hf AS MATERIALIZED (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y,
+       |${p}hf AS MATERIALIZED (SELECT DISTINCT a.vec_id AS x, b.vec_id AS y,
        |    ${gSimSql("ex.emb", "ex.n2", "ey.emb", "ey.n2")} AS sim
-       |  FROM bk a JOIN bk b ON a.blk = b.blk AND a.vec_id < b.vec_id
-       |  JOIN ev ex ON ex.vec_id = a.vec_id JOIN ev ey ON ey.vec_id = b.vec_id),
-       |px AS MATERIALIZED (SELECT src, dst FROM (
+       |  FROM ${p}bk a JOIN ${p}bk b ON a.blk = b.blk AND a.vec_id < b.vec_id
+       |  JOIN ${p}src ex ON ex.vec_id = a.vec_id JOIN ${p}src ey ON ey.vec_id = b.vec_id),
+       |${p}px AS MATERIALIZED (SELECT src, dst FROM (
        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS r FROM (
-       |    SELECT x AS src, y AS dst, sim FROM hf
-       |    UNION ALL SELECT y AS src, x AS dst, sim FROM hf)) WHERE r <= ${Similarity.GraphM}),
-       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
-       |  (SELECT src, dst FROM px UNION ALL SELECT src, dst FROM ring))""".stripMargin +
-      graphBeamSql("edges")
+       |    SELECT x AS src, y AS dst, sim FROM ${p}hf
+       |    UNION ALL SELECT y AS src, x AS dst, sim FROM ${p}hf)) WHERE r <= ${Similarity.GraphM}),
+       |${p}edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM ${p}px UNION ALL SELECT src, dst FROM ${p}ring))""".stripMargin
   }
+
+  private lazy val blockedGraphSql: String =
+    s"""WITH $graphEvSql,
+       |src AS (SELECT * FROM ev),
+       |${blockedEdgesSql("", "", "(SELECT n FROM nn)")}""".stripMargin +
+      graphBeamSql("edges")
 
   private val kmeansChainSql: String = {
     val iters = graft.operators.Similarity.KmeansIters
@@ -3018,6 +3119,12 @@ object SparkEntry {
     // xxhash64, so both the blocked and the NN-descent graphs are pure
     // functions of the corpus DuckDB can recompute
     "q_knn_graph" -> blockedGraphSql,
+    // maintain-then-search re-derived end-to-end: base build + insert
+    // beams + serving beam, every stage the oracle-locked arithmetic
+    "q_delta_knn_graph" -> deltaGraphSql,
+    // Lloyd over the id-prefix base, assignment over all — the stored
+    // layout's rows plus the stateless delta commit
+    "q_delta_knn_ivf" -> deltaIvfSql,
     // the router picks the blocked build at gate scale (n=500 <= 200k)
     "q_knn_graph_auto" -> blockedGraphSql,
     "q_knn_graph_nnd" -> nndGraphSql,

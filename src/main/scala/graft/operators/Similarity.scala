@@ -318,20 +318,27 @@ object Similarity {
     * per-query probe plan — shared by the in-memory search and the
     * materialized layout (the [[ivfAssignments]] split, Lloyd edition).
     */
+  /** Unit vectors in double arithmetic (sequential element-order fold,
+    * the cosine-parity convention) — the row-local normalization every
+    * IVF tier quantizes from; shared by the full fit and the delta
+    * entries (a batch vector normalizes identically whether it arrives
+    * at base ingest or later, which is what makes the stateless delta
+    * assignment equal the full fit's).
+    */
+  private def unitized(e: DataFrame): DataFrame = e
+    .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))))
+    .select(col("vec_id"),
+      when(col("nrm") === 0.0,
+        transform(col("embedding"), x => x.cast("double")))
+        .otherwise(transform(col("embedding"), x => x.cast("double") / col("nrm")))
+        .as("embedding"))
+
   private def ivfExactAssignments(spark: SparkSession, e: DataFrame,
       probes: Int, cells: Int = IvfExactCells): (DataFrame, DataFrame) = {
-    // unit vectors in double arithmetic (sequential element-order fold,
-    // the cosine-parity convention); quantizedX then fixes them to
-    // 2^20 longs + exact xv doubles for the Lloyd chain
-    val unit = e
-      .withColumn("nrm", sqrt(aggregate(col("embedding"), lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))))
-      .select(col("vec_id"),
-        when(col("nrm") === 0.0,
-          transform(col("embedding"), x => x.cast("double")))
-          .otherwise(transform(col("embedding"), x => x.cast("double") / col("nrm")))
-          .as("embedding"))
-    val q = quantizedX(unit)
+    // quantizedX fixes the unit vectors to 2^20 longs + exact xv
+    // doubles for the Lloyd chain
+    val q = quantizedX(unitized(e))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = lloydRounds(spark, q, cells)
     // cell as INT on both sides: the materialized layout re-infers the
@@ -379,6 +386,162 @@ object Similarity {
     val layout = spark.read.parquet(layoutDir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     ivfSearch(layout, probeCells)
+  }
+
+  // ——— delta (incremental) ANN index maintenance ———
+
+  /** Append-only ingest split shared by both delta ANN entries: prior
+    * ingests assigned vec_ids 0..B-1 (B = ⌊0.8n⌋ via integer
+    * arithmetic so the DuckDB twin's `count(*) * 8 // 10` matches
+    * bit-for-bit), the new batch holds B..n-1. An id-PREFIX, not the
+    * media families' mod-10 cut: an ANN index's id space is
+    * append-only by construction, and the prefix keeps the STORED side
+    * dense so the seed/entry conventions (`vec_id < k`) read the same
+    * vectors at base ingest and forever after — Lloyd seeds, graph
+    * entry points, and the query set never silently move when a batch
+    * lands.
+    */
+  private[graft] def deltaBaseCount(n: Long): Long = n * 8 / 10
+
+  /** INCREMENTAL IVF — index MAINTENANCE under ingest, the similarity
+    * family's delta form (the last family without one): prior ingests
+    * left a STORED deterministic Lloyd quantizer (the
+    * [[ivfKnnExactOn]] fit over the base, [[IvfExactCells]] cells) and
+    * the cell-partitioned base layout ([[ivfKnnExactMaterialized]]'s
+    * serving shape). A new batch is absorbed WITHOUT refitting or
+    * re-clustering anything: each new vector takes a STATELESS argmin
+    * over the stored centroids (the q_stream_kmeans kernel — one
+    * broadcast join, map-only) and lands as a delta commit NEXT TO the
+    * frozen base layout (its own cell-partitioned directory,
+    * idempotent overwrite — the [[graft.operators.Dedup.deltaShardAppend]]
+    * frozen-base discipline on the ANN layout; a compaction folds
+    * delta files into the base off the query path). Ingest cost is
+    * O(batch · cells) scoring plus a batch-sized write — NEVER a Lloyd
+    * chain over the corpus (probed flat-in-base; ScalingProbe
+    * delta_knn_ivf).
+    *
+    * Search after ingest: the probe plan scores queries against the
+    * SAME stored centroids and reads base + delta layouts partition-
+    * PRUNED to the probed cells. Because base cells were themselves
+    * assigned against these centroids at base ingest, base ∪ delta
+    * equals one assignment pass over the whole corpus vs the
+    * base-fitted quantizer — which is exactly what the DuckDB oracle
+    * re-derives (Lloyd over the id-prefix base, assignment over all),
+    * so the graded entry sits under the full rows+schema+hash gate.
+    * The DRIFT this maintenance trades away is quantizer FIT, not
+    * correctness: centroids stop tracking the distribution as batches
+    * accumulate (recall drift vs a full refit is floored in
+    * Round19OpsSpec on the clustered fixture); the production answer
+    * is periodic refits, exactly like the re-shard note on
+    * deltaShardAppend.
+    */
+  /** Fit the deterministic [[IvfExactCells]]-cell Lloyd quantizer over
+    * an embedding frame — the stored-centroid builder of the delta
+    * family (and the probe's fixed-seed stand-in).
+    */
+  private[graft] def ivfFitCents(spark: SparkSession, e: DataFrame): DataFrame = {
+    val q = quantizedX(unitized(e))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try lloydRounds(spark, q, IvfExactCells).localCheckpoint()
+    finally { q.unpersist(); () }
+  }
+
+  /** Stateless cell assignment against FIXED centroids — the
+    * q_stream_kmeans kernel as a corpus operator: one broadcast join,
+    * map-only, the entire per-batch ingest cost of the maintained IVF.
+    */
+  private[graft] def ivfAssignTo(cents: DataFrame, e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("n_id"), col("embedding"))
+      .join(assignStep(quantizedX(unitized(e)), cents)
+        .select(col("vec_id").as("n_id"),
+          col("cluster").cast("int").as("cell")), "n_id")
+
+  /** Per-query probe plan against fixed centroids: top-`probes` cells
+    * by quantized distance, query embedding riding along.
+    */
+  private def ivfProbePlan(queriesE: DataFrame, cents: DataFrame,
+      probes: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    quantizedX(unitized(queriesE)).crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("cid"),
+        sqDistD(col("xv"), col("cent")).as("d"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= probes)
+      .join(queriesE.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb")), "q_id")
+      .select(col("q_id"), col("q_emb"), col("cid").cast("int").as("cell"))
+  }
+
+  def deltaIvfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = denseCount(e, "delta IVF")
+    val b = deltaBaseCount(n)
+    val base = e.filter(col("vec_id") < b)
+    val batch = e.filter(col("vec_id") >= b)
+    val centPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_centroids", dir)
+    val layoutPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout", dir)
+    // stored state, written ONCE at base ingest: the fitted quantizer
+    // and the cell-partitioned base layout
+    graft.sources.Scratch.materializeOnce(centPath) {
+      val cents = ivfFitCents(spark, base)
+      cents.write.mode("overwrite").parquet(centPath)
+      ivfAssignTo(cents, base)
+        .write.mode("overwrite").partitionBy("cell").parquet(layoutPath)
+    }
+    val cents = spark.read.parquet(centPath)
+    // THE INGEST: stateless assignment of the batch to stored cells,
+    // landed as an idempotent delta commit — the base layout is never
+    // opened for write again
+    val deltaPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_batch", dir)
+    graft.sources.Scratch.materializeOnce(deltaPath) {
+      ivfAssignTo(cents, batch)
+        .write.mode("overwrite").partitionBy("cell").parquet(deltaPath)
+    }
+    // serving: probe plan vs the stored centroids, base + delta read
+    // back partition-pruned to the probed cells
+    val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
+        cents, probes)
+      .localCheckpoint() // cell collect + search join
+    val cellIds = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val layout = spark.read.parquet(layoutPath)
+      .filter(col("cell").isin(cellIds.map(Int.box): _*))
+      .unionByName(spark.read.parquet(deltaPath)
+        .filter(col("cell").isin(cellIds.map(Int.box): _*)))
+    ivfSearch(layout, probeCells)
+  }
+
+  /** In-memory delta-IVF body for specs and probes (no corpus identity
+    * to materialize under): fit on the id-prefix base, assign the
+    * batch statelessly against those centroids, search the union —
+    * value-identical to [[deltaIvfKnn]]'s stored-table path.
+    */
+  private[graft] def deltaIvfKnnOn(spark: SparkSession, e: DataFrame,
+      probes: Int = 3): DataFrame = {
+    val n = denseCount(e, "delta IVF")
+    val b = deltaBaseCount(n)
+    val cents = ivfFitCents(spark, e.filter(col("vec_id") < b))
+    val corpus = ivfAssignTo(cents, e.filter(col("vec_id") < b))
+      .unionByName(ivfAssignTo(cents, e.filter(col("vec_id") >= b)))
+    val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
+      cents, probes).localCheckpoint()
+    ivfSearch(corpus, probeCells)
+  }
+
+  /** Probe support (ScalingProbe delta_knn_ivf): maintenance + serving
+    * over a PREBUILT assigned base layout — the timed work is the
+    * batch's stateless assignment, the probe plan, and the
+    * cell-filtered union search; the base enters only through the
+    * filtered scan, never a fit.
+    */
+  private[graft] def deltaIvfProbe(baseLayout: DataFrame, cents: DataFrame,
+      batch: DataFrame, queriesE: DataFrame, probes: Int = 3): DataFrame = {
+    val probeCells = ivfProbePlan(queriesE, cents, probes).localCheckpoint()
+    val cellIds = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = baseLayout.unionByName(ivfAssignTo(cents, batch))
+      .filter(col("cell").isin(cellIds.map(Int.box): _*))
+    ivfSearch(corpus, probeCells)
   }
 
   // ——— graph ANN (NSW-style) ———
@@ -640,16 +803,103 @@ object Similarity {
       rho: Option[Int] = None): DataFrame =
     graphSearch(e, nnDescentEdges(spark, e, rho = rho))
 
+  /** INCREMENTAL NSW graph maintenance — the classic navigable-graph
+    * INSERT restated for a batch engine: each new vector BEAM-SEARCHES
+    * the STORED edge table for its [[GraphM]] nearest reachable nodes
+    * (search cost only — one [[beamTop]] pass with the batch as the
+    * query set, never a rebuild of the blocked/NND construction) and
+    * joins the graph as those M out-edges plus their M reverse edges
+    * (the backlinks that make the new node REACHABLE to future
+    * searches and future inserts). Ingest cost is the insert search —
+    * O(batch · beam · hops) joins against edge and corpus tables —
+    * flat in the stored graph's size (ScalingProbe delta_knn_graph),
+    * where the blocked rebuild is ~N^1.5 and NND is R·O(N·M²).
+    *
+    * The serving search then runs over stored ∪ inserted edges with
+    * the corpus including the batch. Fully deterministic (the insert
+    * beam is the same oracle-locked arithmetic as the serving beam),
+    * so the whole maintain-then-search composition is re-derived by
+    * the DuckDB twin — Lloyd-free, the q_knn_graph chain restricted to
+    * the id-prefix base plus an unrolled insert beam — and the graded
+    * entry sits under the full hash gate. Drift trade, stated plainly:
+    * inserted nodes link only to what the stored graph could REACH at
+    * insert time (no blocked-build completeness over new∪old), so
+    * recall drifts as batches accumulate; Round19OpsSpec floors it on
+    * the clustered fixture, and the production answer is periodic
+    * rebuilds — the deltaIvfKnn refit note, graph edition.
+    */
+  def deltaGraphKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val n = denseCount(e, "delta graph ANN")
+    val b = deltaBaseCount(n)
+    val base = e.filter(col("vec_id") < b)
+    // stored state: the base graph's edge table, written at base ingest
+    val edgesPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_base", dir)
+    graft.sources.Scratch.materializeOnce(edgesPath) {
+      graphAnnEdgesFor(base, b, BlockedBuildMaxN)
+        .write.mode("overwrite").parquet(edgesPath)
+    }
+    val stored = spark.read.parquet(edgesPath).select(col("src"), col("dst"))
+    graphSearch(e,
+      stored.unionByName(
+        deltaGraphInsertEdges(base, stored, e.filter(col("vec_id") >= b))))
+  }
+
+  /** In-memory delta-graph body for specs and probes — builds the base
+    * edge table fresh instead of reading the stored one;
+    * value-identical to [[deltaGraphKnn]] (the build is deterministic).
+    */
+  private[graft] def deltaGraphKnnOn(spark: SparkSession, e: DataFrame): DataFrame = {
+    val n = denseCount(e, "delta graph ANN")
+    val b = deltaBaseCount(n)
+    val base = e.filter(col("vec_id") < b)
+    val stored = graphAnnEdgesFor(base, b, BlockedBuildMaxN).localCheckpoint()
+    graphSearch(e,
+      stored.unionByName(
+        deltaGraphInsertEdges(base, stored, e.filter(col("vec_id") >= b))))
+  }
+
+  /** The insert's link selection: batch vectors beam-search the stored
+    * graph (corpus = the BASE vectors the stored edges point into) for
+    * their top-[[GraphM]] links; emitted as both edge directions.
+    */
+  private[graft] def deltaGraphInsertEdges(base: DataFrame,
+      storedEdges: DataFrame, batch: DataFrame): DataFrame = {
+    val links = beamTop(base,
+      batch.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      storedEdges, GraphM)
+    links.select(explode(array(
+        struct(col("q_id").as("src"), col("n_id").as("dst")),
+        struct(col("n_id").as("src"), col("q_id").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
+
   /** Batch beam search over an arbitrary prebuilt edge table — the
     * shared serving half of both graph-ANN variants.
     */
   private[graft] def graphSearch(e: DataFrame, rawEdges: DataFrame): DataFrame = {
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    beamTop(e, queries, rawEdges, K)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The beam core shared by the serving search ([[graphSearch]]) and
+    * the delta NSW INSERT ([[deltaGraphInsertEdges]], which link-
+    * selects with topN = [[GraphM]] instead of K): entries crossed
+    * with the query set, [[GraphHops]] expand-score-prune rounds, then
+    * the per-query top-`topN`. One implementation holds the
+    * oracle-locked arithmetic (scores, tie-breaks, dedup) for both
+    * consumers.
+    */
+  private def beamTop(e: DataFrame, queries: DataFrame,
+      rawEdges: DataFrame, topN: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = rawEdges.persist(StorageLevel.MEMORY_AND_DISK)
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val score = cosine(col("q_emb"), col("embedding")).as("sim")
     var beam = corpus.filter(col("n_id") < GraphEntries)
       .crossJoin(broadcast(queries))
@@ -662,10 +912,7 @@ object Similarity {
     corpus.unpersist()
     beam.filter(col("q_id") =!= col("n_id"))
       .withColumn("rank", row_number().over(rankW).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("q_id"), col("rank"))
+      .filter(col("rank") <= topN)
   }
 
   val NndRounds = 4 // neighbor-of-neighbor refinement rounds

@@ -848,6 +848,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"a cascade join degenerated to all-pairs:\n${plan.take(1200)}")
   }
 
+  test("q_delta_knn_ivf: stored layout read partition-pruned; never re-clustered") {
+    val plan = planOf("q_delta_knn_ivf")
+    // the serving read: both the frozen base layout and the delta
+    // commit are parquet scans PRUNED to the probed cells (the cell
+    // literals become PartitionFilters — only those directories open)
+    val pruned = plan.linesIterator
+      .count(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(pruned >= 2,
+      s"expected both layout scans cell-pruned, found $pruned:\n${plan.take(2000)}")
+    // never re-clustered at query time: the Lloyd chain's signature
+    // stages (posexplode of qv for centroid sums) must be absent —
+    // centroids arrive as a parquet read-back
+    assert(!plan.contains("posexplode"),
+      s"a Lloyd centroid-update stage leaked into the serving plan:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the probe degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
   test("q_delta_pipeline_media: no decode; batch-only band explosions; append window only") {
     val plan = planOf("q_delta_pipeline_media")
     // all four stored tables (layout, joint reps, two band indexes)

@@ -115,6 +115,58 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stored stats not read back from parquet:\n${plan.take(1500)}")
   }
 
+  /** The planted-cluster corpus every ANN quality spec uses (12
+    * centers, 60 members each, queries land in clusters 0..9) — here
+    * the last 20% of ids play the ingest batch, so the base keeps the
+    * same cluster structure at 48 members per cluster.
+    */
+  private def clusteredEmb = {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    (0 until 720).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def byQuery(rows: Array[(Long, Long, Long, Double)]) =
+    rows.groupBy(_._1).map { case (q, r) => q -> r.map(_._3).toSet }
+
+  test("delta ANN maintenance: recall drift floored on clustered data; batch reachable") {
+    import graft.operators.Similarity
+    val e = clusteredEmb
+    val exact = byQuery(Similarity.bruteForceKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect())
+    def recallOf(got: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, x) =>
+        (got.getOrElse(q, Set.empty) & x).size.toDouble / x.size }
+      rs.sum / rs.size
+    }
+    // IVF maintained on stored base-fitted centroids: the quantizer
+    // saw only 80% of the data, so some drift vs the full refit is the
+    // designed trade — floor it
+    val ivfRows = Similarity.deltaIvfKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect()
+    val ivfRecall = recallOf(byQuery(ivfRows))
+    info(f"delta IVF clustered recall@5 = $ivfRecall%.3f")
+    assert(ivfRecall >= 0.75, f"delta IVF recall $ivfRecall%.2f below drift floor")
+    // NSW insert: links limited to what the stored graph reaches
+    val gRows = Similarity.deltaGraphKnnOn(spark, e)
+      .as[(Long, Long, Long, Double)].collect()
+    val gRecall = recallOf(byQuery(gRows))
+    info(f"delta graph clustered recall@5 = $gRecall%.3f")
+    assert(gRecall >= 0.75, f"delta graph recall $gRecall%.2f below drift floor")
+    // REACHABILITY: inserted nodes must be findable through their
+    // backlinks — batch ids (>= 576) appear in the served results
+    // (each query's cluster has 12 batch members among its true top-5
+    // candidates' neighborhoods)
+    val b = 720L * 8 / 10
+    assert(ivfRows.exists(_._3 >= b),
+      "delta IVF served no batch vector — the delta commit is invisible")
+    assert(gRows.exists(_._3 >= b),
+      "delta graph served no batch vector — inserted backlinks are dead")
+  }
+
   test("delta media cascade: absorption via every bridge kind; all-new components appended") {
     import graft.operators.{Dedup, Multimodal, Pipeline}
     // base corpus: two far-apart joint classes (reps 10, 11)
