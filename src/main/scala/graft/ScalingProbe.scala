@@ -26,17 +26,24 @@ object ScalingProbe {
       case s => s
     }
 
-    def corpus(n: Int): DataFrame = {
+    def corpusRange(lo: Long, hi: Long): DataFrame = {
       val words = Vector("key", "agg", "row", "scan", "slow", "fast", "table",
         "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
         "window", "stream", "group", "vector", "filter", "join", "query",
         "order", "data", "column", "small", "big", "the", "customer", "a")
-      spark.range(n.toLong).map { id =>
+      spark.range(lo, hi).map { id =>
         val rnd = new scala.util.Random(id * 2654435761L + 17)
         val len = 40 + rnd.nextInt(120)
         (id, Vector.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
       }.toDF("doc_id", "text")
     }
+
+    def corpus(n: Int): DataFrame = corpusRange(0L, n.toLong)
+
+    // stored-index sidecar for the delta_bm25 probe: the three small
+    // maintained tables (dl/df/stats), built by the gen lambda OUTSIDE
+    // timing alongside the postings frame it returns
+    var bm25Stored: Seq[DataFrame] = Nil
 
     /** Duplicate-heavy corpus: 30% of documents are verbatim copies
       * drawn from a 50-template pool (boilerplate/mirror pages — the
@@ -351,6 +358,16 @@ object ScalingProbe {
           math.max(8, math.sqrt(n.toDouble).toInt))
       case "boilerplate"     => graft.operators.TextAnalysis.removeBoilerplateOn(docs)
       case "bm25"            => graft.operators.Retrieval.bm25On(docs)
+      // INCREMENTAL BM25 (the delta_shard discipline): docs = the
+      // stored n-doc postings table, dl/df/stats prebuilt in the gen
+      // sidecar — all outside timing. Timed work = ONE tokenization
+      // pass over a fixed 10k batch plus the word-keyed delta-applies
+      // and the query-bounded scoring; the base enters through narrow
+      // stored-table scans only, never a re-tokenization. Compare bm25
+      // at equal n, which re-tokenizes the corpus every run.
+      case "delta_bm25"      => graft.operators.Retrieval.deltaBm25From(
+        docs, bm25Stored(0), bm25Stored(1), bm25Stored(2),
+        corpusRange(n.toLong, n.toLong + 10000).localCheckpoint())
       case "bm25_nopersist"  => graft.operators.Retrieval.bm25On(docs, persistPostings = false)
       case "dsir"            => graft.operators.Retrieval.dsirWeightsOn(
         docs.withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string"))))
@@ -418,6 +435,20 @@ object ScalingProbe {
             pmod(graft.operators.Similarity.mix31(col("id"), 1000L + s),
               lit(n.toLong)).as("dst"))
         }.reduce(_ unionByName _).filter(col("src") =!= col("dst")))
+      else if (op == "delta_bm25")
+        (n => {
+          val tfB = graft.operators.Retrieval.postings(corpus(n))
+            .localCheckpoint()
+          bm25Stored = Seq(
+            tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+              .localCheckpoint(),
+            tfB.groupBy(col("word")).agg(count(lit(1)).as("df"))
+              .localCheckpoint(),
+            tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+              .agg(sum(col("dl")).as("tot_dl"), count(lit(1)).as("n_docs"))
+              .localCheckpoint())
+          tfB
+        })
       else if (op.startsWith("image_") || op.startsWith("audio_fp"))
         (n => spark.range(n.toLong).toDF("doc_id")) // decode needs ids only
       else if (op.endsWith("_dup")) dupCorpus
