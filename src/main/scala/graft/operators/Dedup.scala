@@ -945,8 +945,34 @@ object Dedup {
     * table. Output tags each surviving pair `new_new` (both sides in
     * the batch) or `new_existing` (batch vs corpus).
     */
-  def deltaDedup(spark: SparkSession, dir: String): DataFrame =
-    deltaDedupOn(Tables.documents(spark, dir))
+  /** Graded entry — round 19 gives the text family its STORED
+    * signature index (the media [[graft.operators.Multimodal.baseBandIndex]]
+    * discipline): the base's MinHash signatures are materialized once
+    * per corpus, and a delta run reads them back instead of
+    * re-shingling the base text — the only per-ingest text pass is the
+    * batch's. Batch membership comes from the stored index's doc_ids
+    * (an anti-join — production's "not yet ingested", replacing the
+    * md5-over-text split scan), which equals the fixture's md5 rule
+    * because the stored table was built from it.
+    */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    deltaDedupFrom(baseSigTable(spark, dir, docs), docs)
+  }
+
+  /** The stored base-signature table, materialized once per corpus —
+    * shared by [[deltaDedup]] and [[deltaDupClusters]] (one stored
+    * index, every text-delta consumer).
+    */
+  private def baseSigTable(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
+    val path = graft.sources.Scratch.corpusDir(spark, "delta_sig_base", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      minhashSignaturesUnsorted(docs.filter(!deltaIsNew), prodHash = false)
+        .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
 
   /** Batch-membership rule shared by EVERY text delta operator
     * ([[deltaDedupOn]], [[deltaDupClustersOn]] and its stored-label
@@ -960,15 +986,46 @@ object Dedup {
   /** Verify threshold shared by the delta probe's two consumers. */
   private val DeltaVerifyMinEst = 0.5
 
-  def deltaDedupOn(docs: DataFrame): DataFrame = {
-    // tiny per-doc (doc_id, is_new) — consumed three times (band tag +
-    // both pair-classification joins); checkpoint so the md5 pass over
-    // text runs once
-    val newness = docs.select(col("doc_id"), deltaIsNew.as("is_new"))
-      .localCheckpoint()
-    val sig = minhashSignaturesUnsorted(docs, prodHash = false)
+  /** Recompute-index form (specs, probes, arbitrary frames): builds
+    * the base signature table inline — value-identical to the
+    * stored-table path.
+    */
+  def deltaDedupOn(docs: DataFrame): DataFrame =
+    deltaDedupFrom(
+      minhashSignaturesUnsorted(docs.filter(!deltaIsNew), prodHash = false),
+      docs)
+
+  private[graft] def deltaDedupFrom(baseSig: DataFrame,
+      docs: DataFrame): DataFrame =
+    deltaProbePairs(baseSig, docs).orderBy(col("id_a"), col("id_b"))
+
+  /** The shared stored-index delta probe (both text delta entries):
+    * the batch = docs absent from the stored index (anti-join on
+    * doc_id), signatured in the ONLY per-ingest text pass; base
+    * signatures are read back narrow (65 longs/doc), never re-derived
+    * from text. Candidates probe the batch's band keys against the
+    * full band projection (derived from signatures — a map-only
+    * explode, no text), verify is the exact matches/64 estimate over
+    * the union signature frame. Output pinned eagerly so consumers
+    * plan over the tiny pair list after the signature cache releases.
+    */
+  private def deltaProbePairs(baseSig: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val baseIds = baseSig.select(col("doc_id"))
+    val batchSig = minhashSignaturesUnsorted(
+      docs.join(baseIds, Seq("doc_id"), "left_anti"), prodHash = false)
+    val sig = baseSig.unionByName(batchSig)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // membership from the INDEX, not a text scan: stored ids are the
+      // already-ingested set (equals the fixture's md5 rule — the
+      // stored table was built from it). Tiny per-doc (doc_id, is_new)
+      // frame, consumed three times — checkpoint.
+      val newness = sig.select(col("doc_id"))
+        .join(baseIds.withColumn("stored", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (!coalesce(col("stored"), lit(false))).as("is_new"))
+        .localCheckpoint()
       verifiedPairs(sig, deltaCandidates(sig, newness), DeltaVerifyMinEst)
         .join(newness.select(col("doc_id").as("id_a"), col("is_new").as("new_a")), "id_a")
         .join(newness.select(col("doc_id").as("id_b"), col("is_new").as("new_b")), "id_b")
@@ -976,7 +1033,6 @@ object Dedup {
           when(col("new_a") && col("new_b"), "new_new")
             .otherwise("new_existing").as("pair_type"))
         .localCheckpoint()
-        .orderBy(col("id_a"), col("id_b"))
     } finally { sig.unpersist(); () }
   }
 
@@ -996,19 +1052,22 @@ object Dedup {
     */
   def deltaDupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // the stored label table, materialized once per corpus (the
-    // corpusClusterLabels discipline): a daily ingest READS this, it
-    // never recomputes the base closure
+    // BOTH stored tables read back (the converged label table + the
+    // round-19 signature index): a daily ingest never recomputes the
+    // base closure and never re-shingles the base text
     val path = graft.sources.Scratch.corpusDir(spark, "delta_base_cc_txt", dir)
     graft.sources.Scratch.materializeOnce(path) {
       baseDocLabels(docs).write.mode("overwrite").parquet(path)
     }
     deltaDupClustersFrom(
-      spark.read.parquet(path).select(col("id"), col("lbl")), docs)
+      spark.read.parquet(path).select(col("id"), col("lbl")),
+      baseSigTable(spark, dir, docs), docs)
   }
 
   def deltaDupClustersOn(docs: DataFrame): DataFrame =
-    deltaDupClustersFrom(baseDocLabels(docs), docs)
+    deltaDupClustersFrom(baseDocLabels(docs),
+      minhashSignaturesUnsorted(docs.filter(!deltaIsNew), prodHash = false),
+      docs)
 
   /** Stored state: converged labels over the BASE split's own pair
     * graph (deterministic, so the graded entry materializes it once
@@ -1021,22 +1080,12 @@ object Dedup {
   }
 
   private def deltaDupClustersFrom(baseLabels: DataFrame,
-      docs: DataFrame): DataFrame = {
-    val newness = docs.select(col("doc_id"), deltaIsNew.as("is_new"))
-      .localCheckpoint()
-    // the delta probe: verified pairs touching the batch only
-    val sig = minhashSignaturesUnsorted(docs, prodHash = false)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val deltaPairs = verifiedPairs(sig, deltaCandidates(sig, newness),
-          DeltaVerifyMinEst)
-        .select(col("id_a"), col("id_b"))
-      maintainComponentLabels(baseLabels, deltaPairs)
-        .groupBy(col("lbl").as("cluster_rep"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy(col("cluster_rep"))
-    } finally { sig.unpersist(); () }
-  }
+      baseSig: DataFrame, docs: DataFrame): DataFrame =
+    maintainComponentLabels(baseLabels,
+        deltaProbePairs(baseSig, docs).select(col("id_a"), col("id_b")))
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
 
   /** Cross-split contamination audit — the eval-integrity check every
     * train/val/test split needs: a near-duplicate pair STRADDLING a

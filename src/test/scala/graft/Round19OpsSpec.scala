@@ -64,6 +64,26 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stored band index not read from parquet (no cb in a ReadSchema):\n${plan.take(1500)}")
   }
 
+  test("text delta: stored signature index path == recomputed-signature path") {
+    import graft.operators.Dedup
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // graded stored-table path vs the inline recompute path — the
+    // stored index changes WORK (base text never re-shingled), never
+    // results; membership by stored ids == the fixture's md5 rule
+    val stored = Dedup.deltaDedup(spark, sfDir)
+      .as[(Long, Long, Double, String)].collect().toSeq
+    val recomputed = Dedup.deltaDedupOn(docs)
+      .as[(Long, Long, Double, String)].collect().toSeq
+    assert(stored.nonEmpty && stored == recomputed,
+      "stored-signature delta probe diverged from the recompute path")
+    val storedCc = Dedup.deltaDupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val recomputedCc = Dedup.deltaDupClustersOn(docs)
+      .as[(Long, Long)].collect().toSeq
+    assert(storedCc.nonEmpty && storedCc == recomputedCc,
+      "stored-index cluster maintenance diverged from the recompute path")
+  }
+
   test("delta BM25: maintained index == full rebuild on an arbitrary split") {
     import graft.operators.Retrieval
     val docs = graft.tables.Tables.documents(spark, sfDir)
