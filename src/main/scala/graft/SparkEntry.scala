@@ -310,6 +310,11 @@ object SparkEntry {
     // commit, search reads base + delta partition-pruned
     "q_delta_knn_ivf"   -> ((s: SparkSession, dir: String) =>
       Similarity.deltaIvfKnn(s, dir)),
+    // the lifecycle's closing stage: the delta commit COMPACTED into
+    // one cell-partitioned layout — a pure layout change, so it shares
+    // the delta oracle and the gate certifies value identity
+    "q_delta_knn_ivf_compacted" -> ((s: SparkSession, dir: String) =>
+      Similarity.deltaIvfKnnCompacted(s, dir)),
     // the IVF-PQ composition under the gate: int8 coarse dot inside
     // the deterministic Lloyd cells of a partition-pruned packed
     // layout, exact rerank — fully oracle-graded
@@ -3125,6 +3130,8 @@ object SparkEntry {
     // Lloyd over the id-prefix base, assignment over all — the stored
     // layout's rows plus the stateless delta commit
     "q_delta_knn_ivf" -> deltaIvfSql,
+    // compaction is a pure layout change: same rows, one layout
+    "q_delta_knn_ivf_compacted" -> deltaIvfSql,
     // the router picks the blocked build at gate scale (n=500 <= 200k)
     "q_knn_graph_auto" -> blockedGraphSql,
     "q_knn_graph_nnd" -> nndGraphSql,

@@ -511,6 +511,42 @@ object Similarity {
     ivfSearch(layout, probeCells)
   }
 
+  /** The delta lifecycle's CLOSING stage — COMPACTION: the batch's
+    * delta commit folded into one cell-partitioned layout (read base +
+    * delta, rewrite partitioned — off the query path, the
+    * deltaShardAppend re-shard note's IVF edition: small delta files
+    * accumulate per ingest until a compaction pass consolidates them;
+    * row VALUES never change, only file layout). The graded entry
+    * serves the same queries over the compacted layout and must equal
+    * [[deltaIvfKnn]] row-for-row — it shares the delta oracle, so the
+    * gate certifies compaction as a pure layout change. Serving stays
+    * partition-pruned; the plan now reads ONE layout instead of
+    * base ∪ delta.
+    */
+  def deltaIvfKnnCompacted(spark: SparkSession, dir: String,
+      probes: Int = 3): DataFrame = {
+    // ensure the maintained layouts exist (shared materialization with
+    // q_delta_knn_ivf — a compaction runs AFTER ingests)
+    deltaIvfKnn(spark, dir, probes)
+    val centPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_centroids", dir)
+    val layoutPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout", dir)
+    val deltaPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_batch", dir)
+    val compactPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_compacted", dir)
+    graft.sources.Scratch.materializeOnce(compactPath) {
+      spark.read.parquet(layoutPath)
+        .unionByName(spark.read.parquet(deltaPath))
+        .write.mode("overwrite").partitionBy("cell").parquet(compactPath)
+    }
+    val e = Tables.embeddings(spark, dir)
+    val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
+        spark.read.parquet(centPath), probes)
+      .localCheckpoint()
+    val cellIds = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    ivfSearch(spark.read.parquet(compactPath)
+      .filter(col("cell").isin(cellIds.map(Int.box): _*)), probeCells)
+  }
+
   /** In-memory delta-IVF body for specs and probes (no corpus identity
     * to materialize under): fit on the id-prefix base, assign the
     * batch statelessly against those centroids, search the union —

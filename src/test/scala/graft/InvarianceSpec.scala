@@ -102,6 +102,49 @@ class InvarianceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(clustersA.nonEmpty && clustersB === clustersA)
   }
 
+  test("delta ANN maintenance is invariant under input partitioning") {
+    // the round-19 incremental tiers: the Lloyd fit's partial sums,
+    // the stateless batch assignment, and the insert beam's candidate
+    // dedup/tie-breaks must not leak partition layout into results
+    val e = Tables.embeddings(spark, sfDir)
+    val ivfA = operators.Similarity.deltaIvfKnnOn(spark, e).collect().toSeq
+    val ivfB = operators.Similarity.deltaIvfKnnOn(spark, e.repartition(13))
+      .collect().toSeq
+    assert(ivfA.nonEmpty && ivfB === ivfA)
+    val gA = operators.Similarity.deltaGraphKnnOn(spark, e).collect().toSeq
+    val gB = operators.Similarity.deltaGraphKnnOn(spark, e.repartition(7))
+      .collect().toSeq
+    assert(gA.nonEmpty && gB === gA)
+  }
+
+  test("delta media cascade is invariant under input partitioning") {
+    val img = graft.operators.Multimodal.ahashTable(spark, sfDir)
+    val aud = graft.operators.Multimodal.audioFpWideTable(spark, sfDir)
+      .select($"doc_id", $"afp_hi", $"afp_lo")
+    val isNew = $"doc_id" % 10 >= 8
+    def run(ib: DataFrame, ab: DataFrame, in: DataFrame,
+        an: DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val baseLayout = operators.Pipeline.mediaPipelineNearOn(ib, ab)
+        .localCheckpoint()
+      val baseReps = ib.join(ab, Seq("doc_id"))
+        .groupBy($"ahash_hi", $"ahash_lo", $"afp_hi", $"afp_lo")
+        .agg(min($"doc_id").as("rep"), count(lit(1)).as("n_class"))
+      operators.Pipeline.deltaMediaPipelineOn(baseLayout, baseReps,
+        graft.operators.Multimodal.bands4(
+          ib.select($"ahash_hi", $"ahash_lo").distinct()),
+        graft.operators.Multimodal.bands4(ab
+          .select($"afp_hi".as("ahash_hi"), $"afp_lo".as("ahash_lo"))
+          .distinct()),
+        in, an).collect().toSeq
+    }
+    val a = run(img.filter(!isNew), aud.filter(!isNew),
+      img.filter(isNew), aud.filter(isNew))
+    val b = run(img.filter(!isNew).repartition(13),
+      aud.filter(!isNew).repartition(5),
+      img.filter(isNew).repartition(7), aud.filter(isNew).repartition(3))
+    assert(a.nonEmpty && b === a)
+  }
+
   test("event paths are invariant under input partitioning") {
     val ev = Tables.events(spark, sfDir)
     val baseline = operators.EventAnalytics.eventPathsOn(spark, ev).collect().toSeq

@@ -187,6 +187,23 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "delta graph served no batch vector — inserted backlinks are dead")
   }
 
+  test("IVF compaction: pure layout change — same rows, one pruned layout scan") {
+    import graft.operators.Similarity
+    val delta = Similarity.deltaIvfKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val compactedDf = Similarity.deltaIvfKnnCompacted(spark, sfDir)
+    val compacted = compactedDf.as[(Long, Long, Long, Double)].collect().toSeq
+    assert(compacted.nonEmpty && compacted == delta,
+      "compaction changed served rows — it must be a pure layout change")
+    // one layout scan instead of base ∪ delta: exactly ONE cell-pruned
+    // parquet read in the serving plan
+    val plan = compactedDf.queryExecution.executedPlan.toString
+    val pruned = plan.linesIterator
+      .count(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(pruned == 1,
+      s"expected 1 cell-pruned scan after compaction, got $pruned:\n${plan.take(1500)}")
+  }
+
   test("delta media cascade: absorption via every bridge kind; all-new components appended") {
     import graft.operators.{Dedup, Multimodal, Pipeline}
     // base corpus: two far-apart joint classes (reps 10, 11)
