@@ -197,6 +197,11 @@ object SparkEntry {
     // bridges, batch-local CC + base-touch absorption, newly-born
     // components appended to the stored layout (deltaShardAppend)
     "q_delta_pipeline_media" -> (Pipeline.deltaMediaPipeline _),
+    // the TEXT cascade's incremental form: batch-only text passes,
+    // three stored tables (survivor norms, eval vocabulary, packed
+    // layout), frozen semantics, packing append under the id-prefix
+    // split
+    "q_delta_pipeline_e2e" -> (Pipeline.deltaCurationPipeline _),
     // — dedup family —
     "q_dedup_exact"     -> (Dedup.exactDedup _),
     "q_dedup_hash"      -> (Dedup.exactDedupByHash _),
@@ -3920,6 +3925,77 @@ object SparkEntry {
     // filter, exact dedup, hash split + shingle fingerprints, packing),
     // so the hash match proves the COMPOSITION: stage boundaries, join
     // plumbing, and that no stage leaks rows another should have dropped
+    // the text cascade's incremental form: the frozen composition
+    // re-derived — base-restricted cascade (the q_pipeline_e2e rules
+    // over doc_id < ⌊0.8n⌋) builds the three stored tables, the delta
+    // half runs the batch through quality → anti-join frozen-rep dedup
+    // → decontamination vs stored ∪ batch-eval vocabulary → packing
+    // append offset by the stored layout's per-shard token totals,
+    // merged through one final re-aggregation (the open-last-sequence
+    // merge)
+    "q_delta_pipeline_e2e" -> {
+      val k = graft.operators.Pipeline.DecontaminationSpanK
+      s"""WITH cf AS ($corpusReasonSql),
+         |kept AS (SELECT doc_id, text FROM cf WHERE reason = 'keep'),
+         |nb AS (SELECT count(*) * 8 // 10 AS b FROM documents),
+         |bkept AS (SELECT * FROM kept WHERE doc_id < (SELECT b FROM nb)),
+         |nkept AS (SELECT * FROM kept WHERE doc_id >= (SELECT b FROM nb)),
+         |bkeepers AS (SELECT min(doc_id) AS doc_id FROM bkept GROUP BY lower(trim(text))),
+         |bdd AS (SELECT k.doc_id, k.text FROM bkept k JOIN bkeepers USING (doc_id)),
+         |btag AS (SELECT doc_id, ${h32("text")} % 10 < 8 AS is_train FROM bdd),
+         |bsh AS (SELECT doc_id, ${rollSql("sh")} AS hh FROM (${shSqlFrom("bdd", k)})),
+         |bev AS (SELECT DISTINCT hh FROM bsh JOIN btag USING(doc_id) WHERE NOT is_train),
+         |bscore AS (SELECT bsh.doc_id, count(*) AS n,
+         |    sum(CASE WHEN bev.hh IS NOT NULL THEN 1 ELSE 0 END) AS o
+         |  FROM bsh JOIN btag USING(doc_id) LEFT JOIN bev ON bsh.hh = bev.hh
+         |  WHERE is_train GROUP BY bsh.doc_id),
+         |bclean AS (SELECT bdd.doc_id, bdd.text FROM bdd JOIN bscore USING(doc_id)
+         |  WHERE o::DOUBLE / n <= 0.05),
+         |bsized AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS n_tok
+         |  FROM bclean),
+         |bpacked AS (SELECT doc_id, shard, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS seq_id
+         |  FROM bsized),
+         |blayout AS (SELECT shard, seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
+         |  FROM bpacked GROUP BY shard, seq_id),
+         |bnorms AS (SELECT DISTINCT lower(trim(text)) AS nrm FROM bdd),
+         |nkeepers AS (SELECT min(doc_id) AS doc_id FROM nkept
+         |  WHERE lower(trim(text)) NOT IN (SELECT nrm FROM bnorms)
+         |  GROUP BY lower(trim(text))),
+         |ndd AS (SELECT k.doc_id, k.text FROM nkept k JOIN nkeepers USING (doc_id)),
+         |ntag AS (SELECT doc_id, ${h32("text")} % 10 < 8 AS is_train FROM ndd),
+         |nsh AS (SELECT doc_id, ${rollSql("sh")} AS hh FROM (${shSqlFrom("ndd", k)})),
+         |nev AS (SELECT hh FROM bev UNION
+         |  SELECT DISTINCT hh FROM nsh JOIN ntag USING(doc_id) WHERE NOT is_train),
+         |nscore AS (SELECT nsh.doc_id, count(*) AS n,
+         |    sum(CASE WHEN nev.hh IS NOT NULL THEN 1 ELSE 0 END) AS o
+         |  FROM nsh JOIN ntag USING(doc_id) LEFT JOIN nev ON nsh.hh = nev.hh
+         |  WHERE is_train GROUP BY nsh.doc_id),
+         |nclean AS (SELECT ndd.doc_id, ndd.text FROM ndd JOIN nscore USING(doc_id)
+         |  WHERE o::DOUBLE / n <= 0.05),
+         |nsized AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    len(list_filter(string_split_regex(text,'[^a-zA-Z]'), x -> x<>'')) AS n_tok
+         |  FROM nclean),
+         |btok AS (SELECT shard, CAST(sum(total_tokens) AS BIGINT) AS base_tok
+         |  FROM blayout GROUP BY shard),
+         |npacked AS (SELECT doc_id, n.shard, n_tok,
+         |    CAST((coalesce(b.base_tok, 0) + coalesce(sum(n_tok) OVER (
+         |      PARTITION BY n.shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) // 2048 AS BIGINT) AS seq_id
+         |  FROM nsized n LEFT JOIN btok b ON b.shard = n.shard),
+         |nlayout AS (SELECT shard, seq_id, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens, min(doc_id) AS first_doc
+         |  FROM npacked GROUP BY shard, seq_id)
+         |SELECT shard, seq_id, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+         |  min(first_doc) AS first_doc
+         |FROM (SELECT * FROM blayout UNION ALL SELECT * FROM nlayout)
+         |GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+    },
+
     "q_pipeline_e2e" ->
       s"""WITH cf AS ($corpusReasonSql),
          |kept AS (SELECT doc_id, text FROM cf WHERE reason = 'keep'),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -384,6 +385,192 @@ object Pipeline {
     baseLayout.select(col("doc_id"), col("n_docs"), col("shard"), col("pos"))
       .unionByName(appended)
       .orderBy(col("shard"), col("pos"))
+  }
+
+  /** The TEXT cascade's INCREMENTAL form — [[curationPipelineOn]]'s
+    * daily-ingest shape, completing the delta-cascade symmetry
+    * (q_delta_pipeline_media covered the media families): a new batch
+    * flows quality filter → frozen-rep exact dedup against the STORED
+    * survivor-norm table → decontamination against the stored eval
+    * vocabulary EXTENDED by the batch's own eval shingles → packing
+    * APPEND onto the stored sequence layout. Per-ingest text passes
+    * touch the BATCH only; the base enters through three narrow
+    * stored tables (survivor norms, eval shingle vocabulary, packed
+    * layout) written at base ingest.
+    *
+    * Split rule is the delta-ANN id-PREFIX (doc_id < ⌊0.8n⌋ by integer
+    * arithmetic): document ids are append-only, and the prefix is what
+    * makes the packing append EQUAL the full recompute — pack order is
+    * doc_id within shard, so batch docs (all ids above the base) slot
+    * after every stored doc, stored sequence assignments never move,
+    * and a batch doc's exclusive cumulative sum is (stored shard
+    * tokens) + (batch-local cumsum). The per-shard LAST sequence may
+    * still be open (stored tokens not budget-aligned), so arriving
+    * docs can join it — the output merges that row rather than
+    * breaking the seq_id arithmetic; fully-closed stored sequences are
+    * frozen byte-for-byte (spec-pinned).
+    *
+    * FROZEN semantics, stated plainly (the q_delta_image_dedup
+    * precedent): shipped base train sequences are never retro-audited
+    * against shingles that arrive LATER — a base train doc whose only
+    * contamination source is a NEW eval document stays in the stored
+    * layout (production re-audits on a coarser cadence; unshipping
+    * training shards per ingest is not a thing). Everything else
+    * equals the full recompute under the prefix split: quality is
+    * per-doc, frozen-rep dedup keeps the class min (always the base
+    * doc when the class existed), and packing merges as argued above.
+    * The DuckDB oracle re-derives the frozen composition closed-form:
+    * the base-restricted cascade (the q_pipeline_e2e chain) plus the
+    * delta half (anti-join dedup, union eval vocabulary, append
+    * arithmetic over the stored layout's per-shard token totals).
+    */
+  def deltaCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Scratch
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val b = n * 8 / 10
+    val root = Scratch.corpusDir(spark, "e2e_delta_base", dir)
+    Scratch.materializeOnce(root) {
+      // base ingest: ONE pass through the cascade rules, fanning out
+      // to the three stored tables + the packed layout (parity with
+      // curationPipelineOn is spec-pinned on the layout)
+      val base = docs.filter(col("doc_id") < b)
+      val qualityIds = TextAnalysis.corpusReasons(base)
+        .select(col("doc_id"), col("reason"))
+        .localCheckpoint()
+        .filter(col("reason") === "keep")
+        .select(col("doc_id"))
+      val kept = base.select(col("doc_id"), col("text"))
+        .join(qualityIds, Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keepIds = kept
+          .groupBy(normalized(col("text")).as("norm"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = kept.join(keepIds, Seq("doc_id"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          deduped.select(normalized(col("text")).as("norm"))
+            .write.mode("overwrite").parquet(s"$root/norms")
+          val bucket = pmod(md5Hash32(col("text")), lit(10))
+          val tagged = deduped
+            .select(col("doc_id"), (bucket < 8).as("is_train"),
+              explode(array_distinct(charShingles(normalized(col("text")),
+                DecontaminationSpanK))).as("sh"))
+            .select(col("doc_id"), col("is_train"),
+              rollingFingerprint(col("sh")).as("hh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            tagged.filter(!col("is_train")).select(col("hh")).distinct()
+              .write.mode("overwrite").parquet(s"$root/eval_vocab")
+            val cleanTrainIds = tagged.filter(col("is_train"))
+              .join(spark.read.parquet(s"$root/eval_vocab")
+                .withColumn("hit", lit(1L)), Seq("hh"), "left")
+              .groupBy(col("doc_id"))
+              .agg(count(lit(1)).as("n_shingles"),
+                sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+              .filter(col("n_overlap").cast("double") / col("n_shingles") <= 0.05)
+              .select(col("doc_id"))
+            TextAnalysis.packSequencesOn(
+                deduped.join(cleanTrainIds, Seq("doc_id"), "left_semi"))
+              .write.mode("overwrite").parquet(s"$root/packing")
+          } finally { tagged.unpersist(); () }
+        } finally { deduped.unpersist(); () }
+      } finally { kept.unpersist(); () }
+    }
+    deltaCurationPipelineFrom(
+      spark.read.parquet(s"$root/norms"),
+      spark.read.parquet(s"$root/eval_vocab"),
+      spark.read.parquet(s"$root/packing"),
+      docs.filter(col("doc_id") >= b))
+  }
+
+  /** The delta body over explicit stored tables — exposed for the
+    * parity/frozen-region specs. `storedNorms(norm)`,
+    * `storedEvalVocab(hh)`, `storedPacking(shard, seq_id, n_docs,
+    * total_tokens, first_doc)`.
+    */
+  private[graft] def deltaCurationPipelineFrom(storedNorms: DataFrame,
+      storedEvalVocab: DataFrame, storedPacking: DataFrame,
+      batch: DataFrame, budget: Int = 2048, shards: Int = 8): DataFrame = {
+    // batch-only quality pass (per-doc rule, the cascade's stage 1)
+    val qualityIds = TextAnalysis.corpusReasons(batch)
+      .select(col("doc_id"), col("reason"))
+      .localCheckpoint()
+      .filter(col("reason") === "keep")
+      .select(col("doc_id"))
+    val kept = batch.select(col("doc_id"), col("text"))
+      .join(qualityIds, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // frozen-rep exact dedup: classes stored in the base keep their
+      // shipped keeper (under the prefix split that IS the class min);
+      // new classes elect min batch doc
+      val keepIds = kept
+        .groupBy(normalized(col("text")).as("norm"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(storedNorms.select(col("norm")), Seq("norm"), "left_anti")
+        .select(col("doc_id"))
+      val deduped = kept.join(keepIds, Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bucket = pmod(md5Hash32(col("text")), lit(10))
+        val tagged = deduped
+          .select(col("doc_id"), (bucket < 8).as("is_train"),
+            explode(array_distinct(charShingles(normalized(col("text")),
+              DecontaminationSpanK))).as("sh"))
+          .select(col("doc_id"), col("is_train"),
+            rollingFingerprint(col("sh")).as("hh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // the audit vocabulary GROWS with the batch's own eval docs
+          // — new train docs must not leak against them either
+          val evalVocab = storedEvalVocab.select(col("hh"))
+            .unionByName(tagged.filter(!col("is_train")).select(col("hh")))
+            .distinct().withColumn("hit", lit(1L))
+          val cleanTrainIds = tagged.filter(col("is_train"))
+            .join(evalVocab, Seq("hh"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+            .filter(col("n_overlap").cast("double") / col("n_shingles") <= 0.05)
+            .select(col("doc_id"))
+          val cleanTrain = deduped.join(cleanTrainIds, Seq("doc_id"), "left_semi")
+          // packing APPEND: batch docs slot after every stored doc in
+          // the per-shard doc_id order, so their exclusive cumsum
+          // offsets by the shard's stored token total; the per-shard
+          // open LAST sequence merges via the final re-aggregation
+          val baseTok = storedPacking.groupBy(col("shard"))
+            .agg(sum(col("total_tokens")).as("base_tok"))
+          val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val npacked = cleanTrain
+            .select(col("doc_id"),
+              pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+              size(tokens(col("text"))).cast("long").as("n_tok"))
+            .withColumn("cum_local", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+            .join(baseTok, Seq("shard"), "left")
+            .withColumn("seq_id", floor(
+              (coalesce(col("base_tok"), lit(0L)) + col("cum_local"))
+                / budget).cast("long"))
+            .groupBy(col("shard"), col("seq_id"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tok")).as("total_tokens"),
+              min(col("doc_id")).as("first_doc"))
+          storedPacking
+            .select(col("shard"), col("seq_id"), col("n_docs"),
+              col("total_tokens"), col("first_doc"))
+            .unionByName(npacked)
+            .groupBy(col("shard"), col("seq_id"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("total_tokens")).as("total_tokens"),
+              min(col("first_doc")).as("first_doc"))
+            .localCheckpoint()
+            .orderBy(col("shard"), col("seq_id"))
+        } finally { tagged.unpersist(); () }
+      } finally { deduped.unpersist(); () }
+    } finally { kept.unpersist(); () }
   }
 
   def curationPipelineOn(docs: DataFrame,

@@ -277,6 +277,40 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("text delta cascade: stored-layout parity, frozen closed sequences, batch appended") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val b = docs.count() * 8 / 10
+    // stored-layout PARITY: what the delta's base ingest writes must
+    // equal curationPipelineOn over the base docs — the stored state
+    // is the graded full cascade's own output, not a private variant
+    val out = Pipeline.deltaCurationPipeline(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val baseLayout = Pipeline
+      .curationPipelineOn(docs.filter(col("doc_id") < b))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val root = graft.sources.Scratch.corpusDir(spark, "e2e_delta_base", sfDir)
+    val stored = spark.read.parquet(s"$root/packing")
+      .select(col("shard"), col("seq_id"), col("n_docs"),
+        col("total_tokens"), col("first_doc"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored.sorted == baseLayout.sorted,
+      "stored base packing diverged from curationPipelineOn(base)")
+    // FROZEN closed sequences: every stored row below its shard's last
+    // stored seq_id re-emits byte-for-byte (only the open last
+    // sequence may merge batch arrivals)
+    val lastSeq = stored.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    val closed = stored.filter(r => r._2 < lastSeq(r._1)).toSet
+    assert(closed.subsetOf(out.toSet),
+      "a fully-closed stored sequence changed under ingest")
+    // batch appended: new sequences exist and their first docs are
+    // batch ids
+    val appended = out.filterNot(r => stored.map(x => (x._1, x._2)).toSet((r._1, r._2)))
+    assert(appended.nonEmpty, "no batch sequences appended — weak fixture")
+    assert(appended.forall(_._5 >= b),
+      s"an appended sequence's first_doc is a base id: $appended")
+  }
+
   test("streamed delta audio near-dup == batch audio delta restricted to new-vs-existing") {
     // the acoustic serving twin runs the SAME stream-static band-probe
     // engine as the image one — finite replay must equal the batch
