@@ -45,6 +45,11 @@ object ScalingProbe {
     // timing alongside the postings frame it returns
     var bm25Stored: Seq[DataFrame] = Nil
 
+    // stored-model sidecar for the delta_semdedup probe (the same
+    // pattern): the base-fitted centroid table, built in the gen
+    // lambda outside timing alongside the decision table it returns
+    var semdedupCents: DataFrame = null
+
     /** Duplicate-heavy corpus: 30% of documents are verbatim copies
       * drawn from a 50-template pool (boilerplate/mirror pages — the
       * shape that breaks posting-list pair enumeration: each
@@ -195,6 +200,16 @@ object ScalingProbe {
       case "substring_p3"    => graft.operators.Dedup.substringDedupOn(docs,
         graft.operators.Dedup.SubstringL, paranoid = true)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
+      // INCREMENTAL substring dedup (the delta_shard discipline): docs
+      // = the stored distinct base window-key table (the gen output,
+      // built outside timing — 2 longs per distinct window, exactly
+      // what prior ingests persisted). Timed work = ONE rolling pass
+      // over a fixed 10k batch + the batch-keyed repeat count + the
+      // stored-key semi join + the islands merge. The base enters
+      // through the key-table scan only, never a re-hash of base text
+      // — compare `substring` at equal n, which re-hashes everything.
+      case "delta_substring" => graft.operators.Dedup.deltaSubstringFromKeys(
+        docs, corpusRange(n.toLong, n.toLong + 10000).localCheckpoint())
       // shards sized ~√n (production sizes them to target file bytes;
       // the point is per-shard work must stay bounded as n grows)
       case "shard"           => graft.operators.Dedup.shardAssignOn(
@@ -352,6 +367,16 @@ object ScalingProbe {
       case "pool"            => graft.operators.Similarity.embeddingPoolOn(docs)
       case "kmeans"          => graft.operators.Similarity.kmeansAssignOn(spark, docs)
       case "semdedup"        => graft.operators.Similarity.semanticDedupOn(spark, docs)
+      // INCREMENTAL SemDeDup: docs = the stored n-row decision table
+      // (gen output — base assignment vs FIXED 1024-cell centroids fit
+      // on a 4096-vector seed, outside timing). Timed = a 4096-vector
+      // batch's stateless assignment + the pruned batch×stored decision
+      // join + the batch-internal pass — O(batch · n/k) pair work,
+      // linear in base at fixed k, vs semdedup_sqrtk's Σ n_c² ≈ N^1.5
+      // full recompute (which also re-runs the Lloyd chain every time).
+      case "delta_semdedup"  => graft.operators.Similarity.deltaSemDedupFrom(
+        semdedupCents, docs,
+        embRange(n.toLong, n.toLong + 4096).localCheckpoint(), 0.4)
       // the scale path: k sized ~√N so within-cluster pair work stays ~N^1.5
       case "semdedup_sqrtk"  =>
         graft.operators.Similarity.semanticDedupOn(spark, docs, 0.4,
@@ -435,6 +460,29 @@ object ScalingProbe {
             pmod(graft.operators.Similarity.mix31(col("id"), 1000L + s),
               lit(n.toLong)).as("dst"))
         }.reduce(_ unionByName _).filter(col("src") =!= col("dst")))
+      // stored substring index: the distinct base window keys (what
+      // prior ingests persisted); built outside timing
+      else if (op == "delta_substring")
+        (n => {
+          val L = graft.operators.Dedup.SubstringL
+          import graft.functions.TextFunctions.{rollingWindowFingerprint, rollingWindowFingerprint2}
+          corpus(n).filter(length(col("text")) >= L)
+            .select(posexplode(org.apache.spark.sql.functions.zip_with(
+              rollingWindowFingerprint(col("text"), L),
+              rollingWindowFingerprint2(col("text"), L),
+              (a, b) => struct(a.as("h1"), b.as("h2")))))
+            .select(col("col.h1").as("h1"), col("col.h2").as("h2"))
+            .distinct()
+        })
+      // stored semdedup state: base decision table vs fixed centroids
+      else if (op == "delta_semdedup")
+        (n => {
+          semdedupCents = graft.operators.Similarity
+            .kmeansCentroids(spark, embRange(0, 4096), 1024)
+            .localCheckpoint()
+          graft.operators.Similarity.semdedupAssign(semdedupCents,
+            embRange(0, n.toLong))
+        })
       else if (op == "delta_bm25")
         (n => {
           val tfB = graft.operators.Retrieval.postings(corpus(n))

@@ -278,6 +278,10 @@ object SparkEntry {
     // the >=1e9-window escalation: identical plan keyed on THREE
     // polynomials (~2^89 composite space; +1 long per window row)
     "q_substring_dedup_p3" -> (Dedup.substringDedupP3 _),
+    // INCREMENTAL substring dedup: batch windows probe the stored
+    // distinct-key index; base text never re-hashed (== the full run
+    // restricted to batch docs)
+    "q_delta_substring_dedup" -> (Dedup.deltaSubstringDedup _),
     // the spans applied: flagged docs re-emitted with repeated spans
     // excised (ordered segment reassembly, one corpus scan)
     "q_substring_clip"  -> (Dedup.substringClip _),
@@ -337,6 +341,10 @@ object SparkEntry {
     // for their top-M links (insert = search cost, never a rebuild);
     // serving runs over stored ∪ inserted edges
     "q_delta_knn_graph" -> (Similarity.deltaGraphKnn _),
+    // the graph lifecycle's closing stage: base + insert commits folded
+    // into ONE edge table (pure layout change — shares the delta-graph
+    // oracle, the gate certifies value identity)
+    "q_delta_knn_graph_compacted" -> (Similarity.deltaGraphKnnCompacted _),
     // the routed production entry (blocked <=200k, NN-descent above):
     // at gate scale the router picks the blocked build, so this shares
     // q_knn_graph's oracle — the gate certifies the routing decision
@@ -357,6 +365,12 @@ object SparkEntry {
     // mode with zero state rows (the serving shape); shares the Lloyd
     // chain oracle minus the batch-side size aggregate
     "q_stream_kmeans"   -> (graft.streaming.EmbeddingStreams.streamedKmeansAssign _),
+    // the delta-SemDeDup SERVING twin: arrivals assigned via centroid
+    // literals, adjudicated against the frozen stored decision table
+    // through one stream-static join — zero state rows
+    "q_stream_semdedup_delta" ->
+      ((s: SparkSession, dir: String) =>
+        graft.streaming.EmbeddingStreams.streamedDeltaSemDedup(s, dir)),
     // kNN majority-vote classification over the labeled fixture — the
     // label-propagation primitive; vote = groupBy over the exact top-k
     "q_knn_classify"    -> (Similarity.knnClassify _),
@@ -367,6 +381,11 @@ object SparkEntry {
     // cosine pairs, rank-based keep policy (keep the outlier, prune
     // the dense duplicated core) — a curation DECISION per vector
     "q_semdedup"        -> ((s: SparkSession, dir: String) => Similarity.semanticDedup(s, dir)),
+    // INCREMENTAL SemDeDup: stored base-fitted quantizer + frozen
+    // cluster-partitioned decision table; batch assigned statelessly,
+    // decision = one pruned join vs stored members + batch-internal
+    // pass (== the full recompute restricted to batch vec_ids)
+    "q_delta_semdedup"  -> ((s: SparkSession, dir: String) => Similarity.deltaSemDedup(s, dir)),
     // the quantized serving path: int8-dot coarse pass over the packed
     // table + exact rerank of the short list (approximate -> rows-only)
     "q_knn_quantized"   -> (Similarity.quantizedKnn _),
@@ -1159,6 +1178,75 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM sims)
        |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= ${graft.operators.Similarity.K}
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The INCREMENTAL SemDeDup re-derived — the deltaIvfSql pattern on
+    * the curation decision: the Lloyd chain fits over the id-PREFIX
+    * base only (raw embeddings, KmeansK — the q_semdedup quantizer),
+    * assignment covers ALL vectors against those base-fitted
+    * centroids, rank + pairwise drop run over the union exactly as
+    * q_semdedup's chain, and the output restricts to batch vec_ids —
+    * which is precisely what the frozen-base delta operator emits.
+    */
+  /** The batch cut shared by every embeddings-side delta oracle. */
+  private val semBCut = "(SELECT count(*) * 8 // 10 FROM embeddings)"
+
+  /** The base-fitted assignment chain shared by q_delta_semdedup and
+    * its streaming serving twin: Lloyd over the id-prefix base,
+    * assignment over all — ends at CTE `kmf(vec_id, cluster, dist)`.
+    */
+  private lazy val deltaSemChainSql: String = {
+    val iters = graft.operators.Similarity.KmeansIters
+    val qc =
+      s"""qa AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv FROM embeddings),
+         |q AS (SELECT * FROM qa WHERE vec_id < $semBCut)""".stripMargin
+    s"""${lloydRoundsSql(qc, graft.operators.Similarity.KmeansK.toString)},
+       |ca AS (SELECT t.vec_id, min({'d': ${lloydDistSql("t.qv", "c.cent")}, 'c': c.cid}) AS m
+       |  FROM qa t, c${iters - 1} c GROUP BY t.vec_id),
+       |kmf AS (SELECT vec_id, m.c AS cluster, round(m.d, 6) AS dist FROM ca)""".stripMargin
+  }
+
+  private lazy val deltaSemdedupSql: String = {
+    val bCut = semBCut
+    s"""WITH $deltaSemChainSql,
+       |r AS (SELECT vec_id, cluster,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS rnk
+       |  FROM kmf),
+       |re AS (SELECT r.vec_id, r.cluster, r.rnk, e.embedding
+       |  FROM r JOIN embeddings e USING (vec_id)),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM re a JOIN re b ON a.cluster = b.cluster AND a.rnk < b.rnk
+       |  WHERE b.vec_id >= $bCut
+       |    AND round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4)
+       |SELECT r.vec_id, r.cluster, CAST(r.rnk AS BIGINT) AS "rank",
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+       |WHERE r.vec_id >= $bCut
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
+  /** The streaming serving twin's re-derivation: each arrival (batch
+    * row) adjudicated against the FROZEN stored side only — rank counts
+    * base members above, kept drops on a base cosine hit above; the
+    * batch-internal terms of [[deltaSemdedupSql]] vanish at serving
+    * (each arrival is its own batch of one).
+    */
+  private lazy val deltaSemdedupServeSql: String = {
+    val above = "(a.dist > b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id))"
+    s"""WITH $deltaSemChainSql,
+       |bb AS (SELECT k.vec_id, k.cluster, k.dist, e.embedding
+       |  FROM kmf k JOIN embeddings e USING (vec_id) WHERE k.vec_id >= $semBCut),
+       |ba AS (SELECT k.vec_id, k.cluster, k.dist, e.embedding
+       |  FROM kmf k JOIN embeddings e USING (vec_id) WHERE k.vec_id < $semBCut)
+       |SELECT b.vec_id, b.cluster,
+       |  CAST(1 + count(CASE WHEN $above THEN 1 END) AS BIGINT) AS "rank",
+       |  CAST(CASE WHEN max(CASE WHEN $above AND
+       |      round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4
+       |    THEN 1 ELSE 0 END) = 1 THEN 0 ELSE 1 END AS BIGINT) AS kept
+       |FROM bb b LEFT JOIN ba a ON a.cluster = b.cluster
+       |GROUP BY b.vec_id, b.cluster
+       |ORDER BY b.vec_id""".stripMargin
   }
 
   /** The INCREMENTAL NSW graph re-derived: the blocked build + rings
@@ -2019,6 +2107,14 @@ object SparkEntry {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM r LEFT JOIN dropped d ON r.vec_id = d.vec_id ORDER BY r.vec_id""".stripMargin,
 
+    // the incremental decision: Lloyd over the id-prefix base,
+    // assignment + rank + drop over the union, batch rows out — the
+    // frozen-base delta operator must emit exactly these
+    "q_delta_semdedup" -> deltaSemdedupSql,
+    // the serving twin: the same chain with the comparison side
+    // restricted to base (batch-internal terms vanish at batch size 1)
+    "q_stream_semdedup_delta" -> deltaSemdedupServeSql,
+
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
@@ -2790,6 +2886,16 @@ object SparkEntry {
          |SELECT doc_id, span_start, span_end, span_len, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
+    // the incremental form: the SAME span chain restricted to the
+    // mod-10 ingest batch — the stored-key probe must find exactly
+    // these spans (incremental joins change WORK, never results)
+    "q_delta_substring_dedup" ->
+      s"""WITH $substringSpanCtes,
+         |tag AS (SELECT doc_id, ${h32("text")} % 10 >= 8 AS is_new FROM documents)
+         |SELECT doc_id, span_start, span_end, span_len, n_windows
+         |FROM spans JOIN tag USING (doc_id)
+         |WHERE is_new ORDER BY doc_id, span_start""".stripMargin,
+
     // the paranoid tier: the same chain keyed on three polynomials
     "q_substring_dedup_p3" ->
       s"""WITH ${substringSpanCtesFor(paranoid = true)}
@@ -3132,6 +3238,8 @@ object SparkEntry {
     // maintain-then-search re-derived end-to-end: base build + insert
     // beams + serving beam, every stage the oracle-locked arithmetic
     "q_delta_knn_graph" -> deltaGraphSql,
+    // edge compaction is a pure layout change: same edges, one table
+    "q_delta_knn_graph_compacted" -> deltaGraphSql,
     // Lloyd over the id-prefix base, assignment over all — the stored
     // layout's rows plus the stateless delta commit
     "q_delta_knn_ivf" -> deltaIvfSql,

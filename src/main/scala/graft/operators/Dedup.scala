@@ -1553,28 +1553,121 @@ object Dedup {
   def substringDedupP3(spark: SparkSession, dir: String): DataFrame =
     substringDedupOn(Tables.documents(spark, dir), SubstringL, paranoid = true)
 
+  /** INCREMENTAL exact substring dedup — [[substringDedupOn]]'s
+    * daily-ingest form, completing the delta triple for the
+    * suffix-array family (probe = this, decision = the span table,
+    * the clip composes downstream unchanged): prior ingests left a
+    * STORED window-key index — the DISTINCT (h1, h2) composite keys of
+    * every base window, 2 longs per distinct window, materialized once
+    * per corpus — and a new batch asks which of ITS character ranges
+    * are covered by a ≥L substring repeated anywhere in base ∪ batch.
+    *
+    * The reduction that makes the delta exact: a batch position's
+    * window is repeated in the union iff its key appears in the base
+    * (union count = base count + batch count ≥ 2 the moment the base
+    * has one) OR occurs ≥2 times within the batch itself — so the base
+    * enters through ONE semi join against the stored key set, never a
+    * re-hash of base text, and the output EQUALS the full
+    * [[substringDedupOn]] run restricted to batch documents (the
+    * graded entry shares its oracle chain with a batch filter;
+    * Round19OpsSpec pins delta == full-restricted and stored-index ==
+    * recompute). Base-side spans are NOT re-emitted: those ranges were
+    * flagged (or not) at their own ingest, and a base span newly
+    * covered by arriving text is the re-audit a production pipeline
+    * schedules on a coarser cadence — the q_delta_pipeline_e2e frozen
+    * note, substring edition.
+    *
+    * Scale shape: per-ingest work is one O(batch chars) rolling pass,
+    * a batch-keyed count for internal repeats (map-side partials), and
+    * the stored-key semi join — at 100 TB the key index is bucketed on
+    * (h1, h2) so only the batch's keys shuffle while the stored side
+    * is read in place (here both sides land in one sort-merge join);
+    * the islands merge is batch-doc-keyed. Nothing rescans base text;
+    * the index grows by the batch's new distinct keys per ingest (an
+    * append, off this query path). Probed flat-in-base
+    * (ScalingProbe delta_substring).
+    */
+  def deltaSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val path = graft.sources.Scratch.corpusDir(spark, "substr_keys_base", dir)
+    graft.sources.Scratch.materializeOnce(path) {
+      windowGrams(docs.filter(!deltaIsNew), SubstringL)
+        .select(col("h1"), col("h2")).distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    deltaSubstringFrom(spark.read.parquet(path), docs)
+  }
+
+  /** Recompute-index form (specs, probes): derives the base key set
+    * inline — value-identical to the stored-table path.
+    */
+  def deltaSubstringDedupOn(docs: DataFrame): DataFrame =
+    deltaSubstringFrom(
+      windowGrams(docs.filter(!deltaIsNew), SubstringL)
+        .select(col("h1"), col("h2")).distinct(),
+      docs)
+
+  private def deltaSubstringFrom(baseKeys: DataFrame,
+      docs: DataFrame): DataFrame =
+    deltaSubstringFromKeys(baseKeys, docs.filter(deltaIsNew))
+
+  /** Batch-explicit core (the probe entry injects an arbitrary batch
+    * frame; the graded/recompute paths cut it by the md5 rule).
+    */
+  private[graft] def deltaSubstringFromKeys(baseKeys: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val L = SubstringL
+    // the ONLY per-ingest text pass: the batch's stride-1 windows
+    val grams = windowGrams(batch, L)
+    // batch-internal repeats (map-side partials — the boilerplate-skew
+    // note on substringDedupOn applies unchanged)
+    val batchRep = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("h1"), col("h2"))
+    // covered = hits against the stored base keys ∪ batch-internal
+    // repeats; two semi joins (a union+distinct over the key sets
+    // would re-shuffle the corpus-sized stored index), then one
+    // batch-bounded distinct for positions both branches flag
+    val covered = grams.join(baseKeys.select(col("h1"), col("h2")),
+        Seq("h1", "h2"), "left_semi")
+      .unionByName(grams.join(batchRep, Seq("h1", "h2"), "left_semi"))
+      .select(col("doc_id"), col("pos")).distinct()
+    coveredSpans(covered, L)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** One rolling pass → (doc_id, pos, h1, h2) stride-1 window keys —
+    * the shared gram extraction of [[substringSpans]]' non-paranoid
+    * tier and the delta substring family (batch pass + index builder).
+    */
+  private def windowGrams(docs: DataFrame, L: Int): DataFrame =
+    docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), posexplode(zip_with(
+        rollingWindowFingerprint(col("text"), L),
+        rollingWindowFingerprint2(col("text"), L),
+        (a, b) => struct(a.as("h1"), b.as("h2")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.h1").as("h1"), col("col.h2").as("h2"))
+
   /** The span table without the presentation sort — [[substringClipOn]]
     * consumes it into windows/joins where a sort is wasted work.
     */
   private def substringSpans(docs: DataFrame, L: Int,
       paranoid: Boolean = false): DataFrame = {
     val keyCols = if (paranoid) Seq("h1", "h2", "h3") else Seq("h1", "h2")
-    val exploded =
+    val grams =
       if (paranoid)
         docs.filter(length(col("text")) >= L)
           .select(col("doc_id"), posexplode(arrays_zip(
             rollingWindowFingerprint(col("text"), L).as("h1"),
             rollingWindowFingerprint2(col("text"), L).as("h2"),
             rollingWindowFingerprint3(col("text"), L).as("h3"))))
-      else
-        docs.filter(length(col("text")) >= L)
-          .select(col("doc_id"), posexplode(zip_with(
-            rollingWindowFingerprint(col("text"), L),
-            rollingWindowFingerprint2(col("text"), L),
-            (a, b) => struct(a.as("h1"), b.as("h2")))))
-    val grams = exploded
-      .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
-        keyCols.map(k => col(s"col.$k").as(k)): _*)
+          .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
+            keyCols.map(k => col(s"col.$k").as(k)): _*)
+      else windowGrams(docs, L)
     val repeatedKeys = grams.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)

@@ -117,6 +117,20 @@ class InvarianceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(gA.nonEmpty && gB === gA)
   }
 
+  test("delta substring dedup and delta semdedup are invariant under input partitioning") {
+    // the late-round-19 delta forms: the batch gram explode's semi
+    // joins + islands window, and the semdedup rank-count arithmetic,
+    // must not leak partition layout into spans or keep decisions
+    val sA = Dedup.deltaSubstringDedupOn(docs).collect().toSeq
+    val sB = Dedup.deltaSubstringDedupOn(docs.repartition(13)).collect().toSeq
+    assert(sA.nonEmpty && sB === sA)
+    val e = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val dA = operators.Similarity.deltaSemDedupOn(spark, e).collect().toSeq
+    val dB = operators.Similarity.deltaSemDedupOn(spark, e.repartition(7))
+      .collect().toSeq
+    assert(dA.nonEmpty && dB === dA)
+  }
+
   test("delta media cascade is invariant under input partitioning") {
     val img = graft.operators.Multimodal.ahashTable(spark, sfDir)
     val aud = graft.operators.Multimodal.audioFpWideTable(spark, sfDir)

@@ -866,6 +866,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"the probe degenerated to all-pairs:\n${plan.take(1200)}")
   }
 
+  test("q_delta_substring_dedup: batch is the only text pass; stored keys read back") {
+    val plan = planOf("q_delta_substring_dedup")
+    // the only rolling-window lineage is the batch's (md5 bucket >= 8);
+    // the base side arrives as the stored distinct-key parquet, never
+    // re-hashed text — no base-split filter anywhere in the plan
+    assert(plan.contains(">= 8"),
+      s"batch split filter missing from the delta plan:\n${plan.take(1500)}")
+    assert(!plan.contains("< 8"),
+      s"base-side text lineage leaked into the delta plan:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("h1")),
+      s"stored key index not read from parquet:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the key probe degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_delta_semdedup: stored decisions read back; never re-fitted at query time") {
+    val plan = planOf("q_delta_semdedup")
+    // never re-clustered at query time: the Lloyd chain's centroid-
+    // update stages (posexplode of qv) must be absent — centroids and
+    // the base decision table arrive as parquet read-backs
+    assert(!plan.contains("posexplode"),
+      s"a Lloyd centroid-update stage leaked into the delta plan:\n${plan.take(2000)}")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("dist")),
+      s"stored decision table not read from parquet:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the decision join degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
   test("q_delta_pipeline_media: no decode; batch-only band explosions; append window only") {
     val plan = planOf("q_delta_pipeline_media")
     // all four stored tables (layout, joint reps, two band indexes)

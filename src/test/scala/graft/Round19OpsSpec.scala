@@ -311,6 +311,189 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"an appended sequence's first_doc is a base id: $appended")
   }
 
+  test("delta substring dedup == full span table restricted to the batch; stored == recompute") {
+    import graft.operators.Dedup
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val isNew = pmod(graft.functions.TextFunctions.md5Hash32(col("text")),
+      lit(10)) >= 8
+    // the delta reduction's whole claim: batch windows probing the base
+    // key set + batch-internal repeats == the FULL corpus-wide span
+    // computation restricted to batch documents
+    val full = Dedup.substringDedupOn(docs)
+      .join(docs.filter(isNew).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val delta = Dedup.deltaSubstringDedupOn(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(delta.nonEmpty, "delta substring fixture found no spans — weak fixture")
+    assert(delta == full,
+      "delta substring spans diverged from the full run's batch restriction")
+    // graded stored-key-index path == the inline recompute path
+    val stored = Dedup.deltaSubstringDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stored == delta,
+      "stored-key-index path diverged from the recompute path")
+  }
+
+  /** Steer a document's md5 split bucket (the deltaIsNew rule) by
+    * appending a counter suffix — planted fixtures need control over
+    * which side of the ingest cut each text lands on.
+    */
+  private def withBucket(s: String, isNew: Boolean): String = {
+    def bucket(x: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % 10).toInt
+    }
+    Iterator.from(0).map(i => if (i == 0) s else s"$s #$i")
+      .find(t => (bucket(t) >= 8) == isNew).get
+  }
+
+  test("delta substring dedup: base hits and batch-internal repeats; base-only repeats silent") {
+    import graft.operators.Dedup
+    val P = "the quick brown fox jumps over the lazy dog again" // 50 chars
+    val Q = "pack my box with five dozen liquor jugs and smile" // 50 chars
+    val R = "sphinx of black quartz judge my vow twelve times!!" // 50 chars
+    // non-repetitive 60-char filler: a constant-char pad would repeat
+    // its own 40-gram windows inside one document and trip the
+    // (intentional) self-repeat rule
+    def pad(c: Char) = (0 until 20).map(i => f"$c$i%02d").mkString
+    val docs = Seq(
+      (1L, withBucket(P + pad('a'), isNew = false)),          // base: plants P
+      (2L, withBucket(pad('b') + P, isNew = true)),           // batch: hits base key
+      (3L, withBucket(pad('c') + Q, isNew = true)),           // batch-internal pair…
+      (4L, withBucket(Q + pad('d'), isNew = true)),           // …both flagged
+      (5L, withBucket(R + pad('e'), isNew = false)),          // base-only repeat…
+      (6L, withBucket(pad('f') + R, isNew = false)),          // …never re-emitted
+      (7L, withBucket(pad('g') + pad('h'), isNew = true))     // batch, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.deltaSubstringDedupOn(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet == Set(2L, 3L, 4L),
+      s"wrong flagged set: ${out.map(_._1).toSet} (expected batch docs 2,3,4)")
+    // the merged span must cover the planted phrase: doc 2's 49-char P
+    // starts at position 61 (1-based, after 60 pad chars) — span
+    // [61, 110), 10 fully-inside windows
+    val span2 = out.filter(_._1 == 2L)
+    assert(P.length == 49 && span2 == Seq((2L, 61L, 110L, 49L, 10L)),
+      s"doc 2's span misses the planted phrase: $span2")
+  }
+
+  test("delta semdedup == union-ranked recompute restricted to batch; stored == recompute") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.cosine
+    val e = clusteredEmb
+    val n = 720L
+    val b = n * 8 / 10
+    val delta = Similarity.deltaSemDedupOn(spark, e)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // reference built from a DIFFERENT decomposition: base-fitted
+    // centroids, one assignment over all, an explicit union window for
+    // rank, the pairwise drop join — the full recompute's own shape
+    val cents = Similarity.kmeansCentroids(spark, e.filter(col("vec_id") < b))
+    val all = Similarity.semdedupAssign(cents, e)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("dist").desc, col("vec_id"))
+    val ranked = all.withColumn("rnk", row_number().over(w))
+      .localCheckpoint()
+    val dropped = ranked.as("a").join(ranked.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.rnk") < col("b.rnk"))
+      .filter(round(cosine(col("a.embedding"), col("b.embedding")), 6) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    val reference = ranked.filter(col("vec_id") >= b)
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("rnk").cast("long").as("rank"),
+        when(col("is_dropped").isNotNull, 0L).otherwise(1L).as("kept"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(delta == reference,
+      "delta semdedup diverged from the union-window recompute")
+    // the clustered fixture must actually exercise drops ACROSS the
+    // cut (batch members pruned by stored ones) — else the fixture is
+    // too weak to certify the frozen-decision join
+    assert(delta.exists(_._4 == 0L), "no batch vector dropped — weak fixture")
+    assert(delta.exists(_._4 == 1L), "every batch vector dropped — weak fixture")
+    // graded stored-table path == recompute path on the gate corpus
+    val storedP = Similarity.deltaSemDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val recomputeP = Similarity.deltaSemDedupOn(spark,
+        graft.tables.Tables.embeddings(spark, sfDir))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(storedP.nonEmpty && storedP == recomputeP,
+      "stored-table delta semdedup diverged from the recompute path")
+  }
+
+  test("graph edge compaction: pure layout change — same rows, one compacted edge table") {
+    import graft.operators.Similarity
+    val delta = Similarity.deltaGraphKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val compacted = Similarity.deltaGraphKnnCompacted(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(compacted.nonEmpty && compacted == delta,
+      "edge compaction changed served rows — it must be a pure layout change")
+    // the compacted table IS base ∪ inserts, edge for edge
+    val root = graft.sources.Scratch.corpusDir _
+    val baseE = spark.read.parquet(root(spark, "graph_ann_edges_base", sfDir))
+      .select(col("src"), col("dst"))
+    val batchE = spark.read.parquet(root(spark, "graph_ann_edges_batch", sfDir))
+      .select(col("src"), col("dst"))
+    val compactE = spark.read.parquet(root(spark, "graph_ann_edges_compacted", sfDir))
+      .select(col("src"), col("dst"))
+    val expected = baseE.unionByName(batchE)
+      .groupBy(col("src"), col("dst")).count()
+    val got = compactE.groupBy(col("src"), col("dst")).count()
+    assert(got.count() == expected.count() &&
+      got.join(expected, Seq("src", "dst", "count"), "left_anti").count() == 0L,
+      "compacted edge table is not the exact multiset union of base + inserts")
+  }
+
+  test("streamed delta semdedup == frozen-store adjudication; consistent with the batch delta") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.cosine
+    val stream = graft.streaming.EmbeddingStreams
+      .streamedDeltaSemDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // reference via a DIFFERENT decomposition (join + aggregate over
+    // the stored table, vs the stream's per-row higher-order fold)
+    val (cents, stored, b) = Similarity.semdedupStoredState(spark, sfDir)
+    val batch = graft.tables.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= b)
+    val assigned = Similarity.semdedupAssign(cents, batch)
+    def above = (col("a.dist") > col("b.dist")) ||
+      (col("a.dist") === col("b.dist") && col("a.vec_id") < col("b.vec_id"))
+    val hit = above && round(cosine(col("a.embedding"), col("b.embedding")), 6) >= 0.4
+    val ref = assigned.as("b")
+      .join(stored.as("a"),
+        col("a.cluster").cast("long") === col("b.cluster").cast("long"), "left")
+      .groupBy(col("b.vec_id").as("vec_id"),
+        col("b.cluster").cast("long").as("cluster"))
+      .agg((lit(1L) + sum(when(above, 1L).otherwise(0L))).as("rank"),
+        when(max(when(hit, 1L).otherwise(0L)) === 1L, 0L).otherwise(1L).as("kept"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stream.nonEmpty && stream == ref,
+      "stream fold diverged from the join-aggregate reference")
+    // consistency with the batch delta: the stream sees only the
+    // stored half, so per row rank_stream <= rank_delta and a
+    // delta-kept vector is necessarily stream-kept
+    val delta = Similarity.deltaSemDedup(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    stream.foreach { case (id, _, rk, kept) =>
+      val (drk, dkept) = delta(id)
+      assert(rk <= drk, s"vec $id: stream rank $rk above union rank $drk")
+      assert(dkept <= kept, s"vec $id: delta-kept vector dropped by the stream")
+    }
+    // the fixture must exercise the difference (some batch-internal
+    // drop or rank shift) or the twin proves nothing new
+    assert(stream.exists { case (id, _, rk, k) =>
+      delta(id)._1 != rk || delta(id)._2 != k },
+      "stream == batch delta everywhere — fixture never exercises batch-internal terms")
+  }
+
   test("streamed delta audio near-dup == batch audio delta restricted to new-vs-existing") {
     // the acoustic serving twin runs the SAME stream-static band-probe
     // engine as the image one — finite replay must equal the batch
