@@ -1627,8 +1627,16 @@ object Dedup {
     // covered = hits against the stored base keys ∪ batch-internal
     // repeats; two semi joins (a union+distinct over the key sets
     // would re-shuffle the corpus-sized stored index), then one
-    // batch-bounded distinct for positions both branches flag
-    val covered = grams.join(baseKeys.select(col("h1"), col("h2")),
+    // batch-bounded distinct for positions both branches flag.
+    // The stored-key join is MERGE-pinned: the index is corpus-scale
+    // by definition, so it must never be a broadcast build side — a
+    // stats-blind frame (probe checkpoints, fresh writes) otherwise
+    // gets size-misestimated into a corpus-sized driver collect (the
+    // NND merge-hint lesson); at gate scale the hint costs one tiny
+    // sort, and at 100 TB the (h1,h2)-bucketed index makes this SMJ
+    // shuffle-free on the stored side
+    val covered = grams.join(
+        baseKeys.select(col("h1"), col("h2")).hint("merge"),
         Seq("h1", "h2"), "left_semi")
       .unionByName(grams.join(batchRep, Seq("h1", "h2"), "left_semi"))
       .select(col("doc_id"), col("pos")).distinct()
