@@ -50,6 +50,10 @@ object ScalingProbe {
     // lambda outside timing alongside the decision table it returns
     var semdedupCents: DataFrame = null
 
+    // stored-index sidecar for the delta_winnow probe: per-doc sizes
+    // and per-fp df, built alongside the postings the gen returns
+    var winnowStored: Seq[DataFrame] = Nil
+
     /** Duplicate-heavy corpus: 30% of documents are verbatim copies
       * drawn from a 50-template pool (boilerplate/mirror pages — the
       * shape that breaks posting-list pair enumeration: each
@@ -190,6 +194,14 @@ object ScalingProbe {
       case "substring"       => graft.operators.Dedup.substringDedupOn(docs)
       case "substring_decon" => graft.operators.Dedup.substringDecontaminationOn(docs)
       case "winnow_pairs"    => graft.operators.TextAnalysis.winnowPairsOn(docs)
+      // INCREMENTAL winnow near-dup: docs = the stored n-doc postings
+      // (sizes/df in the gen sidecar, all outside timing); timed = one
+      // 10k-batch winnow selection + union-df delta-apply + df-capped
+      // posting probes. Compare winnow_pairs at equal n, which
+      // re-winnows and re-pairs the whole corpus every run.
+      case "delta_winnow"    => graft.operators.TextAnalysis
+        .deltaWinnowPairsFrom(docs, winnowStored(0), winnowStored(1),
+          corpusRange(n.toLong, n.toLong + 10000).localCheckpoint())
       // duplicate-heavy variants (30% template copies, `_dup` suffix
       // routes them onto dupCorpus below): skew-bound proofs
       case "substring_dup"   => graft.operators.Dedup.substringDedupOn(docs)
@@ -482,6 +494,19 @@ object ScalingProbe {
             .localCheckpoint()
           graft.operators.Similarity.semdedupAssign(semdedupCents,
             embRange(0, n.toLong))
+        })
+      // stored winnow index: postings + (sizes, df) sidecar
+      else if (op == "delta_winnow")
+        (n => {
+          val fps = graft.operators.TextAnalysis
+            .winnowFingerprintsOn(corpus(n))
+            .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+          winnowStored = Seq(
+            fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+              .localCheckpoint(),
+            fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+              .localCheckpoint())
+          fps
         })
       else if (op == "delta_bm25")
         (n => {

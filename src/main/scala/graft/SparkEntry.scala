@@ -146,6 +146,10 @@ object SparkEntry {
     // the MOSS decision layer: df-capped posting-list pair join over
     // the winnowed index, containment >= half the smaller side
     "q_winnow_pairs"    -> (TextAnalysis.winnowPairs _),
+    // INCREMENTAL winnow near-dup: batch fingerprints probe the stored
+    // postings with delta-applied union df; existing-vs-existing never
+    // enumerated (== the full pair set restricted to touching batch)
+    "q_delta_winnow_pairs" -> (TextAnalysis.deltaWinnowPairs _),
     // the same selection as a STATELESS streaming projection (per-doc
     // pure function -> no state, no shuffle); shares q_winnow's oracle
     "q_stream_winnow"   -> (graft.streaming.DocumentStreams.streamedWinnow _),
@@ -1648,6 +1652,32 @@ object SparkEntry {
   private val wordcountSql =
     s"SELECT word, count(*) AS cnt FROM ($tokSql) GROUP BY word ORDER BY word"
 
+  /** The MOSS containment decision over the winnowed index — shared
+    * by q_winnow_pairs and its incremental twin q_delta_winnow_pairs
+    * (delta-applied union df == the full recompute's df, so the delta
+    * shares this chain verbatim under the touching-batch restriction).
+    * No trailing ORDER BY — callers append or wrap.
+    */
+  private lazy val winnowPairsSql: String = {
+    val maxDf = graft.operators.TextAnalysis.WinnowMaxDf
+    val minShared = graft.operators.TextAnalysis.WinnowMinShared
+    val pct = graft.operators.TextAnalysis.WinnowOverlapPct
+    s"""WITH $winnowCtes,
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |keep AS (SELECT fp FROM dfp GROUP BY fp
+       |  HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |kept AS (SELECT doc_id, dfp.fp FROM dfp JOIN keep ON dfp.fp = keep.fp),
+       |sz AS (SELECT doc_id, count(*) AS n_fps FROM dfp GROUP BY 1),
+       |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT id_a, id_b, n_shared,
+       |  n_shared::DOUBLE / least(sa.n_fps, sb.n_fps)::DOUBLE AS containment
+       |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+       |WHERE n_shared * 100 >= least(sa.n_fps, sb.n_fps) * $pct""".stripMargin
+  }
+
   /** Exact n-gram Jaccard pairs (threshold 0.4) — shared by
     * q_ngram_jaccard and q_neardup_auto (the router's exact path).
     */
@@ -2666,26 +2696,21 @@ object SparkEntry {
 
     // the MOSS decision layer: df-capped posting lists, within-key
     // pair enumeration, containment vs the smaller fingerprint set
-    "q_winnow_pairs" -> {
-      val maxDf = graft.operators.TextAnalysis.WinnowMaxDf
-      val minShared = graft.operators.TextAnalysis.WinnowMinShared
-      val pct = graft.operators.TextAnalysis.WinnowOverlapPct
-      s"""WITH $winnowCtes,
-         |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
-         |keep AS (SELECT fp FROM dfp GROUP BY fp
-         |  HAVING count(*) >= 2 AND count(*) <= $maxDf),
-         |kept AS (SELECT doc_id, dfp.fp FROM dfp JOIN keep ON dfp.fp = keep.fp),
-         |sz AS (SELECT doc_id, count(*) AS n_fps FROM dfp GROUP BY 1),
-         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
-         |SELECT id_a, id_b, n_shared,
-         |  n_shared::DOUBLE / least(sa.n_fps, sb.n_fps)::DOUBLE AS containment
-         |FROM shared JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-         |WHERE n_shared * 100 >= least(sa.n_fps, sb.n_fps) * $pct
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q_winnow_pairs" -> s"$winnowPairsSql\nORDER BY id_a, id_b",
+
+    // the incremental form: the SAME pair chain restricted to pairs
+    // touching the md5 batch and type-tagged — the stored-index probe
+    // with its delta-applied union df must find exactly these
+    "q_delta_winnow_pairs" ->
+      s"""WITH pairs AS ($winnowPairsSql),
+         |tag AS (SELECT doc_id, ${h32("text")} % 10 >= 8 AS is_new FROM documents)
+         |SELECT id_a, id_b, n_shared, containment,
+         |  CASE WHEN ta.is_new AND tb.is_new THEN 'new_new'
+         |       ELSE 'new_existing' END AS pair_type
+         |FROM pairs JOIN tag ta ON id_a = ta.doc_id
+         |JOIN tag tb ON id_b = tb.doc_id
+         |WHERE ta.is_new OR tb.is_new
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_repetition" ->
       """SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,

@@ -714,6 +714,122 @@ object TextAnalysis {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** INCREMENTAL winnow near-dup — [[winnowPairsOn]]'s daily-ingest
+    * form, the fingerprint family's delta (fourth and last near-dup
+    * family to get one, after MinHash, media hashes, and substring):
+    * prior ingests persist the winnowed index a service materializes
+    * anyway — the (doc_id, fp) postings, per-doc fingerprint counts,
+    * and the per-fp document frequencies — and a new batch asks which
+    * pairs TOUCHING IT clear the MOSS containment rule. Existing-vs-
+    * existing pairs are never re-enumerated.
+    *
+    * Exactness: a pair touching the batch can only share fingerprints
+    * the batch side holds, so the df-cap decision needs union df ONLY
+    * for the batch's fingerprints — maintained by one delta-apply
+    * (df_union = stored df + batch df, the q_delta_bm25 merge shape on
+    * the winnow index). A fingerprint pushed PAST [[WinnowMaxDf]] by
+    * the batch correctly drops out of every reported pair, and one
+    * pulled INTO the kept range (stored df 1, union 2) correctly
+    * enters — both drifts are the full recompute's own values, so the
+    * output EQUALS [[winnowPairsOn]] over the whole corpus restricted
+    * to batch-touching pairs (oracle = the full chain + the
+    * q_delta_dedup restriction; spec pins the algebra on an arbitrary
+    * mod-3 split, not just the fixture rule).
+    *
+    * Scale shape: per-ingest work is the batch's map-only winnow
+    * selection, a batch-keyed df aggregate, and df-capped posting
+    * joins — the batch's kept keys BROADCAST into the stored postings
+    * scan (at 100 TB the postings are bucketed by fp, so the probe
+    * prunes to the batch vocabulary); pair enumeration stays inside
+    * ≤ [[WinnowMaxDf]] posting lists. The stored tables enter through
+    * narrow column scans only; batch text is the only text read.
+    */
+  def deltaWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = graft.sources.Scratch.corpusDir(spark, "winnow_index", dir)
+    graft.sources.Scratch.materializeOnce(root) {
+      val isNew = pmod(graft.functions.TextFunctions.md5Hash32(col("text")),
+        lit(10)) >= 8
+      val fps = winnowSelect(docs.filter(!isNew))
+        .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+      fps.write.mode("overwrite").parquet(s"$root/postings")
+      fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+        .write.mode("overwrite").parquet(s"$root/sizes")
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$root/df")
+    }
+    deltaWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/sizes"),
+      spark.read.parquet(s"$root/df"), docs)
+  }
+
+  /** Recompute-index form (specs, probes): derives the stored tables
+    * inline from the md5 rule — value-identical to the stored path.
+    */
+  def deltaWinnowPairsOn(docs: DataFrame): DataFrame = {
+    val isNew = pmod(graft.functions.TextFunctions.md5Hash32(col("text")),
+      lit(10)) >= 8
+    val fps = winnowSelect(docs.filter(!isNew))
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    deltaWinnowPairsFrom(fps,
+      fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps")),
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")), docs)
+  }
+
+  /** The stored-index probe: batch membership = docs absent from the
+    * stored sizes table (production's "not yet ingested" — equals the
+    * fixture's md5 rule because the index was built from it).
+    */
+  private[graft] def deltaWinnowPairsFrom(basePost: DataFrame,
+      baseSizes: DataFrame, baseDf: DataFrame, docs: DataFrame): DataFrame = {
+    val batchDocs = docs.join(baseSizes.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // the only text pass: the batch's map-only winnow selection
+    val bfps = winnowSelect(batchDocs)
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    val bSizes = bfps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    // union df for the batch's fingerprints only (a batch-touching
+    // pair can't share anything else): stored df delta-applied
+    val keep = bfps.groupBy(col("fp")).agg(count(lit(1)).as("dfb"))
+      .join(baseDf.withColumnRenamed("df", "dfa"), Seq("fp"), "left")
+      .select(col("fp"),
+        (coalesce(col("dfa"), lit(0L)) + col("dfb")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
+      .select(col("fp"))
+    val keptB = bfps.join(keep, Seq("fp"), "left_semi").localCheckpoint()
+    // the batch's kept keys broadcast into the stored postings scan —
+    // the stored side is never a build side (corpus-scale by
+    // definition, the delta-substring merge-pin lesson)
+    val basePruned = basePost
+      .join(broadcast(keep), Seq("fp"), "left_semi")
+    val ne = keptB.select(col("fp"), col("doc_id").as("bid"))
+      .join(basePruned.select(col("fp"), col("doc_id").as("aid")), "fp")
+      .select(least(col("aid"), col("bid")).as("id_a"),
+        greatest(col("aid"), col("bid")).as("id_b"),
+        lit("new_existing").as("pair_type"))
+    val nn = keptB.select(col("fp"), col("doc_id").as("a"))
+      .join(keptB.select(col("fp"), col("doc_id").as("b")), "fp")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        lit("new_new").as("pair_type"))
+    val shared = ne.unionByName(nn)
+      .groupBy(col("id_a"), col("id_b"), col("pair_type"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    // sizes: narrow stored column ∪ batch counts, joined by the tiny
+    // aggregated pair list (broadcasts into both fetches)
+    val sizes = baseSizes.unionByName(bSizes)
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fps").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fps").as("nb")), "id_b")
+      .filter(col("n_shared") * 100 >= least(col("na"), col("nb")) * WinnowOverlapPct)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"),
+        col("pair_type"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** C4/CCNet-style boilerplate removal: the corpus-wide "most common
     * lines" cleanup, reshaped for the fixture's unlined prose as
     * non-overlapping [[BoilerplateWindow]]-word segments. Any segment

@@ -450,6 +450,37 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "compacted edge table is not the exact multiset union of base + inserts")
   }
 
+  test("delta winnow pairs == full pair set restricted to the batch, on an arbitrary split") {
+    import graft.operators.TextAnalysis
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // mod-3 split, NOT the graded md5 rule: the union-df delta-apply
+    // and the touching-pair restriction must hold for any disjoint
+    // base/batch cut (the delta-BM25 methodology on the winnow index)
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val fps = TextAnalysis.winnowFingerprintsOn(base)
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    val delta = TextAnalysis.deltaWinnowPairsFrom(fps,
+        fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps")),
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("df")), docs)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    val isNew = (id: Long) => id % 3 == 0
+    val full = TextAnalysis.winnowPairsOn(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .filter(p => isNew(p._1) || isNew(p._2))
+      .map(p => (p._1, p._2, p._3, p._4,
+        if (isNew(p._1) && isNew(p._2)) "new_new" else "new_existing"))
+    assert(delta.nonEmpty, "mod-3 delta winnow found no pairs — weak fixture")
+    assert(delta == full,
+      "delta winnow pairs diverged from the full run's batch restriction")
+    // graded stored-index path == the md5-rule recompute path
+    val stored = TextAnalysis.deltaWinnowPairs(spark, sfDir)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    val recomputed = TextAnalysis.deltaWinnowPairsOn(docs)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(stored.nonEmpty && stored == recomputed,
+      "stored winnow index path diverged from the recompute path")
+  }
+
   test("streamed delta semdedup == frozen-store adjudication; consistent with the batch delta") {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions.cosine
