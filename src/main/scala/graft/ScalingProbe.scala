@@ -54,6 +54,10 @@ object ScalingProbe {
     // and per-fp df, built alongside the postings the gen returns
     var winnowStored: Seq[DataFrame] = Nil
 
+    // stored-index sidecar for the delta_lex probe: norms, shingle
+    // postings, and per-shingle df next to the tf postings gen returns
+    var lexStored: Seq[DataFrame] = Nil
+
     /** Duplicate-heavy corpus: 30% of documents are verbatim copies
       * drawn from a 50-template pool (boilerplate/mirror pages — the
       * shape that breaks posting-list pair enumeration: each
@@ -212,6 +216,14 @@ object ScalingProbe {
       case "substring_p3"    => graft.operators.Dedup.substringDedupOn(docs,
         graft.operators.Dedup.SubstringL, paranoid = true)
       case "delta"           => graft.operators.Dedup.deltaDedupOn(docs)
+      case "lexical"         => graft.operators.Dedup.lexicalCosineOn(docs)
+      // INCREMENTAL lexical cosine: docs = the stored tf postings
+      // (norms/shingles/df in the gen sidecar, outside timing); timed
+      // = one 10k-batch tokenize + union-df apply + df-capped shingle
+      // probes + the verified dot. Compare `lexical` at equal n.
+      case "delta_lex"       => graft.operators.Dedup.deltaLexicalCosineFrom(
+        docs, lexStored(0), lexStored(1), lexStored(2),
+        corpusRange(n.toLong, n.toLong + 10000).localCheckpoint())
       // INCREMENTAL substring dedup (the delta_shard discipline): docs
       // = the stored distinct base window-key table (the gen output,
       // built outside timing — 2 longs per distinct window, exactly
@@ -494,6 +506,20 @@ object ScalingProbe {
             .localCheckpoint()
           graft.operators.Similarity.semdedupAssign(semdedupCents,
             embRange(0, n.toLong))
+        })
+      // stored lexical index: tf postings + (norms, shingles, df)
+      else if (op == "delta_lex")
+        (n => {
+          val (tf, sh) = graft.operators.Dedup.lexIndexOf(corpus(n))
+          val tfC = tf.localCheckpoint()
+          val shC = sh.localCheckpoint()
+          lexStored = Seq(
+            tfC.groupBy(col("doc_id"))
+              .agg(sum(col("tf") * col("tf")).as("norm2")).localCheckpoint(),
+            shC,
+            shC.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+              .localCheckpoint())
+          tfC
         })
       // stored winnow index: postings + (sizes, df) sidecar
       else if (op == "delta_winnow")

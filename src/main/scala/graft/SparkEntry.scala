@@ -247,6 +247,10 @@ object SparkEntry {
     // sparse lexical tf-cosine pairs via df-cut posting lists — the
     // third similarity family (set / dense / SPARSE-LEXICAL)
     "q_lexical_cosine"  -> (Dedup.lexicalCosine _),
+    // INCREMENTAL lexical cosine: batch shingles probe the stored
+    // rare-gram/tf index with delta-applied union df (== the full
+    // verified pair set restricted to touching batch)
+    "q_delta_lexical_cosine" -> (Dedup.deltaLexicalCosine _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // K smallest content-hashes per language via the bounded typed
     // top-K aggregator — the few-huge-strata group sample (no window)
@@ -1651,6 +1655,37 @@ object SparkEntry {
 
   private val wordcountSql =
     s"SELECT word, count(*) AS cnt FROM ($tokSql) GROUP BY word ORDER BY word"
+
+  /** The verified lexical-cosine chain — shared by q_lexical_cosine
+    * and its incremental twin q_delta_lexical_cosine (delta-applied
+    * union df == the full recompute's df, the winnow-delta argument).
+    * No trailing ORDER BY — callers append or wrap.
+    */
+  private lazy val lexCosineSql: String =
+    s"""WITH toks AS (SELECT doc_id, list_transform(list_filter(
+       |    string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+       |  SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS norm2 FROM tf GROUP BY 1),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3] AS shingle
+       |  FROM (SELECT doc_id, toks,
+       |    unnest(generate_series(1, greatest(len(toks)-3, 0))) AS i FROM toks)),
+       |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+       |  WHERE df <= ${Dedup.LexMaxDf}),
+       |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |dots AS (SELECT id_a, id_b, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+       |  FROM cand JOIN tf ta ON ta.doc_id = id_a
+       |  JOIN tf tb ON tb.doc_id = id_b AND ta.tok = tb.tok
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, dot,
+       |  CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
+       |FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+       |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE))
+       |  >= ${Dedup.LexCosineMin}""".stripMargin
 
   /** The MOSS containment decision over the winnowed index — shared
     * by q_winnow_pairs and its incremental twin q_delta_winnow_pairs
@@ -3126,31 +3161,20 @@ object SparkEntry {
     // rare-4-gram blocking + full unigram tf verification; integer
     // products + one sqrt + one division make the cosine double (and
     // so the threshold cut itself) bit-portable across engines
-    "q_lexical_cosine" ->
-      s"""WITH toks AS (SELECT doc_id, list_transform(list_filter(
-         |    string_split_regex(text,'[^a-zA-Z]'), x -> x<>''), x -> lower(x)) AS toks
-         |  FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-         |  SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2),
-         |norms AS (SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS norm2 FROM tf GROUP BY 1),
-         |sh AS (SELECT DISTINCT doc_id,
-         |    toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3] AS shingle
-         |  FROM (SELECT doc_id, toks,
-         |    unnest(generate_series(1, greatest(len(toks)-3, 0))) AS i FROM toks)),
-         |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
-         |  WHERE df <= ${Dedup.LexMaxDf}),
-         |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |dots AS (SELECT id_a, id_b, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
-         |  FROM cand JOIN tf ta ON ta.doc_id = id_a
-         |  JOIN tf tb ON tb.doc_id = id_b AND ta.tok = tb.tok
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, dot,
-         |  CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)) AS cosine
-         |FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
-         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE))
-         |  >= ${Dedup.LexCosineMin}
+    "q_lexical_cosine" -> s"$lexCosineSql\nORDER BY id_a, id_b",
+
+    // the incremental form: the SAME verified chain restricted to
+    // pairs touching the md5 batch and type-tagged — the stored-index
+    // probe with delta-applied union df must find exactly these
+    "q_delta_lexical_cosine" ->
+      s"""WITH pairs AS ($lexCosineSql),
+         |tag AS (SELECT doc_id, ${h32("text")} % 10 >= 8 AS is_new FROM documents)
+         |SELECT id_a, id_b, dot, cosine,
+         |  CASE WHEN ta.is_new AND tb.is_new THEN 'new_new'
+         |       ELSE 'new_existing' END AS pair_type
+         |FROM pairs JOIN tag ta ON id_a = ta.doc_id
+         |JOIN tag tb ON id_b = tb.doc_id
+         |WHERE ta.is_new OR tb.is_new
          |ORDER BY id_a, id_b""".stripMargin,
 
     // LSH pairs × hashSplit membership: the leaked flag marks pairs

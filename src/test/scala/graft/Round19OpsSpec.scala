@@ -481,6 +481,48 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "stored winnow index path diverged from the recompute path")
   }
 
+  test("delta lexical cosine == full pair set restricted to the batch, on an arbitrary split") {
+    import graft.operators.Dedup
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    // mod-3 split (the winnow-delta methodology on the lexical index):
+    // build the four stored tables inline from an arbitrary base cut
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val toksDf = base.select(col("doc_id"),
+      transform(graft.functions.TextFunctions.tokens(col("text")),
+        t => lower(t)).as("toks"))
+    val tf = toksDf.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val positions = when(size(col("toks")) >= 4,
+      sequence(lit(1), size(col("toks")) - 3))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(positions, i => concat_ws(" ",
+      element_at(col("toks"), i), element_at(col("toks"), i + 1),
+      element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))
+    val sh = toksDf.select(col("doc_id"), explode(grams).as("shingle"))
+      .distinct().localCheckpoint()
+    val delta = Dedup.deltaLexicalCosineFrom(tf,
+        tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2")),
+        sh, sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")), docs)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    val isNew = (id: Long) => id % 3 == 0
+    val full = Dedup.lexicalCosineOn(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+      .filter(p => isNew(p._1) || isNew(p._2))
+      .map(p => (p._1, p._2, p._3, p._4,
+        if (isNew(p._1) && isNew(p._2)) "new_new" else "new_existing"))
+    assert(delta.nonEmpty, "mod-3 delta lexical found no pairs — weak fixture")
+    assert(delta == full,
+      "delta lexical cosine diverged from the full run's batch restriction")
+    // graded stored-index path == the md5-rule recompute path
+    val stored = Dedup.deltaLexicalCosine(spark, sfDir)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    val recomputed = Dedup.deltaLexicalCosineOn(docs)
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(stored.nonEmpty && stored == recomputed,
+      "stored lexical index path diverged from the recompute path")
+  }
+
   test("streamed delta semdedup == frozen-store adjudication; consistent with the batch delta") {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions.cosine
