@@ -1286,9 +1286,12 @@ object Dedup {
     (tf, sh)
   }
 
+  /** checkpoint=false exists for plan audits only (the lexicalCosineOn
+    * convention): pinned frames otherwise hide the ingest dataflow.
+    */
   private[graft] def deltaLexicalCosineFrom(baseTf: DataFrame,
       baseNorms: DataFrame, baseSh: DataFrame, baseDf: DataFrame,
-      docs: DataFrame): DataFrame = {
+      docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     // batch membership from the stored index's doc ids (production's
     // "not yet ingested"; equals the fixture's md5 rule)
     val batchDocs = docs.join(baseNorms.select(col("doc_id")),
@@ -1317,6 +1320,9 @@ object Dedup {
         .filter(col("a") < col("b"))
         .select(col("a").as("id_a"), col("b").as("id_b"),
           lit("new_new").as("pair_type"))
+      // cand stays pinned in BOTH modes (it is consumed by two join
+      // sides); checkpoint=false unpins only the OUTPUT so the audit
+      // sees the verify stage's stored-table read-backs
       val cand = ne.unionByName(nn).distinct().localCheckpoint()
       // verified dot over the union tf relation streamed once past the
       // pair list — size-driven join strategy, NOT a forced broadcast
@@ -1334,13 +1340,13 @@ object Dedup {
         btf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2")))
       val cosine = col("dot").cast("double") /
         sqrt((col("norm2_a") * col("norm2_b")).cast("double"))
-      dots
+      val res = dots
         .join(normsAll.select(col("doc_id").as("id_a"), col("norm2").as("norm2_a")), "id_a")
         .join(normsAll.select(col("doc_id").as("id_b"), col("norm2").as("norm2_b")), "id_b")
         .select(col("id_a"), col("id_b"), col("dot"), cosine.as("cosine"),
           col("pair_type"))
         .filter(col("cosine") >= LexCosineMin)
-        .localCheckpoint()
+      (if (checkpoint) res.localCheckpoint() else res)
         .orderBy(col("id_a"), col("id_b"))
     } finally { btf.unpersist(); bsh.unpersist(); () }
   }

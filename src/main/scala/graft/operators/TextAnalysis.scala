@@ -780,13 +780,20 @@ object TextAnalysis {
     * stored sizes table (production's "not yet ingested" — equals the
     * fixture's md5 rule because the index was built from it).
     */
+  /** checkpoint=false exists for plan audits only (the lexicalCosineOn
+    * convention): the pinned frames otherwise hide the ingest dataflow
+    * behind RDD scans.
+    */
   private[graft] def deltaWinnowPairsFrom(basePost: DataFrame,
-      baseSizes: DataFrame, baseDf: DataFrame, docs: DataFrame): DataFrame = {
+      baseSizes: DataFrame, baseDf: DataFrame, docs: DataFrame,
+      checkpoint: Boolean = true): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
     val batchDocs = docs.join(baseSizes.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     // the only text pass: the batch's map-only winnow selection
-    val bfps = winnowSelect(batchDocs)
-      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    val bfps = pin(winnowSelect(batchDocs)
+      .select(col("doc_id"), col("fp")).distinct())
     val bSizes = bfps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
     // union df for the batch's fingerprints only (a batch-touching
     // pair can't share anything else): stored df delta-applied
@@ -796,7 +803,7 @@ object TextAnalysis {
         (coalesce(col("dfa"), lit(0L)) + col("dfb")).as("df"))
       .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
       .select(col("fp"))
-    val keptB = bfps.join(keep, Seq("fp"), "left_semi").localCheckpoint()
+    val keptB = pin(bfps.join(keep, Seq("fp"), "left_semi"))
     // the batch's kept keys broadcast into the stored postings scan —
     // the stored side is never a build side (corpus-scale by
     // definition, the delta-substring merge-pin lesson)

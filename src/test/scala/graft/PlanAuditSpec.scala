@@ -883,6 +883,49 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"the key probe degenerated to all-pairs:\n${plan.take(1200)}")
   }
 
+  test("q_delta_winnow_pairs: stored index read back as parquet; no all-pairs degeneration") {
+    // the graded (pinned) plan: everything below the batch-frame
+    // checkpoints is already-executed ingest work, and what the probe
+    // PLANS over is the stored index read back from parquet — n_fps
+    // exists only in the stored sizes schema, fp-keyed postings only
+    // in the stored postings. ("batch is the only text pass" is
+    // enforced by construction — the base tables carry no text column
+    // at all — and pinned functionally by the mod-3 Round19 spec.)
+    val plan = planOf("q_delta_winnow_pairs")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("n_fps")),
+      s"stored winnow sizes not read from parquet:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("fp")),
+      s"stored postings not read from parquet:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a posting probe degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
+  test("q_delta_lexical_cosine: stored index read back as parquet; no all-pairs degeneration") {
+    // the graded entry pins its output; audit the output-unpinned
+    // form (checkpoint=false) so the verify stage's dataflow shows
+    assert(SparkEntry.queries("q_delta_lexical_cosine")(spark, sfDir).count() > 0)
+    val root = graft.sources.Scratch.corpusDir(spark, "lex_index", sfDir)
+    val plan = graft.operators.Dedup.deltaLexicalCosineFrom(
+        spark.read.parquet(s"$root/tf"),
+        spark.read.parquet(s"$root/norms"),
+        spark.read.parquet(s"$root/shingles"),
+        spark.read.parquet(s"$root/df"),
+        graft.tables.Tables.documents(spark, sfDir), checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("norm2")),
+      s"stored norms not read from parquet:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("tok")),
+      s"stored tf postings not read from parquet:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"a shingle probe degenerated to all-pairs:\n${plan.take(1200)}")
+  }
+
   test("q_delta_semdedup: stored decisions read back; never re-fitted at query time") {
     val plan = planOf("q_delta_semdedup")
     // never re-clustered at query time: the Lloyd chain's centroid-
