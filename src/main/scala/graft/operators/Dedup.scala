@@ -980,7 +980,7 @@ object Dedup {
     * definition — the probe entry and the closure-maintenance entry
     * must never disagree on what "the batch" is.
     */
-  private def deltaIsNew: Column =
+  private[graft] def deltaIsNew: Column =
     pmod(md5Hash32(col("text")), lit(10)) >= 8
 
   /** Verify threshold shared by the delta probe's two consumers. */
@@ -1244,13 +1244,11 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val root = graft.sources.Scratch.corpusDir(spark, "lex_index", dir)
     graft.sources.Scratch.materializeOnce(root) {
-      val (tf, sh) = lexIndexOf(docs.filter(!deltaIsNew))
+      val (tf, norms, sh, dfq) = lexStoredIndexOf(docs.filter(!deltaIsNew))
       tf.write.mode("overwrite").parquet(s"$root/tf")
-      tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2"))
-        .write.mode("overwrite").parquet(s"$root/norms")
+      norms.write.mode("overwrite").parquet(s"$root/norms")
       sh.write.mode("overwrite").parquet(s"$root/shingles")
-      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$root/df")
+      dfq.write.mode("overwrite").parquet(s"$root/df")
     }
     deltaLexicalCosineFrom(spark.read.parquet(s"$root/tf"),
       spark.read.parquet(s"$root/norms"),
@@ -1260,10 +1258,26 @@ object Dedup {
 
   /** Recompute-index form — value-identical to the stored path. */
   def deltaLexicalCosineOn(docs: DataFrame): DataFrame = {
-    val (tf, sh) = lexIndexOf(docs.filter(!deltaIsNew))
-    deltaLexicalCosineFrom(tf,
+    val (tf, norms, sh, dfq) = lexStoredIndexOf(docs.filter(!deltaIsNew))
+    deltaLexicalCosineFrom(tf, norms, sh, dfq, docs)
+  }
+
+  /** ONE derivation of the stored lexical index quadruple
+    * (tf, norms, shingles, df) — shared by the stored-table writer and
+    * the recompute form (no drift surface for the spec-pinned
+    * stored == recompute identity); tf/sh pinned so the aux
+    * aggregations read the pinned frames instead of re-running the
+    * corpus tokenize per consumer.
+    */
+  private def lexStoredIndexOf(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (tf0, sh0) = lexIndexOf(docs)
+    val tf = tf0.localCheckpoint()
+    val sh = sh0.localCheckpoint()
+    (tf,
       tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2")),
-      sh, sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")), docs)
+      sh,
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
   }
 
   /** One tokenize pass → (tf postings, distinct shingle postings) —
@@ -1307,9 +1321,12 @@ object Dedup {
         .select(col("shingle"))
       val keptB = bsh.join(keep, Seq("shingle"), "left_semi")
       // candidates: the batch's kept shingles probe the stored postings
-      // (batch keys broadcast into the stored scan — the corpus-scale
-      // side is never a build side) plus the batch-internal block
-      val basePruned = baseSh.join(broadcast(keep), Seq("shingle"), "left_semi")
+      // through a SIZE-DRIVEN join — with the md5 rule the batch is
+      // corpus-proportional (~20%), so forcing `keep` to broadcast
+      // would re-create the driver-collect abort the full operator's
+      // 1M probe exposed; the stored side (parquet, accurate stats) is
+      // never a build side, and a small probe set still broadcasts
+      val basePruned = baseSh.join(keep, Seq("shingle"), "left_semi")
       val ne = keptB.select(col("shingle"), col("doc_id").as("bid"))
         .join(basePruned.select(col("shingle"), col("doc_id").as("aid")), "shingle")
         .select(least(col("aid"), col("bid")).as("id_a"),

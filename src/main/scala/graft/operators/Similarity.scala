@@ -866,27 +866,34 @@ object Similarity {
     */
   def deltaGraphKnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    val (stored, inserted) = deltaGraphEnsureTables(spark, dir, e)
+    graphSearch(e, stored.unionByName(inserted))
+  }
+
+  /** Materialize (once per corpus) and read back the delta graph's two
+    * stored tables — the base edge table written at base ingest and
+    * the batch's beam-selected insert commit (the deltaIvfKnn
+    * discipline: the insert beam is paid once per INGEST, not once per
+    * query or per consumer; serving and compaction both read the
+    * commits back).
+    */
+  private def deltaGraphEnsureTables(spark: SparkSession, dir: String,
+      e: DataFrame): (DataFrame, DataFrame) = {
     val n = denseCount(e, "delta graph ANN")
     val b = deltaBaseCount(n)
     val base = e.filter(col("vec_id") < b)
-    // stored state: the base graph's edge table, written at base ingest
     val edgesPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_base", dir)
     graft.sources.Scratch.materializeOnce(edgesPath) {
       graphAnnEdgesFor(base, b, BlockedBuildMaxN)
         .write.mode("overwrite").parquet(edgesPath)
     }
     val stored = spark.read.parquet(edgesPath).select(col("src"), col("dst"))
-    // THE INGEST: the batch's beam-selected links landed as an
-    // idempotent delta commit next to the frozen base edges (the
-    // deltaIvfKnn discipline — the insert beam is paid once per
-    // ingest, not once per query; serving reads the commit back)
     val insertPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_batch", dir)
     graft.sources.Scratch.materializeOnce(insertPath) {
       deltaGraphInsertEdges(base, stored, e.filter(col("vec_id") >= b))
         .write.mode("overwrite").parquet(insertPath)
     }
-    graphSearch(e, stored.unionByName(
-      spark.read.parquet(insertPath).select(col("src"), col("dst"))))
+    (stored, spark.read.parquet(insertPath).select(col("src"), col("dst")))
   }
 
   /** The graph lifecycle's CLOSING stage — COMPACTION, the
@@ -900,19 +907,18 @@ object Similarity {
     * beam's per-hop join hits one table instead of a union).
     */
   def deltaGraphKnnCompacted(spark: SparkSession, dir: String): DataFrame = {
-    // ensure the maintained tables exist (shared materialization with
-    // q_delta_knn_graph — a compaction runs AFTER ingests)
-    deltaGraphKnn(spark, dir)
-    val edgesPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_base", dir)
-    val insertPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_batch", dir)
+    // ensure the maintained TABLES exist (shared materialization with
+    // q_delta_knn_graph — a compaction runs AFTER ingests) without
+    // paying that entry's serving beam: the ensure helper touches
+    // only the stored/insert commits
+    val e = Tables.embeddings(spark, dir)
+    val (stored, inserted) = deltaGraphEnsureTables(spark, dir, e)
     val compactPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_compacted", dir)
     graft.sources.Scratch.materializeOnce(compactPath) {
-      spark.read.parquet(edgesPath).select(col("src"), col("dst"))
-        .unionByName(spark.read.parquet(insertPath).select(col("src"), col("dst")))
+      stored.unionByName(inserted)
         .write.mode("overwrite").parquet(compactPath)
     }
-    graphSearch(Tables.embeddings(spark, dir),
-      spark.read.parquet(compactPath))
+    graphSearch(e, spark.read.parquet(compactPath))
   }
 
   /** In-memory delta-graph body for specs and probes — builds the base

@@ -738,9 +738,11 @@ object TextAnalysis {
     *
     * Scale shape: per-ingest work is the batch's map-only winnow
     * selection, a batch-keyed df aggregate, and df-capped posting
-    * joins — the batch's kept keys BROADCAST into the stored postings
-    * scan (at 100 TB the postings are bucketed by fp, so the probe
-    * prunes to the batch vocabulary); pair enumeration stays inside
+    * joins — the batch's kept keys probe the stored postings through
+    * a size-driven join (at 100 TB the postings are bucketed by fp,
+    * so the probe prunes to the batch vocabulary, and a small probe
+    * vocabulary broadcasts on its measured size — never forced: with
+    * the md5 rule the batch is corpus-proportional); pair enumeration stays inside
     * ≤ [[WinnowMaxDf]] posting lists. The stored tables enter through
     * narrow column scans only; batch text is the only text read.
     */
@@ -748,15 +750,11 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val root = graft.sources.Scratch.corpusDir(spark, "winnow_index", dir)
     graft.sources.Scratch.materializeOnce(root) {
-      val isNew = pmod(graft.functions.TextFunctions.md5Hash32(col("text")),
-        lit(10)) >= 8
-      val fps = winnowSelect(docs.filter(!isNew))
-        .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+      val (fps, sizes, dfq) =
+        winnowIndexOf(docs.filter(!graft.operators.Dedup.deltaIsNew))
       fps.write.mode("overwrite").parquet(s"$root/postings")
-      fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
-        .write.mode("overwrite").parquet(s"$root/sizes")
-      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$root/df")
+      sizes.write.mode("overwrite").parquet(s"$root/sizes")
+      dfq.write.mode("overwrite").parquet(s"$root/df")
     }
     deltaWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
       spark.read.parquet(s"$root/sizes"),
@@ -767,20 +765,31 @@ object TextAnalysis {
     * inline from the md5 rule — value-identical to the stored path.
     */
   def deltaWinnowPairsOn(docs: DataFrame): DataFrame = {
-    val isNew = pmod(graft.functions.TextFunctions.md5Hash32(col("text")),
-      lit(10)) >= 8
-    val fps = winnowSelect(docs.filter(!isNew))
+    val (fps, sizes, dfq) =
+      winnowIndexOf(docs.filter(!graft.operators.Dedup.deltaIsNew))
+    deltaWinnowPairsFrom(fps, sizes, dfq, docs)
+  }
+
+  /** ONE derivation of the stored winnow index triple
+    * (postings, per-doc sizes, per-fp df) — shared by the stored-table
+    * writer and the recompute form so the spec-pinned
+    * stored == recompute identity has no drift surface. The postings
+    * frame is pinned: three consumers would otherwise re-run the
+    * selection.
+    */
+  private def winnowIndexOf(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val fps = winnowSelect(docs)
       .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
-    deltaWinnowPairsFrom(fps,
+    (fps,
       fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps")),
-      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")), docs)
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
   }
 
   /** The stored-index probe: batch membership = docs absent from the
     * stored sizes table (production's "not yet ingested" — equals the
     * fixture's md5 rule because the index was built from it).
-    */
-  /** checkpoint=false exists for plan audits only (the lexicalCosineOn
+    * checkpoint=false exists for plan audits only (the lexicalCosineOn
     * convention): the pinned frames otherwise hide the ingest dataflow
     * behind RDD scans.
     */
@@ -804,11 +813,14 @@ object TextAnalysis {
       .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
       .select(col("fp"))
     val keptB = pin(bfps.join(keep, Seq("fp"), "left_semi"))
-    // the batch's kept keys broadcast into the stored postings scan —
-    // the stored side is never a build side (corpus-scale by
-    // definition, the delta-substring merge-pin lesson)
+    // size-driven probe of the stored postings: with the md5 rule the
+    // batch is corpus-PROPORTIONAL (~20%), so a forced broadcast of
+    // `keep` re-creates the driver-collect abort the lexicalCosine
+    // probe exposed; a genuinely small key set still broadcasts on
+    // its measured size, and the stored side (parquet, accurate
+    // stats) is never a build side
     val basePruned = basePost
-      .join(broadcast(keep), Seq("fp"), "left_semi")
+      .join(keep, Seq("fp"), "left_semi")
     val ne = keptB.select(col("fp"), col("doc_id").as("bid"))
       .join(basePruned.select(col("fp"), col("doc_id").as("aid")), "fp")
       .select(least(col("aid"), col("bid")).as("id_a"),
