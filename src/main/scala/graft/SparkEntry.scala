@@ -150,6 +150,18 @@ object SparkEntry {
     // postings with delta-applied union df; existing-vs-existing never
     // enumerated (== the full pair set restricted to touching batch)
     "q_delta_winnow_pairs" -> (TextAnalysis.deltaWinnowPairs _),
+    // RETRACTION: tombstoned ids removed from the stored winnow triple
+    // by anti-joins + negative df delta-applies — no text read; the
+    // retracted index re-runs the full MOSS chain and equals the
+    // rebuild over the surviving docs
+    "q_retract_winnow_pairs" -> (TextAnalysis.retractWinnowPairs _),
+    // MULTI-INGEST: two stored winnow commits + a live third —
+    // delta(delta(base,b1),b2) finds exactly the full chain's
+    // batch-touching pairs (shares the single-delta oracle)
+    "q_delta2_winnow_pairs" -> (TextAnalysis.delta2WinnowPairs _),
+    // COMPACTION: N commits folded to one stored triple, full MOSS
+    // chain served from the fold — shares q_winnow_pairs' oracle
+    "q_compact_winnow_pairs" -> (TextAnalysis.compactWinnowPairs _),
     // the same selection as a STATELESS streaming projection (per-doc
     // pure function -> no state, no shuffle); shares q_winnow's oracle
     "q_stream_winnow"   -> (graft.streaming.DocumentStreams.streamedWinnow _),
@@ -168,6 +180,18 @@ object SparkEntry {
     // tokenization pass, merged by long delta-applies — equals the
     // full rebuild, so it shares q_bm25's oracle verbatim
     "q_delta_bm25"      -> (Retrieval.deltaBm25 _),
+    // RETRACTION: tombstoned doc_ids removed from the stored four-table
+    // index by anti-joins + negative delta-applies — no text read;
+    // retracted == rebuilt, so the oracle is q_bm25's chain over the
+    // surviving docs
+    "q_retract_bm25"    -> (Retrieval.retractBm25 _),
+    // MULTI-INGEST compounding: commits c0+c1 read back merged, the
+    // final batch delta-applied live — delta(delta(base,b1),b2) ==
+    // full rebuild, hash-matched against q_bm25's oracle verbatim
+    "q_delta2_bm25"     -> (Retrieval.delta2Bm25 _),
+    // COMPACTION: all commits folded into ONE four-table index off
+    // the query path; serving the fold shares q_bm25's oracle
+    "q_compact_bm25"    -> (Retrieval.compactBm25 _),
     // hybrid search: RRF fusion of embedding-cosine + lexical-cosine
     "q_rrf_fusion"      -> (Retrieval.rrfFusion _),
     // DSIR importance resampling: unigram-LM log-likelihood-ratio
@@ -238,9 +262,21 @@ object SparkEntry {
     // incremental ingest: near-dup pairs touching the NEW batch only
     // (delta-probed LSH join — existing-vs-existing never enumerated)
     "q_delta_dedup"     -> (Dedup.deltaDedup _),
+    // RETRACTION: tombstoned ids anti-joined out of the stored
+    // signature index; banded pairs over the retracted index equal the
+    // rebuild over surviving docs (pair logic is pairwise) — no text
+    "q_retract_dedup"   -> (Dedup.retractDedup _),
     // CC maintenance for the text family: stored base labels + batch
     // bridges through the contracted mini-CC (the shared engine)
     "q_delta_dup_clusters" -> (Dedup.deltaDupClusters _),
+    // RETRACTION closure: deletion can split components and delete the
+    // min-id a component is labeled by — touched components relabel
+    // over their surviving stored edges, untouched ride through
+    "q_retract_dup_clusters" -> (Dedup.retractDupClusters _),
+    // MULTI-INGEST closure: maintain(maintain(L0,p1),p2) over two
+    // stored signature commits + a live third — equals one CC over
+    // the whole corpus, q_dup_clusters' oracle verbatim
+    "q_delta2_dup_clusters" -> (Dedup.delta2DupClusters _),
     // near-dup pairs straddling the train/val/test boundary — the
     // eval-integrity audit (LSH pairs × hashSplit membership)
     "q_split_leakage"   -> (Dedup.splitLeakage _),
@@ -332,6 +368,15 @@ object SparkEntry {
     // the delta oracle and the gate certifies value identity
     "q_delta_knn_ivf_compacted" -> ((s: SparkSession, dir: String) =>
       Similarity.deltaIvfKnnCompacted(s, dir)),
+    // MULTI-INGEST IVF: 6/10-fitted quantizer, TWO stored stateless
+    // assignment commits — ingest(ingest(base,b1),b2) == one full
+    // assignment pass, hash-matched at the 6/10-cut oracle
+    "q_delta2_knn_ivf"  -> ((s: SparkSession, dir: String) =>
+      Similarity.delta2IvfKnn(s, dir)),
+    // N-commit compaction: base + both ingest commits folded into ONE
+    // layout — pure layout change, shares the delta2 oracle
+    "q_delta2_knn_ivf_compacted" -> ((s: SparkSession, dir: String) =>
+      Similarity.delta2IvfKnnCompacted(s, dir)),
     // the IVF-PQ composition under the gate: int8 coarse dot inside
     // the deterministic Lloyd cells of a partition-pruned packed
     // layout, exact rerank — fully oracle-graded
@@ -353,6 +398,15 @@ object SparkEntry {
     // into ONE edge table (pure layout change — shares the delta-graph
     // oracle, the gate certifies value identity)
     "q_delta_knn_graph_compacted" -> (Similarity.deltaGraphKnnCompacted _),
+    // MULTI-INGEST graph: the ORDER-DEPENDENT chained insert — ingest
+    // 2 beams over the edges ingest 1 appended; two unrolled insert
+    // beams in the oracle re-derive insert(insert(G0,b1),b2)
+    "q_delta2_knn_graph" -> (Similarity.delta2GraphKnn _),
+    // DRIFT-MEASURED refit router: sampled insert recall over the
+    // maintained edges vs an exact scan decides serve-delta vs refit
+    // (the routeWide discipline on ANN maintenance); the fixture
+    // measures ~1.0 → serves the delta graph, sharing its oracle
+    "q_knn_graph_drift_routed" -> (Similarity.graphKnnDriftRouted _),
     // the routed production entry (blocked <=200k, NN-descent above):
     // at gate scale the router picks the blocked build, so this shares
     // q_knn_graph's oracle — the gate certifies the routing decision
@@ -1004,6 +1058,33 @@ object SparkEntry {
        |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Wrap a full-corpus oracle chain in a shadowed `documents` CTE so
+    * the SAME SQL re-derives the result over a FILTERED corpus — the
+    * retraction entries' oracle shape: a retracted index equals the
+    * rebuild over corpus-minus-tombstones, so the oracle is the
+    * untouched full chain evaluated over the surviving docs only.
+    * DuckDB resolves the schema-qualified `main.documents` to the base
+    * view while every unqualified `documents` inside the inner chain
+    * binds to the CTE. The inner chain's own ORDER BY does not survive
+    * the derived table, so the caller restates it.
+    */
+  private def overRetainedDocs(keepSql: String, inner: String,
+      orderBy: String): String =
+    s"""WITH documents AS (SELECT * FROM main.documents WHERE $keepSql)
+       |SELECT * FROM (
+       |$inner
+       |) ORDER BY $orderBy""".stripMargin
+
+  /** The retraction fixtures' survivor predicates: the stored base
+    * minus tombstoned ids. BM25's index is keyed by the id rule
+    * (doc_id%10<8 base); the text families' by the md5 ingest rule
+    * (buckets 0–7). Tombstones are doc_id ≡ 7 (mod 10) in both — an id
+    * list, the way production takedowns arrive.
+    */
+  private val bm25RetainSql = "doc_id % 10 < 7"
+  private lazy val textRetainSql =
+    s"${h32("text")} % 10 < 8 AND doc_id % 10 <> 7"
+
   /** Exact visual dedup's twin: min-doc representative + class size
     * per exact aHash class, one row per image.
     */
@@ -1159,14 +1240,23 @@ object SparkEntry {
     * assignment lands them. Probe plan and exact rerank are
     * [[ivfSqlFor]]'s verbatim.
     */
-  private lazy val deltaIvfSql: String = {
+  private lazy val deltaIvfSql: String = deltaIvfSqlFor(8)
+
+  /** The base-fitted IVF maintenance chain at an arbitrary id-prefix
+    * cut (numerator over 10): Lloyd fits over vec_id < n·cut/10,
+    * assignment covers ALL vectors — shared by the single-ingest
+    * entries (cut 8) and the two-commit compounding entries (cut 6,
+    * whose two stateless commits union to exactly this one-pass
+    * assignment).
+    */
+  private def deltaIvfSqlFor(cutNum: Int): String = {
     val iters = graft.operators.Similarity.KmeansIters
     val qc =
-      """un AS (SELECT vec_id, embedding,
+      s"""un AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM embeddings),
         |qa AS (SELECT vec_id, list_transform(embedding,
         |  x -> CAST(round((CASE WHEN nrm = 0 THEN x::DOUBLE ELSE x::DOUBLE / nrm END) * 1048576.0) AS BIGINT)) AS qv FROM un),
-        |q AS (SELECT * FROM qa WHERE vec_id < (SELECT count(*) * 8 // 10 FROM embeddings))""".stripMargin
+        |q AS (SELECT * FROM qa WHERE vec_id < (SELECT count(*) * $cutNum // 10 FROM embeddings))""".stripMargin
     s"""WITH ${lloydRoundsSql(qc, graft.operators.Similarity.IvfExactCells.toString)},
        |ca AS (SELECT t.vec_id, min({'d': ${lloydDistSql("t.qv", "c.cent")}, 'c': c.cid}) AS m
        |  FROM qa t, c${iters - 1} c GROUP BY t.vec_id),
@@ -1263,36 +1353,67 @@ object SparkEntry {
     * (top-GraphM links, both directions appended), then the serving
     * beam over stored ∪ inserted edges with the full corpus.
     */
-  private lazy val deltaGraphSql: String = {
+  /** One ingest's unrolled insert beam as suffix-tagged CTEs: queries
+    * = ids in [lo, hi) beam-search `edges` for their top-GraphM links;
+    * emits `ilinks$sfx` and `alledges$sfx` = edges ∪ links in both
+    * directions. Chaining calls with each ingest's alledges as the
+    * next ingest's `edges` re-derives the ORDER-DEPENDENT multi-ingest
+    * recurrence (insert 2 can reach and link insert 1's nodes through
+    * the backlinks insert 1 appended).
+    */
+  private def insertBeamSql(sfx: String, edges: String, loSql: String,
+      hiSql: String): String = {
     import graft.operators.Similarity
-    val b = "(SELECT b FROM nb)"
     val sb = new StringBuilder
-    sb ++= s"""WITH $graphEvSql,
+    sb ++= s"""iqset$sfx AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb, n2 AS q_n2 FROM ev
+       |  WHERE vec_id >= $loSql AND vec_id < $hiSql),
+       |ibeam${sfx}0 AS MATERIALIZED (SELECT q_id, c.vec_id AS n_id, ${gSimSql("q_emb", "q_n2", "c.emb", "c.n2")} AS sim
+       |  FROM ev c CROSS JOIN iqset$sfx WHERE c.vec_id < ${Similarity.GraphEntries})""".stripMargin
+    for (h <- 1 to Similarity.GraphHops) {
+      sb ++= s""",
+        |ibn$sfx$h AS MATERIALIZED (SELECT DISTINCT t.q_id, ed.dst AS n_id FROM ibeam$sfx${h - 1} t JOIN $edges ed ON ed.src = t.n_id),
+        |ibs$sfx$h AS MATERIALIZED (SELECT t.q_id, t.n_id, ${gSimSql("q.q_emb", "q.q_n2", "c.emb", "c.n2")} AS sim
+        |  FROM ibn$sfx$h t JOIN ev c ON c.vec_id = t.n_id JOIN iqset$sfx q ON q.q_id = t.q_id),
+        |ibeam$sfx$h AS MATERIALIZED (SELECT q_id, n_id, sim FROM (
+        |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+        |  FROM (SELECT DISTINCT q_id, n_id, sim FROM
+        |    (SELECT * FROM ibeam$sfx${h - 1} UNION ALL SELECT * FROM ibs$sfx$h))) WHERE r <= ${Similarity.GraphBeam})""".stripMargin
+    }
+    sb ++= s""",
+      |ilinks$sfx AS (SELECT q_id, n_id FROM (
+      |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
+      |  FROM ibeam$sfx${Similarity.GraphHops} WHERE q_id <> n_id) WHERE r <= ${Similarity.GraphM}),
+      |alledges$sfx AS MATERIALIZED (SELECT src, dst FROM $edges
+      |  UNION ALL SELECT q_id, n_id FROM ilinks$sfx
+      |  UNION ALL SELECT n_id, q_id FROM ilinks$sfx)""".stripMargin
+    sb.toString
+  }
+
+  private lazy val deltaGraphSql: String = {
+    val b = "(SELECT b FROM nb)"
+    s"""WITH $graphEvSql,
        |nb AS (SELECT n * 8 // 10 AS b FROM nn),
        |bsrc AS (SELECT * FROM ev WHERE vec_id < $b),
        |${blockedEdgesSql("b", s"WHERE vec_id < $b", b)},
-       |iqset AS MATERIALIZED (SELECT vec_id AS q_id, emb AS q_emb, n2 AS q_n2 FROM ev WHERE vec_id >= $b),
-       |ibeam0 AS MATERIALIZED (SELECT q_id, c.vec_id AS n_id, ${gSimSql("q_emb", "q_n2", "c.emb", "c.n2")} AS sim
-       |  FROM ev c CROSS JOIN iqset WHERE c.vec_id < ${Similarity.GraphEntries})""".stripMargin
-    for (h <- 1 to Similarity.GraphHops) {
-      sb ++= s""",
-        |ibn$h AS MATERIALIZED (SELECT DISTINCT t.q_id, ed.dst AS n_id FROM ibeam${h - 1} t JOIN bedges ed ON ed.src = t.n_id),
-        |ibs$h AS MATERIALIZED (SELECT t.q_id, t.n_id, ${gSimSql("q.q_emb", "q.q_n2", "c.emb", "c.n2")} AS sim
-        |  FROM ibn$h t JOIN ev c ON c.vec_id = t.n_id JOIN iqset q ON q.q_id = t.q_id),
-        |ibeam$h AS MATERIALIZED (SELECT q_id, n_id, sim FROM (
-        |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
-        |  FROM (SELECT DISTINCT q_id, n_id, sim FROM
-        |    (SELECT * FROM ibeam${h - 1} UNION ALL SELECT * FROM ibs$h))) WHERE r <= ${Similarity.GraphBeam})""".stripMargin
-    }
-    sb ++= s""",
-      |ilinks AS (SELECT q_id, n_id FROM (
-      |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r
-      |  FROM ibeam${Similarity.GraphHops} WHERE q_id <> n_id) WHERE r <= ${Similarity.GraphM}),
-      |alledges AS MATERIALIZED (SELECT src, dst FROM bedges
-      |  UNION ALL SELECT q_id, n_id FROM ilinks
-      |  UNION ALL SELECT n_id, q_id FROM ilinks)""".stripMargin
-    sb ++= graphBeamSql("alledges")
-    sb.toString
+       |${insertBeamSql("", "bedges", b, "(SELECT n FROM nn)")}""".stripMargin +
+      graphBeamSql("alledges")
+  }
+
+  /** The two-ingest chained recurrence: base at the 6/10 cut, ingest 1
+    * ([0.6n, 0.8n)) beamed over the base edges, ingest 2 ([0.8n, n))
+    * beamed over alledges as ingest 1 LEFT THEM, serving beam over the
+    * final graph — insert(insert(G0, b1), b2), fully unrolled.
+    */
+  private lazy val delta2GraphSql: String = {
+    val b0 = "(SELECT b0 FROM nb2)"
+    val b1 = "(SELECT b1 FROM nb2)"
+    s"""WITH $graphEvSql,
+       |nb2 AS (SELECT n * 6 // 10 AS b0, n * 8 // 10 AS b1 FROM nn),
+       |bsrc AS (SELECT * FROM ev WHERE vec_id < $b0),
+       |${blockedEdgesSql("b", s"WHERE vec_id < $b0", b0)},
+       |${insertBeamSql("x", "bedges", b0, b1)},
+       |${insertBeamSql("y", "alledgesx", b1, "(SELECT n FROM nn)")}""".stripMargin +
+      graphBeamSql("alledgesy")
   }
 
   /** The IVF-PQ composition re-derived: the deterministic Lloyd cells
@@ -2747,6 +2868,31 @@ object SparkEntry {
          |WHERE ta.is_new OR tb.is_new
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // retraction: the full MOSS chain over the surviving base docs —
+    // the retracted winnow triple equals the rebuild (negative df
+    // delta-applies; a fingerprint can re-enter the kept range when
+    // deletions drop its df back to ≤ maxDf)
+    "q_retract_winnow_pairs" ->
+      overRetainedDocs(textRetainSql, winnowPairsSql, "id_a, id_b"),
+
+    // compounding: the stored side covers md5 buckets 0–7 whether it
+    // arrived as one monolith or two commits — same probe result,
+    // same oracle shape as the single-delta entry
+    "q_delta2_winnow_pairs" ->
+      s"""WITH pairs AS ($winnowPairsSql),
+         |tag AS (SELECT doc_id, ${h32("text")} % 10 >= 8 AS is_new FROM documents)
+         |SELECT id_a, id_b, n_shared, containment,
+         |  CASE WHEN ta.is_new AND tb.is_new THEN 'new_new'
+         |       ELSE 'new_existing' END AS pair_type
+         |FROM pairs JOIN tag ta ON id_a = ta.doc_id
+         |JOIN tag tb ON id_b = tb.doc_id
+         |WHERE ta.is_new OR tb.is_new
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // compaction: the folded triple serves the FULL chain — the
+    // whole-corpus oracle verbatim
+    "q_compact_winnow_pairs" -> s"$winnowPairsSql\nORDER BY id_a, id_b",
+
     "q_repetition" ->
       """SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
         |CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
@@ -2802,6 +2948,17 @@ object SparkEntry {
     // delta entry is graded against the SAME whole-corpus oracle — the
     // maintenance changes work, never results
     "q_delta_bm25" -> bm25Sql,
+    // retraction: the SAME chain over the surviving docs — the
+    // retracted index equals the rebuild (negative long delta-applies
+    // are as associative as positive ones)
+    "q_retract_bm25" ->
+      overRetainedDocs(bm25RetainSql, bm25Sql, "query_id, rank"),
+    // compounding: two stored commits + live third == full rebuild —
+    // every maintained field is an associative long sum, so ANY commit
+    // grouping shares the whole-corpus oracle
+    "q_delta2_bm25" -> bm25Sql,
+    // compaction: a pure layout fold — values unchanged, same oracle
+    "q_compact_bm25" -> bm25Sql,
 
     // positional postings re-derived with a 1-based LATERAL subscript
     // walk (generate_series over len(arr)); adjacency joins on the
@@ -3143,6 +3300,9 @@ object SparkEntry {
     // argument at Dedup.maintainComponentLabels): the incremental
     // entry shares the closure oracle verbatim
     "q_delta_dup_clusters" -> dupClustersSql,
+    // two chained maintenance steps == one full CC: the compounding
+    // entry shares the whole-corpus closure oracle verbatim
+    "q_delta2_dup_clusters" -> dupClustersSql,
 
     // the batch pair set restricted to pairs touching the new side of
     // the hash split — the delta probe must find exactly these (the
@@ -3157,6 +3317,18 @@ object SparkEntry {
          |JOIN tag tb ON id_b = tb.doc_id
          |WHERE ta.is_new OR tb.is_new
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // retraction: banded pairs over the surviving base docs — the
+    // retracted signature index equals the rebuild (per-doc pure
+    // signatures; pair logic is pairwise)
+    "q_retract_dedup" ->
+      overRetainedDocs(textRetainSql, lshPairsSql, "id_a, id_b"),
+
+    // retraction closure: the full recursive-CTE labeling over the
+    // surviving base docs — touched components relabel to fragment
+    // minima (the deleted-min case), untouched labels ride through
+    "q_retract_dup_clusters" ->
+      overRetainedDocs(textRetainSql, dupClustersSql, "cluster_rep"),
 
     // rare-4-gram blocking + full unigram tf verification; integer
     // products + one sqrt + one division make the cosine double (and
@@ -3292,6 +3464,15 @@ object SparkEntry {
     // Lloyd over the id-prefix base, assignment over all — the stored
     // layout's rows plus the stateless delta commit
     "q_delta_knn_ivf" -> deltaIvfSql,
+    // two stateless commits union to one assignment pass at the 6/10
+    // cut; the N-commit fold is a pure layout change over it
+    "q_delta2_knn_ivf" -> deltaIvfSqlFor(6),
+    "q_delta2_knn_ivf_compacted" -> deltaIvfSqlFor(6),
+    // the chained two-beam insert recurrence, fully unrolled
+    "q_delta2_knn_graph" -> delta2GraphSql,
+    // the router measures ~1.0 sampled recall on the fixture and
+    // serves the delta-maintained graph — the delta oracle verbatim
+    "q_knn_graph_drift_routed" -> deltaGraphSql,
     // compaction is a pure layout change: same rows, one layout
     "q_delta_knn_ivf_compacted" -> deltaIvfSql,
     // the router picks the blocked build at gate scale (n=500 <= 200k)

@@ -1087,6 +1087,167 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_rep"))
 
+  /** RETRACTION — stored signature index under DELETION, the band
+    * family's missing lifecycle half (ingest has [[deltaDedup]]; a
+    * production corpus also SHRINKS — takedowns, licensing, opt-outs):
+    * a tombstone id list drops out of the stored MinHash signature
+    * table by ONE anti-join — signatures are per-doc pure functions,
+    * so no other row changes — and the banded pair derivation over the
+    * retracted index EQUALS a full rebuild over corpus-minus-
+    * tombstones (pair candidacy and verification are pairwise, so the
+    * surviving pair set is exactly the full set restricted to
+    * surviving endpoints). The graded entry shares q_minhash_lsh_pairs'
+    * oracle over the surviving docs; no text is ever read. Fixture
+    * tombstones: stored doc_ids ≡ 7 (mod 10) — an id rule, the shape
+    * production takedown lists arrive in. The reference's only
+    * retraction is the master reclaiming a dead worker's job
+    * (reference lib/map_reduce/master.ex:85-108); this generalizes
+    * that reclaim to the data plane.
+    */
+  def retractDedup(spark: SparkSession, dir: String): DataFrame = {
+    val baseSig = baseSigTable(spark, dir, Tables.documents(spark, dir))
+    retractDedupFrom(baseSig,
+      baseSig.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+  }
+
+  /** The retraction body on an explicit stored signature table —
+    * exposed so the spec can prove retracted == rebuilt on arbitrary
+    * tombstone sets.
+    */
+  private[graft] def retractDedupFrom(baseSig: DataFrame,
+      tombstones: DataFrame): DataFrame = {
+    val tomb = tombstones.toDF("doc_id")
+    val sig = baseSig.join(tomb, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try lshPairsFromSignatures(sig).localCheckpoint()
+      .orderBy(col("id_a"), col("id_b"))
+    finally { sig.unpersist(); () }
+  }
+
+  /** COMPONENT-LABEL MAINTENANCE under DELETION — the hard retraction
+    * case ([[maintainComponentLabels]]' inverse): deleting nodes can
+    * SPLIT a component (the deleted doc was a cut vertex) and can
+    * delete the component's min-id — the very value every stored label
+    * references — so labels cannot be patched in place. But deletion
+    * can never MERGE components, so the damage is CONFINED to the
+    * components that lost a member: contract the tombstones to their
+    * stored labels ("touched" components), let every untouched
+    * component's labels ride through unchanged (their min is intact —
+    * no member left), and re-run CC over ONLY the touched components'
+    * surviving edges — work bounded by the touched components' edge
+    * count, never a full-graph rerun. The relabel assigns each
+    * surviving fragment its own min-id (handling the deleted-min case
+    * by construction), and members left edge-less drop out — exactly
+    * the full recompute's convention, so maintained labels EQUAL the
+    * rebuild over the surviving pair graph and the retraction entry
+    * shares the full closure oracle over the surviving docs.
+    */
+  private[graft] def retractComponentLabels(storedLabels: DataFrame,
+      storedPairs: DataFrame, tombstones: DataFrame): DataFrame = {
+    val tomb = tombstones.toDF("doc_id").localCheckpoint()
+    val stored = storedLabels.toDF("id", "lbl").localCheckpoint()
+    val touched = stored.join(tomb, col("id") === col("doc_id"), "left_semi")
+      .select(col("lbl")).distinct().localCheckpoint()
+    val untouched = stored.join(touched, Seq("lbl"), "left_anti")
+    // surviving edges, restricted to touched components (a pair's two
+    // endpoints share a component, so tagging id_a's label suffices)
+    val survivors = storedPairs.toDF("id_a", "id_b")
+      .join(tomb.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+      .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+    val touchedPairs = survivors
+      .join(stored.select(col("id").as("id_a"), col("lbl")), Seq("id_a"))
+      .join(touched, Seq("lbl"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    componentLabels(touchedPairs).unionByName(untouched)
+  }
+
+  /** RETRACTION — duplicate clusters under deletion: the graded
+    * [[retractComponentLabels]] composition over the text family's
+    * stored state (the converged label table AND the pair graph both
+    * persisted at prior ingests — a production closure store keeps its
+    * edges precisely so deletions can relabel without re-deriving
+    * pairs from text). Tombstones: stored doc_ids ≡ 7 (mod 10).
+    * Output is the q_dup_clusters contract over the surviving base —
+    * shares the closure oracle restricted to surviving docs.
+    */
+  def retractDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val baseSig = baseSigTable(spark, dir, docs)
+    val pairsPath = graft.sources.Scratch.corpusDir(spark, "delta_base_pairs_txt", dir)
+    graft.sources.Scratch.materializeOnce(pairsPath) {
+      // built from the STORED signatures (identical to the text-built
+      // pairs — signatures are deterministic), not from text
+      val sig = baseSig.persist(StorageLevel.MEMORY_AND_DISK)
+      try lshPairsFromSignatures(sig).select(col("id_a"), col("id_b"))
+        .write.mode("overwrite").parquet(pairsPath)
+      finally { sig.unpersist(); () }
+    }
+    val lblPath = graft.sources.Scratch.corpusDir(spark, "delta_base_cc_txt", dir)
+    graft.sources.Scratch.materializeOnce(lblPath) {
+      baseDocLabels(docs).write.mode("overwrite").parquet(lblPath)
+    }
+    retractComponentLabels(
+        spark.read.parquet(lblPath).select(col("id"), col("lbl")),
+        spark.read.parquet(pairsPath),
+        baseSig.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** MULTI-INGEST compounding for the closure family — TWO stored
+    * ingests then a live third, under the gate: ingest 0 writes the
+    * base signature commit and its converged labels; ingest 1 probes
+    * the stored index with its batch (existing-vs-existing never
+    * enumerated), appends its signature commit, and REWRITES the label
+    * table through [[maintainComponentLabels]]; the live third ingest
+    * probes the two merged signature commits and maintains once more.
+    * Because each maintenance step provably equals the recompute over
+    * the graph-so-far (labels stay component minima — the
+    * [[maintainComponentLabels]] induction), the chained result
+    * maintain(maintain(L0, p1), p2) EQUALS one CC over the whole
+    * corpus's pair graph, and the graded entry shares q_dup_clusters'
+    * closure oracle VERBATIM — associativity as a hash-matched result.
+    * Commit split: md5 buckets [0,6) base, {6,7} ingest 1, {8,9} live.
+    */
+  def delta2DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = pmod(md5Hash32(col("text")), lit(10))
+    val root = graft.sources.Scratch.corpusDir(spark, "cc_multi_txt", dir)
+    graft.sources.Scratch.materializeOnce(root) {
+      // ingest 0 — base: signature commit + converged labels
+      val sig0 = minhashSignaturesUnsorted(docs.filter(bucket < 6),
+        prodHash = false).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        sig0.write.mode("overwrite").parquet(s"$root/sig_c0")
+        componentLabels(lshPairsFromSignatures(sig0)
+            .select(col("id_a"), col("id_b")))
+          .write.mode("overwrite").parquet(s"$root/labels_0")
+      } finally { sig0.unpersist(); () }
+      // ingest 1 — buckets {6,7}: append the batch's signature commit,
+      // probe the STORED index, maintain labels (batch-sized CC only)
+      minhashSignaturesUnsorted(
+          docs.filter(bucket >= 6 && bucket < 8), prodHash = false)
+        .write.mode("overwrite").parquet(s"$root/sig_c1")
+      val probe1 = deltaProbePairs(spark.read.parquet(s"$root/sig_c0"),
+        docs.filter(bucket < 8))
+      maintainComponentLabels(
+          spark.read.parquet(s"$root/labels_0").select(col("id"), col("lbl")),
+          probe1.select(col("id_a"), col("id_b")))
+        .write.mode("overwrite").parquet(s"$root/labels_1")
+    }
+    // live ingest 2 — buckets {8,9} probe the MERGED signature commits
+    val storedSig = spark.read.parquet(s"$root/sig_c0")
+      .unionByName(spark.read.parquet(s"$root/sig_c1"))
+    val probe2 = deltaProbePairs(storedSig, docs)
+    maintainComponentLabels(
+        spark.read.parquet(s"$root/labels_1").select(col("id"), col("lbl")),
+        probe2.select(col("id_a"), col("id_b")))
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Cross-split contamination audit — the eval-integrity check every
     * train/val/test split needs: a near-duplicate pair STRADDLING a
     * split boundary leaks training content into evaluation, silently

@@ -177,7 +177,23 @@ object Retrieval {
     */
   def deltaBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val base = docs.filter(col("doc_id") % 10 < 8)
+    val root = ensureBm25Index(spark, dir,
+      docs.filter(col("doc_id") % 10 < 8))
+    deltaBm25From(
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/dl"),
+      spark.read.parquet(s"$root/df"),
+      spark.read.parquet(s"$root/stats"),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** Materialize (once per corpus) the four-table stored index over the
+    * doc_id%10<8 base split — shared by the ingest ([[deltaBm25]]) and
+    * retraction ([[retractBm25]]) entries: one index, every lifecycle
+    * stage.
+    */
+  private def ensureBm25Index(spark: SparkSession, dir: String,
+      base: DataFrame): String = {
     val root = graft.sources.Scratch.corpusDir(spark, "bm25_index", dir)
     graft.sources.Scratch.materializeOnce(root) {
       // ONE base tokenization pass fans out to all four stored tables
@@ -194,12 +210,79 @@ object Retrieval {
           .write.mode("overwrite").parquet(s"$root/stats")
       } finally { tfB.unpersist(); () }
     }
-    deltaBm25From(
+    root
+  }
+
+  /** RETRACTION — BM25 index maintenance under DELETION, the missing
+    * half of the index lifecycle (ingest grows a corpus; takedowns,
+    * licensing changes, and opt-outs shrink it): a tombstone set of
+    * doc_ids is removed from the stored four-table index with NO text
+    * read at all — every delta the removal needs is already IN the
+    * index. Postings and doc lengths drop by doc_id anti-join; document
+    * frequencies subtract the deleted docs' per-word posting counts
+    * (derived from the stored postings restricted to the tombstones —
+    * the word-keyed long delta-apply of [[deltaBm25From]] with negative
+    * contributions); corpus stats subtract the deleted docs' length sum
+    * and count. Every maintained field is an associative long sum, so
+    * the retracted index EQUALS a full rebuild over corpus-minus-
+    * tombstones field-for-field and the graded entry shares q_bm25's
+    * oracle restricted to the surviving docs (retraction changes WORK,
+    * never results — the ingest-side precedent, mirrored).
+    *
+    * Scale shape: tombstones are an id list (broadcastable when small,
+    * shuffled anti-joins otherwise — Spark picks by size); the index
+    * tables enter through narrow column scans; cost is O(index rows of
+    * the deleted docs) + index-sized anti-joins, never corpus
+    * tokenization. The reference's only retraction is the master
+    * reclaiming a dead worker's job for the backlog (reference
+    * lib/map_reduce/master.ex:85-108); this is that idea generalized to
+    * the data plane. Fixture tombstones: stored doc_ids ≡ 7 (mod 10) —
+    * an id rule, the way production takedown lists arrive.
+    */
+  def retractBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureBm25Index(spark, dir,
+      docs.filter(col("doc_id") % 10 < 8))
+    val storedDl = spark.read.parquet(s"$root/dl")
+    retractBm25From(
       spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/dl"),
+      storedDl,
       spark.read.parquet(s"$root/df"),
       spark.read.parquet(s"$root/stats"),
-      docs.filter(col("doc_id") % 10 >= 8))
+      storedDl.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+  }
+
+  /** The retraction body on explicit stored tables — exposed so the
+    * spec can prove retracted == rebuilt on arbitrary tombstone sets
+    * and the plan audit can pin "no text ever scanned".
+    */
+  private[graft] def retractBm25From(storedTf: DataFrame, storedDl: DataFrame,
+      storedDf: DataFrame, storedStats: DataFrame,
+      tombstones: DataFrame, checkpoint: Boolean = true): DataFrame = {
+    // the tombstone id list: four consumers (two anti-joins, two
+    // semi-joins) — pin it
+    val tomb0 = tombstones.toDF("doc_id")
+    val tomb = if (checkpoint) tomb0.localCheckpoint() else tomb0
+    // the deleted docs' own index rows are the ONLY delta source —
+    // retraction never touches text
+    val deadTf = storedTf.join(tomb, Seq("doc_id"), "left_semi")
+    val deadDl = storedDl.join(tomb, Seq("doc_id"), "left_semi")
+    val tf = storedTf.join(tomb, Seq("doc_id"), "left_anti")
+    val dl = storedDl.join(tomb, Seq("doc_id"), "left_anti")
+    // df delta-apply with NEGATIVE contributions; words whose every
+    // posting died drop out entirely (df = 0 rows exist in a rebuild's
+    // table for no word), keeping retracted == rebuilt field-for-field
+    val dfreq = storedDf
+      .unionByName(deadTf.groupBy(col("word"))
+        .agg((-count(lit(1))).as("df")))
+      .groupBy(col("word")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    // stats delta-apply: two negative long additions
+    val stats = storedStats
+      .unionByName(deadDl.agg((-sum(col("dl"))).as("tot_dl"),
+        (-count(lit(1))).as("n_docs")))
+      .agg(sum(col("tot_dl")).as("tot_dl"), sum(col("n_docs")).as("n_docs"))
+    bm25ScoreAll(tf, dl, dfreq, stats, checkpoint)
   }
 
   /** The merge body on explicit stored tables — exposed so the spec
@@ -228,6 +311,113 @@ object Retrieval {
         .agg(sum(col("tot_dl")).as("tot_dl"), sum(col("n_docs")).as("n_docs"))
       bm25ScoreAll(tf, dl, dfreq, stats, checkpoint)
     } finally { batchTf.unpersist(); () }
+  }
+
+  // ——— multi-ingest commit layout (compounding + compaction) ———
+
+  /** MULTI-INGEST commit layout for the BM25 index — the LSM-style
+    * append discipline the single-ingest [[deltaBm25]] gestures at,
+    * made literal: every ingest lands as its OWN commit directory
+    * holding batch-sized postings/dl plus PARTIAL df/stats
+    * contributions; prior commits are never rewritten. The query path
+    * unions commit postings/lengths and SUMS the df/stats partials by
+    * word — every maintained field is an associative long sum over
+    * disjoint doc sets, so ANY commit grouping scores identically:
+    * delta(delta(base, b1), b2) == full(base ∪ b1 ∪ b2), which is what
+    * lets the two-commit chained entry ([[delta2Bm25]]) and the
+    * N-commit fold ([[compactBm25]]) share q_bm25's whole-corpus
+    * oracle VERBATIM. Fixture commits: c0 = doc_id%10 ∈ [0,6) (the
+    * base ingest), c1 = buckets {6,7} (first delta ingest); buckets
+    * {8,9} arrive as the live second ingest.
+    */
+  private def ensureBm25Commits(spark: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    val root = graft.sources.Scratch.corpusDir(spark, "bm25_multi", dir)
+    graft.sources.Scratch.materializeOnce(root) {
+      writeBm25Commit(spark, s"$root/c0", docs.filter(col("doc_id") % 10 < 6))
+      writeBm25Commit(spark, s"$root/c1",
+        docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8))
+    }
+    root
+  }
+
+  /** ONE ingest's append-only commit: the batch's postings and doc
+    * lengths (whole rows — doc sets are disjoint across commits) plus
+    * its PARTIAL df/stats contributions, to be summed at read. Cost is
+    * one tokenization pass over the BATCH — never a rewrite of any
+    * prior commit.
+    */
+  private def writeBm25Commit(spark: SparkSession, cdir: String,
+      batch: DataFrame): Unit = {
+    val tfB = postings(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      tfB.write.mode("overwrite").parquet(s"$cdir/postings")
+      tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.mode("overwrite").parquet(s"$cdir/dl")
+      tfB.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$cdir/df")
+      spark.read.parquet(s"$cdir/dl")
+        .agg(sum(col("dl")).as("tot_dl"), count(lit(1)).as("n_docs"))
+        .write.mode("overwrite").parquet(s"$cdir/stats")
+    } finally { tfB.unpersist(); () }
+  }
+
+  /** Union the commit list back into one logical four-table index:
+    * postings/lengths append, df/stats partials sum (word-keyed long
+    * addition — the [[deltaBm25From]] merge, generalized to N sides).
+    */
+  private def readBm25Commits(spark: SparkSession, root: String,
+      commits: Seq[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    def u(sub: String): DataFrame =
+      commits.map(c => spark.read.parquet(s"$root/$c/$sub"))
+        .reduce(_ unionByName _)
+    (u("postings"), u("dl"),
+      u("df").groupBy(col("word")).agg(sum(col("df")).as("df")),
+      u("stats").agg(sum(col("tot_dl")).as("tot_dl"),
+        sum(col("n_docs")).as("n_docs")))
+  }
+
+  /** COMPOUNDING under the gate — the index after TWO stored ingests
+    * plus a live third: commits c0 (base) and c1 (first delta) are
+    * read back merged and the final batch delta-applies on top, so the
+    * graded entry proves delta(delta(base, b1), b2) == full rebuild —
+    * associativity as a hash-matched result, not an argument. Shares
+    * q_bm25's whole-corpus oracle verbatim.
+    */
+  def delta2Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureBm25Commits(spark, dir, docs)
+    val (tf, dl, dfq, stats) = readBm25Commits(spark, root, Seq("c0", "c1"))
+    deltaBm25From(tf, dl, dfq, stats, docs.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** COMPACTION — the closing lifecycle stage of the commit layout:
+    * per-ingest commits accumulate small files until a fold (off the
+    * query path) consolidates all N into ONE four-table index; values
+    * never change, only layout, so serving over the compacted tables
+    * shares q_bm25's oracle verbatim and must equal [[delta2Bm25]]
+    * row-for-row. The fold itself is the summed read-back written
+    * once — index-sized, no text.
+    */
+  def compactBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureBm25Commits(spark, dir, docs)
+    graft.sources.Scratch.materializeOnce(s"$root/c2") {
+      writeBm25Commit(spark, s"$root/c2", docs.filter(col("doc_id") % 10 >= 8))
+    }
+    val cpath = s"$root/compacted"
+    graft.sources.Scratch.materializeOnce(cpath) {
+      val (tf, dl, dfq, stats) =
+        readBm25Commits(spark, root, Seq("c0", "c1", "c2"))
+      tf.write.mode("overwrite").parquet(s"$cpath/postings")
+      dl.write.mode("overwrite").parquet(s"$cpath/dl")
+      dfq.write.mode("overwrite").parquet(s"$cpath/df")
+      stats.write.mode("overwrite").parquet(s"$cpath/stats")
+    }
+    bm25ScoreAll(spark.read.parquet(s"$cpath/postings"),
+      spark.read.parquet(s"$cpath/dl"),
+      spark.read.parquet(s"$cpath/df"),
+      spark.read.parquet(s"$cpath/stats"), checkpoint = true)
   }
 
   /** Default phrase for the graded [[phraseSearch]] entry — present in

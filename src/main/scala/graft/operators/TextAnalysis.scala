@@ -686,15 +686,22 @@ object TextAnalysis {
     // winnowed index is the ~2/(W+1)-density artifact a service
     // materializes anyway, so checkpoint it once instead of replaying
     // the explode + window selection per branch
-    val fps = winnowSelect(docs)
-      .select(col("doc_id"), col("fp")).distinct()
-      .localCheckpoint()
-    val keepKeys = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
+    val (fps, sizes, dfq) = winnowIndexOf(docs)
+    winnowPairsFromIndex(fps, sizes, dfq)
+  }
+
+  /** The MOSS pair chain over an EXPLICIT index triple — the shared
+    * tail of the full build ([[winnowPairsOn]]) and the retracted
+    * index ([[retractWinnowPairs]]): both run the identical df-cap +
+    * posting-list join + containment rule, which is why the retraction
+    * entry shares the full entry's oracle over the surviving docs.
+    */
+  private def winnowPairsFromIndex(fps: DataFrame, sizes: DataFrame,
+      dfq: DataFrame): DataFrame = {
+    val keepKeys = dfq
       .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
       .select(col("fp"))
     val kept = fps.join(keepKeys, Seq("fp"), "left_semi")
-    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
     val shared = kept.select(col("fp"), col("doc_id").as("id_a"))
       .join(kept.select(col("fp"), col("doc_id").as("id_b")), "fp")
       .filter(col("id_a") < col("id_b"))
@@ -712,6 +719,50 @@ object TextAnalysis {
         (col("n_shared").cast("double") / least(col("na"), col("nb")).cast("double"))
           .as("containment"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** RETRACTION — winnow-index maintenance under DELETION (the
+    * [[graft.operators.Retrieval.retractBm25]] discipline on the
+    * fingerprint family): a tombstone id set is removed from the
+    * stored (postings, sizes, df) triple with NO text read — postings
+    * and sizes drop by anti-join, df subtracts the deleted docs' own
+    * posting counts (derived from the stored postings restricted to
+    * the tombstones — negative word-keyed delta-apply). A fingerprint
+    * whose union df falls back INTO the kept range (base df 51,
+    * deletions bring it to ≤ 50) correctly re-enters pair enumeration,
+    * and one falling below 2 correctly leaves — both drifts are the
+    * rebuild's own values, so the retracted index scores EQUAL a full
+    * rebuild over corpus-minus-tombstones and the graded entry shares
+    * q_winnow_pairs' oracle over the surviving docs. Fixture
+    * tombstones: stored doc_ids ≡ 7 (mod 10).
+    */
+  def retractWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureWinnowIndex(spark, dir, docs)
+    val sizes = spark.read.parquet(s"$root/sizes")
+    retractWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
+      sizes, spark.read.parquet(s"$root/df"),
+      sizes.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+  }
+
+  /** The retraction body on explicit stored tables — exposed so the
+    * spec can prove retracted == rebuilt on arbitrary tombstone sets.
+    */
+  private[graft] def retractWinnowPairsFrom(basePost: DataFrame,
+      baseSizes: DataFrame, baseDf: DataFrame,
+      tombstones: DataFrame): DataFrame = {
+    val tomb = tombstones.toDF("doc_id").localCheckpoint()
+    val deadPost = basePost.join(tomb, Seq("doc_id"), "left_semi")
+    val fps = basePost.join(tomb, Seq("doc_id"), "left_anti")
+    val sizes = baseSizes.join(tomb, Seq("doc_id"), "left_anti")
+    // negative delta-apply; fully-dead fingerprints drop (df = 0 rows
+    // exist in no rebuild), keeping retracted == rebuilt table-for-table
+    val dfq = baseDf
+      .unionByName(deadPost.groupBy(col("fp"))
+        .agg((-count(lit(1))).as("df")))
+      .groupBy(col("fp")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    winnowPairsFromIndex(fps, sizes, dfq)
   }
 
   /** INCREMENTAL winnow near-dup — [[winnowPairsOn]]'s daily-ingest
@@ -748,6 +799,19 @@ object TextAnalysis {
     */
   def deltaWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val root = ensureWinnowIndex(spark, dir, docs)
+    deltaWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/sizes"),
+      spark.read.parquet(s"$root/df"), docs)
+  }
+
+  /** Materialize (once per corpus) the stored winnow index triple over
+    * the md5-rule base split — ONE stored index shared by the ingest
+    * ([[deltaWinnowPairs]]) and retraction ([[retractWinnowPairs]])
+    * lifecycle stages.
+    */
+  private def ensureWinnowIndex(spark: SparkSession, dir: String,
+      docs: DataFrame): String = {
     val root = graft.sources.Scratch.corpusDir(spark, "winnow_index", dir)
     graft.sources.Scratch.materializeOnce(root) {
       val (fps, sizes, dfq) =
@@ -756,9 +820,7 @@ object TextAnalysis {
       sizes.write.mode("overwrite").parquet(s"$root/sizes")
       dfq.write.mode("overwrite").parquet(s"$root/df")
     }
-    deltaWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/sizes"),
-      spark.read.parquet(s"$root/df"), docs)
+    root
   }
 
   /** Recompute-index form (specs, probes): derives the stored tables
@@ -784,6 +846,86 @@ object TextAnalysis {
     (fps,
       fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps")),
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
+  }
+
+  /** MULTI-INGEST commit layout for the winnow index — the
+    * [[graft.operators.Retrieval.delta2Bm25]] discipline on the
+    * fingerprint triple: each ingest lands as its own commit directory
+    * (batch postings + sizes whole-row, df as PARTIAL counts summed at
+    * read); prior commits never rewritten. Fixture commits: c0 = md5
+    * buckets [0,6), c1 = buckets {6,7}; buckets {8,9} arrive live.
+    */
+  private def ensureWinnowCommits(spark: SparkSession, dir: String,
+      docs: DataFrame): String = {
+    val root = graft.sources.Scratch.corpusDir(spark, "winnow_multi", dir)
+    val bucket = pmod(graft.functions.TextFunctions.md5Hash32(col("text")), lit(10))
+    graft.sources.Scratch.materializeOnce(root) {
+      writeWinnowCommit(spark, s"$root/c0", docs.filter(bucket < 6))
+      writeWinnowCommit(spark, s"$root/c1",
+        docs.filter(bucket >= 6 && bucket < 8))
+    }
+    root
+  }
+
+  private def writeWinnowCommit(spark: SparkSession, cdir: String,
+      batch: DataFrame): Unit = {
+    val (fps, sizes, dfq) = winnowIndexOf(batch)
+    fps.write.mode("overwrite").parquet(s"$cdir/postings")
+    sizes.write.mode("overwrite").parquet(s"$cdir/sizes")
+    dfq.write.mode("overwrite").parquet(s"$cdir/df")
+  }
+
+  /** Union a commit list into one logical index triple (df partials
+    * sum by fingerprint — docs are disjoint across commits, so each
+    * partial counts distinct docs).
+    */
+  private def readWinnowCommits(spark: SparkSession, root: String,
+      commits: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    def u(sub: String): DataFrame =
+      commits.map(c => spark.read.parquet(s"$root/$c/$sub"))
+        .reduce(_ unionByName _)
+    (u("postings"), u("sizes"),
+      u("df").groupBy(col("fp")).agg(sum(col("df")).as("df")))
+  }
+
+  /** COMPOUNDING — the winnow probe after TWO stored ingests plus a
+    * live third: delta(delta(base, b1), b2) must find exactly the full
+    * chain's batch-touching pairs, so the graded entry shares
+    * q_delta_winnow_pairs' oracle verbatim (stored side covers md5
+    * buckets 0–7 either way; what changed is that it now arrives as
+    * two merged commits instead of one monolith).
+    */
+  def delta2WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureWinnowCommits(spark, dir, docs)
+    val (fps, sizes, dfq) = readWinnowCommits(spark, root, Seq("c0", "c1"))
+    deltaWinnowPairsFrom(fps, sizes, dfq, docs)
+  }
+
+  /** COMPACTION — all N winnow commits folded into ONE stored triple
+    * (off the query path; values never change, only layout), then the
+    * FULL MOSS chain served from the compacted index: equals the
+    * whole-corpus q_winnow_pairs result, whose oracle it shares
+    * verbatim — the gate certifies the fold end-to-end.
+    */
+  def compactWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureWinnowCommits(spark, dir, docs)
+    val bucket = pmod(graft.functions.TextFunctions.md5Hash32(col("text")), lit(10))
+    graft.sources.Scratch.materializeOnce(s"$root/c2") {
+      writeWinnowCommit(spark, s"$root/c2", docs.filter(bucket >= 8))
+    }
+    val cpath = s"$root/compacted"
+    graft.sources.Scratch.materializeOnce(cpath) {
+      val (fps, sizes, dfq) =
+        readWinnowCommits(spark, root, Seq("c0", "c1", "c2"))
+      fps.write.mode("overwrite").parquet(s"$cpath/postings")
+      sizes.write.mode("overwrite").parquet(s"$cpath/sizes")
+      dfq.write.mode("overwrite").parquet(s"$cpath/df")
+    }
+    winnowPairsFromIndex(spark.read.parquet(s"$cpath/postings"),
+      spark.read.parquet(s"$cpath/sizes"),
+      spark.read.parquet(s"$cpath/df"))
   }
 
   /** The stored-index probe: batch membership = docs absent from the
