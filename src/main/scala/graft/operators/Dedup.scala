@@ -1468,7 +1468,12 @@ object Dedup {
       baseNorms: DataFrame, baseSh: DataFrame, baseDf: DataFrame,
       docs: DataFrame, checkpoint: Boolean = true): DataFrame = {
     // batch membership from the stored index's doc ids (production's
-    // "not yet ingested"; equals the fixture's md5 rule)
+    // "not yet ingested"; equals the fixture's md5 rule). DEGENERATE-
+    // DOC CAVEAT: a base doc that tokenizes to NOTHING has no norms
+    // row, so it re-classifies as batch here — harmless for pairs (no
+    // tokens, no dot products) but membership-divergent for such docs;
+    // an exact-membership store would keep an explicit ingested-id
+    // table (the deltaWinnowPairsFrom note, lexical edition).
     val batchDocs = docs.join(baseNorms.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val (btf0, bsh0) = lexIndexOf(batchDocs)

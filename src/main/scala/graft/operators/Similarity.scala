@@ -1854,8 +1854,12 @@ object Similarity {
         .select(col("j"), col("cluster").as("cid"),
           transform(col("pcs"), p => p.getField("m")).as("cent"))
       val rows = sums.collect()
+      // LocalRelation, not a single-partition RDD hop: the k·dim
+      // model rows feed the next round's broadcast directly — at very
+      // large k the old parallelize(rows, 1) made the broadcast build
+      // read one partition single-threaded
       cents = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), sums.schema)
+        java.util.Arrays.asList(rows: _*), sums.schema)
     }
     cents
   }
@@ -2058,10 +2062,14 @@ object Similarity {
     val base = e.filter(col("vec_id") < b)
     val centPath = graft.sources.Scratch.corpusDir(spark, "semdedup_delta_cents", dir)
     val basePath = graft.sources.Scratch.corpusDir(spark, "semdedup_delta_base", dir)
+    // each guard covers exactly the path it writes: a future caller
+    // materializing centPath alone can no longer leave basePath
+    // unwritten behind a guard that reports built
     graft.sources.Scratch.materializeOnce(centPath) {
-      val cents = kmeansCentroids(spark, base)
-      cents.write.mode("overwrite").parquet(centPath)
-      semdedupAssign(cents, base)
+      kmeansCentroids(spark, base).write.mode("overwrite").parquet(centPath)
+    }
+    graft.sources.Scratch.materializeOnce(basePath) {
+      semdedupAssign(spark.read.parquet(centPath), base)
         .write.mode("overwrite").partitionBy("cluster").parquet(basePath)
     }
     (spark.read.parquet(centPath), spark.read.parquet(basePath), b)

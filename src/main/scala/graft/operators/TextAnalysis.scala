@@ -940,6 +940,14 @@ object TextAnalysis {
       checkpoint: Boolean = true): DataFrame = {
     def pin(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
+    // DEGENERATE-DOC CAVEAT on "absent == not yet ingested": a base
+    // doc too short to yield ANY fingerprint has no sizes row, so this
+    // anti-join reclassifies it as batch on every ingest. Harmless for
+    // pair output (a zero-fingerprint doc forms no pairs and shifts no
+    // df), but the membership invariant diverges from the md5 rule for
+    // such docs — a store needing exact membership would keep an
+    // explicit ingested-doc_id table instead of inferring from index
+    // rows.
     val batchDocs = docs.join(baseSizes.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     // the only text pass: the batch's map-only winnow selection

@@ -96,14 +96,19 @@ object EmbeddingStreams {
     * (1 + |stored above|) and `kept` drops on a cosine hit against a
     * stored member ranked above — the batch delta operator's
     * vs-stored half exactly (its batch-internal terms vanish at batch
-    * size 1). The static side pre-aggregates each cluster's members
-    * into ONE array row (collect_list of (dist, vec_id, embedding) —
-    * bounded by design: k is the SemDeDup scale knob, production sizes
-    * per-cluster occupancy to target_cluster_size), so the join is
-    * row-to-row and the per-arrival scan is a higher-order fold over
-    * its own cluster's members, never a shuffle. Finite replay is
-    * re-derived end-to-end by the DuckDB oracle (the delta chain with
-    * the comparison side restricted to base).
+    * size 1). Two static shapes, each sized for what it carries:
+    * the EMBEDDING-bearing member table stays ROW-PER-MEMBER (the
+    * production-scale shape — a cluster's vectors never concentrate
+    * into one row), and `kept` resolves through a left-semi /
+    * left-anti stream-static join pair against it (drop iff an
+    * above-member cosine-hits — stateless, Append-safe, no stream
+    * aggregation); only the 16-byte-per-member (dist, vec_id) RANK
+    * DIGEST pre-aggregates per cluster (one array row per cluster —
+    * ~16 KB at the production target_cluster_size ≈ 1k, where the
+    * round-19 shape concentrated full embeddings and went
+    * corpus-proportional). Finite replay is re-derived end-to-end by
+    * the DuckDB oracle (the delta chain with the comparison side
+    * restricted to base).
     */
   def streamedDeltaSemDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
@@ -118,13 +123,20 @@ object EmbeddingStreams {
       struct(lit(r.getLong(0)).as("cid"),
         array(r.getSeq[Double](1).map(lit(_)): _*).as("cent"))
     }: _*)
-    // static side: one row per cluster holding its frozen members
-    // (dist, vec_id, embedding) — the sort is presentation-stable only;
-    // the fold below is order-independent (count + exists)
-    val members = storedBase
+    // static side 1 — the RANK DIGEST: per cluster, its frozen
+    // members' (dist, vec_id) only (16 bytes/member; the sort is
+    // presentation-stable only, the fold is order-independent)
+    val rankDigest = storedBase
       .groupBy(col("cluster").cast("long").as("cluster"))
-      .agg(sort_array(collect_list(struct(col("dist"), col("vec_id"),
-        col("embedding")))).as("ms"))
+      .agg(sort_array(collect_list(struct(col("dist"), col("vec_id"))))
+        .as("ds"))
+    // static side 2 — the embedding-bearing members ROW-PER-MEMBER:
+    // the cosine adjudication joins this shape, so cluster vectors
+    // never concentrate into a single row
+    val memberRows = storedBase
+      .select(col("cluster").cast("long").as("cluster"),
+        col("dist").as("m_dist"), col("vec_id").as("m_vid"),
+        col("embedding").as("m_emb"))
 
     val embSchema = StructType(Seq(
       StructField("vec_id", LongType),
@@ -152,16 +164,26 @@ object EmbeddingStreams {
       (m.getField("dist") > col("dist")) ||
         (m.getField("dist") === col("dist") &&
           m.getField("vec_id") < col("vec_id"))
-    val ms = coalesce(col("ms"),
-      array().cast("array<struct<dist:double,vec_id:bigint,embedding:array<float>>>"))
-    val decided = assigned
-      .join(members, Seq("cluster"), "left")
-      .select(col("vec_id"), col("cluster"),
-        (lit(1L) + size(filter(ms, m => above(m))).cast("long")).as("rank"),
-        when(exists(ms, m => above(m) &&
-            round(cosine(m.getField("embedding"), col("embedding")), 6)
-              >= threshold), 0L)
-          .otherwise(1L).as("kept"))
+    val ds = coalesce(col("ds"),
+      array().cast("array<struct<dist:double,vec_id:bigint>>"))
+    val ranked = assigned
+      .join(rankDigest, Seq("cluster"), "left")
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("dist"),
+        (lit(1L) + size(filter(ds, m => above(m))).cast("long")).as("rank"))
+    // kept via a semi/anti join PAIR against the row-per-member table
+    // (each arrival lands in exactly one branch — stateless
+    // stream-static joins, no streaming aggregation): drop iff some
+    // above-member cosine-hits
+    val hit = col("cluster") === col("m_cluster") &&
+      ((col("m_dist") > col("dist")) ||
+        (col("m_dist") === col("dist") && col("m_vid") < col("vec_id"))) &&
+      round(cosine(col("m_emb"), col("embedding")), 6) >= threshold
+    val mr = memberRows.withColumnRenamed("cluster", "m_cluster")
+    val out = Seq(col("vec_id"), col("cluster"), col("rank"))
+    val decided = ranked.join(mr, hit, "left_semi")
+      .select(out :+ lit(0L).as("kept"): _*)
+      .unionByName(ranked.join(mr, hit, "left_anti")
+        .select(out :+ lit(1L).as("kept"): _*))
 
     StreamConf.withStatePartitions(spark, 4) {
       val q = decided.writeStream.format("memory")

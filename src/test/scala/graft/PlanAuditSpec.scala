@@ -870,10 +870,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val plan = planOf("q_delta_substring_dedup")
     // the only rolling-window lineage is the batch's (md5 bucket >= 8);
     // the base side arrives as the stored distinct-key parquet, never
-    // re-hashed text — no base-split filter anywhere in the plan
-    assert(plan.contains(">= 8"),
+    // re-hashed text — no base-split filter anywhere in the plan.
+    // Assertions anchor on the pmod(..., 10) bucket expression, not a
+    // bare ">= 8" substring that any unrelated literal could satisfy
+    val batchSplit = """pmod\(.*,\s*10\)\s*>=\s*8""".r
+    val baseSplit = """pmod\(.*,\s*10\)\s*<\s*8""".r
+    assert(batchSplit.findFirstIn(plan).isDefined,
       s"batch split filter missing from the delta plan:\n${plan.take(1500)}")
-    assert(!plan.contains("< 8"),
+    assert(baseSplit.findFirstIn(plan).isEmpty,
       s"base-side text lineage leaked into the delta plan:\n${plan.take(1500)}")
     assert(plan.linesIterator.exists(l =>
         l.contains("FileScan parquet") && l.contains("h1")),

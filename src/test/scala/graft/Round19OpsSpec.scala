@@ -127,9 +127,11 @@ class Round19OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // base-text lineage anywhere), and the stored stats table arrives
     // as a parquet read-back (tot_dl in a ReadSchema), never an
     // aggregation over base postings
-    assert(plan.contains(">= 8"),
+    // anchored on the % 10 bucket expression, not a bare ">= 8"
+    // substring an unrelated literal could satisfy
+    assert("""%\s*10\)\s*>=\s*8""".r.findFirstIn(plan).isDefined,
       s"batch split filter missing from the delta plan:\n${plan.take(1500)}")
-    assert(!plan.contains("< 8"),
+    assert("""%\s*10\)\s*<\s*8""".r.findFirstIn(plan).isEmpty,
       s"base-side text lineage leaked into the delta plan:\n${plan.take(1500)}")
     assert(plan.contains("tot_dl"),
       s"stored stats not read back from parquet:\n${plan.take(1500)}")
