@@ -58,6 +58,10 @@ object ScalingProbe {
     // postings, and per-shingle df next to the tf postings gen returns
     var lexStored: Seq[DataFrame] = Nil
 
+    // stored-label sidecar for the retract_cc probe: the converged
+    // label table next to the pair graph the gen returns
+    var ccLabels: DataFrame = null
+
     /** Duplicate-heavy corpus: 30% of documents are verbatim copies
       * drawn from a 50-template pool (boilerplate/mirror pages — the
       * shape that breaks posting-list pair enumeration: each
@@ -418,6 +422,34 @@ object ScalingProbe {
         docs, bm25Stored(0), bm25Stored(1), bm25Stored(2),
         corpusRange(n.toLong, n.toLong + 10000).localCheckpoint())
       case "bm25_nopersist"  => graft.operators.Retrieval.bm25On(docs, persistPostings = false)
+      // RETRACTION probes: stored index + a FIXED 10k-id tombstone
+      // list — timed work is anti-joins + negative delta-applies +
+      // scoring, no text ever read. Compare the `bm25` rebuild curve
+      // at equal n (re-tokenizes the whole corpus every run): the
+      // retract curve's slope is the narrow index scans only.
+      case "retract_bm25"    => graft.operators.Retrieval.retractBm25From(
+        docs, bm25Stored(0), bm25Stored(1), bm25Stored(2),
+        spark.range(10000L).toDF("doc_id"))
+      // retract_cc: docs = the stored n-node pair graph (n/2 disjoint
+      // 2-cliques), labels prebuilt in the gen sidecar; tombstones
+      // delete one member of 10k cliques — touched components stay
+      // fixed at 10k while the base grows, so the relabel cost is
+      // bounded by TOUCHED edges and the curve's slope is the
+      // anti-join scans of the stored tables. Compare cc_full.
+      case "retract_cc"      => graft.operators.Dedup.retractComponentLabels(
+        ccLabels, docs,
+        spark.range(10000L).select((col("id") * 4 + 1).as("doc_id")))
+      // drift_decision: the refit router's MEASURED statistic alone
+      // (16 sampled insert queries: one serving beam over the stored
+      // edge table + one exact broadcast scan) — compare graphann_nnd
+      // at equal n to see the decision is o(refit), and note it is
+      // FLAT in the number of accumulated ingests (the router's point).
+      case "drift_decision"  => {
+        val e = embRange(0, n.toLong + 4096).localCheckpoint()
+        val r = graft.operators.Similarity
+          .measuredInsertRecall(e, docs, n.toLong, 16)
+        spark.range(1).select(lit(r).as("recall"))
+      }
       case "dsir"            => graft.operators.Retrieval.dsirWeightsOn(
         docs.withColumn("source", concat(lit("src"), (col("doc_id") % 20).cast("string"))))
       case "quality"         => graft.operators.TextAnalysis.qualityModelOn(docs)
@@ -534,7 +566,24 @@ object ScalingProbe {
               .localCheckpoint())
           fps
         })
-      else if (op == "delta_bm25")
+      // retraction probes share the delta gens' stored-index shapes
+      else if (op == "retract_cc")
+        (n => {
+          ccLabels = spark.range(n.toLong / 2)
+            .select((col("id") * 2).as("id"), (col("id") * 2).as("lbl"))
+            .unionByName(spark.range(n.toLong / 2)
+              .select((col("id") * 2 + 1).as("id"), (col("id") * 2).as("lbl")))
+            .localCheckpoint()
+          spark.range(n.toLong / 2)
+            .select((col("id") * 2).as("id_a"), (col("id") * 2 + 1).as("id_b"))
+        })
+      else if (op == "drift_decision")
+        (n => (0 until graft.operators.Similarity.GraphM).map { s =>
+          spark.range(n.toLong).select(col("id").as("src"),
+            pmod(graft.operators.Similarity.mix31(col("id"), 1000L + s),
+              lit(n.toLong)).as("dst"))
+        }.reduce(_ unionByName _).filter(col("src") =!= col("dst")))
+      else if (op == "retract_bm25" || op == "delta_bm25")
         (n => {
           val tfB = graft.operators.Retrieval.postings(corpus(n))
             .localCheckpoint()

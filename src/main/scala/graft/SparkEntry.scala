@@ -377,6 +377,13 @@ object SparkEntry {
     // layout — pure layout change, shares the delta2 oracle
     "q_delta2_knn_ivf_compacted" -> ((s: SparkSession, dir: String) =>
       Similarity.delta2IvfKnnCompacted(s, dir)),
+    // DRIFT-MEASURED refit router, IVF edition: sampled insert recall
+    // through the maintained index's own serving plan decides
+    // serve-delta vs full Lloyd refit; the fixture MEASURES drift
+    // (0.46) and exercises the ESCALATE arm — the graph router serves
+    // its delta arm, so both router arms sit under the gate
+    "q_knn_ivf_drift_routed" -> ((s: SparkSession, dir: String) =>
+      Similarity.ivfKnnDriftRouted(s, dir)),
     // the IVF-PQ composition under the gate: int8 coarse dot inside
     // the deterministic Lloyd cells of a partition-pruned packed
     // layout, exact rerank — fully oracle-graded
@@ -3473,6 +3480,13 @@ object SparkEntry {
     // the router measures ~1.0 sampled recall on the fixture and
     // serves the delta-maintained graph — the delta oracle verbatim
     "q_knn_graph_drift_routed" -> deltaGraphSql,
+    // the IVF router MEASURES 0.46 sampled insert recall on the
+    // fixture (the base-fitted quantizer genuinely mis-serves the
+    // inserted vectors here) and ESCALATES — so the graded entry
+    // exercises the refit arm and shares q_knn_ivf_exact's full-fit
+    // oracle; the graph router above serves its delta arm, putting
+    // BOTH router arms under the gate across the pair
+    "q_knn_ivf_drift_routed" -> ivfExactSql,
     // compaction is a pure layout change: same rows, one layout
     "q_delta_knn_ivf_compacted" -> deltaIvfSql,
     // the router picks the blocked build at gate scale (n=500 <= 200k)

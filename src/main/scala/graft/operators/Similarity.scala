@@ -473,30 +473,8 @@ object Similarity {
   }
 
   def deltaIvfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    val (cents, layouts) = deltaIvfEnsure(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "delta IVF")
-    val b = deltaBaseCount(n)
-    val base = e.filter(col("vec_id") < b)
-    val batch = e.filter(col("vec_id") >= b)
-    val centPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_centroids", dir)
-    val layoutPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout", dir)
-    // stored state, written ONCE at base ingest: the fitted quantizer
-    // and the cell-partitioned base layout
-    graft.sources.Scratch.materializeOnce(centPath) {
-      val cents = ivfFitCents(spark, base)
-      cents.write.mode("overwrite").parquet(centPath)
-      ivfAssignTo(cents, base)
-        .write.mode("overwrite").partitionBy("cell").parquet(layoutPath)
-    }
-    val cents = spark.read.parquet(centPath)
-    // THE INGEST: stateless assignment of the batch to stored cells,
-    // landed as an idempotent delta commit — the base layout is never
-    // opened for write again
-    val deltaPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_batch", dir)
-    graft.sources.Scratch.materializeOnce(deltaPath) {
-      ivfAssignTo(cents, batch)
-        .write.mode("overwrite").partitionBy("cell").parquet(deltaPath)
-    }
     // serving: probe plan vs the stored centroids, base + delta read
     // back partition-pruned to the probed cells
     val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
@@ -504,11 +482,99 @@ object Similarity {
       .localCheckpoint() // cell collect + search join
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val layout = spark.read.parquet(layoutPath)
-      .filter(col("cell").isin(cellIds.map(Int.box): _*))
-      .unionByName(spark.read.parquet(deltaPath)
+    val layout = layouts
+      .map(p => spark.read.parquet(p)
         .filter(col("cell").isin(cellIds.map(Int.box): _*)))
+      .reduce(_ unionByName _)
     ivfSearch(layout, probeCells)
+  }
+
+  /** Materialize (once per corpus) the single-ingest delta IVF's
+    * stored state — the 8/10-base-fitted quantizer, the frozen
+    * cell-partitioned base layout, and the batch's delta commit (the
+    * INGEST: stateless assignment, the base layout never reopened) —
+    * returning (centroids, layout paths). Shared by the serving entry,
+    * its compaction, and the drift router.
+    */
+  private def deltaIvfEnsure(spark: SparkSession,
+      dir: String): (DataFrame, Seq[String]) = {
+    val e = Tables.embeddings(spark, dir)
+    val n = denseCount(e, "delta IVF")
+    val b = deltaBaseCount(n)
+    val base = e.filter(col("vec_id") < b)
+    val centPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_centroids", dir)
+    val layoutPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout", dir)
+    graft.sources.Scratch.materializeOnce(centPath) {
+      val cents = ivfFitCents(spark, base)
+      cents.write.mode("overwrite").parquet(centPath)
+      ivfAssignTo(cents, base)
+        .write.mode("overwrite").partitionBy("cell").parquet(layoutPath)
+    }
+    val cents = spark.read.parquet(centPath)
+    val deltaPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_batch", dir)
+    graft.sources.Scratch.materializeOnce(deltaPath) {
+      ivfAssignTo(cents, e.filter(col("vec_id") >= b))
+        .write.mode("overwrite").partitionBy("cell").parquet(deltaPath)
+    }
+    (cents, Seq(layoutPath, deltaPath))
+  }
+
+  /** DRIFT-MEASURED refit router, IVF edition ([[graphKnnDriftRouted]]'s
+    * twin on the quantizer-fit drift trade): a deterministic sample of
+    * inserted vectors runs the SERVING probe plan over the maintained
+    * layouts AND an exact broadcast scan; sampled recall@[[K]] ≥
+    * [[DriftRecallFloor]] serves the maintained index (the
+    * gate-certified [[deltaIvfKnn]] result), below it the router
+    * loudly escalates to a full refit ([[ivfKnnExactOn]] — new Lloyd
+    * fit over everything). The decision prices quantizer staleness by
+    * MEASUREMENT instead of refitting on a calendar.
+    */
+  def ivfKnnDriftRouted(spark: SparkSession, dir: String,
+      probes: Int = 3): DataFrame = {
+    val (cents, layouts) = deltaIvfEnsure(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val n = denseCount(e, "drift-routed IVF")
+    val b = deltaBaseCount(n)
+    val nSample = math.min(DriftSampleQueries.toLong, n - b)
+    val recall = measuredIvfRecall(spark, e, cents,
+      layouts.map(p => spark.read.parquet(p)), b, nSample, probes)
+    if (recall >= DriftRecallFloor) {
+      System.err.println(f"[drift-router] sampled IVF insert recall@$K = " +
+        f"$recall%.3f >= $DriftRecallFloor — serving the maintained index")
+      deltaIvfKnn(spark, dir, probes)
+    } else {
+      System.err.println(f"[drift-router] sampled IVF insert recall@$K = " +
+        f"$recall%.3f < $DriftRecallFloor — ESCALATING to a full refit")
+      ivfKnnExactOn(spark, e)
+    }
+  }
+
+  /** The IVF router's measured statistic: fraction of the sampled
+    * inserted vectors' true top-[[K]] the maintained index's own
+    * serving plan (probe cells vs stored centroids, pruned layout
+    * scans) returns. Deterministic on both sides.
+    */
+  private[graft] def measuredIvfRecall(spark: SparkSession, e: DataFrame,
+      cents: DataFrame, layouts: Seq[DataFrame], b: Long, nSample: Long,
+      probes: Int): Double = {
+    if (nSample <= 0) return 1.0
+    val sample = e.filter(col("vec_id") >= b && col("vec_id") < b + nSample)
+      .localCheckpoint()
+    val probeCells = ivfProbePlan(sample, cents, probes).localCheckpoint()
+    val approx = ivfSearch(layouts.reduce(_ unionByName _), probeCells)
+      .select(col("q_id"), col("n_id"))
+    val sampleQ = sample
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val exact = e.select(col("vec_id").as("n_id"), col("embedding"))
+      .join(broadcast(sampleQ), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"))
+    approx.join(exact, Seq("q_id", "n_id"), "left_semi").count().toDouble /
+      (nSample * K)
   }
 
   /** The delta lifecycle's CLOSING stage — COMPACTION: the batch's

@@ -182,6 +182,47 @@ class Round20OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "router escalated on a fresh fixture — wasted refit")
   }
 
+  test("IVF drift statistic: high on a shared-cluster batch, low on a drifted one") {
+    import graft.operators.Similarity
+    // fresh: the batch shares the base's clusters, so the base-fitted
+    // quantizer serves inserts well — the router would keep the delta
+    // index (the gate exercises the opposite, ESCALATE, arm: at
+    // sf0.01 the sampled insert recall is 0.46)
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(12)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val fresh = (0 until 600).map { i =>
+      val c = centers(i % 12)
+      (i.toLong, c.map(x => x + 0.3f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val b = 600L * 8 / 10
+    val cents = Similarity.ivfFitCents(spark, fresh.filter(col("vec_id") < b))
+    val layout = Similarity.ivfAssignTo(cents, fresh).localCheckpoint()
+    val freshRecall = Similarity.measuredIvfRecall(spark, fresh, cents,
+      Seq(layout), b, 16, probes = 3)
+    info(f"fresh-fixture sampled IVF recall = $freshRecall%.3f")
+    assert(freshRecall >= Similarity.DriftRecallFloor,
+      f"shared-cluster batch should serve well ($freshRecall%.3f)")
+    // drifted, IVF edition: IVF's drift mode is NEIGHBOR DISPERSION,
+    // not subspace novelty (a tight orthogonal batch cluster still
+    // co-assigns to one cell and probes itself — measured 0.98 on the
+    // graph router's drifted fixture): on STRUCTURELESS data an
+    // insert's true neighbors scatter across cells and a 3-cell probe
+    // plan cannot cover them — the statistic must collapse, exactly
+    // the drift the sf0.01 gate fixture measures (0.46)
+    val drnd = new scala.util.Random(29)
+    val de = (0 until 600).map { i =>
+      (i.toLong, Array.fill(64)(drnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val db = 600L * 8 / 10
+    val dCents = Similarity.ivfFitCents(spark, de.filter(col("vec_id") < db))
+    val dLayout = Similarity.ivfAssignTo(dCents, de).localCheckpoint()
+    val driftRecall = Similarity.measuredIvfRecall(spark, de, dCents,
+      Seq(dLayout), db, 16, probes = 3)
+    info(f"drifted-fixture sampled IVF recall = $driftRecall%.3f")
+    assert(driftRecall < Similarity.DriftRecallFloor,
+      f"drifted batch should measure low ($driftRecall%.3f) — weak fixture")
+  }
+
   test("retractDupClusters (graded) == closure rebuilt over survivors") {
     import graft.operators.Dedup
     val docs = graft.tables.Tables.documents(spark, sfDir)
