@@ -502,6 +502,11 @@ object SparkEntry {
     // candidates (Manku banding — complete recall at Hamming ≤ 3),
     // integer popcount verifies; joins the multimodal + dedup families
     "q_image_neardup"   -> (Multimodal.imageNeardup _),
+    // RETRACTION, media edition: tombstones anti-join the stored
+    // doc→aHash table; pairs re-derive at distinct-hash granularity —
+    // the decode never re-runs, and a hash class leaves the band join
+    // exactly when its last member dies
+    "q_retract_image_neardup" -> (Multimodal.retractImageNeardup _),
     // Manku multi-table widening of the same contract (C(6,3)=20
     // three-block ~11-bit band tables, same pigeonhole completeness):
     // the d ≫ 10^6 diverse-hash escalation, value-identical output
@@ -3688,6 +3693,9 @@ object SparkEntry {
     "q_stream_image_ahash" -> imageAhashSql,
     // banded Hamming-ball pairs over the same hash (exact at ≤ 3)
     "q_image_neardup" -> imageNeardupSql,
+    // retraction: the same banded chain over the surviving docs
+    "q_retract_image_neardup" ->
+      overRetainedDocs("doc_id % 10 <> 7", imageNeardupSql, "id_a, id_b"),
     // the wide tier and the router are value-identical to the 4-band
     // tier by construction (same verify+expansion over a
     // complete-recall candidate set), so all three share ONE oracle —

@@ -625,6 +625,31 @@ object Multimodal {
       ids: DataFrame): DataFrame =
     neardupFromHashes(ahashOf(spark, ids).localCheckpoint())
 
+  /** RETRACTION — visual near-dup under DELETION, the media family's
+    * tombstone form (the [[graft.operators.Retrieval.retractBm25]]
+    * discipline on the stored decode artifact): a tombstone id list
+    * anti-joins out of the materialized doc→aHash table and the pair
+    * derivation re-runs over the maintained table — the DECODE never
+    * re-runs (3 narrow longs per image read back; pixels untouched),
+    * and band work stays at distinct-hash granularity (O(d) — a hash
+    * class leaves the band join exactly when its last member dies,
+    * the refcount semantics for free). Pair logic is pairwise, so the
+    * result EQUALS the full rebuild over corpus-minus-tombstones and
+    * the graded entry shares q_image_neardup's oracle over the
+    * surviving docs. Fixture tombstones: doc_id ≡ 7 (mod 10).
+    */
+  def retractImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ah = ahashTable(spark, dir)
+    retractImageNeardupFrom(ah,
+      ah.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+  }
+
+  private[graft] def retractImageNeardupFrom(ah: DataFrame,
+      tombstones: DataFrame): DataFrame =
+    neardupFromHashes(
+      ah.join(tombstones.toDF("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint())
+
   /** Decode pipeline on an arbitrary doc_id frame — the shared body of
     * [[ahashTable]] (which materializes it per corpus) and the probes.
     */

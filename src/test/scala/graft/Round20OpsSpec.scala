@@ -223,6 +223,33 @@ class Round20OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       f"drifted batch should measure low ($driftRecall%.3f) — weak fixture")
   }
 
+  test("retraction plan: index-only — no corpus scan, no tokenization anywhere") {
+    import graft.operators.Retrieval
+    // graded entry once: materializes the stored four-table index
+    assert(Retrieval.retractBm25(spark, sfDir).count() > 0)
+    val root = graft.sources.Scratch.corpusDir(spark, "bm25_index", sfDir)
+    val storedDl = spark.read.parquet(s"$root/dl")
+    val plan = Retrieval.retractBm25From(
+        spark.read.parquet(s"$root/postings"),
+        storedDl,
+        spark.read.parquet(s"$root/df"),
+        spark.read.parquet(s"$root/stats"),
+        storedDl.filter(col("doc_id") % 10 === 7).select(col("doc_id")),
+        checkpoint = false)
+      .queryExecution.executedPlan.toString
+    // the retraction's whole dataflow is stored-table scans + joins +
+    // delta-applies: the corpus parquet is NEVER opened and no
+    // tokenization explode exists anywhere in the plan (the only
+    // Generate is the final rank posexplode)
+    assert(!plan.contains("documents.parquet"),
+      s"retraction opened the corpus:\n${plan.take(1500)}")
+    assert(!plan.contains("Generate explode"),
+      s"a tokenization explode leaked into the retraction plan:\n${plan.take(1500)}")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("FileScan parquet") && l.contains("tot_dl")),
+      s"stored stats not read back from parquet:\n${plan.take(1500)}")
+  }
+
   test("retractDupClusters (graded) == closure rebuilt over survivors") {
     import graft.operators.Dedup
     val docs = graft.tables.Tables.documents(spark, sfDir)
