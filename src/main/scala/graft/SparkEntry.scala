@@ -287,6 +287,10 @@ object SparkEntry {
     // rare-gram/tf index with delta-applied union df (== the full
     // verified pair set restricted to touching batch)
     "q_delta_lexical_cosine" -> (Dedup.deltaLexicalCosine _),
+    // RETRACTION: tombstones anti-join the stored quadruple, df
+    // subtracts the dead docs' own shingle rows — no text read; a
+    // shingle whose df falls back under the cap resumes blocking
+    "q_retract_lexical_cosine" -> (Dedup.retractLexicalCosine _),
     "q_mixture_sample"  -> (Dedup.mixtureSample _),
     // K smallest content-hashes per language via the bounded typed
     // top-K aggregator — the few-huge-strata group sample (no window)
@@ -3346,6 +3350,9 @@ object SparkEntry {
     // products + one sqrt + one division make the cosine double (and
     // so the threshold cut itself) bit-portable across engines
     "q_lexical_cosine" -> s"$lexCosineSql\nORDER BY id_a, id_b",
+    // retraction: the same blocked+verified chain over survivors
+    "q_retract_lexical_cosine" ->
+      overRetainedDocs(textRetainSql, lexCosineSql, "id_a, id_b"),
 
     // the incremental form: the SAME verified chain restricted to
     // pairs touching the md5 batch and type-tagged — the stored-index

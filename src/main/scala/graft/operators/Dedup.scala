@@ -1345,38 +1345,87 @@ object Dedup {
     try {
       val norms = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("tf")).as("norm2"))
-      val rareKeys = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= LexMaxDf)
-      val rare = sh.join(rareKeys.select("shingle"), "shingle")
-      val cand0 = rare.select(col("shingle"), col("doc_id").as("id_a"))
-        .join(rare.select(col("shingle"), col("doc_id").as("id_b")), "shingle")
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val cand = if (checkpoint) cand0.localCheckpoint() else cand0
-      // NO forced broadcast on the pair side: on saturated or
-      // duplicate-heavy corpora the candidate list is NOT small (the
-      // 1M-doc probe measured it past the driver's result cap — a
-      // forced broadcast there collects gigabytes and aborts), so the
-      // planner decides from the checkpointed frame's measured size;
-      // tiny pair lists still broadcast, corpus-scale ones sort-merge
-      val dots = cand
-        .join(tf.select(col("doc_id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
-        .join(tf.select(col("doc_id").as("id_b"), col("tok"), col("tf").as("tf_b")),
-          Seq("id_b", "tok"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-      val cosine = col("dot").cast("double") /
-        sqrt((col("norm2_a") * col("norm2_b")).cast("double"))
-      // dots is pair-bounded; norms is corpus-sized — stream the norms
-      // past the pair side (splitLeakage's shape), size-driven again
-      val out = dots
-        .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("norm2_a")), "id_a")
-        .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("norm2_b")), "id_b")
-        .select(col("id_a"), col("id_b"), col("dot"), cosine.as("cosine"))
-        .filter(col("cosine") >= LexCosineMin)
-      (if (checkpoint) out.localCheckpoint() else out)
-        .orderBy(col("id_a"), col("id_b"))
+      val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      lexicalPairsFromIndex(tf, norms, sh, dfq, checkpoint)
     } finally { tf.unpersist(); sh.unpersist(); () }
+  }
+
+  /** The blocked + verified pair chain over an EXPLICIT index
+    * quadruple — the shared tail of the full build ([[lexicalCosineOn]])
+    * and the retracted index ([[retractLexicalCosine]]): identical
+    * df-cut, blocking join, and verified dot, which is why the
+    * retraction entry shares the full entry's oracle over survivors.
+    */
+  private def lexicalPairsFromIndex(tf: DataFrame, norms: DataFrame,
+      sh: DataFrame, dfq: DataFrame, checkpoint: Boolean): DataFrame = {
+    val rareKeys = dfq.filter(col("df") <= LexMaxDf)
+    val rare = sh.join(rareKeys.select("shingle"), "shingle")
+    val cand0 = rare.select(col("shingle"), col("doc_id").as("id_a"))
+      .join(rare.select(col("shingle"), col("doc_id").as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val cand = if (checkpoint) cand0.localCheckpoint() else cand0
+    // NO forced broadcast on the pair side: on saturated or
+    // duplicate-heavy corpora the candidate list is NOT small (the
+    // 1M-doc probe measured it past the driver's result cap — a
+    // forced broadcast there collects gigabytes and aborts), so the
+    // planner decides from the checkpointed frame's measured size;
+    // tiny pair lists still broadcast, corpus-scale ones sort-merge
+    val dots = cand
+      .join(tf.select(col("doc_id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
+      .join(tf.select(col("doc_id").as("id_b"), col("tok"), col("tf").as("tf_b")),
+        Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    val cosine = col("dot").cast("double") /
+      sqrt((col("norm2_a") * col("norm2_b")).cast("double"))
+    // dots is pair-bounded; norms is corpus-sized — stream the norms
+    // past the pair side (splitLeakage's shape), size-driven again
+    val out = dots
+      .join(norms.select(col("doc_id").as("id_a"), col("norm2").as("norm2_a")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("norm2").as("norm2_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dot"), cosine.as("cosine"))
+      .filter(col("cosine") >= LexCosineMin)
+    (if (checkpoint) out.localCheckpoint() else out)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** RETRACTION — lexical-cosine index maintenance under DELETION,
+    * completing the text-side quartet ([[retractDedup]] /
+    * [[graft.operators.TextAnalysis.retractWinnowPairs]] /
+    * [[graft.operators.Retrieval.retractBm25]] siblings): tombstoned
+    * ids anti-join out of the stored tf/norms/shingle tables and the
+    * per-shingle df subtracts the deleted docs' OWN stored shingle
+    * rows (negative delta-apply — no text read anywhere). A shingle
+    * whose df falls back under [[LexMaxDf]] correctly RESUMES blocking
+    * — the rebuild's own value — so the retracted quadruple equals a
+    * full rebuild over survivors and the entry shares
+    * q_lexical_cosine's oracle restricted to them.
+    */
+  def retractLexicalCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = ensureLexIndex(spark, dir, docs)
+    val norms = spark.read.parquet(s"$root/norms")
+    retractLexicalCosineFrom(spark.read.parquet(s"$root/tf"), norms,
+      spark.read.parquet(s"$root/shingles"),
+      spark.read.parquet(s"$root/df"),
+      norms.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+  }
+
+  private[graft] def retractLexicalCosineFrom(baseTf: DataFrame,
+      baseNorms: DataFrame, baseSh: DataFrame, baseDf: DataFrame,
+      tombstones: DataFrame): DataFrame = {
+    val tomb = tombstones.toDF("doc_id").localCheckpoint()
+    val deadSh = baseSh.join(tomb, Seq("doc_id"), "left_semi")
+    val tf = baseTf.join(tomb, Seq("doc_id"), "left_anti")
+    val norms = baseNorms.join(tomb, Seq("doc_id"), "left_anti")
+    val sh = baseSh.join(tomb, Seq("doc_id"), "left_anti")
+    val dfq = baseDf
+      .unionByName(deadSh.groupBy(col("shingle"))
+        .agg((-count(lit(1))).as("df")))
+      .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+    lexicalPairsFromIndex(tf, norms, sh, dfq, checkpoint = true)
   }
 
   /** INCREMENTAL lexical cosine — [[lexicalCosineOn]]'s daily-ingest
@@ -1403,6 +1452,19 @@ object Dedup {
     */
   def deltaLexicalCosine(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val root = ensureLexIndex(spark, dir, docs)
+    deltaLexicalCosineFrom(spark.read.parquet(s"$root/tf"),
+      spark.read.parquet(s"$root/norms"),
+      spark.read.parquet(s"$root/shingles"),
+      spark.read.parquet(s"$root/df"), docs)
+  }
+
+  /** Materialize (once per corpus) the stored lexical quadruple over
+    * the md5-rule base — shared by the ingest ([[deltaLexicalCosine]])
+    * and retraction ([[retractLexicalCosine]]) lifecycle stages.
+    */
+  private def ensureLexIndex(spark: SparkSession, dir: String,
+      docs: DataFrame): String = {
     val root = graft.sources.Scratch.corpusDir(spark, "lex_index", dir)
     graft.sources.Scratch.materializeOnce(root) {
       val (tf, norms, sh, dfq) = lexStoredIndexOf(docs.filter(!deltaIsNew))
@@ -1411,10 +1473,7 @@ object Dedup {
       sh.write.mode("overwrite").parquet(s"$root/shingles")
       dfq.write.mode("overwrite").parquet(s"$root/df")
     }
-    deltaLexicalCosineFrom(spark.read.parquet(s"$root/tf"),
-      spark.read.parquet(s"$root/norms"),
-      spark.read.parquet(s"$root/shingles"),
-      spark.read.parquet(s"$root/df"), docs)
+    root
   }
 
   /** Recompute-index form — value-identical to the stored path. */

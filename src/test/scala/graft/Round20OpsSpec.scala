@@ -80,6 +80,23 @@ class Round20OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "retracted signature index diverged from the rebuild")
   }
 
+  test("retractLexicalCosineFrom == blocked+verified chain over survivors") {
+    import graft.operators.Dedup
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val (tf0, sh0) = Dedup.lexIndexOf(docs)
+    val tf = tf0.localCheckpoint()
+    val sh = sh0.localCheckpoint()
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2"))
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val tomb = docs.filter(col("doc_id") % 3 === 1).select(col("doc_id"))
+    val maintained = Dedup.retractLexicalCosineFrom(tf, norms, sh, dfq, tomb)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val rebuilt = Dedup.lexicalCosineOn(docs.filter(col("doc_id") % 3 =!= 1))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      "retracted lexical index diverged from the full rebuild")
+  }
+
   test("retractComponentLabels: deleted component-min + cut-vertex split") {
     import graft.operators.Dedup
     // three components: a 5-path (min 1, cut vertex 3), an untouched
