@@ -524,6 +524,15 @@ object SparkEntry {
     // bridges through a contracted mini-CC — batch-sized closure work,
     // value-identical to the full recompute (shared oracle)
     "q_delta_image_dup_clusters" -> (Multimodal.deltaImageDupClusters _),
+    // MULTI-INGEST visual closure: maintain(maintain(L0,p1),p2) at
+    // hash granularity over two stored ingests + a live third ==
+    // one CC over the whole corpus — q_image_dup_clusters' oracle
+    "q_delta2_image_dup_clusters" -> (Multimodal.delta2ImageDupClusters _),
+    // RETRACTION closure, media edition: doc tombstones touch the
+    // hash graph only through dead hashes (refcounts from the stored
+    // doc→hash table); touched components relabel over surviving
+    // stored pairs — no decode, no re-banding
+    "q_retract_image_dup_clusters" -> (Multimodal.retractImageDupClusters _),
     // exact visual dedup: one row per image → its aHash-class
     // representative + class size (the linear-output decision the
     // pair contract above audits)
@@ -3716,6 +3725,12 @@ object SparkEntry {
     // label table over base ∪ batch equals the full closure over the
     // whole corpus, so the delta entry shares the oracle verbatim
     "q_delta_image_dup_clusters" -> imageDupClustersSql,
+    // two chained hash-level maintenance steps == one full closure
+    "q_delta2_image_dup_clusters" -> imageDupClustersSql,
+    // retraction: the same recursive closure over surviving docs
+    "q_retract_image_dup_clusters" ->
+      overRetainedDocs("doc_id % 10 <> 7", imageDupClustersSql,
+        "cluster_rep"),
     "q_image_dedup" -> imageDedupSql,
     // incremental ingest: the full-batch pair lists restricted to the
     // mod-10 batch side — the delta probe must match them exactly

@@ -267,6 +267,24 @@ class Round20OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stored stats not read back from parquet:\n${plan.take(1500)}")
   }
 
+  test("media closure maintenance: delta2 == full; retract == rebuild over survivors") {
+    import graft.operators.Multimodal
+    val ah = Multimodal.ahashTable(spark, sfDir).localCheckpoint()
+    val chained = Multimodal.delta2ImageDupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val full = Multimodal.imageDupClustersOn(ah)
+      .as[(Long, Long)].collect().toSeq
+    assert(chained.nonEmpty && chained == full,
+      "two chained hash-level maintenance steps diverged from one full closure")
+    val retracted = Multimodal.retractImageDupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val rebuilt = Multimodal
+      .imageDupClustersOn(ah.filter(col("doc_id") % 10 =!= 7))
+      .as[(Long, Long)].collect().toSeq
+    assert(retracted.nonEmpty && retracted == rebuilt,
+      "hash-level retraction closure diverged from the rebuild over survivors")
+  }
+
   test("retractDupClusters (graded) == closure rebuilt over survivors") {
     import graft.operators.Dedup
     val docs = graft.tables.Tables.documents(spark, sfDir)
