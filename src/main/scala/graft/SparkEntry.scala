@@ -388,6 +388,11 @@ object SparkEntry {
     // its delta arm, so both router arms sit under the gate
     "q_knn_ivf_drift_routed" -> ((s: SparkSession, dir: String) =>
       Similarity.ivfKnnDriftRouted(s, dir)),
+    // RETRACTION, ANN edition: tombstoned ids fold out of the stored
+    // cell-partitioned layout (one anti-filter write, model untouched
+    // — the drift router decides when the FIT must refresh)
+    "q_retract_knn_ivf" -> ((s: SparkSession, dir: String) =>
+      Similarity.retractIvfKnn(s, dir)),
     // the IVF-PQ composition under the gate: int8 coarse dot inside
     // the deterministic Lloyd cells of a partition-pruned packed
     // layout, exact rerank — fully oracle-graded
@@ -1274,7 +1279,7 @@ object SparkEntry {
     * whose two stateless commits union to exactly this one-pass
     * assignment).
     */
-  private def deltaIvfSqlFor(cutNum: Int): String = {
+  private def deltaIvfSqlFor(cutNum: Int, retainSql: String = "TRUE"): String = {
     val iters = graft.operators.Similarity.KmeansIters
     val qc =
       s"""un AS (SELECT vec_id, embedding,
@@ -1285,7 +1290,7 @@ object SparkEntry {
     s"""WITH ${lloydRoundsSql(qc, graft.operators.Similarity.IvfExactCells.toString)},
        |ca AS (SELECT t.vec_id, min({'d': ${lloydDistSql("t.qv", "c.cent")}, 'c': c.cid}) AS m
        |  FROM qa t, c${iters - 1} c GROUP BY t.vec_id),
-       |cells AS (SELECT vec_id, m.c AS cell FROM ca),
+       |cells AS (SELECT vec_id, m.c AS cell FROM ca WHERE $retainSql),
        |probe AS (SELECT qq.vec_id AS q_id, c.cid AS cell
        |  FROM (SELECT * FROM qa WHERE vec_id < ${graft.operators.Similarity.NumQueries}) qq, c${iters - 1} c
        |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
@@ -3508,6 +3513,12 @@ object SparkEntry {
     // oracle; the graph router above serves its delta arm, putting
     // BOTH router arms under the gate across the pair
     "q_knn_ivf_drift_routed" -> ivfExactSql,
+    // retraction: the maintenance chain with assignment restricted to
+    // survivors — the quantizer still fits over the ORIGINAL base
+    // (stored-model semantics; tombstones exclude the query ids)
+    "q_retract_knn_ivf" ->
+      deltaIvfSqlFor(8,
+        s"(vec_id % 10 <> 7 OR vec_id < ${graft.operators.Similarity.NumQueries})"),
     // compaction is a pure layout change: same rows, one layout
     "q_delta_knn_ivf_compacted" -> deltaIvfSql,
     // the router picks the blocked build at gate scale (n=500 <= 200k)

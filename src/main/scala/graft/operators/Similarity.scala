@@ -519,6 +519,38 @@ object Similarity {
     (cents, Seq(layoutPath, deltaPath))
   }
 
+  /** RETRACTION — the IVF layout under DELETION, closing the ANN
+    * column of the lifecycle matrix: tombstoned vec_ids drop out of
+    * the stored cell-partitioned layout by one anti-filter fold
+    * (written once, off the query path — the deletion-vector
+    * materialize of a lakehouse, cell partitioning preserved), while
+    * the stored quantizer is DELIBERATELY untouched: retraction
+    * deletes DATA, not the model — centroids keep serving until the
+    * drift router ([[ivfKnnDriftRouted]]) MEASURES that the fit
+    * itself must refresh. Serving reads the retracted layout
+    * partition-pruned; the oracle is the maintenance chain with the
+    * assignment restricted to survivors (the quantizer still fits
+    * over the ORIGINAL base — exactly the stored-model semantics).
+    * Fixture tombstones: vec_id ≡ 7 (mod 10) excluding the query ids.
+    */
+  def retractIvfKnn(spark: SparkSession, dir: String,
+      probes: Int = 3): DataFrame = {
+    val (cents, layouts) = deltaIvfEnsure(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val retractPath = graft.sources.Scratch.corpusDir(spark, "ivf_retract_layout", dir)
+    graft.sources.Scratch.materializeOnce(retractPath) {
+      layouts.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+        .filter(!(col("n_id") % 10 === 7 && col("n_id") >= NumQueries))
+        .write.mode("overwrite").partitionBy("cell").parquet(retractPath)
+    }
+    val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
+      cents, probes).localCheckpoint()
+    val cellIds = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    ivfSearch(spark.read.parquet(retractPath)
+      .filter(col("cell").isin(cellIds.map(Int.box): _*)), probeCells)
+  }
+
   /** DRIFT-MEASURED refit router, IVF edition ([[graphKnnDriftRouted]]'s
     * twin on the quantizer-fit drift trade): a deterministic sample of
     * inserted vectors runs the SERVING probe plan over the maintained
