@@ -393,6 +393,11 @@ object SparkEntry {
     // — the drift router decides when the FIT must refresh)
     "q_retract_knn_ivf" -> ((s: SparkSession, dir: String) =>
       Similarity.retractIvfKnn(s, dir)),
+    // RETRACTION, graph edition: serving over the stored ∪ inserted
+    // edges with every tombstone-touching edge filtered — deleted
+    // nodes neither returned nor traversable; the drift router prices
+    // the eventual rebuild as connectivity erodes
+    "q_retract_knn_graph" -> (Similarity.retractGraphKnn _),
     // the IVF-PQ composition under the gate: int8 coarse dot inside
     // the deterministic Lloyd cells of a partition-pruned packed
     // layout, exact rerank — fully oracle-graded
@@ -1427,6 +1432,26 @@ object SparkEntry {
        |${blockedEdgesSql("b", s"WHERE vec_id < $b", b)},
        |${insertBeamSql("", "bedges", b, "(SELECT n FROM nn)")}""".stripMargin +
       graphBeamSql("alledges")
+  }
+
+  /** The retraction chain: the delta-graph build verbatim (base build
+    * + insert beam over the PRE-deletion graph — history immutable),
+    * then the serving beam over the tombstone-filtered edge set.
+    * Entry/query ids are exempt from the fixture tombstone rule, so
+    * every beam candidate is a survivor by construction.
+    */
+  private lazy val retractGraphSql: String = {
+    val b = "(SELECT b FROM nb)"
+    val nq = graft.operators.Similarity.NumQueries
+    s"""WITH $graphEvSql,
+       |nb AS (SELECT n * 8 // 10 AS b FROM nn),
+       |bsrc AS (SELECT * FROM ev WHERE vec_id < $b),
+       |${blockedEdgesSql("b", s"WHERE vec_id < $b", b)},
+       |${insertBeamSql("", "bedges", b, "(SELECT n FROM nn)")},
+       |redges AS MATERIALIZED (SELECT src, dst FROM alledges
+       |  WHERE (src % 10 <> 7 OR src < $nq)
+       |    AND (dst % 10 <> 7 OR dst < $nq))""".stripMargin +
+      graphBeamSql("redges")
   }
 
   /** The two-ingest chained recurrence: base at the 6/10 cut, ingest 1
@@ -3519,6 +3544,9 @@ object SparkEntry {
     "q_retract_knn_ivf" ->
       deltaIvfSqlFor(8,
         s"(vec_id % 10 <> 7 OR vec_id < ${graft.operators.Similarity.NumQueries})"),
+    // graph retraction: immutable build history + tombstone-filtered
+    // serving edges
+    "q_retract_knn_graph" -> retractGraphSql,
     // compaction is a pure layout change: same rows, one layout
     "q_delta_knn_ivf_compacted" -> deltaIvfSql,
     // the router picks the blocked build at gate scale (n=500 <= 200k)

@@ -1230,6 +1230,33 @@ object Similarity {
       (nSample * K)
   }
 
+  /** RETRACTION — the NSW graph under DELETION, the matrix's last
+    * cell: tombstoned nodes must stop being RETURNED and stop being
+    * TRAVERSABLE (takedown compliance), so serving runs over the
+    * stored ∪ inserted edges with every edge touching a tombstone
+    * FILTERED OUT — one predicate on the narrow edge scan, the graph
+    * never rebuilt (deleted nodes' edges are what made them
+    * reachable; dropping both directions removes them from every beam
+    * without touching any surviving edge). The structural cost is
+    * reduced connectivity — surviving nodes whose best paths ran
+    * through deleted hubs lose recall — and that is deliberately NOT
+    * repaired here: the drift router ([[graphKnnDriftRouted]]) is the
+    * component that MEASURES when accumulated deletions (like
+    * accumulated inserts) have degraded the graph past its floor and
+    * prices the rebuild. Oracle: the delta-graph chain (base build +
+    * insert beam over the pre-deletion graph — history is immutable)
+    * with the serving beam running over the tombstone-filtered edge
+    * set. Fixture tombstones: vec_id ≡ 7 (mod 10) excluding the
+    * entry/query ids.
+    */
+  def retractGraphKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (stored, inserted) = deltaGraphEnsureTables(spark, dir, e)
+    def keep(c: Column): Column = c % 10 =!= 7 || c < NumQueries
+    graphSearch(e, stored.unionByName(inserted)
+      .filter(keep(col("src")) && keep(col("dst"))))
+  }
+
   /** In-memory delta-graph body for specs and probes — builds the base
     * edge table fresh instead of reading the stored one;
     * value-identical to [[deltaGraphKnn]] (the build is deterministic).

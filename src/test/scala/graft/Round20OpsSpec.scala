@@ -267,6 +267,20 @@ class Round20OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"stored stats not read back from parquet:\n${plan.take(1500)}")
   }
 
+  test("ANN retraction: tombstoned nodes neither returned nor traversable") {
+    import graft.operators.Similarity
+    val g = Similarity.retractGraphKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(g.nonEmpty, "graph retraction returned nothing — weak fixture")
+    assert(!g.exists(r => r._3 % 10 == 7 && r._3 >= Similarity.NumQueries),
+      "a tombstoned node surfaced in the retracted graph's results")
+    val ivf = Similarity.retractIvfKnn(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(ivf.nonEmpty &&
+      !ivf.exists(r => r._3 % 10 == 7 && r._3 >= Similarity.NumQueries),
+      "a tombstoned vector surfaced in the retracted IVF's results")
+  }
+
   test("media closure maintenance: delta2 == full; retract == rebuild over survivors") {
     import graft.operators.Multimodal
     val ah = Multimodal.ahashTable(spark, sfDir).localCheckpoint()
