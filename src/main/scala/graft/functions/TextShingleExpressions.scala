@@ -63,6 +63,44 @@ object TextShingleExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |A ∩ B| with an EARLY-EXIT bound: the merge walk aborts as soon as
+    * c + min(remaining_a, remaining_b) < need — i.e. the moment the pair
+    * provably cannot reach `need` shared elements. For any row whose
+    * true intersection is ≥ need the bound never fires, so the returned
+    * count is EXACT for every row a `≥ threshold` filter keeps; rows
+    * below the threshold may return an underestimate that is still
+    * < need (they are filtered either way — callers must only consume
+    * the value through such a filter, and must derive `need` as a
+    * conservative LOWER bound on the filter's implied minimum count so
+    * float rounding can never push a passing pair under it). Cuts the
+    * verification CPU of saturated candidate sets (most candidates fail
+    * far below the threshold, so the walk stops after ~the shorter
+    * array's (1−t) fraction instead of completing both).
+    */
+  case class SortedIntersectAtLeastExpr(first: Expression,
+      second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType), LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_at_least"
+
+    override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+      TextShingleExpressions.sortedIntersectSizeAtLeast(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        n.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, n) =>
+        s"org.apache.spark.sql.graft.TextShingleExpressions" +
+          s".sortedIntersectSizeAtLeast($a, $b, $n)")
+
+    override protected def withNewChildrenInternal(newFirst: Expression,
+        newSecond: Expression, newThird: Expression): Expression =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   /** All k-code-point shingles as strings, one pass over the bytes
     * (each shingle is a byte-slice — no per-substring prefix rescan).
     * Order of first appearance; duplicates preserved (callers that need
@@ -153,6 +191,24 @@ object TextShingleExpressions {
     c
   }
 
+  def sortedIntersectSizeAtLeast(a: ArrayData, b: ArrayData,
+      need: Long): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb &&
+        c + math.min(na - i, nb - j) >= need) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def charShingles(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
     val offs = codePointOffsets(bytes)
@@ -179,6 +235,11 @@ object TextShingleExpressions {
   def sortedIntersectSizeCol(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectSizeExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sortedIntersectAtLeastCol(a: Column, b: Column, need: Column): Column =
+    ExpressionUtils.column(SortedIntersectAtLeastExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ExpressionUtils.expression(need)))
 
   def charShinglesCol(text: Column, k: Int): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), k))

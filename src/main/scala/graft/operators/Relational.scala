@@ -500,6 +500,27 @@ object Relational {
     */
   val ZorderBits = 20
 
+  /** Spread the low [[ZorderBits]] bits of a non-negative key so bit i
+    * lands at position 2i — the classic Morton magic-mask dilation
+    * (5 shift/mask steps instead of a 20-iteration lambda fold). Plain
+    * long shift/AND/OR columns, so the whole zkey stays inside
+    * whole-stage codegen; the previous `aggregate(sequence(0,19), …)`
+    * higher-order expression was CodegenFallback — interpreted per row,
+    * with a per-row sequence allocation (guide §4: prefer codegen
+    * builtins in the hot path). Bit-identical to the fold: each input
+    * bit occupies a distinct output position, so the fold's SUM is the
+    * OR computed here.
+    */
+  private def mortonSpread(c: Column): Column = {
+    def step(x: Column, sh: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    val s1 = step(c, 16, 0x0000FFFF0000FFFFL)
+    val s2 = step(s1, 8, 0x00FF00FF00FF00FFL)
+    val s3 = step(s2, 4, 0x0F0F0F0F0F0F0F0FL)
+    val s4 = step(s3, 2, 0x3333333333333333L)
+    step(s4, 1, 0x5555555555555555L)
+  }
+
   def zorderKey(spark: SparkSession, dir: String): DataFrame = {
     val lim = 1L << ZorderBits
     Tables.lineitem(spark, dir)
@@ -510,10 +531,8 @@ object Relational {
              col("l_partkey") < 0 or col("l_suppkey") < 0,
           raise_error(lit(s"zorderKey: key outside the $ZorderBits-bit " +
             "interleave domain; raise ZorderBits")).cast("bigint"))
-        .otherwise(expr(
-          s"""aggregate(sequence(0, ${ZorderBits - 1}), CAST(0 AS BIGINT), (acc, i) ->
-             |acc + shiftleft(CAST(shiftright(l_partkey, i) & 1 AS BIGINT), 2*i)
-             |    + shiftleft(CAST(shiftright(l_suppkey, i) & 1 AS BIGINT), 2*i + 1))""".stripMargin)))
+        .otherwise(mortonSpread(col("l_partkey")).bitwiseOR(
+          shiftleft(mortonSpread(col("l_suppkey")), 1))))
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
       .limit(2000)
   }

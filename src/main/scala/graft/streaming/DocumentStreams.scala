@@ -339,8 +339,17 @@ object DocumentStreams {
       try {
         var c = 0L
         while (c <= maxId / chunkW) {
+          // ONE file per chunk: the running query polls the directory
+          // continuously (default trigger), and a multi-file append is
+          // only atomic per FILE rename — a poll landing mid-commit
+          // would split the chunk across two micro-batches, advance the
+          // watermark mid-chunk, and flake near-horizon pairs (surfaced
+          // when the widened corpus scan made chunk writes 32-file).
+          // Batch boundaries ARE the replay's semantics; they must not
+          // depend on the writer's partitioning.
           docs0.filter(col("doc_id") >= c * chunkW &&
               col("doc_id") < (c + 1) * chunkW)
+            .coalesce(1)
             .write.mode("append").parquet(replayDir)
           q.processAllAvailable()
           c += 1

@@ -76,6 +76,51 @@ object Tables {
       case _: org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
       case _ => col("ts")
     }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The two corpus tables ship behind the [[widened]] scan-parallelism
+    * floor: every heavy per-row producer in the library (quality
+    * metrics, MinHash signatures, shingle sets, rolling-window hashes,
+    * postings, codecs, cosine kernels) reads one of these, and the gate
+    * fixtures are single-row-group parquet files whose scans plan as
+    * ONE split — so each of those producers ran its expensive
+    * projection on one core while the rest idled.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    widened(spark, load(spark, dir, "documents"), s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    widened(spark, load(spark, dir, "embeddings"), s"$dir/embeddings.parquet")
+
+  /** Scan-parallelism floor (guide §2.5, "input skew: one huge
+    * unsplittable file"): round-robin repartition to the session's
+    * parallelism ONLY when the scan yields fewer splits than cores —
+    * profiled at sf0.1 as 0.5–2.3 s single-task stages across the
+    * corpus operators. At production scale a corpus spans thousands of
+    * row groups, the condition is false, and no repartition (and no
+    * extra pass over the data) is ever planned — the floor is
+    * scale-adaptive, not a local-mode constant. Deterministic:
+    * round-robin repartition local-sorts its input first
+    * (spark.sql.execution.sortBeforeRepartition, default on) and the
+    * scan's row order is fixed, so the row→partition assignment — and
+    * with it every downstream value — is reproducible; consumers are
+    * hash/integer/per-row operators, partitioning-independent by
+    * construction (the full DuckDB gate re-proves this each round).
+    * The split-count probe plans the scan once per (path, parallelism)
+    * and memoizes the decision, so repeated loads inside one session
+    * don't re-plan just to re-learn the split count.
+    */
+  def widened(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  private def widened(spark: SparkSession, df: DataFrame,
+      memoKey: String): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    val key = s"$memoKey#$p"
+    val narrow = widenMemo.computeIfAbsent(key,
+      _ => Boolean.box(df.rdd.getNumPartitions < p))
+    if (narrow) df.repartition(p) else df
+  }
+
+  private val widenMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 }

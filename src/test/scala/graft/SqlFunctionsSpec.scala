@@ -74,7 +74,11 @@ class SqlFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     graft.tables.Tables.documents(spark, sfDir).createOrReplaceTempView("docs_v")
     val df = spark.sql(
       "SELECT doc_id, rolling_hash(text) AS rh, size(shingle_hash_set(lower(trim(text)), 8)) AS n FROM docs_v")
-    assert(df.count() === 500)
+    // collect() executes THIS Dataset's own QueryExecution — required
+    // since the widened documents scan puts an exchange (and so an
+    // AdaptiveSparkPlan wrapper) in the plan, whose toString only shows
+    // the codegen'd final plan after execution
+    assert(df.collect().length === 500)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"expected whole-stage codegen markers in:\n$plan")
   }
