@@ -436,9 +436,14 @@ object ScalingProbe {
       // fixed at 10k while the base grows, so the relabel cost is
       // bounded by TOUCHED edges and the curve's slope is the
       // anti-join scans of the stored tables. Compare cc_full.
+      // tombstone count clamped to n/4 cliques: the fixed 10k list
+      // assumed n ≥ 40k — at smaller probe points most tombstones
+      // missed the stored graph and the low end of the curve
+      // understated relabel cost (round-20 advice)
       case "retract_cc"      => graft.operators.Dedup.retractComponentLabels(
         ccLabels, docs,
-        spark.range(10000L).select((col("id") * 4 + 1).as("doc_id")))
+        spark.range(math.min(10000L, n.toLong / 4))
+          .select((col("id") * 4 + 1).as("doc_id")))
       // drift_decision: the refit router's MEASURED statistic alone
       // (16 sampled insert queries: one serving beam over the stored
       // edge table + one exact broadcast scan) — compare graphann_nnd

@@ -386,8 +386,11 @@ object SparkEntry {
     // serve-delta vs full Lloyd refit; the fixture MEASURES drift
     // (0.46) and exercises the ESCALATE arm — the graph router serves
     // its delta arm, so both router arms sit under the gate
+    // expectArm pins the oracle's arm IN the entry: a fixture/sampling
+    // drift across the recall floor now fails loudly as a routing
+    // assertion instead of an opaque hash mismatch (round-20 advice)
     "q_knn_ivf_drift_routed" -> ((s: SparkSession, dir: String) =>
-      Similarity.ivfKnnDriftRouted(s, dir)),
+      Similarity.ivfKnnDriftRouted(s, dir, expectArm = Some("refit"))),
     // RETRACTION, ANN edition: tombstoned ids fold out of the stored
     // cell-partitioned layout (one anti-filter write, model untouched
     // — the drift router decides when the FIT must refresh)
@@ -427,7 +430,8 @@ object SparkEntry {
     // maintained edges vs an exact scan decides serve-delta vs refit
     // (the routeWide discipline on ANN maintenance); the fixture
     // measures ~1.0 → serves the delta graph, sharing its oracle
-    "q_knn_graph_drift_routed" -> (Similarity.graphKnnDriftRouted _),
+    "q_knn_graph_drift_routed" -> ((s: SparkSession, dir: String) =>
+      Similarity.graphKnnDriftRouted(s, dir, expectArm = Some("serve"))),
     // the routed production entry (blocked <=200k, NN-descent above):
     // at gate scale the router picks the blocked build, so this shares
     // q_knn_graph's oracle — the gate certifies the routing decision

@@ -101,6 +101,39 @@ object TextShingleExpressions {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** Dot product of two sparse term-frequency vectors, each encoded as
+    * a hash-SORTED interleaved long array [h0, tf0, h1, tf1, …]: one
+    * merge walk over the stride-2 arrays, summing tf products where the
+    * hashes agree. The lexical-cosine verifier's kernel — the pair×token
+    * join formulation shuffled |pairs|·|tokens-per-doc| string-keyed
+    * rows through two exchanges; this walks two ≤|vocab-per-doc| arrays
+    * per pair with no shuffle at all (the containment/Jaccard
+    * sorted-set-verification pattern applied to weighted vectors).
+    * Exact integer arithmetic; hashes are per-doc-distinct tokens, so a
+    * cross-token collision (≈|vocab|²/2^65, the documented shingle-hash
+    * exposure) is the only divergence class and the end-to-end string
+    * oracle differentially checks it.
+    */
+  case class SortedTfDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_tf_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextShingleExpressions.sortedTfDot(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"org.apache.spark.sql.graft.TextShingleExpressions.sortedTfDot($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** All k-code-point shingles as strings, one pass over the bytes
     * (each shingle is a byte-slice — no per-substring prefix rescan).
     * Order of first appearance; duplicates preserved (callers that need
@@ -209,6 +242,22 @@ object TextShingleExpressions {
     c
   }
 
+  def sortedTfDot(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var dot = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { dot += a.getLong(i + 1) * b.getLong(j + 1); i += 2; j += 2 }
+      else if (x < y) i += 2
+      else j += 2
+    }
+    dot
+  }
+
   def charShingles(s: UTF8String, k: Int): ArrayData = {
     val bytes = s.getBytes
     val offs = codePointOffsets(bytes)
@@ -240,6 +289,10 @@ object TextShingleExpressions {
     ExpressionUtils.column(SortedIntersectAtLeastExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b),
       ExpressionUtils.expression(need)))
+
+  def sortedTfDotCol(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedTfDotExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def charShinglesCol(text: Column, k: Int): Column =
     ExpressionUtils.column(ShinglesExpr(ExpressionUtils.expression(text), k))

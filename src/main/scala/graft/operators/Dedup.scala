@@ -1392,18 +1392,36 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val cand = if (checkpoint) cand0.localCheckpoint() else cand0
-    // NO forced broadcast on the pair side: on saturated or
+    // Verified dot through the MERGE-WALK kernel, not a pair×token
+    // join: the previous shape fanned every candidate out to its
+    // tokens (|pairs|·tokens-per-doc string-keyed rows through two
+    // exchanges and a re-aggregation — profiled as the dominant CPU of
+    // the query). Each doc's tf vector is packed ONCE into a
+    // hash-sorted interleaved [h, tf, …] long array (corpus-sized, one
+    // aggregation), and each pair pays one stride-2 merge walk —
+    // work ∝ pairs × vocab-per-doc with NO per-pair shuffle, the
+    // containment/Jaccard sorted-set verification pattern applied to
+    // weighted vectors. Token hashes are xxhash64; a cross-token
+    // collision within one pair's vocabulary (≈|vocab|²/2^65, the
+    // documented shingle-hash exposure) is the only divergence class
+    // and the string-level DuckDB oracle checks the values end to end.
+    // NO forced broadcast on the pair or vector side: on saturated or
     // duplicate-heavy corpora the candidate list is NOT small (the
-    // 1M-doc probe measured it past the driver's result cap — a
-    // forced broadcast there collects gigabytes and aborts), so the
-    // planner decides from the checkpointed frame's measured size;
-    // tiny pair lists still broadcast, corpus-scale ones sort-merge
+    // 1M-doc probe measured it past the driver's result cap), so the
+    // planner decides from measured sizes; tiny sides still broadcast.
+    val tfArr0 = tf
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(xxhash64(col("tok")).as("h"), col("tf")))),
+        s => array(s.getField("h"), s.getField("tf")))).as("tfv"))
+    // both dot sides read it — materialize the pack once
+    val tfArr = if (checkpoint) tfArr0.localCheckpoint() else tfArr0
     val dots = cand
-      .join(tf.select(col("doc_id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
-      .join(tf.select(col("doc_id").as("id_b"), col("tok"), col("tf").as("tf_b")),
-        Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .join(tfArr.select(col("doc_id").as("id_a"), col("tfv").as("tfv_a")), "id_a")
+      .join(tfArr.select(col("doc_id").as("id_b"), col("tfv").as("tfv_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        org.apache.spark.sql.graft.TextShingleExpressions
+          .sortedTfDotCol(col("tfv_a"), col("tfv_b")).as("dot"))
     val cosine = col("dot").cast("double") /
       sqrt((col("norm2_a") * col("norm2_b")).cast("double"))
     // dots is pair-bounded; norms is corpus-sized — stream the norms

@@ -334,9 +334,14 @@ object Retrieval {
       docs: DataFrame): String = {
     val root = graft.sources.Scratch.corpusDir(spark, "bm25_multi", dir)
     graft.sources.Scratch.materializeOnce(root) {
-      writeBm25Commit(spark, s"$root/c0", docs.filter(col("doc_id") % 10 < 6))
-      writeBm25Commit(spark, s"$root/c1",
-        docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8))
+      // two ingests over DISJOINT doc splits, no dependency — build
+      // them concurrently (each is a small-parallelism job chain that
+      // alone leaves most cores idle; guide §2.6)
+      graft.sources.Scratch.inParallel(
+        () => writeBm25Commit(spark, s"$root/c0",
+          docs.filter(col("doc_id") % 10 < 6)),
+        () => writeBm25Commit(spark, s"$root/c1",
+          docs.filter(col("doc_id") % 10 >= 6 && col("doc_id") % 10 < 8)))
     }
     root
   }
@@ -351,11 +356,15 @@ object Retrieval {
       batch: DataFrame): Unit = {
     val tfB = postings(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // the postings write materializes the pinned tfB; the dl and df
+      // rollups then read the cache and have no dependency on each
+      // other — run them concurrently; stats reads the dl files last
       tfB.write.mode("overwrite").parquet(s"$cdir/postings")
-      tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .write.mode("overwrite").parquet(s"$cdir/dl")
-      tfB.groupBy(col("word")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$cdir/df")
+      graft.sources.Scratch.inParallel(
+        () => tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .write.mode("overwrite").parquet(s"$cdir/dl"),
+        () => tfB.groupBy(col("word")).agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$cdir/df"))
       spark.read.parquet(s"$cdir/dl")
         .agg(sum(col("dl")).as("tot_dl"), count(lit(1)).as("n_docs"))
         .write.mode("overwrite").parquet(s"$cdir/stats")
@@ -401,10 +410,17 @@ object Retrieval {
     */
   def compactBm25(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val root = ensureBm25Commits(spark, dir, docs)
-    graft.sources.Scratch.materializeOnce(s"$root/c2") {
-      writeBm25Commit(spark, s"$root/c2", docs.filter(col("doc_id") % 10 >= 8))
-    }
+    // ensureBm25Commits returns this same corpus-keyed root; name it
+    // first so c2 — whose doc split is disjoint from c0/c1 — can build
+    // CONCURRENTLY with them on a cold session (the per-key memo locks
+    // keep a concurrently-running delta2Bm25 coherent)
+    val root = graft.sources.Scratch.corpusDir(spark, "bm25_multi", dir)
+    graft.sources.Scratch.inParallel(
+      () => { ensureBm25Commits(spark, dir, docs); () },
+      () => graft.sources.Scratch.materializeOnce(s"$root/c2") {
+        writeBm25Commit(spark, s"$root/c2",
+          docs.filter(col("doc_id") % 10 >= 8))
+      })
     val cpath = s"$root/compacted"
     graft.sources.Scratch.materializeOnce(cpath) {
       val (tf, dl, dfq, stats) =

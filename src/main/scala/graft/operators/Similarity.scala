@@ -562,7 +562,7 @@ object Similarity {
     * MEASUREMENT instead of refitting on a calendar.
     */
   def ivfKnnDriftRouted(spark: SparkSession, dir: String,
-      probes: Int = 3): DataFrame = {
+      probes: Int = 3, expectArm: Option[String] = None): DataFrame = {
     val (cents, layouts) = deltaIvfEnsure(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val n = denseCount(e, "drift-routed IVF")
@@ -570,6 +570,7 @@ object Similarity {
     val nSample = math.min(DriftSampleQueries.toLong, n - b)
     val recall = measuredIvfRecall(spark, e, cents,
       layouts.map(p => spark.read.parquet(p)), b, nSample, probes)
+    assertRoutedArm("IVF", recall, expectArm)
     if (recall >= DriftRecallFloor) {
       System.err.println(f"[drift-router] sampled IVF insert recall@$K = " +
         f"$recall%.3f >= $DriftRecallFloor — serving the maintained index")
@@ -579,6 +580,33 @@ object Similarity {
         f"$recall%.3f < $DriftRecallFloor — ESCALATING to a full refit")
       ivfKnnExactOn(spark, e)
     }
+  }
+
+  /** Routing-arm assertion for the GRADED drift-router entries: each
+    * entry's DuckDB oracle hard-pins one arm (the IVF fixture measures
+    * ~0.46 and escalates; the graph fixture measures ~1.0 and serves),
+    * so a gate-corpus / sampling shift that silently flipped the
+    * measured recall across [[DriftRecallFloor]] would surface as an
+    * OPAQUE hash mismatch. When the registered entry declares its
+    * expected arm, fail loudly instead — both on an arm flip and on a
+    * measurement drifting within ε of the floor (the flip about to
+    * happen). Spec/production callers pass None and route freely
+    * (round-20 advice #1).
+    */
+  private def assertRoutedArm(which: String, recall: Double,
+      expectArm: Option[String]): Unit = expectArm.foreach { arm =>
+    val eps = 0.05
+    val taken = if (recall >= DriftRecallFloor) "serve" else "refit"
+    require(math.abs(recall - DriftRecallFloor) >= eps,
+      f"drift-router($which): measured recall $recall%.3f is within " +
+        f"ε=$eps of the floor $DriftRecallFloor — the graded fixture no " +
+        "longer separates the arms; re-pin the oracle before trusting " +
+        "the hash gate")
+    require(taken == arm,
+      f"drift-router($which): took the '$taken' arm (recall $recall%.3f " +
+        f"vs floor $DriftRecallFloor) but the graded oracle pins '$arm' — " +
+        "fixture or sampling drift; fix the entry's oracle, this is not " +
+        "a data bug")
   }
 
   /** The IVF router's measured statistic: fraction of the sampled
@@ -605,8 +633,17 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("n_id"))
-    approx.join(exact, Seq("q_id", "n_id"), "left_semi").count().toDouble /
-      (nSample * K)
+      .localCheckpoint()
+    // denominator = the EXACT side's actual row count, not nSample·K:
+    // on a corpus with n − 1 < K each sampled query has fewer than K
+    // true neighbors and nSample·K would bias recall low enough to
+    // trigger a spurious full refit (round-20 advice). On any corpus
+    // with ≥ K+1 vectors the two denominators are equal, so the gate
+    // statistic — and the routed arm — is unchanged.
+    val exactRows = exact.count()
+    if (exactRows == 0L) 1.0
+    else approx.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .count().toDouble / exactRows
   }
 
   /** The delta lifecycle's CLOSING stage — COMPACTION: the batch's
@@ -1177,22 +1214,25 @@ object Similarity {
     * oracle; Round20OpsSpec drives an adversarially-drifted fixture
     * through the same router and proves it escalates.
     */
-  def graphKnnDriftRouted(spark: SparkSession, dir: String): DataFrame = {
+  def graphKnnDriftRouted(spark: SparkSession, dir: String,
+      expectArm: Option[String] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val (stored, inserted) = deltaGraphEnsureTables(spark, dir, e)
-    graphKnnDriftRoutedOn(spark, e, stored.unionByName(inserted))
+    graphKnnDriftRoutedOn(spark, e, stored.unionByName(inserted), expectArm)
   }
 
   /** Router body over an explicit maintained edge table — the spec's
     * entry point for the drifted fixture.
     */
   private[graft] def graphKnnDriftRoutedOn(spark: SparkSession,
-      e: DataFrame, maintainedEdges: DataFrame): DataFrame = {
+      e: DataFrame, maintainedEdges: DataFrame,
+      expectArm: Option[String] = None): DataFrame = {
     val edges = maintainedEdges.localCheckpoint()
     val n = denseCount(e, "drift-routed graph ANN")
     val b = deltaBaseCount(n)
     val recall = measuredInsertRecall(e, edges, b,
       math.min(DriftSampleQueries.toLong, n - b))
+    assertRoutedArm("graph", recall, expectArm)
     if (recall >= DriftRecallFloor) {
       System.err.println(f"[drift-router] sampled insert recall@$K = " +
         f"$recall%.3f >= $DriftRecallFloor — serving the delta-maintained graph")
@@ -1226,8 +1266,14 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("n_id"))
-    approx.join(exact, Seq("q_id", "n_id"), "left_semi").count().toDouble /
-      (nSample * K)
+      .localCheckpoint()
+    // exact-side row count as the denominator — the measuredIvfRecall
+    // guard (round-20 advice), identical value on any corpus with
+    // ≥ K+1 vectors
+    val exactRows = exact.count()
+    if (exactRows == 0L) 1.0
+    else approx.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .count().toDouble / exactRows
   }
 
   /** RETRACTION — the NSW graph under DELETION, the matrix's last
@@ -1377,6 +1423,12 @@ object Similarity {
 
   private def nnDescentEdgesFor(spark: SparkSession, e: DataFrame, n: Long,
       rounds: Int, rho: Option[Int]): DataFrame = {
+    // NOT persisted: an A/B at sf0.1 measured the pinned form SLOWER
+    // (cache build + InMemoryRelation scans beat by the plain columnar
+    // re-scan of the small vector file; q_knn_graph_nnd 5.5→9.2 s with
+    // the pin) — the 2R+2 re-scans are cheaper than the cache at any
+    // size where the scan is already wide, and beamTop's serving pin
+    // covers the one consumer measured to benefit
     val corpus = e.select(col("vec_id").as("n_id"), col("embedding"))
     // Pair and corpus frames at production N must never be elected for
     // broadcast: AQE's runtime size estimate sits below its threshold

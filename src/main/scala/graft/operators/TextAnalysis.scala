@@ -860,9 +860,12 @@ object TextAnalysis {
     val root = graft.sources.Scratch.corpusDir(spark, "winnow_multi", dir)
     val bucket = pmod(graft.functions.TextFunctions.md5Hash32(col("text")), lit(10))
     graft.sources.Scratch.materializeOnce(root) {
-      writeWinnowCommit(spark, s"$root/c0", docs.filter(bucket < 6))
-      writeWinnowCommit(spark, s"$root/c1",
-        docs.filter(bucket >= 6 && bucket < 8))
+      // disjoint md5 splits, no dependency — concurrent builds
+      // (guide §2.6; each commit alone under-fills the cores)
+      graft.sources.Scratch.inParallel(
+        () => writeWinnowCommit(spark, s"$root/c0", docs.filter(bucket < 6)),
+        () => writeWinnowCommit(spark, s"$root/c1",
+          docs.filter(bucket >= 6 && bucket < 8)))
     }
     root
   }
@@ -910,11 +913,17 @@ object TextAnalysis {
     */
   def compactWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val root = ensureWinnowCommits(spark, dir, docs)
     val bucket = pmod(graft.functions.TextFunctions.md5Hash32(col("text")), lit(10))
-    graft.sources.Scratch.materializeOnce(s"$root/c2") {
-      writeWinnowCommit(spark, s"$root/c2", docs.filter(bucket >= 8))
-    }
+    // c2's md5 split is disjoint from c0/c1 — build concurrently with
+    // them on a cold session (corpusDir is the same root
+    // ensureWinnowCommits returns; per-key memo locks keep a
+    // concurrently-running delta2 coherent)
+    val root = graft.sources.Scratch.corpusDir(spark, "winnow_multi", dir)
+    graft.sources.Scratch.inParallel(
+      () => { ensureWinnowCommits(spark, dir, docs); () },
+      () => graft.sources.Scratch.materializeOnce(s"$root/c2") {
+        writeWinnowCommit(spark, s"$root/c2", docs.filter(bucket >= 8))
+      })
     val cpath = s"$root/compacted"
     graft.sources.Scratch.materializeOnce(cpath) {
       val (fps, sizes, dfq) =

@@ -52,6 +52,27 @@ object Scratch {
       }
     }
 
+  /** Run independent build closures CONCURRENTLY from driver threads
+    * (guide §2.6 — Spark happily schedules several jobs at once; the
+    * builds here are small-parallelism stages that leave most cores
+    * idle when run back to back). Blocks until all complete; the first
+    * failure is rethrown after every thread finishes, so a failed
+    * sibling cannot leave another build half-observed. Use ONLY for
+    * builds with no data dependency on each other (e.g. two ingest
+    * commits over disjoint doc splits).
+    */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = tasks.map { t =>
+      val th = new Thread(() => try t() catch { case e: Throwable => errs.add(e); () })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val locks =

@@ -54,6 +54,21 @@ object DocumentStreams {
       .parquet(dir)
       .select(col("doc_id"), col("text"))
 
+  /** Parallelism floor for heavy STATELESS stream projections (codec
+    * decodes, signature/BPE/winnow kernels): the replayed file source
+    * plans one task per file, so a single-file micro-batch ran its
+    * whole decode pass on one core — the [[graft.tables.Tables.widened]]
+    * problem at arrival time. A round-robin repartition inside the
+    * stream fans the batch across the session's cores; the consumers
+    * here are pure per-row functions (no state, no watermark
+    * dependence), so micro-batch OUTPUT is untouched — only where rows
+    * compute. Production sources (Kafka, many-file directories)
+    * already arrive partitioned; the repartition is a replay-harness
+    * equalizer, not a production requirement.
+    */
+  private def widenStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Incremental MinHash ingest under the driver gate: the SAME
     * per-row signature expression as the batch operator
     * ([[Dedup.minhashSignatureArray]]) executed as a real StreamingQuery
@@ -70,7 +85,7 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     val unpack = (0 until Dedup.NumHashes).map(i =>
       element_at(col("sig"), i + 1).as(s"mh$i"))
-    val sig = streamedDocs(spark, dir)
+    val sig = widenStream(streamedDocs(spark, dir))
       .select(col("doc_id"),
         Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
       .select(col("doc_id") +: unpack: _*)
@@ -471,7 +486,7 @@ object DocumentStreams {
     import graft.operators.Tokenizer
     val rules = Tokenizer.learnRules(spark, dir)
     val toks = TextFunctions.tokens(col("text"))
-    val out = streamedDocs(spark, dir)
+    val out = widenStream(streamedDocs(spark, dir))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_words"),
         aggregate(toks, lit(0L),
@@ -506,7 +521,7 @@ object DocumentStreams {
     import graft.operators.TextAnalysis.{WinnowK, WinnowW}
     val k = WinnowK
     val w = WinnowW
-    val out = streamedDocs(spark, dir)
+    val out = widenStream(streamedDocs(spark, dir))
       .filter(length(col("text")) >= k + w - 1)
       .withColumn("hs",
         graft.functions.TextFunctions.rollingWindowFingerprint(col("text"), k))
@@ -539,7 +554,7 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal.RealCodecs
-    val out = streamedDocs(spark, dir)
+    val out = widenStream(streamedDocs(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (hi, lo) = RealCodecs.ahashPng(RealCodecs.syntheticPng(id, 32, 16))
@@ -568,7 +583,7 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal.RealCodecs
-    val out = streamedDocs(spark, dir)
+    val out = widenStream(streamedDocs(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
@@ -597,7 +612,7 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal.RealCodecs
-    val out = streamedDocs(spark, dir)
+    val out = widenStream(streamedDocs(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
@@ -645,7 +660,7 @@ object DocumentStreams {
     val base = Multimodal.ahashTable(spark, dir)
       .filter(col("doc_id") % 10 < 8)
     // the arrival side: stateless decode + hash
-    val arrivals = streamedDocs(spark, dir)
+    val arrivals = widenStream(streamedDocs(spark, dir))
       .filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
@@ -672,7 +687,7 @@ object DocumentStreams {
       .filter(col("doc_id") % 10 < 8)
       .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
         col("afp_lo").as("ahash_lo"))
-    val arrivals = streamedDocs(spark, dir)
+    val arrivals = widenStream(streamedDocs(spark, dir))
       .filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>

@@ -76,18 +76,21 @@ object Tables {
       case _: org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
       case _ => col("ts")
     }
-  /** The two corpus tables ship behind the [[widened]] scan-parallelism
-    * floor: every heavy per-row producer in the library (quality
-    * metrics, MinHash signatures, shingle sets, rolling-window hashes,
-    * postings, codecs, cosine kernels) reads one of these, and the gate
-    * fixtures are single-row-group parquet files whose scans plan as
-    * ONE split — so each of those producers ran its expensive
-    * projection on one core while the rest idled.
+  /** The documents table ships behind the [[widened]] scan-parallelism
+    * floor: every heavy per-row TEXT producer (quality metrics, MinHash
+    * signatures, shingle sets, rolling-window hashes, postings, codecs)
+    * reads it, and the gate fixtures are single-row-group parquet files
+    * whose scans plan as ONE split — so each of those producers ran its
+    * expensive projection on one core while the rest idled. Embeddings
+    * deliberately do NOT widen: vector kernels cost ~µs/row, so the
+    * added exchange + AQE stage per scan reference MEASURED as a
+    * uniform ~+1 s regression across the 20-query knn family (full
+    * RUNS=3 A/B, plans/r21) with no compute win to offset it.
     */
   def documents(spark: SparkSession, dir: String): DataFrame =
     widened(spark, load(spark, dir, "documents"), s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    widened(spark, load(spark, dir, "embeddings"), s"$dir/embeddings.parquet")
+    load(spark, dir, "embeddings")
 
   /** Scan-parallelism floor (guide §2.5, "input skew: one huge
     * unsplittable file"): round-robin repartition to the session's
@@ -108,13 +111,38 @@ object Tables {
     * don't re-plan just to re-learn the split count.
     */
   def widened(spark: SparkSession, df: DataFrame): DataFrame = {
-    val p = spark.sparkContext.defaultParallelism
+    val p = widenTo(spark, df)
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Width of the parallelism floor, derived from the SCAN'S BYTES —
+    * ceil(sizeInBytes / widenBytesPerPartition) clamped to
+    * [1, defaultParallelism] — so the floor scales with the data
+    * instead of pinning the core count: a tiny gate corpus fans out
+    * ~10 ways (A/B at sf0.1: width 8–12 beat 32, whose per-task
+    * overhead cost the cheap consumers more than the heavy kernels
+    * gained; width 4 starts re-serializing the compute-dense passes),
+    * a bigger single-file corpus approaches the cores, and at
+    * production widths [[widened]] never fires at all. Both knobs stay
+    * conf-overridable (`spark.graft.scan.widenPartitions` wins,
+    * `spark.graft.scan.widenBytesPerPartition` tunes the divisor) —
+    * the scale-dependent-settings-stay-parameterised rule.
+    */
+  private def widenTo(spark: SparkSession, df: DataFrame): Int = {
+    def confInt(k: String): Option[Int] =
+      spark.conf.getOption(k).flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+    confInt("spark.graft.scan.widenPartitions").getOrElse {
+      val bytesPer = confInt("spark.graft.scan.widenBytesPerPartition")
+        .getOrElse(64 * 1024)
+      val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val want = (sz + bytesPer - 1) / bytesPer
+      want.min(spark.sparkContext.defaultParallelism).max(1).toInt
+    }
   }
 
   private def widened(spark: SparkSession, df: DataFrame,
       memoKey: String): DataFrame = {
-    val p = spark.sparkContext.defaultParallelism
+    val p = widenTo(spark, df)
     val key = s"$memoKey#$p"
     val narrow = widenMemo.computeIfAbsent(key,
       _ => Boolean.box(df.rdd.getNumPartitions < p))
