@@ -21,9 +21,17 @@ object ExplainOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // checkpoint=false twins of the operators whose registered entries
+    // localCheckpoint (their registered plans collapse to RDD scans —
+    // these pseudo-names expose the dataflow under audit instead)
+    val noCp: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_containment_nocp" -> ((s, d) => graft.operators.Dedup
+        .containmentPairsNoCheckpointForAudit(graft.tables.Tables.documents(s, d))),
+      "x_lexical_cosine_nocp" -> ((s, d) => graft.operators.Dedup
+        .lexicalCosineOn(graft.tables.Tables.documents(s, d), checkpoint = false)))
     args.drop(1).foreach { name =>
       val plan =
-        try SparkEntry.queries(name)(spark, sfDir)
+        try noCp.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
           .queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
         catch { case e: Throwable => s"EXPLAIN FAILED: ${e.getMessage}" }

@@ -432,7 +432,15 @@ object Dedup {
   def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     containmentPairsOn(Tables.documents(spark, dir))
 
-  def containmentPairsOn(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** checkpoint=false twin for plan audits/evidence only (the
+    * lexicalCosineOn convention — the registered entry's checkpointed
+    * plan is a bare RDD scan that hides the joins under audit).
+    */
+  def containmentPairsNoCheckpointForAudit(docs: DataFrame): DataFrame =
+    containmentPairsOn(docs, checkpoint = false)
+
+  def containmentPairsOn(docs: DataFrame, threshold: Double = 0.8,
+      checkpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graft.TextShingleExpressions.{shingleHashSetCol, sortedIntersectSizeCol}
     val docSets = docs
@@ -488,7 +496,7 @@ object Dedup {
       val need = floor(lit(threshold) * col("sz_a")).cast("long")
       val nCommon = org.apache.spark.sql.graft.TextShingleExpressions
         .sortedIntersectAtLeastCol(col("set_a"), col("set_b"), need)
-      cand
+      val verified = cand
         .join(docSide(docSets.select(col("doc_id").as("id_a"),
           col("set").as("set_a"), col("sz").as("sz_a"))), "id_a")
         .join(docSide(docSets.select(col("doc_id").as("id_b"),
@@ -496,7 +504,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"), nCommon.cast("long").as("n_common"),
           (nCommon.cast("double") / col("sz_a")).as("containment"))
         .filter(col("containment") >= threshold)
-        .localCheckpoint()
+      (if (checkpoint) verified.localCheckpoint() else verified)
         .orderBy(col("id_a"), col("id_b"))
       } finally { positions.unpersist(); () }
     } finally { docSets.unpersist(); () }

@@ -633,17 +633,25 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("n_id"))
-      .localCheckpoint()
-    // denominator = the EXACT side's actual row count, not nSample·K:
-    // on a corpus with n − 1 < K each sampled query has fewer than K
-    // true neighbors and nSample·K would bias recall low enough to
-    // trigger a spurious full refit (round-20 advice). On any corpus
-    // with ≥ K+1 vectors the two denominators are equal, so the gate
-    // statistic — and the routed arm — is unchanged.
-    val exactRows = exact.count()
-    if (exactRows == 0L) 1.0
-    else approx.join(exact, Seq("q_id", "n_id"), "left_semi")
-      .count().toDouble / exactRows
+    recallOf(exact, approx)
+  }
+
+  /** recall = |exact ∩ approx| / |exact| in ONE aggregation job: a
+    * left-outer join from the exact side with a hit marker, then one
+    * (count, count-hits) pass. The denominator is the EXACT side's
+    * actual row count, not nSample·K — on a corpus with n − 1 < K each
+    * sampled query has fewer than K true neighbors and nSample·K would
+    * bias recall low enough to trigger a spurious full refit (round-20
+    * advice). On any corpus with ≥ K+1 vectors the denominators are
+    * equal, so the gate statistic — and the routed arm — is unchanged.
+    */
+  private def recallOf(exact: DataFrame, approx: DataFrame): Double = {
+    val row = exact.join(
+        approx.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+        Seq("q_id", "n_id"), "left_outer")
+      .agg(count(lit(1)).as("n"), count(col("hit")).as("hits")).head()
+    val n = row.getLong(0)
+    if (n == 0L) 1.0 else row.getLong(1).toDouble / n
   }
 
   /** The delta lifecycle's CLOSING stage — COMPACTION: the batch's
@@ -1266,14 +1274,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("n_id"))
-      .localCheckpoint()
-    // exact-side row count as the denominator — the measuredIvfRecall
-    // guard (round-20 advice), identical value on any corpus with
-    // ≥ K+1 vectors
-    val exactRows = exact.count()
-    if (exactRows == 0L) 1.0
-    else approx.join(exact, Seq("q_id", "n_id"), "left_semi")
-      .count().toDouble / exactRows
+    recallOf(exact, approx)
   }
 
   /** RETRACTION — the NSW graph under DELETION, the matrix's last

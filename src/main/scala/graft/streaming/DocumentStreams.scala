@@ -152,7 +152,10 @@ object DocumentStreams {
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(replayDir)
-      val shingled = stream.select(col("doc_id"), col("split"),
+      // the shingle pass is the batch's heavy kernel and each replay
+      // file is one scan task — fan it out (stateless projection; the
+      // grouped aggregation shuffles by doc afterwards either way)
+      val shingled = widenStream(stream).select(col("doc_id"), col("split"),
           explode(array_distinct(
             charShingles(normalized(col("text")), Dedup.ShingleK))).as("sh"))
         .select(col("doc_id"), col("split"),
@@ -210,7 +213,12 @@ object DocumentStreams {
     */
   def streamedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val pairs = nearDupPairStream(streamedDocs(spark, dir))(spark)
+    // widenStream BEFORE the signature projection: the 64-hash MinHash
+    // kernel otherwise runs on the file source's one scan task per
+    // micro-batch; the banded rows re-shuffle to the 4 state partitions
+    // afterwards either way, and per-bucket processing sorts by doc_id,
+    // so emissions are unchanged
+    val pairs = nearDupPairStream(widenStream(streamedDocs(spark, dir)))(spark)
     // state-partition sizing note: see [[StreamConf]]
     StreamConf.withStatePartitions(spark, 4) {
       val q = pairs.toDF().writeStream.format("memory")
@@ -345,7 +353,12 @@ object DocumentStreams {
       .parquet(replayDir)
       .withColumn("ts", timestamp_millis(lit(TtlBaseMs) + col("doc_id") * lit(1000L)))
       .withWatermark("ts", "0 seconds")
-    val pairs = nearDupPairStreamTtl(stream, TtlHorizonMs)
+    // widenStream above the watermark: each chunk is ONE file (the
+    // atomic-append contract above), so the signature kernel otherwise
+    // runs single-core per micro-batch; the banded rows re-shuffle to
+    // the state partitions afterwards and per-bucket processing sorts
+    // by doc_id, so emissions are unchanged
+    val pairs = nearDupPairStreamTtl(widenStream(stream), TtlHorizonMs)
     StreamConf.withStatePartitions(spark, 4) {
       val q = pairs.toDF().writeStream.format("memory")
         .queryName("graft_stream_neardup_ttl")
