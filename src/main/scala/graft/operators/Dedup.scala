@@ -337,7 +337,7 @@ object Dedup {
       ngramJaccardPairsOn(Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Scratch.readParquetOnce(spark, path)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -362,7 +362,7 @@ object Dedup {
     val prefixes = exploded.join(dfreq, "h")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-      .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("pos") <= col("sz") - ceilConservative(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("h"), col("pos"), col("sz"))
       .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the candidate self-join
     try {
@@ -373,7 +373,7 @@ object Dedup {
     // exact verification that follows.
     val szA = col("a.sz"); val szB = col("b.sz")
     val maxOverlap = least(szA - col("a.pos"), szB - col("b.pos")) + 1
-    val alpha = ceil((szA + szB) * (threshold / (1 + threshold)))
+    val alpha = ceilConservative((szA + szB) * (threshold / (1 + threshold)))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
         greatest(szA, szB) * threshold <= least(szA, szB) &&
@@ -409,6 +409,22 @@ object Dedup {
     } finally { prefixes.unpersist(); () }
     } finally { docSets.unpersist(); () }
   }
+
+  /** Integer-exact ceiling of a threshold·size product (round-21
+    * advice): `ceil` on the raw double can round UP past the true
+    * integer ceiling when the product lands within one ulp above an
+    * integer, over-tightening a prefix window / overlap bound and
+    * dropping a truly passing pair at CANDIDATE time (verification
+    * could never get it back). Subtracting an epsilon far above ulp
+    * scale but far below 1 makes the bound conservative for EVERY
+    * threshold: ceil(x−1e-9) ≤ ceil(x) always (never tighter than
+    * before, so candidates only widen — results are decided by exact
+    * verification either way), and at the gate threshold 0.8 the
+    * product provably rounds down onto the integer (0.8·k quantizes to
+    * the nearest double BELOW the spacing at 4+, so −1e-9 never
+    * crosses it) — gate candidates, plans and results are unchanged.
+    */
+  private def ceilConservative(x: Column): Column = ceil(x - lit(1e-9))
 
   /** Asymmetric CONTAINMENT join: pairs where ≥ `threshold` of document
     * A's shingle set lies inside document B — the sub-document
@@ -467,13 +483,13 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK) // A-prefix side + B probe side
       try {
       val prefixes = positions
-        .filter(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+        .filter(col("pos") <= col("sz") - ceilConservative(col("sz") * threshold) + 1)
         .select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
       val cand = prefixes
         .join(positions.select(col("doc_id").as("id_b"), col("h"),
           col("pos").as("pos_b"), col("sz").as("sz_b")), "h")
         .filter(col("id_a") =!= col("id_b") &&
-          col("pos_b") <= col("sz_b") - ceil(col("sz_a") * threshold) + 1)
+          col("pos_b") <= col("sz_b") - ceilConservative(col("sz_a") * threshold) + 1)
         .select(col("id_a"), col("id_b"))
         .distinct()
       // same byte-gated broadcast pin as the Jaccard verification join
@@ -555,7 +571,7 @@ object Dedup {
       pairs.withColumn("bucket", pmod(col("id_a"), lit(nBuckets)))
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
-    spark.read.parquet(path).select(col("id_a"), col("id_b"), col("est_jaccard"))
+    graft.sources.Scratch.readParquetOnce(spark, path).select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Duplicate clusters: connected components over the LSH near-dup
@@ -599,7 +615,7 @@ object Dedup {
           .select(col("id_a"), col("id_b")))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path).select(col("id"), col("lbl"))
+    graft.sources.Scratch.readParquetOnce(spark, path).select(col("id"), col("lbl"))
   }
 
   def duplicateClustersOn(docs: DataFrame): DataFrame =
@@ -1006,7 +1022,7 @@ object Dedup {
       minhashSignaturesUnsorted(docs.filter(!deltaIsNew), prodHash = false)
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Scratch.readParquetOnce(spark, path)
   }
 
   /** Batch-membership rule shared by EVERY text delta operator
@@ -1095,7 +1111,7 @@ object Dedup {
       baseDocLabels(docs).write.mode("overwrite").parquet(path)
     }
     deltaDupClustersFrom(
-      spark.read.parquet(path).select(col("id"), col("lbl")),
+      graft.sources.Scratch.readParquetOnce(spark, path).select(col("id"), col("lbl")),
       baseSigTable(spark, dir, docs), docs)
   }
 
@@ -1222,8 +1238,8 @@ object Dedup {
       baseDocLabels(docs).write.mode("overwrite").parquet(lblPath)
     }
     retractComponentLabels(
-        spark.read.parquet(lblPath).select(col("id"), col("lbl")),
-        spark.read.parquet(pairsPath),
+        graft.sources.Scratch.readParquetOnce(spark, lblPath).select(col("id"), col("lbl")),
+        graft.sources.Scratch.readParquetOnce(spark, pairsPath),
         baseSig.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
@@ -1255,28 +1271,34 @@ object Dedup {
         prodHash = false).persist(StorageLevel.MEMORY_AND_DISK)
       try {
         sig0.write.mode("overwrite").parquet(s"$root/sig_c0")
-        componentLabels(lshPairsFromSignatures(sig0)
-            .select(col("id_a"), col("id_b")))
-          .write.mode("overwrite").parquet(s"$root/labels_0")
+        // ingest 0's label convergence and ingest 1's signature commit
+        // have no data dependency (labels_0 reads the pinned sig0; the
+        // c1 commit reads only its own doc split) — run them from
+        // concurrent driver threads (guide §2.6): each alone is a
+        // small-parallelism job chain that leaves most cores idle
+        graft.sources.Scratch.inParallel(
+          () => componentLabels(lshPairsFromSignatures(sig0)
+              .select(col("id_a"), col("id_b")))
+            .write.mode("overwrite").parquet(s"$root/labels_0"),
+          () => minhashSignaturesUnsorted(
+              docs.filter(bucket >= 6 && bucket < 8), prodHash = false)
+            .write.mode("overwrite").parquet(s"$root/sig_c1"))
       } finally { sig0.unpersist(); () }
-      // ingest 1 — buckets {6,7}: append the batch's signature commit,
-      // probe the STORED index, maintain labels (batch-sized CC only)
-      minhashSignaturesUnsorted(
-          docs.filter(bucket >= 6 && bucket < 8), prodHash = false)
-        .write.mode("overwrite").parquet(s"$root/sig_c1")
-      val probe1 = deltaProbePairs(spark.read.parquet(s"$root/sig_c0"),
+      // ingest 1 — buckets {6,7}: probe the STORED index, maintain
+      // labels (batch-sized CC only)
+      val probe1 = deltaProbePairs(graft.sources.Scratch.readParquetOnce(spark, s"$root/sig_c0"),
         docs.filter(bucket < 8))
       maintainComponentLabels(
-          spark.read.parquet(s"$root/labels_0").select(col("id"), col("lbl")),
+          graft.sources.Scratch.readParquetOnce(spark, s"$root/labels_0").select(col("id"), col("lbl")),
           probe1.select(col("id_a"), col("id_b")))
         .write.mode("overwrite").parquet(s"$root/labels_1")
     }
     // live ingest 2 — buckets {8,9} probe the MERGED signature commits
-    val storedSig = spark.read.parquet(s"$root/sig_c0")
-      .unionByName(spark.read.parquet(s"$root/sig_c1"))
+    val storedSig = graft.sources.Scratch.readParquetOnce(spark, s"$root/sig_c0")
+      .unionByName(graft.sources.Scratch.readParquetOnce(spark, s"$root/sig_c1"))
     val probe2 = deltaProbePairs(storedSig, docs)
     maintainComponentLabels(
-        spark.read.parquet(s"$root/labels_1").select(col("id"), col("lbl")),
+        graft.sources.Scratch.readParquetOnce(spark, s"$root/labels_1").select(col("id"), col("lbl")),
         probe2.select(col("id_a"), col("id_b")))
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))
@@ -1458,10 +1480,10 @@ object Dedup {
   def retractLexicalCosine(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val root = ensureLexIndex(spark, dir, docs)
-    val norms = spark.read.parquet(s"$root/norms")
-    retractLexicalCosineFrom(spark.read.parquet(s"$root/tf"), norms,
-      spark.read.parquet(s"$root/shingles"),
-      spark.read.parquet(s"$root/df"),
+    val norms = graft.sources.Scratch.readParquetOnce(spark, s"$root/norms")
+    retractLexicalCosineFrom(graft.sources.Scratch.readParquetOnce(spark, s"$root/tf"), norms,
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/shingles"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/df"),
       norms.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
   }
 
@@ -1506,10 +1528,10 @@ object Dedup {
   def deltaLexicalCosine(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val root = ensureLexIndex(spark, dir, docs)
-    deltaLexicalCosineFrom(spark.read.parquet(s"$root/tf"),
-      spark.read.parquet(s"$root/norms"),
-      spark.read.parquet(s"$root/shingles"),
-      spark.read.parquet(s"$root/df"), docs)
+    deltaLexicalCosineFrom(graft.sources.Scratch.readParquetOnce(spark, s"$root/tf"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/norms"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/shingles"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/df"), docs)
   }
 
   /** Materialize (once per corpus) the stored lexical quadruple over
@@ -1619,18 +1641,35 @@ object Dedup {
       // sides); checkpoint=false unpins only the OUTPUT so the audit
       // sees the verify stage's stored-table read-backs
       val cand = ne.unionByName(nn).distinct().localCheckpoint()
-      // verified dot over the union tf relation streamed once past the
-      // pair list — size-driven join strategy, NOT a forced broadcast
-      // (a duplicate-heavy batch can make the candidate list big; the
-      // full operator's 1M-probe lesson); stored side pruned to
-      // candidate ids at 100 TB via doc_id bucketing
+      // Verified dot through the MERGE-WALK kernel (round 22 — the
+      // round-21 lexicalPairsFromIndex treatment this delta path
+      // missed): the old shape fanned every candidate pair out to its
+      // tokens (pair×token string-keyed rows through two exchanges and
+      // a re-aggregation — profiled as this query's dominant CPU, four
+      // 32-task stages of 4–10 s task time at sf0.1). Each doc's tf
+      // vector is packed ONCE into a hash-sorted interleaved
+      // [h, tf, …] long array (corpus-sized, one aggregation, pinned —
+      // both pair sides read it) and each pair pays one stride-2 merge
+      // walk. Same xxhash64 cross-token collision class as the full
+      // operator (≈|vocab|²/2^65, oracle-checked end to end); pairs
+      // with NO shared token produce dot=0 and fall to the same
+      // cosine-floor filter that dropped them when the inner token
+      // join produced no group.
       val tfAll = baseTf.unionByName(btf)
+      val tfvAll0 = tfAll
+        .groupBy(col("doc_id"))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(xxhash64(col("tok")).as("h"), col("tf")))),
+          x => array(x.getField("h"), x.getField("tf")))).as("tfv"))
+      // checkpoint-gated so the audit's checkpoint=false form still
+      // shows the stored tf parquet scan under the pack
+      val tfvAll = if (checkpoint) tfvAll0.localCheckpoint() else tfvAll0
       val dots = cand
-        .join(tfAll.select(col("doc_id").as("id_a"), col("tok"), col("tf").as("tf_a")), "id_a")
-        .join(tfAll.select(col("doc_id").as("id_b"), col("tok"), col("tf").as("tf_b")),
-          Seq("id_b", "tok"))
-        .groupBy(col("id_a"), col("id_b"), col("pair_type"))
-        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+        .join(tfvAll.select(col("doc_id").as("id_a"), col("tfv").as("tfv_a")), "id_a")
+        .join(tfvAll.select(col("doc_id").as("id_b"), col("tfv").as("tfv_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("pair_type"),
+          org.apache.spark.sql.graft.TextShingleExpressions
+            .sortedTfDotCol(col("tfv_a"), col("tfv_b")).as("dot"))
       val normsAll = baseNorms.unionByName(
         btf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("norm2")))
       val cosine = col("dot").cast("double") /
@@ -2018,7 +2057,7 @@ object Dedup {
         .select(col("h1"), col("h2")).distinct()
         .write.mode("overwrite").parquet(path)
     }
-    deltaSubstringFrom(spark.read.parquet(path), docs)
+    deltaSubstringFrom(graft.sources.Scratch.readParquetOnce(spark, path), docs)
   }
 
   /** Recompute-index form (specs, probes): derives the base key set

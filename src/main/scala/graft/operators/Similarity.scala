@@ -178,8 +178,12 @@ object Similarity {
     * Recall < 1.0 by construction; SimilaritySpec holds the floor at
     * 0.8 recall@5.
     */
-  def ivfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame =
-    ivfKnnOn(spark, Tables.embeddings(spark, dir), probes)
+  def ivfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (corpus, probeCells) = ivfAssignments(spark, e, probes,
+      Some(denseCountDir(spark, dir, "ivf sizing")))
+    ivfSearch(corpus, probeCells)
+  }
 
   /** IVF search over any (vec_id, embedding: array<float>) relation —
     * the quantizer-quality spec runs this on clustered data, where IVF
@@ -211,9 +215,29 @@ object Similarity {
     * the only work before the shared Lloyd chain.
     */
   private def ivfAssignments(spark: SparkSession, e: DataFrame,
-                             probes: Int): (DataFrame, DataFrame) =
+                             probes: Int,
+                             precountedN: Option[Long] = None): (DataFrame, DataFrame) =
     ivfExactAssignments(spark, e, probes,
-      math.min(IvfMaxCells, dedupCells(e.count())))
+      math.min(IvfMaxCells, dedupCells(precountedN.getOrElse(e.count()))))
+
+  /** Cell-partitioned layout write with CONSOLIDATED files (guide §6
+    * "aim for output files in the 128 MB–1 GB range", fixture edition:
+    * the upstream assignment arrives in up to shuffle.partitions
+    * slices, so the plain write emitted one file PER (task, cell) —
+    * the r21 compacted layout held MORE files (96) than the base ∪
+    * delta it folded (48+...), and every consumer query re-listed and
+    * re-opened them all. A hash repartition on the partition column
+    * first puts each cell in exactly one task → exactly one file per
+    * cell, and the write's exchange replaces — not adds to — the
+    * cost, since the writer no longer commits N× the files. A
+    * production writer targeting a fixed file size would repartition
+    * by (cell, pmod(hash, ceil(cell_bytes/target))) — same seam,
+    * sized instead of single.) Values untouched: file layout only.
+    */
+  private def writeConsolidated(df: DataFrame, keyCol: String,
+      path: String): Unit =
+    df.repartition(col(keyCol))
+      .write.mode("overwrite").partitionBy(keyCol).parquet(path)
 
   /** Probe scan + exact rerank: only vectors in each query's probed
     * cells are scored.
@@ -231,11 +255,18 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** On-disk home of the cell-partitioned corpus (conf-derived like the
-    * sink round-trip scratch datasets; overwritten per run).
+  /** On-disk home of the cell-partitioned corpus — since round 22 a
+    * per-corpus [[graft.sources.Scratch.materializeOnce]] slot (the
+    * delta family's stored-layout discipline, applied to the serving
+    * layout it pioneered): the round-21 form re-wrote the whole layout
+    * on EVERY call, paying a full partitioned write per query run
+    * where "the write runs once at ingest" was already the operator's
+    * own scale story. Values identical (the Lloyd chain is a pure
+    * function of the corpus); a cold session still builds inside the
+    * first consumer's timed window.
     */
-  def ivfLayoutDir(spark: SparkSession): String =
-    graft.sources.Scratch.dir(spark, "ivf_layout")
+  def ivfLayoutDir(spark: SparkSession, dir: String): String =
+    graft.sources.Scratch.corpusDir(spark, "ivf_layout", dir)
 
   /** The IVF layout MATERIALIZED: the corpus is WRITTEN partitioned by
     * its fitted k-means cell, and a probe is a partition-PRUNED read —
@@ -259,17 +290,21 @@ object Similarity {
     * both match the DuckDB re-derivation (shared q_knn_ivf oracle).
     */
   def ivfKnnMaterialized(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
-    val (corpus, probeCells0) = ivfAssignments(spark, Tables.embeddings(spark, dir), probes)
+    val (corpus, probeCells0) = ivfAssignments(spark,
+      Tables.embeddings(spark, dir), probes,
+      Some(denseCountDir(spark, dir, "ivf sizing")))
     // probeCells is consumed twice (driver collect of the probed cells,
     // then the search join) and its lineage includes the full corpus
     // normalization pass — eagerly materialize the tiny frame
     // (queries × probes rows) so the second consumption is a local scan
     val probeCells = probeCells0.localCheckpoint()
-    val layoutDir = ivfLayoutDir(spark)
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    val layoutDir = ivfLayoutDir(spark, dir)
+    graft.sources.Scratch.materializeOnce(layoutDir) {
+      writeConsolidated(corpus, "cell", layoutDir)
+    }
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val layout = spark.read.parquet(layoutDir)
+    val layout = graft.sources.Scratch.readParquetOnce(spark, layoutDir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     ivfSearch(layout, probeCells)
   }
@@ -379,11 +414,13 @@ object Similarity {
     // consumed twice (cell collect + search join) with the Lloyd
     // normalization pass in its lineage — materialize the tiny frame
     val probeCells = probeCells0.localCheckpoint()
-    val layoutDir = graft.sources.Scratch.dir(spark, "ivf_exact_layout")
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    val layoutDir = graft.sources.Scratch.corpusDir(spark, "ivf_exact_layout", dir)
+    graft.sources.Scratch.materializeOnce(layoutDir) {
+      writeConsolidated(corpus, "cell", layoutDir)
+    }
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val layout = spark.read.parquet(layoutDir)
+    val layout = graft.sources.Scratch.readParquetOnce(spark, layoutDir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     ivfSearch(layout, probeCells)
   }
@@ -483,7 +520,7 @@ object Similarity {
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val layout = layouts
-      .map(p => spark.read.parquet(p)
+      .map(p => graft.sources.Scratch.readParquetOnce(spark, p)
         .filter(col("cell").isin(cellIds.map(Int.box): _*)))
       .reduce(_ unionByName _)
     ivfSearch(layout, probeCells)
@@ -499,7 +536,7 @@ object Similarity {
   private def deltaIvfEnsure(spark: SparkSession,
       dir: String): (DataFrame, Seq[String]) = {
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "delta IVF")
+    val n = denseCountDir(spark, dir, "delta IVF")
     val b = deltaBaseCount(n)
     val base = e.filter(col("vec_id") < b)
     val centPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_centroids", dir)
@@ -507,14 +544,13 @@ object Similarity {
     graft.sources.Scratch.materializeOnce(centPath) {
       val cents = ivfFitCents(spark, base)
       cents.write.mode("overwrite").parquet(centPath)
-      ivfAssignTo(cents, base)
-        .write.mode("overwrite").partitionBy("cell").parquet(layoutPath)
+      writeConsolidated(ivfAssignTo(cents, base), "cell", layoutPath)
     }
-    val cents = spark.read.parquet(centPath)
+    val cents = graft.sources.Scratch.readParquetOnce(spark, centPath)
     val deltaPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_batch", dir)
     graft.sources.Scratch.materializeOnce(deltaPath) {
-      ivfAssignTo(cents, e.filter(col("vec_id") >= b))
-        .write.mode("overwrite").partitionBy("cell").parquet(deltaPath)
+      writeConsolidated(ivfAssignTo(cents, e.filter(col("vec_id") >= b)),
+        "cell", deltaPath)
     }
     (cents, Seq(layoutPath, deltaPath))
   }
@@ -539,15 +575,17 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val retractPath = graft.sources.Scratch.corpusDir(spark, "ivf_retract_layout", dir)
     graft.sources.Scratch.materializeOnce(retractPath) {
-      layouts.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
-        .filter(!(col("n_id") % 10 === 7 && col("n_id") >= NumQueries))
-        .write.mode("overwrite").partitionBy("cell").parquet(retractPath)
+      writeConsolidated(
+        layouts.map(p => graft.sources.Scratch.readParquetOnce(spark, p))
+          .reduce(_ unionByName _)
+          .filter(!(col("n_id") % 10 === 7 && col("n_id") >= NumQueries)),
+        "cell", retractPath)
     }
     val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
       cents, probes).localCheckpoint()
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    ivfSearch(spark.read.parquet(retractPath)
+    ivfSearch(graft.sources.Scratch.readParquetOnce(spark, retractPath)
       .filter(col("cell").isin(cellIds.map(Int.box): _*)), probeCells)
   }
 
@@ -565,11 +603,11 @@ object Similarity {
       probes: Int = 3, expectArm: Option[String] = None): DataFrame = {
     val (cents, layouts) = deltaIvfEnsure(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "drift-routed IVF")
+    val n = denseCountDir(spark, dir, "drift-routed IVF")
     val b = deltaBaseCount(n)
     val nSample = math.min(DriftSampleQueries.toLong, n - b)
     val recall = measuredIvfRecall(spark, e, cents,
-      layouts.map(p => spark.read.parquet(p)), b, nSample, probes)
+      layouts.map(p => graft.sources.Scratch.readParquetOnce(spark, p)), b, nSample, probes)
     assertRoutedArm("IVF", recall, expectArm)
     if (recall >= DriftRecallFloor) {
       System.err.println(f"[drift-router] sampled IVF insert recall@$K = " +
@@ -676,17 +714,18 @@ object Similarity {
     val deltaPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_batch", dir)
     val compactPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta_layout_compacted", dir)
     graft.sources.Scratch.materializeOnce(compactPath) {
-      spark.read.parquet(layoutPath)
-        .unionByName(spark.read.parquet(deltaPath))
-        .write.mode("overwrite").partitionBy("cell").parquet(compactPath)
+      writeConsolidated(
+        graft.sources.Scratch.readParquetOnce(spark, layoutPath)
+          .unionByName(graft.sources.Scratch.readParquetOnce(spark, deltaPath)),
+        "cell", compactPath)
     }
     val e = Tables.embeddings(spark, dir)
     val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
-        spark.read.parquet(centPath), probes)
+        graft.sources.Scratch.readParquetOnce(spark, centPath), probes)
       .localCheckpoint()
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    ivfSearch(spark.read.parquet(compactPath)
+    ivfSearch(graft.sources.Scratch.readParquetOnce(spark, compactPath)
       .filter(col("cell").isin(cellIds.map(Int.box): _*)), probeCells)
   }
 
@@ -712,7 +751,7 @@ object Similarity {
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val layout = layouts
-      .map(p => spark.read.parquet(p)
+      .map(p => graft.sources.Scratch.readParquetOnce(spark, p)
         .filter(col("cell").isin(cellIds.map(Int.box): _*)))
       .reduce(_ unionByName _)
     ivfSearch(layout, probeCells)
@@ -731,15 +770,17 @@ object Similarity {
     val compactPath = graft.sources.Scratch.corpusDir(spark,
       "ivf_delta2_compacted", dir)
     graft.sources.Scratch.materializeOnce(compactPath) {
-      layouts.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
-        .write.mode("overwrite").partitionBy("cell").parquet(compactPath)
+      writeConsolidated(
+        layouts.map(p => graft.sources.Scratch.readParquetOnce(spark, p))
+          .reduce(_ unionByName _),
+        "cell", compactPath)
     }
     val e = Tables.embeddings(spark, dir)
     val probeCells = ivfProbePlan(e.filter(col("vec_id") < NumQueries),
       cents, probes).localCheckpoint()
     val cellIds = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    ivfSearch(spark.read.parquet(compactPath)
+    ivfSearch(graft.sources.Scratch.readParquetOnce(spark, compactPath)
       .filter(col("cell").isin(cellIds.map(Int.box): _*)), probeCells)
   }
 
@@ -750,7 +791,7 @@ object Similarity {
   private def delta2IvfEnsure(spark: SparkSession,
       dir: String): (DataFrame, Seq[String]) = {
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "delta2 IVF")
+    val n = denseCountDir(spark, dir, "delta2 IVF")
     val b0 = n * 6 / 10
     val b1 = deltaBaseCount(n) // 8/10 — the single-delta batch cut
     val centPath = graft.sources.Scratch.corpusDir(spark, "ivf_delta2_centroids", dir)
@@ -758,19 +799,20 @@ object Similarity {
     graft.sources.Scratch.materializeOnce(centPath) {
       val cents = ivfFitCents(spark, e.filter(col("vec_id") < b0))
       cents.write.mode("overwrite").parquet(centPath)
-      ivfAssignTo(cents, e.filter(col("vec_id") < b0))
-        .write.mode("overwrite").partitionBy("cell").parquet(layoutPath)
+      writeConsolidated(ivfAssignTo(cents, e.filter(col("vec_id") < b0)),
+        "cell", layoutPath)
     }
-    val cents = spark.read.parquet(centPath)
+    val cents = graft.sources.Scratch.readParquetOnce(spark, centPath)
     val c1Path = graft.sources.Scratch.corpusDir(spark, "ivf_delta2_c1", dir)
     graft.sources.Scratch.materializeOnce(c1Path) {
-      ivfAssignTo(cents, e.filter(col("vec_id") >= b0 && col("vec_id") < b1))
-        .write.mode("overwrite").partitionBy("cell").parquet(c1Path)
+      writeConsolidated(
+        ivfAssignTo(cents, e.filter(col("vec_id") >= b0 && col("vec_id") < b1)),
+        "cell", c1Path)
     }
     val c2Path = graft.sources.Scratch.corpusDir(spark, "ivf_delta2_c2", dir)
     graft.sources.Scratch.materializeOnce(c2Path) {
-      ivfAssignTo(cents, e.filter(col("vec_id") >= b1))
-        .write.mode("overwrite").partitionBy("cell").parquet(c2Path)
+      writeConsolidated(ivfAssignTo(cents, e.filter(col("vec_id") >= b1)),
+        "cell", c2Path)
     }
     (cents, Seq(layoutPath, c1Path, c2Path))
   }
@@ -855,6 +897,27 @@ object Similarity {
         s"max=${szRow.get(2)}, n=$n)")
     n
   }
+
+  /** [[denseCount]] memoized per (session, corpus dir) — the round-21
+    * verdict's "session-memoize corpus counts the way the widen
+    * decision is memoized": every dir-keyed ANN entry re-ran the same
+    * O(1)-result sizing job over the same immutable corpus file (17
+    * call sites, 1–3 sizing jobs per query across the ~27-query knn
+    * family — pure driver/job overhead at any scale, since the probe's
+    * answer is a property of the corpus, not the query). The fixture
+    * is validated dense on the FIRST probe per corpus; the memo is
+    * in-JVM only (a fresh bench/oracle run re-counts from parquet),
+    * the [[graft.sources.Scratch.materializeOnce]] discipline applied
+    * to a scalar. On-variants over arbitrary frames keep the
+    * per-call probe.
+    */
+  private def denseCountDir(spark: SparkSession, dir: String,
+      who: String): Long =
+    countMemo.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => Long.box(denseCount(Tables.embeddings(spark, dir), who)))
+
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
 
   /** Oracle-portable 31-bit integer mixer (xor-shift → multiply ×2,
     * the lowbias32 finalizer shape): every intermediate stays below
@@ -1019,16 +1082,16 @@ object Similarity {
       // a caller that already sized the corpus (the auto router)
       // passes n through — the "corpus counted ONCE" contract
       val e = Tables.embeddings(spark, dir)
-      val n = precountedN.getOrElse(denseCount(e, "graph ANN"))
+      val n = precountedN.getOrElse(denseCountDir(spark, dir, "graph ANN"))
       graphAnnEdgesFor(e, n, BlockedBuildMaxN)
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path).select(col("src"), col("dst"))
+    graft.sources.Scratch.readParquetOnce(spark, path).select(col("src"), col("dst"))
   }
 
   def graphKnnAuto(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "graph ANN routing")
+    val n = denseCountDir(spark, dir, "graph ANN routing")
     val edges =
       if (n <= BlockedBuildMaxN) materializedGraphEdges(spark, dir, Some(n))
       else nnDescentEdgesFor(spark, e, n, NndRounds, None)
@@ -1060,8 +1123,13 @@ object Similarity {
     * iterative neighbor-of-neighbor refinement ([[nnDescentEdges]])
     * instead of the blocked ~N^1.5 construction.
     */
-  def graphKnnNnd(spark: SparkSession, dir: String): DataFrame =
-    graphKnnNndOn(spark, Tables.embeddings(spark, dir))
+  def graphKnnNnd(spark: SparkSession, dir: String): DataFrame = {
+    // corpus counted through the per-corpus memo (the dir entry's
+    // privilege); the On-variant below keeps the per-call probe
+    val e = Tables.embeddings(spark, dir)
+    graphSearch(e, nnDescentEdgesFor(spark, e,
+      denseCountDir(spark, dir, "NN-descent"), NndRounds, None))
+  }
 
   def graphKnnNndOn(spark: SparkSession, e: DataFrame,
       rho: Option[Int] = None): DataFrame =
@@ -1107,7 +1175,7 @@ object Similarity {
     */
   private def deltaGraphEnsureTables(spark: SparkSession, dir: String,
       e: DataFrame): (DataFrame, DataFrame) = {
-    val n = denseCount(e, "delta graph ANN")
+    val n = denseCountDir(spark, dir, "delta graph ANN")
     val b = deltaBaseCount(n)
     val base = e.filter(col("vec_id") < b)
     val edgesPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_base", dir)
@@ -1115,13 +1183,13 @@ object Similarity {
       graphAnnEdgesFor(base, b, BlockedBuildMaxN)
         .write.mode("overwrite").parquet(edgesPath)
     }
-    val stored = spark.read.parquet(edgesPath).select(col("src"), col("dst"))
+    val stored = graft.sources.Scratch.readParquetOnce(spark, edgesPath).select(col("src"), col("dst"))
     val insertPath = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_batch", dir)
     graft.sources.Scratch.materializeOnce(insertPath) {
       deltaGraphInsertEdges(base, stored, e.filter(col("vec_id") >= b))
         .write.mode("overwrite").parquet(insertPath)
     }
-    (stored, spark.read.parquet(insertPath).select(col("src"), col("dst")))
+    (stored, graft.sources.Scratch.readParquetOnce(spark, insertPath).select(col("src"), col("dst")))
   }
 
   /** The graph lifecycle's CLOSING stage — COMPACTION, the
@@ -1146,7 +1214,7 @@ object Similarity {
       stored.unionByName(inserted)
         .write.mode("overwrite").parquet(compactPath)
     }
-    graphSearch(e, spark.read.parquet(compactPath))
+    graphSearch(e, graft.sources.Scratch.readParquetOnce(spark, compactPath))
   }
 
   /** MULTI-INGEST compounding for the NSW graph — the ORDER-DEPENDENT
@@ -1164,7 +1232,7 @@ object Similarity {
     */
   def delta2GraphKnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "delta2 graph ANN")
+    val n = denseCountDir(spark, dir, "delta2 graph ANN")
     val b0 = n * 6 / 10
     val b1 = deltaBaseCount(n) // 8/10
     val base = e.filter(col("vec_id") < b0)
@@ -1173,7 +1241,7 @@ object Similarity {
       graphAnnEdgesFor(base, b0, BlockedBuildMaxN)
         .write.mode("overwrite").parquet(e0Path)
     }
-    val e0 = spark.read.parquet(e0Path).select(col("src"), col("dst"))
+    val e0 = graft.sources.Scratch.readParquetOnce(spark, e0Path).select(col("src"), col("dst"))
     val ins1Path = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_ins1", dir)
     graft.sources.Scratch.materializeOnce(ins1Path) {
       deltaGraphInsertEdges(base, e0,
@@ -1181,7 +1249,7 @@ object Similarity {
         .write.mode("overwrite").parquet(ins1Path)
     }
     val e1 = e0.unionByName(
-      spark.read.parquet(ins1Path).select(col("src"), col("dst")))
+      graft.sources.Scratch.readParquetOnce(spark, ins1Path).select(col("src"), col("dst")))
     val ins2Path = graft.sources.Scratch.corpusDir(spark, "graph_ann_edges_ins2", dir)
     graft.sources.Scratch.materializeOnce(ins2Path) {
       // insert 2 beams over the graph AS INSERT 1 LEFT IT: reachable
@@ -1191,7 +1259,7 @@ object Similarity {
         .write.mode("overwrite").parquet(ins2Path)
     }
     graphSearch(e, e1.unionByName(
-      spark.read.parquet(ins2Path).select(col("src"), col("dst"))))
+      graft.sources.Scratch.readParquetOnce(spark, ins2Path).select(col("src"), col("dst"))))
   }
 
   /** Sampled inserted nodes measured by the drift router, and the
@@ -1226,7 +1294,8 @@ object Similarity {
       expectArm: Option[String] = None): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val (stored, inserted) = deltaGraphEnsureTables(spark, dir, e)
-    graphKnnDriftRoutedOn(spark, e, stored.unionByName(inserted), expectArm)
+    graphKnnDriftRoutedOn(spark, e, stored.unionByName(inserted), expectArm,
+      Some(denseCountDir(spark, dir, "drift-routed graph ANN")))
   }
 
   /** Router body over an explicit maintained edge table — the spec's
@@ -1234,9 +1303,10 @@ object Similarity {
     */
   private[graft] def graphKnnDriftRoutedOn(spark: SparkSession,
       e: DataFrame, maintainedEdges: DataFrame,
-      expectArm: Option[String] = None): DataFrame = {
+      expectArm: Option[String] = None,
+      precountedN: Option[Long] = None): DataFrame = {
     val edges = maintainedEdges.localCheckpoint()
-    val n = denseCount(e, "drift-routed graph ANN")
+    val n = precountedN.getOrElse(denseCount(e, "drift-routed graph ANN"))
     val b = deltaBaseCount(n)
     val recall = measuredInsertRecall(e, edges, b,
       math.min(DriftSampleQueries.toLong, n - b))
@@ -1525,15 +1595,34 @@ object Similarity {
       queries: DataFrame, beam: DataFrame): DataFrame = {
     val score = cosine(col("q_emb"), col("embedding")).as("sim")
     val rankW = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    // ONE data-keyed exchange per hop (guide §2.4; round 22 — the old
+    // shape paid three: a (q_id, n_id) dedup of the scored neighbors, a
+    // second (q_id, n_id) dedup of beam ∪ neighbors, then the rank
+    // window's hash(q_id)): candidates = beam ∪ followed edges are
+    // UNIONED FIRST as bare (q_id, n_id) pairs, repartitioned by q_id
+    // once, and every downstream step reuses that partitioning — the
+    // pair dedup (hash(q_id) co-locates every (q_id, n_id) duplicate),
+    // the per-query rank window, and the two joins (corpus/queries ride
+    // as broadcast/size-decided sides). Values are IDENTICAL: the hop's
+    // output was always "top-GraphBeam by (sim desc, n_id) over the
+    // distinct (q_id, n_id) of beam ∪ neighbors", and re-scoring a
+    // surviving beam pair evaluates the same deterministic cosine over
+    // the same rows the pair's stored sim came from (beam ∩ neighbors
+    // duplicates previously carried that identical sim on both union
+    // sides). Extra work: |beam| ≤ queries × GraphBeam re-scored
+    // cosines per hop — O(query batch), nothing that scales with the
+    // corpus, against one full exchange of the candidate set saved
+    // twice.
     val neighbors = edges
       .join(broadcast(beam.select(col("q_id"), col("n_id").as("src"))), "src")
       .select(col("q_id"), col("dst").as("n_id"))
+    beam.select(col("q_id"), col("n_id"))
+      .unionByName(neighbors)
+      .repartition(col("q_id"))
       .dropDuplicates("q_id", "n_id")
       .join(corpus, "n_id")
       .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("n_id"), score)
-    beam.unionByName(neighbors)
-      .dropDuplicates("q_id", "n_id") // identical sim on both sides
       .withColumn("r", row_number().over(rankW))
       .filter(col("r") <= GraphBeam)
       .drop("r")
@@ -1621,8 +1710,9 @@ object Similarity {
     */
   def quantizedIvfKnn(spark: SparkSession, dir: String, probes: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val (corpus, probeCells0) = ivfAssignments(spark, e, probes)
-    quantizedIvfSearch(spark, e, corpus, probeCells0, "ivf_quant_layout")
+    val (corpus, probeCells0) = ivfAssignments(spark, e, probes,
+      Some(denseCountDir(spark, dir, "ivf sizing")))
+    quantizedIvfSearch(spark, dir, e, corpus, probeCells0, "ivf_quant_layout")
   }
 
   /** The shared IVF-int8 serving pipeline behind [[quantizedIvfKnn]]
@@ -1632,8 +1722,9 @@ object Similarity {
     * probed cells only, exact full-precision rerank of the
     * top-[[QuantRerank]] shortlist.
     */
-  private def quantizedIvfSearch(spark: SparkSession, e: DataFrame,
-      corpus: DataFrame, probeCells0: DataFrame, scratch: String): DataFrame = {
+  private def quantizedIvfSearch(spark: SparkSession, dir: String,
+      e: DataFrame, corpus: DataFrame, probeCells0: DataFrame,
+      scratch: String): DataFrame = {
     import graft.functions.VectorFunctions.{int8Dot, int8Pack}
     // tiny (queries × probes rows), consumed thrice (cell collect,
     // query pack, coarse join) with the corpus pass in its lineage
@@ -1646,13 +1737,18 @@ object Similarity {
       .withColumn("scale", scaleCol)
       .select(col("n_id"), int8Pack(col("embedding"), col("scale")).as("qb"),
         col("scale"), normCol.as("nrm"), col("cell"))
-    val layoutDir = graft.sources.Scratch.dir(spark, scratch)
-    packed.write.mode("overwrite").partitionBy("cell").parquet(layoutDir)
+    // per-corpus write-once + consolidated files + memoized listing —
+    // the ivfKnnMaterialized round-22 treatment (the packed table is a
+    // pure function of the corpus; the old form re-wrote it per call)
+    val layoutDir = graft.sources.Scratch.corpusDir(spark, scratch, dir)
+    graft.sources.Scratch.materializeOnce(layoutDir) {
+      writeConsolidated(packed, "cell", layoutDir)
+    }
     // probed cells as plan-time pruning literals — queries × probes
     // ints, probe METADATA (the ivfKnnMaterialized convention)
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val layout = spark.read.parquet(layoutDir)
+    val layout = graft.sources.Scratch.readParquetOnce(spark, layoutDir)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     // query-side pack: the query's own scale/norm are constant per
     // q_id, so dropping them from qsim is rank-invariant (same
@@ -1703,7 +1799,7 @@ object Similarity {
       probes: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val (corpus, probeCells0) = ivfExactAssignments(spark, e, probes)
-    quantizedIvfSearch(spark, e, corpus, probeCells0, "ivf_exact_quant_layout")
+    quantizedIvfSearch(spark, dir, e, corpus, probeCells0, "ivf_exact_quant_layout")
   }
 
   // ——— product quantization (PQ) ———
@@ -2235,7 +2331,7 @@ object Similarity {
   private[graft] def semdedupStoredState(spark: SparkSession,
       dir: String): (DataFrame, DataFrame, Long) = {
     val e = Tables.embeddings(spark, dir)
-    val n = denseCount(e, "delta semdedup")
+    val n = denseCountDir(spark, dir, "delta semdedup")
     val b = deltaBaseCount(n)
     val base = e.filter(col("vec_id") < b)
     val centPath = graft.sources.Scratch.corpusDir(spark, "semdedup_delta_cents", dir)
@@ -2247,10 +2343,12 @@ object Similarity {
       kmeansCentroids(spark, base).write.mode("overwrite").parquet(centPath)
     }
     graft.sources.Scratch.materializeOnce(basePath) {
-      semdedupAssign(spark.read.parquet(centPath), base)
-        .write.mode("overwrite").partitionBy("cluster").parquet(basePath)
+      writeConsolidated(
+        semdedupAssign(graft.sources.Scratch.readParquetOnce(spark, centPath), base),
+        "cluster", basePath)
     }
-    (spark.read.parquet(centPath), spark.read.parquet(basePath), b)
+    (graft.sources.Scratch.readParquetOnce(spark, centPath),
+      graft.sources.Scratch.readParquetOnce(spark, basePath), b)
   }
 
   /** Recompute-state form (specs, probes): fits the base model and

@@ -62,12 +62,26 @@ object DocumentStreams {
     * stream fans the batch across the session's cores; the consumers
     * here are pure per-row functions (no state, no watermark
     * dependence), so micro-batch OUTPUT is untouched — only where rows
-    * compute. Production sources (Kafka, many-file directories)
-    * already arrive partitioned; the repartition is a replay-harness
-    * equalizer, not a production requirement.
+    * compute.
+    *
+    * CONDITIONAL since round 22 (round-21 verdict: the unconditional
+    * form planned a full extra exchange per micro-batch even on
+    * production sources that already arrive wide): `narrow` must say
+    * whether the SOURCE actually plans fewer splits than the floor.
+    * Streaming plans cannot be probed pre-execution, so callers pass
+    * the decision — [[streamedDocs]] consumers gate on the memoized
+    * BATCH probe of the same documents.parquet
+    * ([[graft.tables.Tables.documentsNarrow]]: a production corpus
+    * spans thousands of row groups and the stream inherits that width,
+    * so no repartition is ever planned); the TTL replay passes
+    * narrow=true because its chunks are 1 file each BY CONSTRUCTION
+    * (the coalesce(1) atomic-append contract — that source is always
+    * one scan task per micro-batch, at any scale of the replayed
+    * corpus).
     */
-  private def widenStream(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def widenStream(df: DataFrame, narrow: Boolean): DataFrame =
+    if (narrow) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
 
   /** Incremental MinHash ingest under the driver gate: the SAME
     * per-row signature expression as the batch operator
@@ -85,7 +99,8 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     val unpack = (0 until Dedup.NumHashes).map(i =>
       element_at(col("sig"), i + 1).as(s"mh$i"))
-    val sig = widenStream(streamedDocs(spark, dir))
+    val sig = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .select(col("doc_id"),
         Dedup.minhashSignatureArray(col("text"), prodHash = false).as("sig"))
       .select(col("doc_id") +: unpack: _*)
@@ -155,7 +170,7 @@ object DocumentStreams {
       // the shingle pass is the batch's heavy kernel and each replay
       // file is one scan task — fan it out (stateless projection; the
       // grouped aggregation shuffles by doc afterwards either way)
-      val shingled = widenStream(stream).select(col("doc_id"), col("split"),
+      val shingled = widenStream(stream, narrow = true).select(col("doc_id"), col("split"),
           explode(array_distinct(
             charShingles(normalized(col("text")), Dedup.ShingleK))).as("sh"))
         .select(col("doc_id"), col("split"),
@@ -218,7 +233,8 @@ object DocumentStreams {
     // micro-batch; the banded rows re-shuffle to the 4 state partitions
     // afterwards either way, and per-bucket processing sorts by doc_id,
     // so emissions are unchanged
-    val pairs = nearDupPairStream(widenStream(streamedDocs(spark, dir)))(spark)
+    val pairs = nearDupPairStream(widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir)))(spark)
     // state-partition sizing note: see [[StreamConf]]
     StreamConf.withStatePartitions(spark, 4) {
       val q = pairs.toDF().writeStream.format("memory")
@@ -358,7 +374,7 @@ object DocumentStreams {
     // runs single-core per micro-batch; the banded rows re-shuffle to
     // the state partitions afterwards and per-bucket processing sorts
     // by doc_id, so emissions are unchanged
-    val pairs = nearDupPairStreamTtl(widenStream(stream), TtlHorizonMs)
+    val pairs = nearDupPairStreamTtl(widenStream(stream, narrow = true), TtlHorizonMs)
     StreamConf.withStatePartitions(spark, 4) {
       val q = pairs.toDF().writeStream.format("memory")
         .queryName("graft_stream_neardup_ttl")
@@ -499,7 +515,8 @@ object DocumentStreams {
     import graft.operators.Tokenizer
     val rules = Tokenizer.learnRules(spark, dir)
     val toks = TextFunctions.tokens(col("text"))
-    val out = widenStream(streamedDocs(spark, dir))
+    val out = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_words"),
         aggregate(toks, lit(0L),
@@ -534,7 +551,8 @@ object DocumentStreams {
     import graft.operators.TextAnalysis.{WinnowK, WinnowW}
     val k = WinnowK
     val w = WinnowW
-    val out = widenStream(streamedDocs(spark, dir))
+    val out = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .filter(length(col("text")) >= k + w - 1)
       .withColumn("hs",
         graft.functions.TextFunctions.rollingWindowFingerprint(col("text"), k))
@@ -567,7 +585,8 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal.RealCodecs
-    val out = widenStream(streamedDocs(spark, dir))
+    val out = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val (hi, lo) = RealCodecs.ahashPng(RealCodecs.syntheticPng(id, 32, 16))
@@ -596,7 +615,8 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal.RealCodecs
-    val out = widenStream(streamedDocs(spark, dir))
+    val out = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
@@ -625,7 +645,8 @@ object DocumentStreams {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
     import graft.operators.Multimodal.RealCodecs
-    val out = widenStream(streamedDocs(spark, dir))
+    val out = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
         val wav = RealCodecs.syntheticWavAm(id, 1000 + (id % 500).toInt, 16000)
@@ -673,7 +694,8 @@ object DocumentStreams {
     val base = Multimodal.ahashTable(spark, dir)
       .filter(col("doc_id") % 10 < 8)
     // the arrival side: stateless decode + hash
-    val arrivals = widenStream(streamedDocs(spark, dir))
+    val arrivals = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
@@ -700,7 +722,8 @@ object DocumentStreams {
       .filter(col("doc_id") % 10 < 8)
       .select(col("doc_id"), col("afp_hi").as("ahash_hi"),
         col("afp_lo").as("ahash_lo"))
-    val arrivals = widenStream(streamedDocs(spark, dir))
+    val arrivals = widenStream(streamedDocs(spark, dir),
+      graft.tables.Tables.documentsNarrow(spark, dir))
       .filter(col("doc_id") % 10 >= 8)
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>

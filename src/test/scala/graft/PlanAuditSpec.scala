@@ -549,9 +549,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // Round-robin exchanges are the Tables.widened scan-parallelism
     // floor (single-row-group fixture scans fan out to the cores);
     // they are absent at production scan widths, so the audit bounds
-    // the DATA-KEYED moves only.
-    val exchanges = "Exchange ".r.findAllIn(plan).length -
-      "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+    // the DATA-KEYED moves — and ALSO caps the round-robin count at
+    // the one expected widen site (round-21 advice: an unbounded
+    // exclusion would let an accidental repartition() anywhere in the
+    // query slip past the exchange audit).
+    val roundRobins = "Exchange RoundRobinPartitioning".r.findAllIn(plan).length
+    assert(roundRobins <= 1,
+      s"expected at most 1 widen-floor round-robin exchange, got $roundRobins:\n${plan.take(2000)}")
+    val exchanges = "Exchange ".r.findAllIn(plan).length - roundRobins
     assert(exchanges == 4, s"expected 4 keyed exchanges, got $exchanges:\n${plan.take(2000)}")
     // shuffle rows are (doc_id, pos, h1, h2) longs: text is projected
     // away before the first exchange (the Generate output project)
