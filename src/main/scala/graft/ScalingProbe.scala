@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
+    // honor $SPARK_GRAFT_CPUS (default 32) so the probe can also take
+    // CORE-SCALING points (round-22: the sf0.1 bench fixtures are too
+    // small for any query to demonstrate parallel scaling — the
+    // synthetic generators here are the right vehicle)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

